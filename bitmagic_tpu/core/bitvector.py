@@ -1,0 +1,1006 @@
+"""TPU-native succinct bit-vector container.
+
+Functional equivalent of the reference ``bm::bvector<>`` (src/bm.h:114): a
+block-structured compressed bitset with full set algebra, rank/select,
+iteration and serialization.  The design is TPU-first (see SURVEY.md §7):
+
+  * host-side numpy metadata describes which 64K-bit blocks exist and their
+    class (ZERO / FULL / BIT); ZERO and FULL occupy no storage — the analog of
+    NULL pointers and the FULL_BLOCK_FAKE_ADDR sentinel (src/bmdef.h:165-170);
+  * all dense payload lives in ONE device array ``uint32[n_rows, 2048]``;
+  * binary ops plan symbolically on host (FULL/ZERO algebra) and execute as a
+    single gather + fused elementwise XLA/Pallas pass on device — the analog
+    of the reference per-block dispatch (src/bm.h:6604-7056) where the "wave
+    skipping" becomes simply not gathering dropped blocks;
+  * single-bit mutations are staged host-side and flushed as bulk scatter
+    kernels (the reference likewise steers users to bulk import,
+    src/bm.h:1133, 2073).
+
+Addressing is 48-bit capable end-to-end (int64 indices; reference bm64.h).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from ..config import config
+from ..ops import blockops
+from .blocks import Structure, gather_operand, plan_binary
+
+_I64 = np.int64
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _binary_kernel(op, pa, a_slot, a_full, pb, b_slot, b_full):
+    ka = gather_operand(pa, a_slot, a_full)
+    kb = gather_operand(pb, b_slot, b_full)
+    return blockops.logical_op(op, ka, kb)
+
+
+def _as_blocks(ids):
+    return ids >> C.SET_BLOCK_SHIFT
+
+
+class ReadOnlyError(RuntimeError):
+    pass
+
+
+class BitVector:
+    """Block-structured succinct bit-vector (bm::bvector equivalent)."""
+
+    def __init__(self, size: int = C.ID_MAX32, strategy: int = C.BM_BIT):
+        self._size = int(size)
+        self._struct = Structure.empty()
+        self._pool = blockops.zero_pool(0)
+        self._staged: dict[int, bool] = {}
+        self._ro = False
+        self._rs = None           # cached RSIndex
+        self.strategy = strategy
+
+    # ------------------------------------------------------------------
+    # construction
+    # ------------------------------------------------------------------
+    @classmethod
+    def _from_parts(cls, struct: Structure, pool, size: int):
+        bv = cls.__new__(cls)
+        bv._size = int(size)
+        bv._struct = struct
+        bv._pool = pool
+        bv._staged = {}
+        bv._ro = False
+        bv._rs = None
+        bv.strategy = C.BM_BIT
+        return bv
+
+    @classmethod
+    def from_indices(cls, ids, size: int = C.ID_MAX32):
+        """Bulk build from sorted-or-not bit ids (reference bulk set,
+        src/bm.h:1133 set(ids, n) / combine_or)."""
+        ids = np.unique(np.asarray(ids, _I64))
+        if ids.size and (ids[0] < 0 or ids[-1] >= size):
+            raise IndexError("bit id out of range")
+        struct, pool = _pool_from_ids(ids)
+        return cls._from_parts(struct, pool, size)
+
+    @classmethod
+    def from_bools(cls, bools, size=None):
+        bools = np.asarray(bools, bool)
+        size = bools.size if size is None else size
+        return cls.from_indices(np.flatnonzero(bools), size)
+
+    @classmethod
+    def from_words(cls, words, size=None):
+        """Import from a raw dense uint32 word image, LSB-first
+        (reference bm::bit_import_u32, src/bmbvimport.h)."""
+        w = np.asarray(words, np.uint32).reshape(-1)
+        if size is None:
+            size = w.size * 32
+        nblk = C.blocks_for_bits(w.size * 32)
+        pad = np.zeros(nblk * C.SET_BLOCK_SIZE, np.uint32)
+        pad[: w.size] = w
+        pool = jnp.asarray(pad.reshape(nblk, C.SET_BLOCK_SIZE))
+        struct = Structure(np.arange(nblk, dtype=_I64),
+                           np.full(nblk, C.CLS_BIT, np.uint8))
+        bv = cls._from_parts(struct, pool, size)
+        bv._drop_trailing(size)
+        return bv
+
+    def copy(self) -> "BitVector":
+        self._flush()
+        return BitVector._from_parts(
+            Structure(self._struct.nb.copy(), self._struct.cls.copy()),
+            self._pool, self._size)
+
+    # ------------------------------------------------------------------
+    # size management (reference resize src/bm.h:1306)
+    # ------------------------------------------------------------------
+    @property
+    def size(self) -> int:
+        return self._size
+
+    def resize(self, new_size: int):
+        self._check_writable()
+        self._flush()
+        new_size = int(new_size)
+        if new_size < self._size:
+            self._drop_trailing(new_size)
+        self._size = new_size
+        self._dirty()
+        return self
+
+    def _drop_trailing(self, size):
+        """Clear any bits at positions >= size."""
+        if size <= 0:
+            self._struct = Structure.empty()
+            self._pool = blockops.zero_pool(0)
+            return
+        last_blk = (size - 1) >> C.SET_BLOCK_SHIFT
+        keep = self._struct.nb <= last_blk
+        if not keep.all():
+            self._select_blocks(keep)
+        # partial last block mask
+        tail_bits = size & C.SET_BLOCK_MASK
+        if tail_bits == 0:
+            return
+        pos = np.searchsorted(self._struct.nb, last_blk)
+        if pos < len(self._struct.nb) and self._struct.nb[pos] == last_blk:
+            m = _tail_mask_np(tail_bits)
+            if self._struct.cls[pos] == C.CLS_FULL:
+                # demote FULL tail block to masked BIT
+                self._materialize_block(pos)
+            slot = int(self._struct.slots()[pos])
+            row = self._pool[slot] & jnp.asarray(m)
+            self._pool = self._pool.at[slot].set(row)
+
+    def _select_blocks(self, keep_mask: np.ndarray):
+        """Keep only metadata entries where keep_mask; rebuild pool rows."""
+        slots = self._struct.slots()
+        bit_keep = keep_mask & (self._struct.cls == C.CLS_BIT)
+        rows = slots[bit_keep]
+        self._pool = (jnp.take(self._pool, jnp.asarray(rows), axis=0)
+                      if rows.size else blockops.zero_pool(0))
+        self._struct = Structure(self._struct.nb[keep_mask].copy(),
+                                 self._struct.cls[keep_mask].copy())
+
+    def _materialize_block(self, pos: int):
+        """Convert the FULL block at metadata position pos into a dense row
+        (the deoptimize_block analog, src/bmblocks.h:1574)."""
+        assert self._struct.cls[pos] == C.CLS_FULL
+        slots = self._struct.slots()
+        insert_row = int(np.sum((self._struct.cls[:pos] == C.CLS_BIT)))
+        full_row = jnp.full((1, C.SET_BLOCK_SIZE), C.ALL_ONES_WORD, jnp.uint32)
+        self._pool = jnp.concatenate(
+            [self._pool[:insert_row], full_row, self._pool[insert_row:]], axis=0)
+        self._struct.cls[pos] = C.CLS_BIT
+
+    # ------------------------------------------------------------------
+    # single-bit mutation (staged; reference set_bit src/bm.h:1074)
+    # ------------------------------------------------------------------
+    def _check_writable(self):
+        if self._ro:
+            raise ReadOnlyError("bit-vector is frozen (read-only)")
+
+    def _dirty(self):
+        self._rs = None
+
+    def set(self, i, val: bool = True):
+        self._check_writable()
+        i = int(i)
+        if not (0 <= i < self._size):
+            raise IndexError(f"bit {i} out of range [0, {self._size})")
+        self._staged[i] = bool(val)
+        self._dirty()
+        return self
+
+    set_bit = set
+
+    def clear_bit(self, i):
+        return self.set(i, False)
+
+    def flip_bit(self, i):
+        self.set(i, not self.test(i))
+        return self
+
+    def set_bit_conditional(self, i, val, condition):
+        """Set bit i to val only if its current value equals ``condition``
+        (reference src/bm.h:1082).  Returns True if changed."""
+        cur = self.test(i)
+        if cur == bool(condition) and cur != bool(val):
+            self.set(i, val)
+            return True
+        return False
+
+    def set_bit_and(self, i, val=True):
+        """AND bit i with val; returns resulting bit (reference :1104)."""
+        cur = self.test(i)
+        new = cur and bool(val)
+        if new != cur:
+            self.set(i, new)
+        return new
+
+    def __setitem__(self, i, val):
+        self.set(i, val)
+
+    def _flush(self):
+        if not self._staged:
+            return
+        items = self._staged
+        self._staged = {}
+        ids = np.fromiter(items.keys(), _I64, len(items))
+        vals = np.fromiter(items.values(), bool, len(items))
+        set_ids, clr_ids = ids[vals], ids[~vals]
+        if set_ids.size:
+            self._ior(BitVector.from_indices(set_ids, self._size))
+        if clr_ids.size:
+            self._isub(BitVector.from_indices(clr_ids, self._size))
+
+    # ------------------------------------------------------------------
+    # bulk mutation
+    # ------------------------------------------------------------------
+    def set_many(self, ids):
+        """Bulk OR of bit ids (reference set(ids,n), src/bm.h:1133)."""
+        self._check_writable()
+        self._flush()
+        self._ior(BitVector.from_indices(ids, self._size))
+        return self
+
+    def clear_many(self, ids):
+        """Bulk clear of bit ids (reference clear(ids,n), src/bm.h:1161)."""
+        self._check_writable()
+        self._flush()
+        self._isub(BitVector.from_indices(ids, self._size))
+        return self
+
+    def keep(self, ids):
+        """Keep only listed bits (reference keep(ids,n), src/bm.h:1147)."""
+        self._check_writable()
+        self._flush()
+        self._iand(BitVector.from_indices(ids, self._size))
+        return self
+
+    def set_range(self, lo, hi, val: bool = True):
+        """Set/clear inclusive bit range (reference src/bm.h:1201)."""
+        self._check_writable()
+        self._flush()
+        lo, hi = int(lo), int(hi)
+        if hi < lo:
+            return self
+        if not (0 <= lo and hi < self._size):
+            raise IndexError("range out of bounds")
+        rng = _range_vector(lo, hi, self._size)
+        if val:
+            self._ior(rng)
+        else:
+            self._isub(rng)
+        return self
+
+    def copy_range(self, other: "BitVector", lo, hi):
+        """Copy bits [lo, hi] from other, zero everything else
+        (reference src/bm.h:1238)."""
+        self._check_writable()
+        other._flush()
+        rng = _range_vector(int(lo), int(hi), other._size)
+        res = _binary(other, rng, "and")
+        self._adopt(res)
+        return self
+
+    def clear(self, free_mem: bool = True):
+        self._check_writable()
+        self._staged = {}
+        self._struct = Structure.empty()
+        self._pool = blockops.zero_pool(0)
+        self._dirty()
+        return self
+
+    def reset(self):
+        return self.clear()
+
+    def invert(self):
+        """Flip all bits in [0, size) (reference src/bm.h:1837)."""
+        self._check_writable()
+        self._flush()
+        nblk = C.blocks_for_bits(self._size)
+        if nblk > (1 << 26):
+            raise MemoryError("invert() on an address space this large would "
+                              "materialize too much block metadata")
+        all_nb = np.arange(nblk, dtype=_I64)
+        st, slot = self._struct.lookup(all_nb)
+        new_cls = np.empty(nblk, np.uint8)
+        new_cls[st == 0] = C.CLS_FULL       # zero -> full
+        new_cls[st == 1] = C.CLS_ZERO       # full -> zero (drop)
+        new_cls[st == 2] = C.CLS_BIT
+        keep = new_cls != C.CLS_ZERO
+        bit_mask = new_cls == C.CLS_BIT
+        rows = slot[bit_mask]
+        pool = (~jnp.take(self._pool, jnp.asarray(rows), axis=0)
+                if rows.size else blockops.zero_pool(0))
+        self._struct = Structure(all_nb[keep].copy(), new_cls[keep].copy())
+        self._pool = pool
+        self._drop_trailing(self._size)
+        self._dirty()
+        return self
+
+    def swap_bits(self, i, j):
+        """Swap bits i and j (reference swap(idx1, idx2), src/bm.h:1170)."""
+        bi, bj = self.test(i), self.test(j)
+        if bi != bj:
+            self.set(i, bj)
+            self.set(j, bi)
+        return self
+
+    def swap(self, other: "BitVector"):
+        for attr in ("_size", "_struct", "_pool", "_staged", "_ro", "_rs"):
+            a, b = getattr(self, attr), getattr(other, attr)
+            setattr(self, attr, b)
+            setattr(other, attr, a)
+        return self
+
+    def inc(self, i) -> bool:
+        """Increment bit i (flip); returns carry, i.e. the OLD value
+        (reference src/bm.h:1094)."""
+        old = self.test(i)
+        self.set(i, not old)
+        return old
+
+    # ------------------------------------------------------------------
+    # queries
+    # ------------------------------------------------------------------
+    def test(self, i) -> bool:
+        i = int(i)
+        if i in self._staged:
+            return self._staged[i]
+        if not (0 <= i < self._size):
+            return False
+        return bool(self.get_bits(np.asarray([i]))[0])
+
+    get_bit = test
+
+    def __getitem__(self, i):
+        return self.test(i)
+
+    def get_bits(self, ids) -> np.ndarray:
+        """Batch bit test -> bool[n]."""
+        self._flush()
+        ids = np.asarray(ids, _I64)
+        st, slot = self._struct.lookup(_as_blocks(ids))
+        out = st == 1          # FULL
+        bitq = st == 2
+        if bitq.any():
+            flat = slot[bitq] * C.SET_BLOCK_SIZE + ((ids[bitq] & C.SET_BLOCK_MASK) >> 5)
+            words = np.asarray(jnp.take(self._pool.reshape(-1), jnp.asarray(flat)))
+            out[bitq] = (words >> (ids[bitq] & 31).astype(np.uint32)) & 1
+        return out
+
+    def any(self) -> bool:
+        self._flush()
+        if (self._struct.cls == C.CLS_FULL).any():
+            return True
+        if self._pool.shape[0] == 0:
+            return False
+        return bool(jnp.any(self._pool != 0))
+
+    def none(self) -> bool:
+        return not self.any()
+
+    def empty(self) -> bool:
+        return self._size == 0
+
+    def count(self) -> int:
+        """Global popcount (reference src/bm.h:1320)."""
+        self._flush()
+        full = int((self._struct.cls == C.CLS_FULL).sum()) * C.BITS_PER_BLOCK
+        if self._pool.shape[0] == 0:
+            return full
+        return full + int(jnp.sum(blockops.block_counts(self._pool).astype(jnp.int64)))
+
+    def count_range(self, lo, hi) -> int:
+        """popcount of closed range [lo, hi] (reference src/bm.h:1341)."""
+        self._flush()
+        lo, hi = int(lo), int(hi)
+        hi = min(hi, self._size - 1)
+        if hi < lo:
+            return 0
+        b_lo, b_hi = lo >> C.SET_BLOCK_SHIFT, hi >> C.SET_BLOCK_SHIFT
+        inside = (self._struct.nb >= b_lo) & (self._struct.nb <= b_hi)
+        total = 0
+        # FULL blocks: overlap length with [lo, hi]
+        for nb in self._struct.nb[inside & (self._struct.cls == C.CLS_FULL)]:
+            base = int(nb) << C.SET_BLOCK_SHIFT
+            total += min(hi, base + C.BITS_PER_BLOCK - 1) - max(lo, base) + 1
+        # BIT blocks: fused mask+popcount kernel over the touched rows
+        bitm = inside & (self._struct.cls == C.CLS_BIT)
+        if bitm.any():
+            slots = self._struct.slots()[bitm]
+            nbs = self._struct.nb[bitm]
+            rows = jnp.take(self._pool, jnp.asarray(slots), axis=0)
+            total += int(_count_range_rows(rows, jnp.asarray(nbs), lo, hi))
+        return total
+
+    def count_to(self, i) -> int:
+        """rank: popcount of [0, i] (reference src/bm.h:1420)."""
+        return self.count_range(0, i)
+
+    def rank(self, i) -> int:
+        return self.count_to(i)
+
+    def rank_corrected(self, i) -> int:
+        """rank(i) - test(i) (reference src/bm.h:1465)."""
+        return self.count_to(i) - int(self.test(i))
+
+    def count_to_test(self, i) -> int:
+        """count_to(i) if bit i is set else 0 (reference src/bm.h:1443)."""
+        return self.count_to(i) if self.test(i) else 0
+
+    # -- find family (reference src/bm.h:1577-1705) ---------------------
+    def find(self, frm: int = 0) -> int:
+        """First set bit at position >= frm, or -1."""
+        self._flush()
+        frm = max(0, int(frm))
+        if frm >= self._size:
+            return -1
+        b0 = frm >> C.SET_BLOCK_SHIFT
+        cand = self._struct.nb >= b0
+        if not cand.any():
+            return -1
+        nbs = self._struct.nb[cand]
+        clss = self._struct.cls[cand]
+        slots = self._struct.slots()[cand]
+        # first candidate block that can contain a bit >= frm
+        firsts = np.full(nbs.size, -1, _I64)
+        bit_rows = clss == C.CLS_BIT
+        if bit_rows.any():
+            rows = jnp.take(self._pool, jnp.asarray(slots[bit_rows]), axis=0)
+            ff = np.asarray(blockops.find_first_in_blocks(rows))
+            tmp = np.where(ff < C.BITS_PER_BLOCK,
+                           (nbs[bit_rows] << C.SET_BLOCK_SHIFT) + ff, -1)
+            firsts[bit_rows] = tmp
+        firsts[clss == C.CLS_FULL] = nbs[clss == C.CLS_FULL] << C.SET_BLOCK_SHIFT
+        # handle the partial first block: bits before frm don't count
+        for k in range(nbs.size):
+            f = firsts[k]
+            if f < 0:
+                continue
+            if f >= frm:
+                return int(f)
+            if nbs[k] == b0:
+                # search within this block from frm
+                if clss[k] == C.CLS_FULL:
+                    return frm
+                row = np.asarray(self._pool[int(slots[k])])
+                r = _find_in_row_np(row, frm & C.SET_BLOCK_MASK)
+                if r >= 0:
+                    return (int(nbs[k]) << C.SET_BLOCK_SHIFT) + r
+        return -1
+
+    def find_reverse(self, frm: int | None = None) -> int:
+        """Last set bit at position <= frm (or global last), or -1."""
+        self._flush()
+        hi = self._size - 1 if frm is None else min(int(frm), self._size - 1)
+        b1 = hi >> C.SET_BLOCK_SHIFT
+        cand = self._struct.nb <= b1
+        if not cand.any():
+            return -1
+        nbs = self._struct.nb[cand]
+        clss = self._struct.cls[cand]
+        slots = self._struct.slots()[cand]
+        lasts = np.full(nbs.size, -1, _I64)
+        bit_rows = clss == C.CLS_BIT
+        if bit_rows.any():
+            rows = jnp.take(self._pool, jnp.asarray(slots[bit_rows]), axis=0)
+            fl = np.asarray(blockops.find_last_in_blocks(rows))
+            lasts[bit_rows] = np.where(
+                fl >= 0, (nbs[bit_rows] << C.SET_BLOCK_SHIFT) + fl, -1)
+        fm = clss == C.CLS_FULL
+        lasts[fm] = (nbs[fm] << C.SET_BLOCK_SHIFT) + C.BITS_PER_BLOCK - 1
+        for k in range(nbs.size - 1, -1, -1):
+            l = lasts[k]
+            if l < 0:
+                continue
+            if l <= hi:
+                return int(l)
+            if nbs[k] == b1:
+                if clss[k] == C.CLS_FULL:
+                    return hi
+                row = np.asarray(self._pool[int(slots[k])])
+                r = _find_rev_in_row_np(row, hi & C.SET_BLOCK_MASK)
+                if r >= 0:
+                    return (int(nbs[k]) << C.SET_BLOCK_SHIFT) + r
+        return -1
+
+    def find_range(self):
+        """(first, last) set bits or None (reference src/bm.h:1651)."""
+        f = self.find()
+        if f < 0:
+            return None
+        return f, self.find_reverse()
+
+    def find_first_mismatch(self, other: "BitVector") -> int:
+        """First position where self and other differ, or -1
+        (reference src/bm.h:2035)."""
+        x = _binary(self, other, "xor")
+        return x.find()
+
+    # ------------------------------------------------------------------
+    # logical operations
+    # ------------------------------------------------------------------
+    def _adopt(self, res: "BitVector"):
+        self._struct = res._struct
+        self._pool = res._pool
+        self._dirty()
+
+    def _ior(self, other):
+        self._adopt(_binary(self, other, "or"))
+        return self
+
+    def _iand(self, other):
+        self._adopt(_binary(self, other, "and"))
+        return self
+
+    def _ixor(self, other):
+        self._adopt(_binary(self, other, "xor"))
+        return self
+
+    def _isub(self, other):
+        self._adopt(_binary(self, other, "sub"))
+        return self
+
+    def bit_or(self, a, b=None, opt_mode=C.OPT_NONE):
+        """2-op (self |= a) or 3-op (self = a | b) form (src/bm.h:1724+)."""
+        self._check_writable()
+        self._flush()
+        if b is None:
+            return self._ior(a)
+        self._adopt(_binary(a, b, "or"))
+        self._size = max(a._size, b._size)
+        if opt_mode:
+            self.optimize(opt_mode)
+        return self
+
+    def bit_and(self, a, b=None, opt_mode=C.OPT_NONE):
+        self._check_writable()
+        self._flush()
+        if b is None:
+            return self._iand(a)
+        self._adopt(_binary(a, b, "and"))
+        self._size = max(a._size, b._size)
+        if opt_mode:
+            self.optimize(opt_mode)
+        return self
+
+    def bit_xor(self, a, b=None, opt_mode=C.OPT_NONE):
+        self._check_writable()
+        self._flush()
+        if b is None:
+            return self._ixor(a)
+        self._adopt(_binary(a, b, "xor"))
+        self._size = max(a._size, b._size)
+        if opt_mode:
+            self.optimize(opt_mode)
+        return self
+
+    def bit_sub(self, a, b=None, opt_mode=C.OPT_NONE):
+        self._check_writable()
+        self._flush()
+        if b is None:
+            return self._isub(a)
+        self._adopt(_binary(a, b, "sub"))
+        self._size = max(a._size, b._size)
+        if opt_mode:
+            self.optimize(opt_mode)
+        return self
+
+    def bit_or_and(self, a, b, opt_mode=C.OPT_NONE):
+        """self |= (a & b), fused (reference bit_or_and, src/bm.h:1860)."""
+        self._check_writable()
+        self._flush()
+        t = _binary(a, b, "and")
+        self._ior(t)
+        if opt_mode:
+            self.optimize(opt_mode)
+        return self
+
+    def merge(self, other: "BitVector"):
+        """Destructive union: self |= other; other is cleared
+        (reference src/bm.h:1000)."""
+        self.bit_or(other)
+        other.clear()
+        return self
+
+    def __iand__(self, o): return self.bit_and(o)
+    def __ior__(self, o): return self.bit_or(o)
+    def __ixor__(self, o): return self.bit_xor(o)
+    def __isub__(self, o): return self.bit_sub(o)
+
+    def __and__(self, o): return BitVector(max(self._size, o._size)).bit_and(self, o)
+    def __or__(self, o): return BitVector(max(self._size, o._size)).bit_or(self, o)
+    def __xor__(self, o): return BitVector(max(self._size, o._size)).bit_xor(self, o)
+    def __sub__(self, o): return BitVector(max(self._size, o._size)).bit_sub(self, o)
+    def __invert__(self): return self.copy().invert()
+
+    # ------------------------------------------------------------------
+    # comparison (reference compare/equal src/bm.h:2011-2017)
+    # ------------------------------------------------------------------
+    def equal(self, other: "BitVector") -> bool:
+        return _binary(self, other, "xor").none()
+
+    def __eq__(self, other):
+        return isinstance(other, BitVector) and self.equal(other)
+
+    def __hash__(self):
+        return id(self)
+
+    def compare(self, other: "BitVector") -> int:
+        """Lexicographic compare: 0 equal; 1 if self has the first
+        mismatching bit set; -1 otherwise."""
+        m = self.find_first_mismatch(other)
+        if m < 0:
+            return 0
+        return 1 if self.test(m) else -1
+
+    # ------------------------------------------------------------------
+    # shifts / insert / erase (reference src/bm.h:1514-1539)
+    # ------------------------------------------------------------------
+    def shift_right(self):
+        """Shift the whole vector one position up (bit i -> i+1)."""
+        self._check_writable()
+        self._flush()
+        self._adopt(_shifted_up(self))
+        return self
+
+    def shift_left(self):
+        """Shift one position down (bit i -> i-1); bit 0 is lost."""
+        self._check_writable()
+        self._flush()
+        self._adopt(_shifted_down(self))
+        return self
+
+    def insert(self, i, value: bool):
+        """Insert a bit at position i, shifting higher bits up
+        (reference src/bm.h:1531)."""
+        self._check_writable()
+        self._flush()
+        i = int(i)
+        # split: low part [0, i) stays; high part [i, size) shifts up by one
+        low = self.copy()
+        if i > 0:
+            low.keep_range_struct(0, i - 1)
+        else:
+            low = BitVector(self._size)
+        high = self.copy()
+        if i > 0:
+            high._isub(_range_vector(0, i - 1, self._size))
+        high = _shifted_up(high)
+        res = _binary(low, high, "or")
+        self._adopt(res)
+        if value:
+            self.set(i, True)
+        self._drop_trailing(self._size)
+        return self
+
+    def erase(self, i):
+        """Erase bit at position i, shifting higher bits down
+        (reference src/bm.h:1539)."""
+        self._check_writable()
+        self._flush()
+        i = int(i)
+        low = self.copy()
+        if i > 0:
+            low.keep_range_struct(0, i - 1)
+        else:
+            low = BitVector(self._size)
+        high = self.copy()
+        high._isub(_range_vector(0, i, self._size))
+        high = _shifted_down(high)
+        self._adopt(_binary(low, high, "or"))
+        return self
+
+    def keep_range_struct(self, lo, hi):
+        self._iand(_range_vector(int(lo), int(hi), self._size))
+        return self
+
+    keep_range = keep_range_struct
+
+    # ------------------------------------------------------------------
+    # iteration / export
+    # ------------------------------------------------------------------
+    def indices(self) -> np.ndarray:
+        """All set-bit positions, sorted int64 (enumerator equivalent,
+        reference src/bm.h:602)."""
+        self._flush()
+        out = []
+        fm = self._struct.cls == C.CLS_FULL
+        for nb in self._struct.nb[fm]:
+            base = int(nb) << C.SET_BLOCK_SHIFT
+            out.append(np.arange(base, base + C.BITS_PER_BLOCK, dtype=_I64))
+        if self._pool.shape[0]:
+            w = np.asarray(self._pool)
+            bits = np.unpackbits(
+                np.ascontiguousarray(w).view(np.uint8), bitorder="little"
+            ).reshape(w.shape[0], C.BITS_PER_BLOCK)
+            rows, pos = np.nonzero(bits)
+            bases = (self._struct.nb[self._struct.cls == C.CLS_BIT]
+                     << C.SET_BLOCK_SHIFT)
+            out.append(bases[rows] + pos)
+        if not out:
+            return np.zeros(0, _I64)
+        return np.sort(np.concatenate(out))
+
+    def __iter__(self):
+        return iter(self.indices())
+
+    def to_numpy(self, size=None) -> np.ndarray:
+        """Dense bool export."""
+        size = self._size if size is None else size
+        b = np.zeros(size, bool)
+        idx = self.indices()
+        idx = idx[idx < size]
+        b[idx] = True
+        return b
+
+    def to_words(self) -> np.ndarray:
+        """Dense uint32 word image of [0, size)."""
+        nblk = C.blocks_for_bits(self._size)
+        words = np.zeros((nblk, C.SET_BLOCK_SIZE), np.uint32)
+        self._flush()
+        fm = self._struct.cls == C.CLS_FULL
+        for nb in self._struct.nb[fm]:
+            words[int(nb)] = 0xFFFFFFFF
+        if self._pool.shape[0]:
+            rows = np.asarray(self._pool)
+            nbs = self._struct.nb[self._struct.cls == C.CLS_BIT]
+            words[nbs] = rows
+        return words
+
+    # ------------------------------------------------------------------
+    # optimization / stats / freeze
+    # ------------------------------------------------------------------
+    def optimize(self, opt_mode: int = C.OPT_COMPRESS):
+        """Reclassify blocks: free zero blocks, collapse full blocks
+        (reference optimize, src/bm.h:1942; best_representation
+        src/bmfunc.h:9769 decides GAP-worthiness for serialization)."""
+        self._check_writable()
+        self._flush()
+        if self._pool.shape[0] == 0:
+            return self
+        counts = np.asarray(blockops.block_counts(self._pool))
+        is_bit = self._struct.cls == C.CLS_BIT
+        slots = self._struct.slots()
+        cnt_all = np.zeros(len(self._struct.nb), np.int64)
+        cnt_all[is_bit] = counts[slots[is_bit]]
+        drop = is_bit & (cnt_all == 0)
+        if opt_mode >= C.OPT_FREE_01:
+            to_full = is_bit & (cnt_all == C.BITS_PER_BLOCK)
+        else:
+            to_full = np.zeros_like(drop)
+        if drop.any() or to_full.any():
+            new_cls = self._struct.cls.copy()
+            new_cls[to_full] = C.CLS_FULL
+            self._struct = Structure(self._struct.nb, new_cls)
+            self._select_blocks(~drop)
+        self._dirty()
+        return self
+
+    def calc_stat(self) -> dict:
+        """Block/memory statistics (reference bv_statistics,
+        src/bmfunc.h:56; calc_stat src/bm.h:1904)."""
+        self._flush()
+        n_bit = int((self._struct.cls == C.CLS_BIT).sum())
+        n_full = int((self._struct.cls == C.CLS_FULL).sum())
+        mem = (self._pool.shape[0] * C.SET_BLOCK_SIZE * 4
+               + self._struct.nb.nbytes + self._struct.cls.nbytes)
+        return {
+            "bit_blocks": n_bit,
+            "gap_blocks": 0,
+            "full_blocks": n_full,
+            "zero_blocks": C.blocks_for_bits(self._size) - n_bit - n_full,
+            "memory_used": mem,
+            "max_serialize_mem": n_bit * (C.SET_BLOCK_SIZE * 4 + 16) + 64,
+        }
+
+    def freeze(self):
+        """Make immutable (reference READONLY finalization src/bm.h:1057)."""
+        self._flush()
+        self._ro = True
+        return self
+
+    def is_ro(self) -> bool:
+        return self._ro
+
+    # rank/select via cached RS index ------------------------------------
+    def _rs_index(self):
+        if self._rs is None:
+            from .rs_index import RSIndex
+            self._flush()
+            self._rs = RSIndex.build(self)
+        return self._rs
+
+    def select(self, rank: int) -> int:
+        """Position of the rank-th set bit (1-based); -1 if out of range
+        (reference src/bm.h:1705)."""
+        return self._rs_index().select(rank)
+
+    def find_rank(self, rank: int, frm: int = 0) -> int:
+        """Position of the rank-th set bit counting from position frm
+        (reference src/bm.h:1666)."""
+        if frm <= 0:
+            return self.select(rank)
+        base = self.count_to(frm - 1)
+        return self.select(base + int(rank))
+
+    def build_rs_index(self):
+        return self._rs_index()
+
+    def __repr__(self):
+        return (f"BitVector(size={self._size}, blocks={len(self._struct.nb)}, "
+                f"rows={self._pool.shape[0]})")
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+def _pool_from_ids(ids: np.ndarray):
+    if ids.size == 0:
+        return Structure.empty(), blockops.zero_pool(0)
+    blocks = _as_blocks(ids)
+    ub, inv = np.unique(blocks, return_inverse=True)
+    pool = blockops.scatter_set_bits(
+        jnp.asarray(inv.astype(_I64)),
+        jnp.asarray((ids & C.SET_BLOCK_MASK).astype(np.int32)),
+        int(ub.size))
+    return Structure(ub.astype(_I64), np.full(ub.size, C.CLS_BIT, np.uint8)), pool
+
+
+def _tail_mask_np(tail_bits: int) -> np.ndarray:
+    m = np.zeros(C.SET_BLOCK_SIZE, np.uint32)
+    full_words = tail_bits >> 5
+    m[:full_words] = 0xFFFFFFFF
+    rem = tail_bits & 31
+    if rem:
+        m[full_words] = (1 << rem) - 1
+    return m
+
+
+def _range_vector(lo: int, hi: int, size: int) -> "BitVector":
+    """BitVector with bits [lo, hi] set, built from FULL blocks + at most two
+    dense edge blocks (host-constructed, 8KB each)."""
+    b_lo, b_hi = lo >> C.SET_BLOCK_SHIFT, hi >> C.SET_BLOCK_SHIFT
+    nb, cls, rows = [], [], []
+    if b_lo == b_hi:
+        m = _edge_mask(lo & C.SET_BLOCK_MASK, hi & C.SET_BLOCK_MASK)
+        if (m == 0xFFFFFFFF).all():
+            nb, cls = [b_lo], [C.CLS_FULL]
+        else:
+            nb, cls, rows = [b_lo], [C.CLS_BIT], [m]
+    else:
+        lo_in = lo & C.SET_BLOCK_MASK
+        hi_in = hi & C.SET_BLOCK_MASK
+        if lo_in == 0:
+            nb.append(b_lo); cls.append(C.CLS_FULL)
+        else:
+            nb.append(b_lo); cls.append(C.CLS_BIT)
+            rows.append(_edge_mask(lo_in, C.SET_BLOCK_MASK))
+        for b in range(b_lo + 1, b_hi):
+            nb.append(b); cls.append(C.CLS_FULL)
+        if hi_in == C.SET_BLOCK_MASK:
+            nb.append(b_hi); cls.append(C.CLS_FULL)
+        else:
+            nb.append(b_hi); cls.append(C.CLS_BIT)
+            rows.append(_edge_mask(0, hi_in))
+    pool = (jnp.asarray(np.stack(rows)) if rows else blockops.zero_pool(0))
+    struct = Structure(np.asarray(nb, _I64), np.asarray(cls, np.uint8))
+    return BitVector._from_parts(struct, pool, size)
+
+
+def _edge_mask(lo_bit: int, hi_bit: int) -> np.ndarray:
+    m = np.zeros(C.SET_BLOCK_SIZE, np.uint32)
+    lw, hw = lo_bit >> 5, hi_bit >> 5
+    m[lw:hw + 1] = 0xFFFFFFFF
+    m[lw] &= np.uint32(0xFFFFFFFF) << np.uint32(lo_bit & 31)
+    hb = hi_bit & 31
+    if hb != 31:
+        m[hw] &= np.uint32((1 << (hb + 1)) - 1)
+    return m
+
+
+def _binary(a: BitVector, b: BitVector, op: str) -> BitVector:
+    a._flush()
+    b._flush()
+    plan = plan_binary(op, a._struct, b._struct)
+    if plan.a_slot.size:
+        pool = _binary_kernel(
+            op,
+            a._pool, jnp.asarray(plan.a_slot), jnp.asarray(plan.a_full),
+            b._pool, jnp.asarray(plan.b_slot), jnp.asarray(plan.b_full))
+    else:
+        pool = blockops.zero_pool(0)
+    res = BitVector._from_parts(Structure(plan.nb, plan.cls), pool,
+                                max(a._size, b._size))
+    return res
+
+
+@jax.jit
+def _count_range_rows(rows, nbs, lo, hi):
+    """popcount of bits within [lo, hi] restricted to the given block rows
+    (nbs = logical block id per row)."""
+    base = nbs.astype(jnp.int64)[:, None] * C.BITS_PER_BLOCK
+    widx = jax.lax.broadcasted_iota(jnp.int64, rows.shape, 1)
+    bit0 = base + widx * 32
+    lo = jnp.asarray(lo, jnp.int64)
+    hi = jnp.asarray(hi, jnp.int64)
+    # per-word overlap masks
+    lo_rel = jnp.clip(lo - bit0, 0, 32)
+    hi_rel = jnp.clip(hi - bit0 + 1, 0, 32)
+    n_bits = jnp.maximum(hi_rel - lo_rel, 0).astype(jnp.uint32)
+    lo_sh = lo_rel.astype(jnp.uint32)
+    mask = jnp.where(n_bits >= 32, jnp.uint32(0xFFFFFFFF),
+                     ((jnp.uint32(1) << n_bits) - 1)) << lo_sh
+    mask = jnp.where(n_bits == 0, jnp.uint32(0), mask)
+    return jnp.sum(jax.lax.population_count(rows & mask).astype(jnp.int64))
+
+
+def _materialize_dense(bv: BitVector, first_blk: int, last_blk: int):
+    """Dense pool covering [first_blk, last_blk] inclusive."""
+    n = last_blk - first_blk + 1
+    all_nb = np.arange(first_blk, last_blk + 1, dtype=_I64)
+    st, slot = bv._struct.lookup(all_nb)
+    full = st == 1
+    rows = gather_operand(bv._pool, jnp.asarray(np.where(st == 2, slot, -1)),
+                          jnp.asarray(full))
+    return rows, all_nb
+
+
+def _shifted_up(bv: BitVector) -> BitVector:
+    """bv shifted one bit towards higher indices (whole vector)."""
+    if len(bv._struct.nb) == 0:
+        return bv
+    lo_b, hi_b = int(bv._struct.nb[0]), int(bv._struct.nb[-1])
+    # carry may cross into hi_b + 1
+    rows, all_nb = _materialize_dense(bv, lo_b, hi_b)
+    pool, carry = blockops.shift_right1(rows, jnp.uint32(0))
+    structs = [all_nb]
+    pools = [pool]
+    if bool(carry != 0):
+        extra = np.zeros((1, C.SET_BLOCK_SIZE), np.uint32)
+        extra[0, 0] = 1
+        structs.append(np.asarray([hi_b + 1], _I64))
+        pools.append(jnp.asarray(extra))
+    nb = np.concatenate(structs)
+    pool = jnp.concatenate(pools, axis=0)
+    out = BitVector._from_parts(
+        Structure(nb, np.full(nb.size, C.CLS_BIT, np.uint8)), pool, bv._size)
+    out._drop_trailing(bv._size)
+    return out
+
+
+def _shifted_down(bv: BitVector) -> BitVector:
+    if len(bv._struct.nb) == 0:
+        return bv
+    lo_b, hi_b = int(bv._struct.nb[0]), int(bv._struct.nb[-1])
+    rows, all_nb = _materialize_dense(bv, lo_b, hi_b)
+    pool, _ = blockops.shift_left1(rows, jnp.uint32(0))
+    # bit may flow from block k into k-1 across the materialized span; the
+    # span covers it, but the first block may receive from below only if
+    # lo_b > 0 and block lo_b-1 ... it is zero, nothing flows in.
+    out = BitVector._from_parts(
+        Structure(all_nb, np.full(all_nb.size, C.CLS_BIT, np.uint8)), pool,
+        bv._size)
+    return out
+
+
+def _find_in_row_np(row: np.ndarray, from_bit: int) -> int:
+    bits = np.unpackbits(row.view(np.uint8), bitorder="little")
+    nz = np.flatnonzero(bits[from_bit:])
+    return int(nz[0]) + from_bit if nz.size else -1
+
+
+def _find_rev_in_row_np(row: np.ndarray, to_bit: int) -> int:
+    bits = np.unpackbits(row.view(np.uint8), bitorder="little")
+    nz = np.flatnonzero(bits[: to_bit + 1])
+    return int(nz[-1]) if nz.size else -1
+
+
