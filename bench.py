@@ -1,0 +1,255 @@
+"""Benchmark harness — BASELINE.md configs on the real TPU chip.
+
+Prints ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Per-config detail goes to stderr.
+
+Headline metric: logical-op throughput (GB/s/chip) on BASELINE config 1
+(bvsetalgebra: AND + count over two 100M-bit vectors).  vs_baseline is the
+ratio against the same operation on the host CPU via numpy (the stand-in for
+the reference's single-node SIMD path until the reference perf harness is
+built on this host; see BASELINE.md action items).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_enable_x64", True)
+
+WORDS = 2048
+N_BLOCKS = 1536            # ~100.6M bits
+BYTES_PER_POOL = N_BLOCKS * WORDS * 4
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def timeit(fn, *args, iters=20, warmup=2):
+    """Time fn with the repeat loop INSIDE one jitted program: the remote
+    (axon-tunneled) device makes per-call host timing unreliable, so we chain
+    `iters` data-dependent evaluations in one fori_loop kernel, fetch the
+    final scalar, and divide.
+
+    fn must have signature fn(salt, *args) -> int-like scalar; the salt input
+    forces a true dependency chain (no loop hoisting / elision)."""
+
+    @jax.jit
+    def repeated(*a):
+        def body(i, salt):
+            return fn(salt, *a).astype(jnp.int64) & jnp.int64(1)
+        return jax.lax.fori_loop(0, iters, body, jnp.int64(0))
+
+    for _ in range(warmup):
+        np.asarray(repeated(*args))
+    t0 = time.perf_counter()
+    np.asarray(repeated(*args))
+    return (time.perf_counter() - t0) / iters
+
+
+def make_pool(rng, nblk=N_BLOCKS, density=0.5):
+    if density >= 0.5:
+        w = rng.integers(0, 2**32, (nblk, WORDS), dtype=np.uint64).astype(np.uint32)
+    else:
+        w = (rng.random((nblk, WORDS)) < density).astype(np.uint32)
+    return jnp.asarray(w)
+
+
+# ---------------------------------------------------------------- config 1
+def bench_logical(rng):
+    a, b = make_pool(rng), make_pool(rng)
+
+    def and_count(salt, a, b):
+        ax = a ^ salt.astype(jnp.uint32)
+        return jnp.sum(jax.lax.population_count(ax & b).astype(jnp.int64))
+
+    t_count = timeit(and_count, a, b)
+
+    # materializing AND: carry the full result array through the loop so
+    # every iteration writes all 12.6 MB (no DCE/slicing possible)
+    ITERS = 20
+
+    @jax.jit
+    def rep_mat(a, b):
+        def body(i, acc):
+            return (acc ^ jnp.uint32(i + 1)) & b
+        return jax.lax.fori_loop(0, ITERS, body, a)
+
+    np.asarray(rep_mat(a, b))[0, 0]
+    t0 = time.perf_counter()
+    out = rep_mat(a, b)
+    out.block_until_ready()
+    t_mat = (time.perf_counter() - t0) / ITERS
+    gb = 2 * BYTES_PER_POOL / 1e9
+    gbps_count = gb / t_count
+    gbps_mat = (3 * BYTES_PER_POOL / 1e9) / t_mat
+    log(f"[1 bvsetalgebra] AND+count: {t_count*1e3:.3f} ms -> {gbps_count:.1f} GB/s; "
+        f"AND materialize: {t_mat*1e3:.3f} ms -> {gbps_mat:.1f} GB/s")
+    return gbps_count
+
+
+def bench_logical_cpu(rng):
+    a = rng.integers(0, 2**32, (N_BLOCKS, WORDS), dtype=np.uint64).astype(np.uint32)
+    b = rng.integers(0, 2**32, (N_BLOCKS, WORDS), dtype=np.uint64).astype(np.uint32)
+    popcount = getattr(np, "bitwise_count", None)
+    t0 = time.perf_counter()
+    iters = 5
+    for _ in range(iters):
+        x = a & b
+        total = popcount(x).sum() if popcount else np.unpackbits(
+            x.view(np.uint8)).sum()
+    dt = (time.perf_counter() - t0) / iters
+    gbps = 2 * BYTES_PER_POOL / 1e9 / dt
+    log(f"[baseline cpu] numpy AND+count: {dt*1e3:.2f} ms -> {gbps:.2f} GB/s")
+    return gbps
+
+
+# ---------------------------------------------------------------- config 2
+def bench_rank_select(rng):
+    pool = make_pool(rng, density=0.5)
+    n_q = 1_000_000
+    ranks = jnp.asarray(
+        rng.integers(1, N_BLOCKS * WORDS * 16, n_q, dtype=np.int64))
+
+    def build_and_select(salt, pool, ranks):
+        ranks = ranks + (salt & 1)
+        bc = jnp.sum(jax.lax.population_count(pool).astype(jnp.int64), axis=1)
+        cum = jnp.cumsum(bc)
+        blk = jnp.searchsorted(cum, ranks, side="left")
+        blk = jnp.minimum(blk, pool.shape[0] - 1)
+        prev = jnp.where(blk > 0, cum[jnp.maximum(blk - 1, 0)], 0)
+        rem = (ranks - prev).astype(jnp.int32)
+        rows = pool[blk]
+        pc = jax.lax.population_count(rows).astype(jnp.int32)
+        wcum = jnp.cumsum(pc, axis=1)
+        word = jnp.sum((wcum < rem[:, None]).astype(jnp.int32), axis=1)
+        word = jnp.minimum(word, WORDS - 1)
+        prevw = jnp.where(word > 0,
+                          jnp.take_along_axis(wcum, jnp.maximum(word - 1, 0)[:, None], 1)[:, 0],
+                          0)
+        w = jnp.take_along_axis(rows, word[:, None], 1)[:, 0]
+        r = rem - prevw
+        pos = jnp.zeros_like(r)
+        cur = w
+        for width in (16, 8, 4, 2, 1):
+            mask = jnp.uint32((1 << width) - 1)
+            lo = cur & mask
+            c = jax.lax.population_count(lo).astype(jnp.int32)
+            hi = r > c
+            r = jnp.where(hi, r - c, r)
+            pos = pos + jnp.where(hi, width, 0)
+            cur = jnp.where(hi, cur >> jnp.uint32(width), lo)
+        res = blk.astype(jnp.int64) * (WORDS * 32) + word * 32 + pos
+        return jnp.sum(res)      # reduce over all queries: nothing is DCE'd
+
+    t = timeit(build_and_select, pool, ranks)
+    qps = n_q / t
+    log(f"[2 rank-select] {n_q} select1 queries: {t*1e3:.2f} ms -> {qps/1e6:.1f} Mq/s")
+    return qps
+
+
+# ---------------------------------------------------------------- config 3
+def bench_aggregator(rng):
+    K, nblk = 200, 128          # 200 vectors x 8.4M bits
+    stack = jnp.asarray(
+        rng.integers(0, 2**32, (K, nblk, WORDS), dtype=np.uint64).astype(np.uint32))
+
+    def and_sub_200(salt, stack):
+        def body(i, acc):
+            return acc & stack[i]
+        acc = jax.lax.fori_loop(1, K // 2, body, stack[0] ^ salt.astype(jnp.uint32))
+
+        def body2(i, acc):
+            return acc & ~stack[i]
+        acc = jax.lax.fori_loop(K // 2, K, body2, acc)
+        return jnp.sum(jax.lax.population_count(acc).astype(jnp.int64))
+
+    t = timeit(and_sub_200, stack, iters=5)
+    gb = K * nblk * WORDS * 4 / 1e9
+    log(f"[3 aggregator] fused AND-SUB over {K} vectors ({gb:.2f} GB): "
+        f"{t*1e3:.2f} ms -> {gb/t:.1f} GB/s")
+    return gb / t
+
+
+# ---------------------------------------------------------------- config 4
+def bench_scan(rng):
+    n_planes, nblk = 32, 512    # 33.5M elements
+    planes = jnp.asarray(
+        rng.integers(0, 2**32, (n_planes, nblk, WORDS), dtype=np.uint64)
+        .astype(np.uint32))
+
+    def scan_eq(salt, planes, value):
+        value = value ^ salt.astype(jnp.uint32)
+        acc = jnp.full((nblk, WORDS), jnp.uint32(0xFFFFFFFF))
+        for s in range(n_planes):
+            bit = (value >> jnp.uint32(s)) & jnp.uint32(1)
+            acc = jnp.where(bit, acc & planes[s], acc & ~planes[s])
+        return jnp.sum(jax.lax.population_count(acc).astype(jnp.int64))
+
+    t = timeit(scan_eq, planes, jnp.uint32(123456789), iters=10)
+    n_elem = nblk * WORDS * 32
+    log(f"[4 sv-scan] find_eq over {n_elem/1e6:.0f}M u32 elements: "
+        f"{t*1e3:.2f} ms -> {n_elem/t/1e9:.2f} Gelem/s "
+        f"({n_planes*nblk*WORDS*4/1e9/t:.1f} GB/s)")
+    return n_elem / t
+
+
+# ---------------------------------------------------------------- config 5
+def bench_serialization(rng):
+    from bitmagic_tpu import BitVector
+    from bitmagic_tpu.serial import Serializer, Deserializer
+    from bitmagic_tpu.serial.opdeser import OperationDeserializer
+    import bitmagic_tpu.constants as C
+
+    size = 20 * C.BITS_PER_BLOCK
+    idx = np.unique(rng.integers(0, size, size // 100))
+    bv = BitVector.from_indices(idx, size)
+    bv.set_range(2 * C.BITS_PER_BLOCK, 4 * C.BITS_PER_BLOCK - 1)
+    bv.optimize()
+    ser = Serializer(6)
+    t0 = time.perf_counter()
+    blob = ser.serialize(bv)
+    t_ser = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    back = Deserializer().deserialize(blob)
+    t_deser = time.perf_counter() - t0
+    assert back.equal(bv)
+    raw_mb = size / 8 / 1e6
+    t0 = time.perf_counter()
+    cnt = OperationDeserializer().deserialize(bv.copy(), blob, C.SET_COUNT_AND)
+    t_op = time.perf_counter() - t0
+    log(f"[5 serial] {raw_mb:.1f} MB bitmap -> {len(blob)/1e3:.1f} KB blob "
+        f"({raw_mb*1e6/len(blob):.0f}x); ser {raw_mb/t_ser:.1f} MB/s, "
+        f"deser {raw_mb/t_deser:.1f} MB/s, count-AND-on-blob {t_op*1e3:.1f} ms "
+        f"(= {cnt})")
+    return raw_mb * 1e6 / len(blob)
+
+
+def main():
+    rng = np.random.default_rng(42)
+    log(f"devices: {jax.devices()}")
+    gbps = bench_logical(rng)
+    cpu_gbps = bench_logical_cpu(rng)
+    try:
+        bench_rank_select(rng)
+        bench_aggregator(rng)
+        bench_scan(rng)
+        bench_serialization(rng)
+    except Exception as e:          # detail benches must not kill the headline
+        log("detail bench failed:", repr(e))
+    print(json.dumps({
+        "metric": "bvsetalgebra_and_count_throughput",
+        "value": round(gbps, 2),
+        "unit": "GB/s",
+        "vs_baseline": round(gbps / cpu_gbps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,3 @@
+from .aggregator import AggOptions, Aggregator, aggregator
+
+__all__ = ["AggOptions", "Aggregator", "aggregator"]

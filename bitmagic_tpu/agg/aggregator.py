@@ -1,0 +1,265 @@
+"""Multi-vector aggregator: fused group operations OR(v1..vN), AND(v1..vN)
+and AND(and_group) MINUS OR(sub_group) over arbitrarily large vector groups.
+
+Equivalent of `bm::aggregator<BV>` (src/bmaggregator.h:121): the reference
+evaluates *horizontally* — for each block position it processes all N source
+blocks with digest narrowing (combine_and_sub kernel :1719-1790,
+process_bit_blocks_and/sub, sort_input_blocks_*).  The TPU formulation:
+
+  * the block work-list is computed on host from the operand structures —
+    AND-group intersection / OR-group union of allocated block sets; a
+    missing block in any AND operand kills the whole column ("golden block"
+    early-out, reference :1731), a FULL block in the OR/SUB side kills it too;
+  * the device pass is ONE fused XLA program: for each effective block, a
+    chain of gather->AND / gather->OR ops over the K operand pools, fused by
+    XLA into a single HBM sweep — the analog of the reference's 2/3/5-way
+    digest cascades (src/bmfunc.h:7697).
+
+The pipeline API (reference :223) batches many AND-SUB searches; block
+gathers are shared across requests at the XLA level (common subexpressions
+over the same pools).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from ..core.bitvector import BitVector
+from ..core.blocks import Structure, gather_operand
+
+_I64 = np.int64
+
+
+def _structures(vectors):
+    for v in vectors:
+        v._flush()
+    return [v._struct for v in vectors]
+
+
+def _and_blocklist(structs):
+    """Intersection of operand block sets, ignoring FULL-only restriction
+    (FULL blocks participate but never restrict)."""
+    if not structs:
+        return np.zeros(0, _I64)
+    nb = structs[0].nb
+    for s in structs[1:]:
+        nb = np.intersect1d(nb, s.nb)
+        if nb.size == 0:
+            break
+    return nb
+
+
+def _or_blocklist(structs):
+    if not structs:
+        return np.zeros(0, _I64)
+    return functools.reduce(np.union1d, (s.nb for s in structs))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _agg_kernel(n_and, n_sub, *args):
+    """args = [pool, slot, full] * (n_and + n_sub) aligned on the same block
+    work-list.  Computes AND(and rows) & ~OR(sub rows) in one fused pass."""
+    ops = [args[i * 3:i * 3 + 3] for i in range(n_and + n_sub)]
+    acc = None
+    for pool, slot, full in ops[:n_and]:
+        rows = gather_operand(pool, slot, full)
+        acc = rows if acc is None else (acc & rows)
+    sub = None
+    for pool, slot, full in ops[n_and:]:
+        rows = gather_operand(pool, slot, full)
+        sub = rows if sub is None else (sub | rows)
+    if acc is None:                  # pure OR aggregation passed via sub
+        return sub
+    if sub is not None:
+        acc = acc & ~sub
+    return acc
+
+
+def _operand_args(vectors, blocklist):
+    args = []
+    for v in vectors:
+        st, slot = v._struct.lookup(blocklist)
+        args.extend([v._pool, jnp.asarray(slot), jnp.asarray(st == 1)])
+    return args
+
+
+@dataclasses.dataclass
+class AggOptions:
+    """Run options (reference agg_run_options, src/bmaggregator.h:65):
+    counts-only / masks-only modes for pipelines."""
+    make_results: bool = True
+    compute_counts: bool = False
+
+
+class Aggregator:
+    """Group set operations over vector lists (bm::aggregator equivalent).
+
+    Supports both the functional style (pass vector lists directly) and the
+    reference's stateful style: ``add(bv[, group])`` then ``combine_*()``
+    with no arguments (reference aggregator::add, src/bmaggregator.h:391).
+    Group 0 = AND/OR arguments, group 1 = SUB arguments.
+    """
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        """Clear added argument groups (reference reset, :386)."""
+        self._groups = ([], [])
+
+    def add(self, bv, group: int = 0) -> int:
+        self._groups[group].append(bv)
+        return len(self._groups[group])
+
+    def combine_or(self, vectors=None) -> BitVector:
+        """OR(v1..vN) (reference combine_or, src/bmaggregator.h:404)."""
+        if vectors is None:
+            vectors = self._groups[0]
+        if not vectors:
+            return BitVector(0)
+        structs = _structures(vectors)
+        nb = _or_blocklist(structs)
+        size = max(v.size for v in vectors)
+        if nb.size == 0:
+            return BitVector(size)
+        # blocks where any operand is FULL are FULL
+        full_any = np.zeros(nb.size, bool)
+        for s in structs:
+            st, _ = s.lookup(nb)
+            full_any |= st == 1
+        kern_nb = nb[~full_any]
+        pool = (_agg_kernel(0, len(vectors),
+                            *_operand_args(vectors, kern_nb))
+                if kern_nb.size else None)
+        return _assemble(nb, full_any, kern_nb, pool, size)
+
+    def combine_and(self, vectors=None) -> BitVector:
+        """AND(v1..vN) (reference combine_and, src/bmaggregator.h:412)."""
+        if vectors is None:
+            vectors = self._groups[0]
+        if not vectors:
+            return BitVector(0)
+        structs = _structures(vectors)
+        nb = _and_blocklist(structs)
+        size = max(v.size for v in vectors)
+        if nb.size == 0:
+            return BitVector(size)
+        full_all = np.ones(nb.size, bool)
+        for s in structs:
+            st, _ = s.lookup(nb)
+            full_all &= st == 1
+        kern_nb = nb[~full_all]
+        pool = (_agg_kernel(len(vectors), 0,
+                            *_operand_args(vectors, kern_nb))
+                if kern_nb.size else None)
+        return _assemble(nb, full_all, kern_nb, pool, size)
+
+    def combine_and_sub(self, and_group=None, sub_group=None) -> BitVector:
+        """AND(and_group) MINUS OR(sub_group) — the reference's flagship
+        fused search op (combine_and_sub, src/bmaggregator.h:420)."""
+        if and_group is None:
+            and_group = self._groups[0]
+        if sub_group is None:
+            sub_group = self._groups[1] if and_group is self._groups[0] else ()
+        and_group = list(and_group)
+        sub_group = list(sub_group)
+        if not and_group:
+            return BitVector(0)
+        sa = _structures(and_group)
+        ss = _structures(sub_group)
+        nb = _and_blocklist(sa)
+        size = max(v.size for v in and_group + sub_group)
+        if nb.size == 0:
+            return BitVector(size)
+        # drop blocks where any SUB operand is FULL (result zero there)
+        keep = np.ones(nb.size, bool)
+        for s in ss:
+            st, _ = s.lookup(nb)
+            keep &= st != 1
+        nb = nb[keep]
+        if nb.size == 0:
+            return BitVector(size)
+        # FULL result only if every AND op is FULL and no SUB bits exist
+        full_all = np.ones(nb.size, bool)
+        for s in sa:
+            st, _ = s.lookup(nb)
+            full_all &= st == 1
+        sub_absent = np.ones(nb.size, bool)
+        for s in ss:
+            st, _ = s.lookup(nb)
+            sub_absent &= st == 0
+        pure_full = full_all & sub_absent
+        kern_nb = nb[~pure_full]
+        pool = None
+        if kern_nb.size:
+            args = (_operand_args(and_group, kern_nb)
+                    + _operand_args(sub_group, kern_nb))
+            pool = _agg_kernel(len(and_group), len(sub_group), *args)
+        return _assemble(nb, pure_full, kern_nb, pool, size)
+
+    def find_first_and_sub(self, and_group=None, sub_group=None) -> int:
+        """First bit of AND-SUB result, -1 if none (reference
+        find_first_and_sub, src/bmaggregator.h:460)."""
+        return self.combine_and_sub(and_group, sub_group).find()
+
+    def combine_shift_right_and(self, vectors) -> BitVector:
+        """Bitap-style fingerprint combine: acc = v0; acc = (acc >> 1-pos-up)
+        & v[k] for k = 1..N-1 (reference combine_shift_right_and,
+        src/bmaggregator.h:510; used by the DNA-search sample xsample04)."""
+        vectors = list(vectors)
+        if not vectors:
+            return BitVector(0)
+        acc = vectors[0].copy()
+        for v in vectors[1:]:
+            acc.shift_right()
+            acc.bit_and(v)
+        return acc
+
+    # ------------------------------------------------------------------
+    # pipeline (reference aggregator::pipeline, src/bmaggregator.h:223):
+    # batch many AND-SUB searches with shared block cache.
+    # ------------------------------------------------------------------
+    def pipeline(self, requests, options: AggOptions = AggOptions()):
+        """Run a batch of (and_group, sub_group) AND-SUB searches.
+
+        Returns a list of per-request results: BitVectors (make_results) and/
+        or counts (compute_counts).  Device-side gathers over the shared
+        slice pools are deduplicated by XLA across requests."""
+        out = []
+        for req in requests:
+            if isinstance(req, tuple):
+                and_g, sub_g = req
+            else:
+                and_g, sub_g = req, ()
+            bv = self.combine_and_sub(and_g, sub_g)
+            entry = {}
+            if options.make_results:
+                entry["bv"] = bv
+            if options.compute_counts:
+                entry["count"] = bv.count()
+            out.append(entry)
+        return out
+
+
+def _assemble(nb, full_mask, kern_nb, pool, size):
+    """Build the result BitVector from FULL blocks + kernel rows."""
+    cls = np.where(full_mask, C.CLS_FULL, C.CLS_BIT).astype(np.uint8)
+    if pool is None:
+        from ..ops import blockops
+        pool = blockops.zero_pool(0)
+        # nb may still include FULL entries
+        keep = full_mask
+        return BitVector._from_parts(
+            Structure(nb[keep].copy(), cls[keep].copy()), pool, size)
+    return BitVector._from_parts(Structure(nb.copy(), cls), pool, size)
+
+
+# module-level convenience instance (the reference is also used as a
+# stateless engine most of the time)
+aggregator = Aggregator()

@@ -1,0 +1,85 @@
+"""Interval (run) views over bit-vectors.
+
+Equivalent of `src/bmintervals.h`: treating a bit-vector as a sequence of
+coordinate ranges (runs of 1s) — interval_enumerator (:52), is_interval
+(:248), find_interval_start/end (:315, 438).
+
+TPU formulation: run boundaries come from one fused pass — a run starts at a
+set bit whose predecessor is clear, ends at a set bit whose successor is
+clear — extracted as two index lists.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.bitvector import BitVector
+
+
+def intervals(bv: BitVector) -> np.ndarray:
+    """All maximal runs of set bits as an [n, 2] int64 array of inclusive
+    (start, end) pairs (interval_enumerator equivalent)."""
+    idx = bv.indices()
+    if idx.size == 0:
+        return np.zeros((0, 2), np.int64)
+    brk = np.flatnonzero(np.diff(idx) > 1)
+    starts = np.concatenate([[idx[0]], idx[brk + 1]])
+    ends = np.concatenate([idx[brk], [idx[-1]]])
+    return np.stack([starts, ends], axis=1)
+
+
+def interval_enumerator(bv: BitVector):
+    """Generator over (start, end) runs (reference interval_enumerator,
+    src/bmintervals.h:52)."""
+    for s, e in intervals(bv):
+        yield int(s), int(e)
+
+
+def is_interval(bv: BitVector, lo: int, hi: int) -> bool:
+    """True if [lo, hi] is exactly one maximal run: all bits set, flanked by
+    clear bits (reference is_interval, src/bmintervals.h:248)."""
+    lo, hi = int(lo), int(hi)
+    if hi < lo or lo < 0:
+        return False
+    if not bv.count_range(lo, hi) == hi - lo + 1:
+        return False
+    if lo > 0 and bv.test(lo - 1):
+        return False
+    if hi + 1 < bv.size and bv.test(hi + 1):
+        return False
+    return True
+
+
+def find_interval_start(bv: BitVector, pos: int):
+    """Start of the run containing pos, or None if bit pos is clear
+    (reference find_interval_start, src/bmintervals.h:315)."""
+    pos = int(pos)
+    if not bv.test(pos):
+        return None
+    # smallest s with all bits set in [s, pos] (monotone predicate ->
+    # binary search over rank arithmetic)
+    lo_s, hi_s = 0, pos
+    while lo_s < hi_s:
+        mid = (lo_s + hi_s) // 2
+        if bv.count_range(mid, pos) == pos - mid + 1:
+            hi_s = mid
+        else:
+            lo_s = mid + 1
+    return lo_s
+
+
+def find_interval_end(bv: BitVector, pos: int):
+    """End of the run containing pos, or None (reference find_interval_end,
+    src/bmintervals.h:438)."""
+    pos = int(pos)
+    if not bv.test(pos):
+        return None
+    lo_s, hi_s = pos, bv.size - 1
+    # binary search for last position e with all ones pos..e
+    while lo_s < hi_s:
+        mid = (lo_s + hi_s + 1) // 2
+        if bv.count_range(pos, mid) == mid - pos + 1:
+            lo_s = mid
+        else:
+            hi_s = mid - 1
+    return lo_s

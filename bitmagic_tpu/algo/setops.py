@@ -1,0 +1,163 @@
+"""Set-algebra free functions over BitVectors without materializing results.
+
+Equivalents of `src/bmalgo.h:49-165` (count_and/or/xor/sub, any_*) and the
+batched distance pipeline of `src/bmalgo_impl.h:57-600`
+(distance_metric_descriptor / distance_operation): N metrics computed in ONE
+pass over aligned block pairs.  On TPU a "pass" is a single fused XLA program
+over the gathered operand rows — all requested metrics share the same HBM
+reads.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from ..core.blocks import gather_operand
+from ..core.bitvector import BitVector
+
+_I64 = jnp.int64
+
+# distance metric codes (reference distance_metric enum,
+# src/bmalgo_impl.h:60-76)
+COUNT_AND = "count_and"
+COUNT_XOR = "count_xor"
+COUNT_OR = "count_or"
+COUNT_SUB_AB = "count_sub_ab"
+COUNT_SUB_BA = "count_sub_ba"
+COUNT_A = "count_a"
+COUNT_B = "count_b"
+
+_METRICS = (COUNT_AND, COUNT_XOR, COUNT_OR, COUNT_SUB_AB, COUNT_SUB_BA,
+            COUNT_A, COUNT_B)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _metric_kernel(metrics, pa, a_slot, a_full, pb, b_slot, b_full):
+    """One fused pass computing all requested popcount metrics over aligned
+    operand rows (the TPU analog of combine_count_operation_with_block,
+    src/bmalgo_impl.h:406)."""
+    a = gather_operand(pa, a_slot, a_full)
+    b = gather_operand(pb, b_slot, b_full)
+    pc = lambda x: jnp.sum(jax.lax.population_count(x).astype(_I64))
+    out = []
+    for m in metrics:
+        if m == COUNT_AND:
+            out.append(pc(a & b))
+        elif m == COUNT_XOR:
+            out.append(pc(a ^ b))
+        elif m == COUNT_OR:
+            out.append(pc(a | b))
+        elif m == COUNT_SUB_AB:
+            out.append(pc(a & ~b))
+        elif m == COUNT_SUB_BA:
+            out.append(pc(b & ~a))
+        elif m == COUNT_A:
+            out.append(pc(a))
+        elif m == COUNT_B:
+            out.append(pc(b))
+        else:
+            raise ValueError(m)
+    return jnp.stack(out)
+
+
+def distance_operation(a: BitVector, b: BitVector, metrics) -> dict:
+    """Compute a batch of distance metrics in one pass (reference
+    distance_operation, src/bmalgo_impl.h:447)."""
+    for m in metrics:
+        if m not in _METRICS:
+            raise ValueError(f"unknown metric {m}")
+    a._flush()
+    b._flush()
+    # align on the union of allocated blocks (any metric may need any block);
+    # FULL/FULL and FULL/ZERO pairs resolve symbolically on host, only rows
+    # where at least one side is a BIT row hit the device.
+    cand = np.union1d(a._struct.nb, b._struct.nb)
+    st_a, _ = a._struct.lookup(cand)
+    st_b, _ = b._struct.lookup(cand)
+    sym = (st_a != 2) & (st_b != 2)      # neither side is a BIT row
+    sym_counts = {m: 0 for m in metrics}
+    n_ff = int(((st_a == 1) & (st_b == 1) & sym).sum())
+    n_fz = int(((st_a == 1) & (st_b == 0) & sym).sum())
+    n_zf = int(((st_a == 0) & (st_b == 1) & sym).sum())
+    BB = C.BITS_PER_BLOCK
+    table = {
+        COUNT_AND: n_ff * BB,
+        COUNT_OR: (n_ff + n_fz + n_zf) * BB,
+        COUNT_XOR: (n_fz + n_zf) * BB,
+        COUNT_SUB_AB: n_fz * BB,
+        COUNT_SUB_BA: n_zf * BB,
+        COUNT_A: (n_ff + n_fz) * BB,
+        COUNT_B: (n_ff + n_zf) * BB,
+    }
+    for m in metrics:
+        sym_counts[m] = table[m]
+    # kernel part: rows where at least one side is a BIT row
+    kern = ~sym
+    if kern.any():
+        st_a2, sl_a2 = a._struct.lookup(cand[kern])
+        st_b2, sl_b2 = b._struct.lookup(cand[kern])
+        vals = _metric_kernel(
+            tuple(metrics),
+            a._pool, jnp.asarray(sl_a2), jnp.asarray(st_a2 == 1),
+            b._pool, jnp.asarray(sl_b2), jnp.asarray(st_b2 == 1))
+        vals = np.asarray(vals)
+    else:
+        vals = np.zeros(len(metrics), np.int64)
+    return {m: int(v) + sym_counts[m] for m, v in zip(metrics, vals)}
+
+
+def count_and(a, b):
+    """popcount(a & b) without materializing (src/bmalgo.h:49)."""
+    return distance_operation(a, b, [COUNT_AND])[COUNT_AND]
+
+
+def count_or(a, b):
+    return distance_operation(a, b, [COUNT_OR])[COUNT_OR]
+
+
+def count_xor(a, b):
+    return distance_operation(a, b, [COUNT_XOR])[COUNT_XOR]
+
+
+def count_sub(a, b):
+    return distance_operation(a, b, [COUNT_SUB_AB])[COUNT_SUB_AB]
+
+
+def any_and(a, b):
+    """Lazy short-circuit: any bit in a & b (src/bmalgo.h:106)."""
+    return count_and(a, b) > 0
+
+
+def any_or(a, b):
+    return count_or(a, b) > 0
+
+
+def any_xor(a, b):
+    return count_xor(a, b) > 0
+
+
+def any_sub(a, b):
+    return count_sub(a, b) > 0
+
+
+# ---------------------------------------------------------------------------
+# similarity batches (reference bmalgo_similarity.h): all-pairs metric
+# matrices over groups of vectors.
+# ---------------------------------------------------------------------------
+def similarity_batch(vectors, metric=COUNT_AND) -> np.ndarray:
+    """All-pairs similarity matrix over a vector group (reference
+    similarity_batch + build_similarity_batch, src/bmalgo_similarity.h:85+).
+    Returns an [n, n] int64 matrix; diagonal = count of each vector."""
+    n = len(vectors)
+    out = np.zeros((n, n), np.int64)
+    for i in range(n):
+        out[i, i] = vectors[i].count()
+        for j in range(i + 1, n):
+            v = distance_operation(vectors[i], vectors[j], [metric])[metric]
+            out[i, j] = out[j, i] = v
+    return out

@@ -1,0 +1,156 @@
+"""Rank-select acceleration index.
+
+Equivalent of the reference ``bm::rs_index`` (src/bmrs.h:40): per-block
+running counts for O(1) rank and log-descent select.  The TPU layout replaces
+the reference's super-block/sub-count packing (rs3 borders 21824/43648,
+src/bmconst.h:120-124) with:
+
+  * host: inclusive popcount prefix ``cum[int64, n_alloc]`` over allocated
+    blocks (ZERO blocks contribute nothing, exactly like the reference's
+    NULL super-block encoding),
+  * device: per-BIT-row inclusive *wave* popcount prefix ``int32[r, 64]``
+    (finer than the reference's 3 sub-blocks — one entry per 1024 bits —
+    which is the natural vector width on TPU).
+
+Select descends rank -> block (host searchsorted over ``cum``) -> wave
+(device searchsorted over the wave prefix) -> word -> in-word position via a
+vectorized binary popcount descent (bm::word_select32 analog,
+src/bmfunc.h:1075).  All queries are batched: thousands of ranks resolve in
+one device pass.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from ..ops import blockops
+from ..ops.bitops import word_select32
+
+_I32 = jnp.int32
+_I64 = np.int64
+
+
+@jax.jit
+def _select_in_rows(rows, rem):
+    """Batched in-block select: rows uint32[q, 2048], rem int32[q] 1-based
+    rank within block -> bit position int32[q] in [0, 65536)."""
+    pc = jax.lax.population_count(rows).astype(_I32)
+    cum = jnp.cumsum(pc, axis=1, dtype=_I32)             # inclusive per word
+    word = jnp.sum((cum < rem[:, None]).astype(_I32), axis=1)
+    word_c = jnp.minimum(word, C.SET_BLOCK_SIZE - 1)
+    prev = jnp.where(word_c > 0,
+                     jnp.take_along_axis(cum, jnp.maximum(word_c - 1, 0)[:, None],
+                                         axis=1)[:, 0],
+                     0)
+    w = jnp.take_along_axis(rows, word_c[:, None], axis=1)[:, 0]
+    bit = word_select32(w, rem - prev)
+    return word_c * C.WORD_BITS + bit
+
+
+class RSIndex:
+    """Rank/select index over one BitVector snapshot."""
+
+    def __init__(self, nb, cls, cum, pool, size):
+        self.nb = nb                   # int64[n_alloc]
+        self.cls = cls                 # uint8[n_alloc]
+        self.cum = cum                 # int64[n_alloc] inclusive prefix
+        self.pool = pool               # device uint32[r, 2048]
+        self.size = size
+        self.total = int(cum[-1]) if cum.size else 0
+        is_bit = cls == C.CLS_BIT
+        s = np.cumsum(is_bit) - 1
+        self.slots = np.where(is_bit, s, -1).astype(_I64)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def build(cls_, bv) -> "RSIndex":
+        """Build from a BitVector (reference build_rs_index, src/bm.h:2501)."""
+        bv._flush()
+        struct, pool = bv._struct, bv._pool
+        counts = np.zeros(len(struct.nb), _I64)
+        counts[struct.cls == C.CLS_FULL] = C.BITS_PER_BLOCK
+        is_bit = struct.cls == C.CLS_BIT
+        if pool.shape[0]:
+            bc = np.asarray(blockops.block_counts(pool)).astype(_I64)
+            counts[is_bit] = bc[struct.slots()[is_bit]]
+        cum = np.cumsum(counts)
+        return cls_(struct.nb.copy(), struct.cls.copy(), cum, pool, bv.size)
+
+    # ------------------------------------------------------------------
+    def count(self) -> int:
+        return self.total
+
+    def rank_batch(self, ids) -> np.ndarray:
+        """rank(i) = popcount[0, i] for each id (reference count_to with
+        rs_index, src/bm.h:1420)."""
+        ids = np.asarray(ids, _I64)
+        out = np.zeros(ids.shape, _I64)
+        if len(self.nb) == 0:
+            return out
+        blocks = ids >> C.SET_BLOCK_SHIFT
+        pos = np.searchsorted(self.nb, blocks)
+        out += np.where(pos > 0, self.cum[np.maximum(pos - 1, 0)], 0)
+        pos_c = np.minimum(pos, len(self.nb) - 1)
+        hit = self.nb[pos_c] == blocks
+        cls_at = self.cls[pos_c]
+        # FULL block containing i: add in-block offset + 1
+        fullm = hit & (cls_at == C.CLS_FULL)
+        out[fullm] += (ids[fullm] & C.SET_BLOCK_MASK) + 1
+        # BIT block containing i: device partial popcount
+        bitm = hit & (cls_at == C.CLS_BIT)
+        if bitm.any():
+            slots = self.slots[pos_c[bitm]]
+            inb = (ids[bitm] & C.SET_BLOCK_MASK).astype(np.int32)
+            out[bitm] += np.asarray(_rank_in_rows(
+                self.pool, jnp.asarray(slots), jnp.asarray(inb))).astype(_I64)
+        return out
+
+    def rank(self, i) -> int:
+        return int(self.rank_batch(np.asarray([i]))[0])
+
+    def select_batch(self, ranks) -> np.ndarray:
+        """Position of each (1-based) rank's set bit; -1 if out of range
+        (reference select, src/bm.h:1705)."""
+        ranks = np.asarray(ranks, _I64)
+        out = np.full(ranks.shape, -1, _I64)
+        ok = (ranks >= 1) & (ranks <= self.total)
+        if not ok.any():
+            return out
+        r = ranks[ok]
+        entry = np.searchsorted(self.cum, r, side="left")
+        base_rank = np.where(entry > 0, self.cum[np.maximum(entry - 1, 0)], 0)
+        rem = (r - base_rank).astype(np.int32)            # 1-based in block
+        blk_base = self.nb[entry] << C.SET_BLOCK_SHIFT
+        res = np.empty(r.shape, _I64)
+        fullm = self.cls[entry] == C.CLS_FULL
+        res[fullm] = blk_base[fullm] + rem[fullm] - 1
+        bitm = ~fullm
+        if bitm.any():
+            slots = self.slots[entry[bitm]]
+            rows = jnp.take(self.pool, jnp.asarray(slots), axis=0)
+            pos = np.asarray(_select_in_rows(rows, jnp.asarray(rem[bitm])))
+            res[bitm] = blk_base[bitm] + pos
+        out[ok] = res
+        return out
+
+    def select(self, rank) -> int:
+        return int(self.select_batch(np.asarray([rank]))[0])
+
+
+@jax.jit
+def _rank_in_rows(pool, slots, in_block_bits):
+    """popcount of bits [0, in_block_bits] within the given pool rows."""
+    rows = jnp.take(pool, slots, axis=0)
+    q = rows.shape[0]
+    widx = jax.lax.broadcasted_iota(_I32, (q, C.SET_BLOCK_SIZE), 1)
+    wi = (in_block_bits >> 5)[:, None]
+    bi = (in_block_bits & 31).astype(jnp.uint32)[:, None]
+    full = widx < wi
+    mask = jnp.where(full, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+    part = jnp.where(bi == 31, jnp.uint32(0xFFFFFFFF),
+                     (jnp.uint32(1) << (bi + jnp.uint32(1))) - jnp.uint32(1))
+    mask = jnp.where(widx == wi, part, mask)
+    return jnp.sum(jax.lax.population_count(rows & mask).astype(_I32), axis=1)

@@ -1,0 +1,116 @@
+"""Set algebra directly against serialized BLOBs.
+
+Equivalent of `bm::operation_deserializer` (src/bmserial.h:1006): apply
+AND/OR/XOR/SUB/COUNT_* between a live BitVector and a compressed BLOB without
+fully materializing the BLOB — block records are streamed; for AND the target
+structure prunes which payloads are even decoded (the record-length skipping
+plays the role of the reference's bookmarks)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import constants as C
+from ..core.bitvector import BitVector
+from .encoding import ByteDecoder
+from .serializer import (CODE_END, CODE_FULL, Deserializer, MAGIC,
+                         _decode_payload)
+
+
+def _stream_blocks(data: bytes, want=None):
+    """Yield (block_id, code, payload_or_None).  If ``want`` is a set of
+    block ids, payloads of other blocks are skipped without decoding."""
+    dec = ByteDecoder(data)
+    if dec.get_bytes(4) != MAGIC:
+        raise ValueError("bad magic")
+    dec.get_8()
+    size = dec.get_64()
+    yield ("header", size, None)
+    while True:
+        nb = dec.get_48()
+        code = dec.get_8()
+        plen = dec.get_32()
+        if code == CODE_END:
+            return
+        if want is not None and nb not in want:
+            dec.pos += plen
+            yield (nb, code, None)
+            continue
+        yield (nb, code, dec.get_bytes(plen))
+
+
+class OperationDeserializer:
+    """bm::operation_deserializer equivalent."""
+
+    def deserialize(self, bv: BitVector, data: bytes, op: int):
+        """Apply ``op`` (constants.SET_*) between bv (in place) and the BLOB;
+        COUNT_* ops return the count without modifying bv."""
+        if op in (C.SET_AND, C.SET_OR, C.SET_XOR, C.SET_SUB, C.SET_ASSIGN):
+            other = Deserializer().deserialize(data)
+            if op == C.SET_AND:
+                bv.bit_and(other)
+            elif op == C.SET_OR:
+                bv.bit_or(other)
+            elif op == C.SET_XOR:
+                bv.bit_xor(other)
+            elif op == C.SET_SUB:
+                bv.bit_sub(other)
+            else:
+                bv.swap(other)
+            return bv
+        return self._count_op(bv, data, op)
+
+    def _count_op(self, bv: BitVector, data: bytes, op: int) -> int:
+        from ..algo import setops
+        bv._flush()
+        if op == C.SET_COUNT_B or op == C.SET_COUNT:
+            # count of the BLOB itself: stream, no full materialize
+            total = 0
+            for nb, code, payload in _stream_blocks(data):
+                if nb == "header":
+                    continue
+                if code == CODE_FULL:
+                    total += C.BITS_PER_BLOCK
+                elif payload is not None:
+                    words = _decode_payload(code, payload)
+                    total += int(np.unpackbits(
+                        words.view(np.uint8), bitorder="little").sum())
+            return total
+        if op == C.SET_COUNT_A:
+            return bv.count()
+        metric = {
+            C.SET_COUNT_AND: setops.COUNT_AND,
+            C.SET_COUNT_OR: setops.COUNT_OR,
+            C.SET_COUNT_XOR: setops.COUNT_XOR,
+            C.SET_COUNT_SUB_AB: setops.COUNT_SUB_AB,
+            C.SET_COUNT_SUB_BA: setops.COUNT_SUB_BA,
+        }.get(op)
+        if metric is None:
+            raise ValueError(f"unsupported op {op}")
+        # AND-like counts only need blocks present in bv; stream-skip others
+        if op == C.SET_COUNT_AND:
+            want = set(int(x) for x in bv._struct.nb)
+            other = _materialize_subset(data, want, bv.size)
+        else:
+            other = Deserializer().deserialize(data)
+        return setops.distance_operation(bv, other, [metric])[metric]
+
+
+def _materialize_subset(data, want, size):
+    import jax.numpy as jnp
+    from ..core.blocks import Structure
+    from ..ops import blockops
+    nbs, clss, rows = [], [], []
+    for nb, code, payload in _stream_blocks(data, want=want):
+        if nb == "header" or payload is None and code != CODE_FULL:
+            continue
+        if code == CODE_FULL:
+            if nb in want:
+                nbs.append(nb); clss.append(C.CLS_FULL)
+            continue
+        nbs.append(nb); clss.append(C.CLS_BIT)
+        rows.append(_decode_payload(code, payload))
+    pool = (jnp.asarray(np.stack(rows)) if rows else blockops.zero_pool(0))
+    return BitVector._from_parts(
+        Structure(np.asarray(nbs, np.int64), np.asarray(clss, np.uint8)),
+        pool, size)

@@ -1,0 +1,278 @@
+"""BitVector serialization: compressed BLOBs with per-block format choice.
+
+Equivalent of `bm::serializer<BV>` / deserializers (src/bmserial.h:75-1241):
+compression levels 0-6, a per-block best-format chooser driven by block
+statistics (BC = popcount, GC = gap count — reference
+find_bit_best_encoding, src/bmserial.h:2373), zero/full run folding,
+set-bit arrays (direct & inverted) with Binary Interpolative Coding, D-GAP
+encodings with gamma/BIC, and range deserialization.
+
+Format (TPU-native, not byte-compatible with the reference BLOB format —
+the reference has ~60 block codes incl. XOR ref chains; this format keeps
+the same *capability classes* with explicit per-record lengths so that
+range/gather deserialization can skip payloads without bookmarks):
+
+  header:  magic b"BMT1" | flags u8 | size u64
+  record:  block_id u48 | code u8 | payload_len u32 | payload
+  trailer: block_id = 0xFFFFFFFFFFFF, code = END
+
+Block stats are computed on-device for ALL blocks in one batched pass before
+encoding (the reference computes them per-block in scalar code).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import constants as C
+from ..core.bitvector import BitVector
+from ..core.blocks import Structure
+from ..ops import blockops
+from .encoding import (BitReader, BitWriter, ByteDecoder, ByteEncoder,
+                       bic_decode, bic_encode)
+
+MAGIC = b"BMT1"
+END_BLOCK = (1 << 48) - 1
+
+# block codes
+CODE_END = 0
+CODE_FULL = 1
+CODE_RAW = 2
+CODE_ARR16 = 3          # raw u16 set-bit positions
+CODE_ARR16_INV = 4      # raw u16 clear-bit positions
+CODE_ARR_BIC = 5        # BIC-coded set-bit positions
+CODE_ARR_BIC_INV = 6    # BIC-coded clear-bit positions
+CODE_GAP_GAMMA = 7      # gamma-coded D-GAP run lengths
+CODE_GAP_BIC = 8        # BIC-coded D-GAP boundaries
+
+_CODE_NAMES = {
+    CODE_FULL: "full", CODE_RAW: "raw", CODE_ARR16: "arr16",
+    CODE_ARR16_INV: "arr16_inv", CODE_ARR_BIC: "arr_bic",
+    CODE_ARR_BIC_INV: "arr_bic_inv", CODE_GAP_GAMMA: "gap_gamma",
+    CODE_GAP_BIC: "gap_bic",
+}
+
+
+class Serializer:
+    """bm::serializer equivalent.  level 0..6 as in the reference
+    (src/bmserial.h:115-127): 0 raw, 1-3 arrays/GAP, 4 +gamma, 5-6 +BIC."""
+
+    def __init__(self, level: int = 6):
+        self.set_compression_level(level)
+        self.compression_stat = {}
+
+    def set_compression_level(self, level: int):
+        if not (0 <= level <= 6):
+            raise ValueError("level must be 0..6")
+        self.level = level
+
+    # ------------------------------------------------------------------
+    def serialize(self, bv: BitVector) -> bytes:
+        bv._flush()
+        enc = ByteEncoder()
+        enc.put_bytes(MAGIC)
+        enc.put_8(1)                       # flags: 64-bit sizes
+        enc.put_64(bv.size)
+        self.compression_stat = {}
+        struct = bv._struct
+        # batched device stats for every BIT block
+        if bv._pool.shape[0]:
+            words_all = np.asarray(bv._pool)
+            bc_all = np.asarray(blockops.block_counts(bv._pool))
+            gc_all = np.asarray(blockops.gap_counts(bv._pool))
+        else:
+            words_all = np.zeros((0, C.SET_BLOCK_SIZE), np.uint32)
+            bc_all = gc_all = np.zeros(0, np.int64)
+        slots = struct.slots()
+        for k in range(len(struct.nb)):
+            nb = int(struct.nb[k])
+            if struct.cls[k] == C.CLS_FULL:
+                self._record(enc, nb, CODE_FULL, b"")
+                continue
+            s = slots[k]
+            words = words_all[s]
+            bc, gc = int(bc_all[s]), int(gc_all[s])
+            if bc == 0:
+                continue                    # zero blocks are implicit
+            if bc == C.BITS_PER_BLOCK:
+                self._record(enc, nb, CODE_FULL, b"")
+                continue
+            code, payload = self._encode_block(words, bc, gc)
+            self._record(enc, nb, code, payload)
+        enc.put_48(END_BLOCK)
+        enc.put_8(CODE_END)
+        enc.put_32(0)
+        return enc.get_bytes()
+
+    def _record(self, enc, nb, code, payload):
+        enc.put_48(nb)
+        enc.put_8(code)
+        enc.put_32(len(payload))
+        enc.put_bytes(payload)
+        name = _CODE_NAMES.get(code, str(code))
+        self.compression_stat[name] = self.compression_stat.get(name, 0) + 1
+
+    # ------------------------------------------------------------------
+    def _encode_block(self, words: np.ndarray, bc: int, gc: int):
+        """Best-format chooser (find_bit_best_encoding analog,
+        src/bmserial.h:2373): candidate cost model over BC/GC stats."""
+        level = self.level
+        cand = [(C.SET_BLOCK_SIZE * 4 + 1, CODE_RAW)]
+        inv_bc = C.BITS_PER_BLOCK - bc
+        if level >= 1:
+            if bc <= C.GAP_WORD_MAX:
+                cand.append((2 * bc, CODE_ARR16))
+            if inv_bc <= C.GAP_WORD_MAX:
+                cand.append((2 * inv_bc, CODE_ARR16_INV))
+        if level >= 4 and gc < C.BITS_PER_BLOCK // 4:
+            # gamma GAP estimate: ~avg 2*log2(run) bits per run
+            cand.append((max(gc, 1) * 2, CODE_GAP_GAMMA))
+        if level >= 5:
+            if bc <= C.BIE_CUT_OFF:
+                cand.append((int(bc * 1.2) + 4, CODE_ARR_BIC))
+            if inv_bc <= C.BIE_CUT_OFF:
+                cand.append((int(inv_bc * 1.2) + 4, CODE_ARR_BIC_INV))
+            if gc < C.BITS_PER_BLOCK // 4:
+                cand.append((max(gc, 1) * 2 - 1, CODE_GAP_BIC))
+        cand.sort()
+        code = cand[0][1]
+        return code, self._encode_payload(code, words, bc)
+
+    def _encode_payload(self, code, words, bc):
+        if code == CODE_RAW:
+            return words.astype("<u4").tobytes()
+        bits = np.unpackbits(words.view(np.uint8), bitorder="little")
+        if code in (CODE_ARR16, CODE_ARR_BIC):
+            pos = np.flatnonzero(bits)
+        elif code in (CODE_ARR16_INV, CODE_ARR_BIC_INV):
+            pos = np.flatnonzero(bits == 0)
+        else:
+            # D-GAP runs: boundary positions where the bit value changes;
+            # reference GAP buffer stores [last-index-of-run...] u16s
+            change = np.flatnonzero(np.diff(bits.astype(np.int8)) != 0)
+            first_val = int(bits[0])
+            if code == CODE_GAP_GAMMA:
+                w = BitWriter()
+                w.put_bit(first_val)
+                runs = np.diff(np.concatenate([[-1], change,
+                                               [C.BITS_PER_BLOCK - 1]]))
+                w.put_gamma(runs.size)
+                w.put_gamma_array(runs.astype(np.uint64))
+                return w.getvalue()
+            else:  # CODE_GAP_BIC: boundaries are strictly increasing u16s
+                w = BitWriter()
+                w.put_bit(first_val)
+                w.put_bits(change.size, 17)
+                bic_encode(w, change, 0, C.BITS_PER_BLOCK - 2)
+                return w.getvalue()
+        if code in (CODE_ARR16, CODE_ARR16_INV):
+            e = ByteEncoder()
+            e.put_32(pos.size)
+            e.put_array_u16(pos)
+            return e.get_bytes()
+        w = BitWriter()
+        w.put_bits(pos.size, 17)
+        bic_encode(w, pos, 0, C.BITS_PER_BLOCK - 1)
+        return w.getvalue()
+
+
+class Deserializer:
+    """bm::deserializer equivalent with range support (deserialize_range
+    uses the per-record lengths the way the reference uses bookmarks,
+    src/bmserial.h:647)."""
+
+    def deserialize(self, data: bytes, range_=None) -> BitVector:
+        dec = ByteDecoder(data)
+        if dec.get_bytes(4) != MAGIC:
+            raise ValueError("bad magic")
+        dec.get_8()
+        size = dec.get_64()
+        lo_blk, hi_blk = 0, (1 << 48)
+        if range_ is not None:
+            lo_blk = int(range_[0]) >> C.SET_BLOCK_SHIFT
+            hi_blk = int(range_[1]) >> C.SET_BLOCK_SHIFT
+        nbs, clss, rows = [], [], []
+        while True:
+            nb = dec.get_48()
+            code = dec.get_8()
+            plen = dec.get_32()
+            if code == CODE_END:
+                break
+            if not (lo_blk <= nb <= hi_blk):
+                dec.pos += plen            # skip payload (bookmark jump)
+                continue
+            payload = dec.get_bytes(plen)
+            if code == CODE_FULL:
+                nbs.append(nb)
+                clss.append(C.CLS_FULL)
+                continue
+            words = _decode_payload(code, payload)
+            nbs.append(nb)
+            clss.append(C.CLS_BIT)
+            rows.append(words)
+        import jax.numpy as jnp
+        pool = (jnp.asarray(np.stack(rows)) if rows else blockops.zero_pool(0))
+        struct = Structure(np.asarray(nbs, np.int64),
+                           np.asarray(clss, np.uint8))
+        bv = BitVector._from_parts(struct, pool, size)
+        if range_ is not None:
+            bv.keep_range(int(range_[0]), int(range_[1]))
+        return bv
+
+    def deserialize_range(self, data: bytes, lo: int, hi: int) -> BitVector:
+        return self.deserialize(data, range_=(lo, hi))
+
+
+def _decode_payload(code, payload) -> np.ndarray:
+    if code == CODE_RAW:
+        return np.frombuffer(payload, "<u4").astype(np.uint32)
+    if code in (CODE_ARR16, CODE_ARR16_INV):
+        d = ByteDecoder(payload)
+        n = d.get_32()
+        pos = d.get_array_u16(n).astype(np.int64)
+        return _bits_to_words(pos, invert=(code == CODE_ARR16_INV))
+    if code in (CODE_ARR_BIC, CODE_ARR_BIC_INV):
+        r = BitReader(payload)
+        n = r.get_bits(17)
+        pos = bic_decode(r, n, 0, C.BITS_PER_BLOCK - 1)
+        return _bits_to_words(pos, invert=(code == CODE_ARR_BIC_INV))
+    if code == CODE_GAP_GAMMA:
+        r = BitReader(payload)
+        first = r.get_bit()
+        n = r.get_gamma()
+        runs = np.asarray([r.get_gamma() for _ in range(n)], np.int64)
+        return _runs_to_words(first, runs)
+    if code == CODE_GAP_BIC:
+        r = BitReader(payload)
+        first = r.get_bit()
+        n = r.get_bits(17)
+        change = bic_decode(r, n, 0, C.BITS_PER_BLOCK - 2)
+        runs = np.diff(np.concatenate([[-1], change, [C.BITS_PER_BLOCK - 1]]))
+        return _runs_to_words(first, runs)
+    raise ValueError(f"unknown block code {code}")
+
+
+def _bits_to_words(pos, invert=False):
+    bits = np.zeros(C.BITS_PER_BLOCK, np.uint8)
+    bits[pos] = 1
+    if invert:
+        bits = 1 - bits
+    return np.packbits(bits, bitorder="little").view(np.uint32)
+
+
+def _runs_to_words(first_val, runs):
+    # run k holds value first_val ^ (k & 1)
+    bits = np.repeat((np.arange(runs.size) + first_val) % 2,
+                     runs).astype(np.uint8)
+    return np.packbits(bits, bitorder="little").view(np.uint32)
+
+
+# ---------------------------------------------------------------------------
+# convenience one-shots (reference bm::serialize/deserialize free functions)
+# ---------------------------------------------------------------------------
+def serialize(bv: BitVector, level: int = 6) -> bytes:
+    return Serializer(level).serialize(bv)
+
+
+def deserialize(data: bytes) -> BitVector:
+    return Deserializer().deserialize(data)

@@ -1,0 +1,278 @@
+"""Succinct-vector serialization (int / RSC / string / float vectors).
+
+Equivalent of `src/bmsparsevec_serial.h` (sparse_vector_serializer :190,
+sparse_vector_deserializer :341, layout :69) and
+`src/bmsparsevec_float_serial.h`: header + plane-presence mask + per-plane
+BitVector BLOBs, with an optional **XOR reference filter across planes** —
+the reference's bmxor cross-vector delta compression (src/bmxor.h:819
+search_best_xor_mask): a plane whose content is close to an earlier plane is
+stored as the XOR delta plus a reference id, which is much sparser for
+correlated bit-slices.
+
+Per-plane BLOBs are independent (the reference markets this as shardable
+storage, README:8-10); the gather/range deserialization of the underlying
+BitVector BLOBs carries over.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import constants as C
+from ..algo import setops
+from ..core.bitvector import BitVector
+from ..sv.float_vector import FloatSparseVector
+from ..sv.rsc_vector import RSCSparseVector
+from ..sv.sparse_vector import SparseVector
+from ..sv.str_vector import StrSparseVector
+from .encoding import ByteDecoder, ByteEncoder
+from .serializer import Deserializer, Serializer
+
+MAGIC_SV = b"BMSV"
+NO_XOR = 0xFF
+
+_DTYPES = [np.uint8, np.uint16, np.uint32, np.uint64,
+           np.int8, np.int16, np.int32, np.int64]
+
+
+class SparseVectorSerializer:
+    """bm::sparse_vector_serializer equivalent."""
+
+    def __init__(self, level: int = 6, xor_filter: bool = True):
+        self.level = level
+        self.xor_filter = xor_filter
+
+    # ------------------------------------------------------------------
+    def serialize(self, sv: SparseVector) -> bytes:
+        sv._flush()
+        enc = ByteEncoder()
+        enc.put_bytes(MAGIC_SV)
+        enc.put_8(0)                               # container type: plain SV
+        enc.put_8(_DTYPES.index(sv.dtype.type))
+        enc.put_8(1 if sv.nullable else 0)
+        enc.put_64(sv._size)
+        enc.put_16(sv.n_slices)
+        self._put_planes(enc, sv.planes)
+        self._put_optional(enc, sv.null_plane if sv.nullable else None)
+        return enc.get_bytes()
+
+    def _put_planes(self, enc, planes):
+        present = 0
+        for s, p in enumerate(planes):
+            if p is not None and p.any():
+                present |= 1 << s
+        enc.put_64(present)
+        ser = Serializer(self.level)
+        done: list[tuple[int, BitVector]] = []
+        for s, p in enumerate(planes):
+            if not (present >> s) & 1:
+                continue
+            ref = NO_XOR
+            best = p
+            if self.xor_filter and done:
+                # xor_scanner::search_best_xor_mask analog at plane
+                # granularity: pick the earlier plane minimizing the delta
+                # popcount (one fused count_xor pass per candidate)
+                base = p.count()
+                best_gain = 0
+                for rs, rp in done[-8:]:           # bounded search depth
+                    cx = setops.count_xor(p, rp)
+                    if base - cx > best_gain:
+                        best_gain = base - cx
+                        ref, best = rs, None
+                if ref != NO_XOR:
+                    best = p ^ dict(done)[ref]
+            blob = ser.serialize(best)
+            enc.put_8(s)
+            enc.put_8(ref)
+            enc.put_32(len(blob))
+            enc.put_bytes(blob)
+            done.append((s, p))
+
+    def _put_optional(self, enc, bv):
+        if bv is None:
+            enc.put_8(0)
+            return
+        blob = Serializer(self.level).serialize(bv)
+        enc.put_8(1)
+        enc.put_32(len(blob))
+        enc.put_bytes(blob)
+
+    # ------------------------------------------------------------------
+    def serialize_rsc(self, rsc: RSCSparseVector) -> bytes:
+        rsc._flush()
+        enc = ByteEncoder()
+        enc.put_bytes(MAGIC_SV)
+        enc.put_8(1)
+        enc.put_8(_DTYPES.index(rsc.dtype.type))
+        enc.put_8(1)
+        enc.put_64(rsc._size)
+        enc.put_16(rsc.dense.n_slices)
+        self._put_planes(enc, rsc.dense.planes)
+        self._put_optional(enc, rsc.null_bv)
+        return enc.get_bytes()
+
+    def serialize_str(self, ssv: StrSparseVector) -> bytes:
+        enc = ByteEncoder()
+        enc.put_bytes(MAGIC_SV)
+        enc.put_8(2)
+        enc.put_8(ssv.max_str_size)
+        enc.put_8(1 if ssv.nullable else 0)
+        enc.put_8(1 if ssv.is_remap() else 0)
+        enc.put_64(ssv._size)
+        if ssv.is_remap():
+            enc.put_bytes(ssv.remap_matrices.tobytes())
+            enc.put_bytes(ssv.unmap_matrices.tobytes())
+        for k in range(ssv.max_str_size):
+            ssv.octets[k]._flush()
+            enc.put_16(ssv.octets[k].n_slices)
+            self._put_planes(enc, ssv.octets[k].planes)
+        self._put_optional(enc, ssv.null_plane if ssv.nullable else None)
+        return enc.get_bytes()
+
+    def serialize_float(self, fv: FloatSparseVector) -> bytes:
+        enc = ByteEncoder()
+        enc.put_bytes(MAGIC_SV)
+        enc.put_8(3)
+        enc.put_8(0 if fv.dtype == np.float32 else 1)
+        enc.put_8(1 if fv.nullable else 0)
+        enc.put_64(fv._size)
+        self._put_optional(enc, fv.sign)
+        for part in (fv.exponent, fv.mantissa):
+            part._flush()
+            enc.put_16(part.n_slices)
+            self._put_planes(enc, part.planes)
+        self._put_optional(enc, fv.null_plane if fv.nullable else None)
+        return enc.get_bytes()
+
+
+class SparseVectorDeserializer:
+    """bm::sparse_vector_deserializer equivalent."""
+
+    def deserialize(self, data: bytes):
+        dec = ByteDecoder(data)
+        if dec.get_bytes(4) != MAGIC_SV:
+            raise ValueError("bad magic")
+        ctype = dec.get_8()
+        if ctype == 0:
+            return self._get_sv(dec)
+        if ctype == 1:
+            return self._get_rsc(dec)
+        if ctype == 2:
+            return self._get_str(dec)
+        if ctype == 3:
+            return self._get_float(dec)
+        raise ValueError(f"unknown container type {ctype}")
+
+    def _get_planes(self, dec, n_slices):
+        present = dec.get_64()
+        planes = [None] * n_slices
+        deser = Deserializer()
+        raw: list[tuple[int, int, BitVector]] = []
+        for s in range(n_slices):
+            if not (present >> s) & 1:
+                continue
+            slice_id = dec.get_8()
+            ref = dec.get_8()
+            blob_len = dec.get_32()
+            bv = deser.deserialize(dec.get_bytes(blob_len))
+            raw.append((slice_id, ref, bv))
+        resolved: dict[int, BitVector] = {}
+        for slice_id, ref, bv in raw:       # refs always point backwards
+            if ref != NO_XOR:
+                bv = bv ^ resolved[ref]
+            resolved[slice_id] = bv
+            planes[slice_id] = bv
+        return planes
+
+    def _get_sv(self, dec) -> SparseVector:
+        dtype = _DTYPES[dec.get_8()]
+        nullable = bool(dec.get_8())
+        size = dec.get_64()
+        n_slices = dec.get_16()
+        sv = SparseVector(dtype, nullable=nullable)
+        sv.planes = self._get_planes(dec, n_slices)
+        null = self._get_optional(dec)
+        if nullable:
+            sv.null_plane = null or BitVector(C.ID_MAX48)
+        sv._size = size
+        return sv
+
+    def _get_rsc(self, dec) -> RSCSparseVector:
+        dtype = _DTYPES[dec.get_8()]
+        dec.get_8()
+        size = dec.get_64()
+        n_slices = dec.get_16()
+        rsc = RSCSparseVector(dtype)
+        rsc.dense = SparseVector(dtype)
+        rsc.dense.planes = self._get_planes(dec, n_slices)
+        dense_n = 0
+        rsc.null_bv = self._get_optional(dec) or BitVector(C.ID_MAX48)
+        rsc._size = size
+        rsc.dense._size = rsc.null_bv.count()
+        rsc.sync()
+        return rsc
+
+    def _get_str(self, dec) -> StrSparseVector:
+        max_str = dec.get_8()
+        nullable = bool(dec.get_8())
+        remap = bool(dec.get_8())
+        size = dec.get_64()
+        ssv = StrSparseVector(max_str, nullable=nullable)
+        if remap:
+            ssv.remap_matrices = np.frombuffer(
+                dec.get_bytes(max_str * 256), np.uint8).reshape(max_str, 256).copy()
+            ssv.unmap_matrices = np.frombuffer(
+                dec.get_bytes(max_str * 256), np.uint8).reshape(max_str, 256).copy()
+        for k in range(max_str):
+            n_slices = dec.get_16()
+            ssv.octets[k] = SparseVector(np.uint8)
+            ssv.octets[k].planes = self._get_planes(dec, n_slices)
+            ssv.octets[k]._size = size
+        if nullable:
+            ssv.null_plane = self._get_optional(dec) or BitVector(C.ID_MAX48)
+        else:
+            self._get_optional(dec)
+        ssv._size = size
+        return ssv
+
+    def _get_float(self, dec) -> FloatSparseVector:
+        dtype = np.float32 if dec.get_8() == 0 else np.float64
+        nullable = bool(dec.get_8())
+        size = dec.get_64()
+        fv = FloatSparseVector(dtype, nullable=nullable)
+        fv.sign = self._get_optional(dec) or BitVector(C.ID_MAX48)
+        for name in ("exponent", "mantissa"):
+            n_slices = dec.get_16()
+            part = getattr(fv, name)
+            part.planes = self._get_planes(dec, n_slices)
+            part._size = size
+        if nullable:
+            fv.null_plane = self._get_optional(dec) or BitVector(C.ID_MAX48)
+        fv._size = size
+        return fv
+
+    def _get_optional(self, dec):
+        if dec.get_8() == 0:
+            return None
+        n = dec.get_32()
+        return Deserializer().deserialize(dec.get_bytes(n))
+
+
+# one-shot helpers (reference sparse_vector_serialize/deserialize,
+# src/bmsparsevec_serial.h:540-567)
+def sparse_vector_serialize(sv, level: int = 6) -> bytes:
+    s = SparseVectorSerializer(level)
+    if isinstance(sv, SparseVector):
+        return s.serialize(sv)
+    if isinstance(sv, RSCSparseVector):
+        return s.serialize_rsc(sv)
+    if isinstance(sv, StrSparseVector):
+        return s.serialize_str(sv)
+    if isinstance(sv, FloatSparseVector):
+        return s.serialize_float(sv)
+    raise TypeError(type(sv))
+
+
+def sparse_vector_deserialize(data: bytes):
+    return SparseVectorDeserializer().deserialize(data)

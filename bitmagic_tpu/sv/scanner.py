@@ -1,0 +1,269 @@
+"""Index-free search on bit-sliced succinct vectors in compressed form.
+
+Equivalent of `bm::sparse_vector_scanner<SV>` (src/bmsparsevec_algo.h:612):
+
+  * find_eq(value): decompose the value into 1-bits (AND slice group) and
+    0-bits (SUB slice group), run one fused aggregator AND-SUB pass
+    (prepare_and_sub_aggregator :2286-2324 -> combine_and_sub) — on TPU this
+    is a single fused reduction over ~32 aligned bit-planes;
+  * find_gt/ge/lt/le/range: MSB-first slice descent maintaining (greater,
+    prefix-equal) accumulators — the slice-algebra form of
+    find_gt_horizontal (:1144+), with the signed split handled via the s2u
+    encoding (sign bit = slice 0);
+  * find_zero / find_nonzero (:1055-1082);
+  * sorted search lower_bound/bfind_eq via value-space binary search
+    (reference bfind + sv_sample_index, :493).
+
+The pipeline API batches many find_eq searches (reference scanner pipeline
+:653 feeding the aggregator pipeline).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import constants as C
+from ..agg.aggregator import Aggregator
+from ..core.bitvector import BitVector
+from .sparse_vector import SparseVector
+
+_agg = Aggregator()
+
+
+def _range_universe(n: int) -> BitVector:
+    u = BitVector(C.ID_MAX48)
+    if n:
+        u.set_range(0, n - 1)
+        u.optimize()
+    return u
+
+
+def _universe(sv: SparseVector) -> BitVector:
+    """Positions that hold assigned values: the NULL plane if nullable, else
+    the full range [0, size)."""
+    if sv.nullable:
+        return sv.null_plane
+    u = BitVector(C.ID_MAX48)
+    if sv._size:
+        u.set_range(0, sv._size - 1)
+        u.optimize()
+    return u
+
+
+def _planes(sv: SparseVector):
+    return [p for p in sv.planes], sv.n_slices
+
+
+class SparseVectorScanner:
+    """bm::sparse_vector_scanner equivalent."""
+
+    # ------------------------------------------------------------------
+    def find_zero(self, sv: SparseVector) -> BitVector:
+        """Positions with value 0 (assigned, if nullable) — reference
+        find_zero (src/bmsparsevec_algo.h:1055)."""
+        sv._flush()
+        uni = _universe(sv)
+        nz = self.find_nonzero(sv)
+        return uni - nz
+
+    def find_nonzero(self, sv: SparseVector) -> BitVector:
+        """OR of all value slices (reference find_nonzero, :1082)."""
+        sv._flush()
+        ps = [p for p in sv.planes if p is not None]
+        if not ps:
+            return BitVector(C.ID_MAX48)
+        return _agg.combine_or(ps)
+
+    # ------------------------------------------------------------------
+    def find_eq(self, sv: SparseVector, value) -> BitVector:
+        """All positions holding exactly ``value`` (reference find_eq,
+        src/bmsparsevec_algo.h:776)."""
+        sv._flush()
+        u = int(np.asarray(sv.s2u(np.asarray([value], sv.dtype)))[0])
+        if u == 0:
+            return self.find_zero(sv)
+        if u.bit_length() > sv.n_slices:
+            return BitVector(C.ID_MAX48)
+        and_group, sub_group = [], []
+        for s in range(sv.n_slices):
+            p = sv.planes[s]
+            if (u >> s) & 1:
+                if p is None:          # required bit has no plane -> empty
+                    return BitVector(C.ID_MAX48)
+                and_group.append(p)
+            elif p is not None:
+                sub_group.append(p)
+        res = _agg.combine_and_sub(and_group, sub_group)
+        if sv.nullable:
+            res.bit_and(sv.null_plane)
+        return res
+
+    def find_eq_count(self, sv, value) -> int:
+        return self.find_eq(sv, value).count()
+
+    def find_ne(self, sv: SparseVector, value) -> BitVector:
+        uni = _universe(sv).copy()
+        return uni - self.find_eq(sv, value)
+
+    # ------------------------------------------------------------------
+    # ordered searches (slice descent)
+    # ------------------------------------------------------------------
+    def _cmp_unsigned(self, planes, uni: BitVector, value: int, n_bits: int):
+        """MSB-first descent over the given planes: returns (gt, eq)
+        BitVectors relative to the universe."""
+        gt = BitVector(C.ID_MAX48)
+        eq = uni.copy()
+        for s in range(n_bits - 1, -1, -1):
+            p = planes[s] if s < len(planes) else None
+            vbit = (value >> s) & 1
+            if vbit:
+                if p is None:
+                    # all elements have 0 here -> none can stay equal
+                    eq = BitVector(C.ID_MAX48)
+                    break
+                eq.bit_and(p)
+            else:
+                if p is not None:
+                    gt.bit_or(eq & p)
+                    eq.bit_sub(p)
+        return gt, eq
+
+    def find_gt(self, sv: SparseVector, value) -> BitVector:
+        """Positions with element > value (reference find_gt,
+        src/bmsparsevec_algo.h:1144 find_gt_horizontal)."""
+        sv._flush()
+        uni = _universe(sv)
+        if not sv.signed:
+            gt, _ = self._cmp_unsigned(sv.planes, uni, int(value), sv.n_slices)
+            return gt
+        # signed split: s2u keeps sign in slice 0, magnitude in slices 1..
+        value = int(value)
+        sign_p = sv.planes[0]
+        neg = (uni & sign_p) if sign_p is not None else BitVector(C.ID_MAX48)
+        pos = uni - neg        # non-negative elements (includes zero)
+        mag_planes = sv.planes[1:]
+        if value >= 0:
+            gt, _ = self._cmp_unsigned(mag_planes, pos, value, sv.n_slices - 1)
+            return gt
+        # value < 0: all non-negatives qualify, plus negatives with
+        # magnitude < |value|
+        mag = -value
+        gtm, eqm = self._cmp_unsigned(mag_planes, neg, mag, sv.n_slices - 1)
+        lt_mag = neg - gtm - eqm
+        return pos | lt_mag
+
+    def find_ge(self, sv: SparseVector, value) -> BitVector:
+        sv._flush()
+        uni = _universe(sv)
+        if not sv.signed:
+            gt, eq = self._cmp_unsigned(sv.planes, uni, int(value), sv.n_slices)
+            return gt | eq
+        return self.find_gt(sv, int(value) - 1)
+
+    def find_lt(self, sv: SparseVector, value) -> BitVector:
+        uni = _universe(sv).copy()
+        return uni - self.find_ge(sv, value)
+
+    def find_le(self, sv: SparseVector, value) -> BitVector:
+        uni = _universe(sv).copy()
+        return uni - self.find_gt(sv, value)
+
+    def find_range(self, sv: SparseVector, lo, hi) -> BitVector:
+        """lo <= element <= hi (reference find_range)."""
+        return self.find_ge(sv, lo) & self.find_le(sv, hi)
+
+    # ------------------------------------------------------------------
+    # sorted-vector search (reference bfind/lower_bound_str + sample index)
+    # ------------------------------------------------------------------
+    def lower_bound(self, sv: SparseVector, value) -> int:
+        """First index i with sv[i] >= value in a sorted vector
+        (reference lower_bound, src/bmsparsevec_algo.h bfind family)."""
+        sv._flush()
+        lo, hi = 0, len(sv)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if sv.get(mid) < value:
+                lo = mid + 1
+            else:
+                hi = mid
+        return lo
+
+    def bfind_eq(self, sv: SparseVector, value) -> int:
+        """Index of value in a sorted vector, or -1 (reference bfind)."""
+        i = self.lower_bound(sv, value)
+        if i < len(sv) and sv.get(i) == value:
+            return i
+        return -1
+
+    # ------------------------------------------------------------------
+    # string searches (reference find_eq_str, src/bmsparsevec_algo.h:2245:
+    # per-octet slice masks with remap translation, one fused AND-SUB)
+    # ------------------------------------------------------------------
+    def find_eq_str(self, ssv, s) -> BitVector:
+        """All positions of string vector ``ssv`` equal to ``s`` — ONE fused
+        AND-SUB pass over the union of all octet positions' bit-planes."""
+        img = ssv.remap_value(s)
+        if img is None:                  # unmappable char -> cannot exist
+            return BitVector(C.ID_MAX48)
+        and_group, sub_group = [], []
+        for k in range(ssv.max_str_size):
+            osv = ssv.octets[k]
+            osv._flush()
+            code = int(img[k])
+            for b in range(osv.n_slices):
+                p = osv.planes[b]
+                if (code >> b) & 1:
+                    if p is None:
+                        return BitVector(C.ID_MAX48)
+                    and_group.append(p)
+                elif p is not None:
+                    sub_group.append(p)
+        if not and_group:
+            # empty string: universe minus any octet bit anywhere
+            uni = (ssv.null_plane.copy() if ssv.nullable
+                   else _range_universe(ssv.size))
+            if sub_group:
+                uni.bit_sub(_agg.combine_or(sub_group))
+            return uni
+        res = _agg.combine_and_sub(and_group, sub_group)
+        if ssv.nullable:
+            res.bit_and(ssv.null_plane)
+        return res
+
+    def find_eq_str_count(self, ssv, s) -> int:
+        return self.find_eq_str(ssv, s).count()
+
+    def lower_bound_str(self, ssv, s) -> int:
+        """First index i with ssv[i] >= s in a sorted string vector
+        (reference lower_bound_str / bfind_eq_str with sample index,
+        src/bmsparsevec_algo.h:493)."""
+        lo, hi = 0, len(ssv)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if ssv.compare(mid, s) < 0:
+                lo = mid + 1
+            else:
+                hi = mid
+        return lo
+
+    def bfind_eq_str(self, ssv, s) -> int:
+        i = self.lower_bound_str(ssv, s)
+        if i < len(ssv) and ssv.compare(i, s) == 0:
+            return i
+        return -1
+
+    # ------------------------------------------------------------------
+    # pipeline: batch many equality searches (reference scanner pipeline
+    # :653; masks/counts modes mirror agg_run_options)
+    # ------------------------------------------------------------------
+    def pipeline_find_eq(self, sv: SparseVector, values, counts_only=False):
+        """Run find_eq for a batch of values.  Returns list of BitVectors or
+        counts."""
+        out = []
+        for v in values:
+            bv = self.find_eq(sv, v)
+            out.append(bv.count() if counts_only else bv)
+        return out
+
+
+scanner = SparseVectorScanner()

@@ -1,0 +1,256 @@
+"""Succinct bit-sliced string vector with optional character remapping.
+
+Equivalent of `bm::str_sparse_vector<CharType, BV, STR_SIZE>`
+(src/bmstrsvec.h... src/bmstrsparsevec.h:71): strings of bounded length
+stored column-wise — octet position k of every string lives in a bit-sliced
+uint8 plane-group — searchable in compressed form per-octet (scanner
+find_eq_str builds per-octet slice masks, src/bmsparsevec_algo.h:2245).
+
+Remap (reference remap_matrix / octet_freq_matrix, src/bmstrsparsevec.h:97):
+frequency-based per-position character recoding — each position's alphabet is
+renumbered densely, shrinking the number of active bit-planes (a Huffman-like
+space win that also speeds scans).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import constants as C
+from ..core.bitvector import BitVector
+from .sparse_vector import SparseVector
+
+_I64 = np.int64
+
+
+class StrSparseVector:
+    """bm::str_sparse_vector equivalent (fixed max octet capacity)."""
+
+    def __init__(self, max_str_size: int = 16, nullable: bool = False):
+        self.max_str_size = int(max_str_size)
+        self.nullable = nullable
+        # one uint8 bit-sliced vector per octet position
+        self.octets = [SparseVector(np.uint8) for _ in range(self.max_str_size)]
+        self.null_plane: BitVector | None = (BitVector(C.ID_MAX48)
+                                             if nullable else None)
+        self._size = 0
+        self.remap_matrices = None      # [S][256] uint8 or None
+        self.unmap_matrices = None
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_strings(cls, strings, max_str_size=None, nullable=False):
+        strings = list(strings)
+        if max_str_size is None:
+            max_str_size = max((len(s) for s in strings if s is not None),
+                               default=0) or 1
+        sv = cls(max_str_size, nullable=nullable or any(s is None for s in strings))
+        sv.import_strings(strings)
+        return sv
+
+    def import_strings(self, strings, offset: int = 0):
+        """Bulk import: one device transpose per octet position."""
+        n = len(strings)
+        if n == 0:
+            return self
+        mat = np.zeros((n, self.max_str_size), np.uint8)
+        nulls = np.zeros(n, bool)
+        for i, s in enumerate(strings):
+            if s is None:
+                nulls[i] = True
+                continue
+            b = s.encode() if isinstance(s, str) else bytes(s)
+            if len(b) > self.max_str_size:
+                raise ValueError(f"string longer than max_str_size "
+                                 f"({len(b)} > {self.max_str_size})")
+            mat[i, :len(b)] = np.frombuffer(b, np.uint8)
+        if self.remap_matrices is not None:
+            mat = self._remap_apply(mat)
+        for k in range(self.max_str_size):
+            self.octets[k].import_values(mat[:, k], offset)
+        self._size = max(self._size, offset + n)
+        if self.nullable:
+            ids = np.flatnonzero(~nulls) + offset
+            if ids.size:
+                self.null_plane.set_many(ids)
+        return self
+
+    def push_back(self, s):
+        return self.import_strings([s], offset=self._size)
+
+    def set(self, i, s):
+        i = int(i)
+        b = s.encode() if isinstance(s, str) else bytes(s)
+        if len(b) > self.max_str_size:
+            raise ValueError("string too long")
+        arr = np.zeros(self.max_str_size, np.uint8)
+        arr[:len(b)] = np.frombuffer(b, np.uint8)
+        if self.remap_matrices is not None:
+            arr = self._remap_apply(arr[None, :])[0]
+        for k in range(self.max_str_size):
+            self.octets[k].set(i, arr[k])
+        if self.nullable:
+            self.null_plane.set(i, True)
+        if i >= self._size:
+            self._size = i + 1
+        return self
+
+    __setitem__ = set
+
+    def set_null(self, i):
+        if not self.nullable:
+            raise ValueError("not nullable")
+        for k in range(self.max_str_size):
+            self.octets[k].set(i, 0)
+        self.null_plane.set(int(i), False)
+        return self
+
+    def is_null(self, i) -> bool:
+        return self.nullable and not self.null_plane.test(i)
+
+    # ------------------------------------------------------------------
+    @property
+    def size(self) -> int:
+        return self._size
+
+    def __len__(self):
+        return self._size
+
+    def get(self, i) -> str:
+        return self.gather([i])[0]
+
+    __getitem__ = get
+
+    def gather(self, ids) -> list:
+        ids = np.asarray(ids, _I64)
+        cols = np.stack([self.octets[k].gather(ids)
+                         for k in range(self.max_str_size)], axis=1)
+        if self.remap_matrices is not None:
+            cols = self._remap_invert(cols)
+        out = []
+        null_bits = (self.null_plane.get_bits(ids) if self.nullable else None)
+        for r in range(cols.shape[0]):
+            if null_bits is not None and not null_bits[r]:
+                out.append(None)
+                continue
+            row = cols[r]
+            nz = np.flatnonzero(row == 0)
+            end = int(nz[0]) if nz.size else self.max_str_size
+            out.append(bytes(row[:end]).decode("latin-1"))
+        return out
+
+    def to_list(self) -> list:
+        return self.gather(np.arange(self._size, dtype=_I64))
+
+    def compare(self, i: int, s) -> int:
+        """Lexicographic compare of element i vs string s: -1/0/1
+        (reference compare, src/bmstrsparsevec.h:775)."""
+        mine = self.get(i) or ""
+        s = s if isinstance(s, str) else bytes(s).decode("latin-1")
+        return (mine > s) - (mine < s)
+
+    # ------------------------------------------------------------------
+    # remap (frequency-based per-position recoding)
+    # ------------------------------------------------------------------
+    def remap(self):
+        """Recode characters per position by descending frequency
+        (reference recalc_remap_matrix2 / remap_from_sv,
+        src/bmstrsparsevec.h:97-108).  Code 0 is reserved for the string
+        terminator."""
+        if self.remap_matrices is not None:
+            return self
+        ids = np.arange(self._size, dtype=_I64)
+        cols = np.stack([self.octets[k].gather(ids)
+                         for k in range(self.max_str_size)], axis=1)
+        remaps, unmaps = [], []
+        for k in range(self.max_str_size):
+            col = cols[:, k]
+            vals, counts = np.unique(col[col != 0], return_counts=True)
+            order = vals[np.argsort(-counts, kind="stable")]
+            rm = np.zeros(256, np.uint8)
+            um = np.zeros(256, np.uint8)
+            for code, ch in enumerate(order, start=1):
+                rm[ch] = code
+                um[code] = ch
+            remaps.append(rm)
+            unmaps.append(um)
+        self.remap_matrices = np.stack(remaps)
+        self.unmap_matrices = np.stack(unmaps)
+        new_cols = self._remap_apply(cols)
+        for k in range(self.max_str_size):
+            self.octets[k] = SparseVector(np.uint8)
+            self.octets[k].import_values(new_cols[:, k], 0)
+        return self
+
+    def is_remap(self) -> bool:
+        return self.remap_matrices is not None
+
+    def _remap_apply(self, mat: np.ndarray) -> np.ndarray:
+        out = np.zeros_like(mat)
+        for k in range(self.max_str_size):
+            out[:, k] = self.remap_matrices[k][mat[:, k]]
+        return out
+
+    def _remap_invert(self, mat: np.ndarray) -> np.ndarray:
+        out = np.zeros_like(mat)
+        for k in range(self.max_str_size):
+            out[:, k] = self.unmap_matrices[k][mat[:, k]]
+        return out
+
+    def remap_value(self, s) -> np.ndarray | None:
+        """Remapped octet image of a query string, or None if some character
+        cannot be remapped at its position (=> value cannot exist)."""
+        b = s.encode() if isinstance(s, str) else bytes(s)
+        arr = np.zeros(self.max_str_size, np.uint8)
+        arr[:len(b)] = np.frombuffer(b, np.uint8)
+        if self.remap_matrices is None:
+            return arr
+        out = np.zeros_like(arr)
+        for k in range(self.max_str_size):
+            if arr[k] == 0:
+                continue
+            code = self.remap_matrices[k][arr[k]]
+            if code == 0:
+                return None
+            out[k] = code
+        return out
+
+    # ------------------------------------------------------------------
+    def keep_range(self, lo, hi):
+        for k in range(self.max_str_size):
+            rng = BitVector(C.ID_MAX48)
+            rng.set_range(int(lo), int(hi))
+            self.octets[k].filter(rng)
+        if self.nullable:
+            rng = BitVector(C.ID_MAX48)
+            rng.set_range(int(lo), int(hi))
+            self.null_plane.bit_and(rng)
+        return self
+
+    def optimize(self):
+        for o in self.octets:
+            o.optimize()
+        if self.nullable:
+            self.null_plane.optimize()
+        return self
+
+    def calc_stat(self) -> dict:
+        st = {"memory_used": 0, "bit_blocks": 0, "remap": self.is_remap()}
+        for o in self.octets:
+            s = o.calc_stat()
+            st["memory_used"] += s["memory_used"]
+            st["bit_blocks"] += s["bit_blocks"]
+        return st
+
+    def freeze(self):
+        for o in self.octets:
+            o.freeze()
+        if self.nullable:
+            self.null_plane.freeze()
+        return self
+
+    def equal(self, other: "StrSparseVector") -> bool:
+        return self.to_list() == other.to_list()
+
+    def __iter__(self):
+        return iter(self.to_list())

@@ -1,0 +1,129 @@
+"""Aggregator group-op tests vs golden model (reference aggregator suites,
+tests/stress/t.cpp:9996-11287)."""
+import numpy as np
+import pytest
+
+from bitmagic_tpu import BitVector
+from bitmagic_tpu.agg import AggOptions, Aggregator
+from bitmagic_tpu.constants import BITS_PER_BLOCK
+from bitmagic_tpu.utils.golden import GoldenBitSet, random_indices
+
+SIZE = 4 * BITS_PER_BLOCK + 500
+agg = Aggregator()
+
+
+def group(rng, n, density=0.05, size=SIZE):
+    bvs, gs = [], []
+    for _ in range(n):
+        idx = random_indices(rng, size, density)
+        bvs.append(BitVector.from_indices(idx, size))
+        gs.append(GoldenBitSet.from_indices(idx, size))
+    return bvs, gs
+
+
+def test_combine_or(rng):
+    bvs, gs = group(rng, 8)
+    res = agg.combine_or(bvs)
+    want = np.zeros(SIZE, bool)
+    for g in gs:
+        want[: g.bits.size] |= g.bits
+    np.testing.assert_array_equal(res.indices(), np.flatnonzero(want))
+
+
+def test_combine_and(rng):
+    # dense vectors so the intersection is non-trivial
+    bvs, gs = group(rng, 4, density=0.6)
+    res = agg.combine_and(bvs)
+    want = np.ones(SIZE, bool)
+    for g in gs:
+        want &= g.bits
+    np.testing.assert_array_equal(res.indices(), np.flatnonzero(want))
+
+
+def test_combine_and_sub(rng):
+    and_bvs, and_gs = group(rng, 3, density=0.6)
+    sub_bvs, sub_gs = group(rng, 3, density=0.1)
+    res = agg.combine_and_sub(and_bvs, sub_bvs)
+    want = np.ones(SIZE, bool)
+    for g in and_gs:
+        want &= g.bits
+    for g in sub_gs:
+        want &= ~g.bits
+    np.testing.assert_array_equal(res.indices(), np.flatnonzero(want))
+    ff = agg.find_first_and_sub(and_bvs, sub_bvs)
+    nz = np.flatnonzero(want)
+    assert ff == (int(nz[0]) if nz.size else -1)
+
+
+def test_and_sub_with_full_and_missing_blocks(rng):
+    a = BitVector(SIZE); a.set_range(0, 2 * BITS_PER_BLOCK - 1); a.optimize()
+    b = BitVector.from_indices(
+        random_indices(rng, 2 * BITS_PER_BLOCK, 0.3), SIZE)
+    s = BitVector(SIZE); s.set_range(BITS_PER_BLOCK, 2 * BITS_PER_BLOCK - 1)
+    s.optimize()   # FULL sub block kills that whole block
+    res = agg.combine_and_sub([a, b], [s])
+    want = b.to_numpy(SIZE).copy()
+    want[BITS_PER_BLOCK:] = False
+    np.testing.assert_array_equal(res.indices(), np.flatnonzero(want))
+    # golden-block early out: an AND vector with no blocks -> empty result
+    empty = BitVector(SIZE)
+    assert agg.combine_and_sub([a, b, empty], [s]).none()
+
+
+def test_stateful_api(rng):
+    bvs, gs = group(rng, 3, density=0.5)
+    sub, gsub = group(rng, 1, density=0.1)
+    a = Aggregator()
+    for v in bvs:
+        a.add(v, 0)
+    a.add(sub[0], 1)
+    res = a.combine_and_sub()
+    want = np.ones(SIZE, bool)
+    for g in gs:
+        want &= g.bits
+    want &= ~gsub[0].bits
+    np.testing.assert_array_equal(res.indices(), np.flatnonzero(want))
+    a.reset()
+    assert a.combine_or().size == 0
+
+
+def test_shift_right_and_bitap(rng):
+    # classic Bitap pattern match over a tiny "text": build per-symbol
+    # occurrence vectors, the K-step shift-AND finds pattern end positions.
+    text = "abracadabra"
+    pattern = "abra"
+    occ = {}
+    for ch in set(text):
+        occ[ch] = BitVector.from_indices(
+            [i for i, c in enumerate(text) if c == ch], len(text) + 1)
+    res = agg.combine_shift_right_and([occ[c] for c in pattern])
+    ends = res.indices()
+    want = [i + len(pattern) - 1 for i in range(len(text) - len(pattern) + 1)
+            if text[i:i + len(pattern)] == pattern]
+    np.testing.assert_array_equal(ends, want)
+
+
+def test_pipeline(rng):
+    bvs, gs = group(rng, 6, density=0.5)
+    reqs = [([bvs[0], bvs[1]], [bvs[2]]),
+            ([bvs[3]], []),
+            ([bvs[4], bvs[5]], [])]
+    res = agg.pipeline(reqs, AggOptions(make_results=True, compute_counts=True))
+    for (and_g, sub_g), r in zip(reqs, res):
+        want = np.ones(SIZE, bool)
+        for v in and_g:
+            want &= v.to_numpy(SIZE)
+        for v in sub_g:
+            want &= ~v.to_numpy(SIZE)
+        np.testing.assert_array_equal(r["bv"].indices(), np.flatnonzero(want))
+        assert r["count"] == int(want.sum())
+
+
+def test_many_vectors(rng):
+    """200-vector group (BASELINE config 3 shape, small size)."""
+    bvs, gs = group(rng, 40, density=0.8, size=BITS_PER_BLOCK)
+    res = agg.combine_and(bvs)
+    want = np.ones(BITS_PER_BLOCK, bool)
+    for g in gs:
+        want &= g.bits
+    np.testing.assert_array_equal(res.indices(), np.flatnonzero(want))

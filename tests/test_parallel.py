@@ -1,0 +1,98 @@
+"""Mesh-sharding tests on the virtual 8-device CPU mesh (the multi-chip
+validation path; real multi-chip runs use identical code over ICI)."""
+import numpy as np
+import pytest
+
+import jax
+
+from bitmagic_tpu import BitVector
+from bitmagic_tpu.constants import BITS_PER_BLOCK
+from bitmagic_tpu.parallel import (ShardedBitVector, make_mesh,
+                                   scan_throughput_program, sharded_and_many,
+                                   sharded_and_sub, TaskBatch, run_task_batch,
+                                   build_optimize_plan,
+                                   build_sv_serialization_plan)
+from bitmagic_tpu.utils.golden import random_indices
+
+SIZE = 16 * BITS_PER_BLOCK          # 16 blocks over 8 devices
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must force 8 cpu devices"
+    return make_mesh(8)
+
+
+def test_roundtrip_and_count(rng, mesh):
+    idx = random_indices(rng, SIZE, 0.01)
+    bv = BitVector.from_indices(idx, SIZE)
+    sh = ShardedBitVector.from_bitvector(bv, mesh)
+    assert sh.count() == idx.size
+    assert sh.count_shardmap() == idx.size
+    back = sh.to_bitvector()
+    np.testing.assert_array_equal(back.indices(), idx)
+
+
+def test_sharded_ops(rng, mesh):
+    ia = random_indices(rng, SIZE, 0.02)
+    ib = random_indices(rng, SIZE, 0.02)
+    a = ShardedBitVector.from_indices(ia, SIZE, mesh)
+    b = ShardedBitVector.from_indices(ib, SIZE, mesh)
+    am = np.zeros(SIZE, bool); am[ia] = True
+    bm_ = np.zeros(SIZE, bool); bm_[ib] = True
+    assert (a & b).count() == (am & bm_).sum()
+    assert (a | b).count() == (am | bm_).sum()
+    assert (a ^ b).count() == (am ^ bm_).sum()
+    assert (a - b).count() == (am & ~bm_).sum()
+
+
+def test_sharded_rank_range(rng, mesh):
+    idx = random_indices(rng, SIZE, 0.01)
+    sh = ShardedBitVector.from_indices(idx, SIZE, mesh)
+    g = np.zeros(SIZE, bool); g[idx] = True
+    cum = np.cumsum(g)
+    for i in rng.integers(0, SIZE, 10):
+        assert sh.rank(int(i)) == cum[int(i)]
+    lo, hi = SIZE // 3, 2 * SIZE // 3
+    assert sh.count_range(lo, hi) == g[lo:hi + 1].sum()
+
+
+def test_sharded_aggregator(rng, mesh):
+    idxs = [random_indices(rng, SIZE, 0.6) for _ in range(5)]
+    vs = [ShardedBitVector.from_indices(i, SIZE, mesh) for i in idxs]
+    want = np.ones(SIZE, bool)
+    for i in idxs:
+        m = np.zeros(SIZE, bool); m[i] = True
+        want &= m
+    assert sharded_and_many(vs).count() == want.sum()
+    sub = ShardedBitVector.from_indices(idxs[0][:100], SIZE, mesh)
+    w2 = want.copy(); w2[idxs[0][:100]] = False
+    assert sharded_and_sub(vs, [sub]).count() == w2.sum()
+
+
+def test_scan_throughput_program(rng, mesh):
+    n_planes, nb_per_shard = 8, 2
+    scan, sharding = scan_throughput_program(mesh, n_planes, nb_per_shard)
+    nblk = nb_per_shard * 8
+    vals = rng.integers(0, 2**n_planes, nblk * BITS_PER_BLOCK).astype(np.uint32)
+    planes = np.zeros((n_planes, nblk, 2048), np.uint32)
+    for s in range(n_planes):
+        bits = ((vals >> s) & 1).astype(np.uint8)
+        planes[s] = np.packbits(bits, bitorder="little").view(
+            np.uint32).reshape(nblk, 2048)
+    planes_dev = jax.device_put(planes, None)
+    target = 42
+    got = int(scan(planes_dev, np.uint32(target)))
+    assert got == int((vals == target).sum())
+
+
+def test_task_batch_plans(rng):
+    from bitmagic_tpu.sv import SparseVector
+    vals = rng.integers(0, 1000, 5000).astype(np.uint32)
+    sv = SparseVector.from_array(vals)
+    run_task_batch(build_optimize_plan(sv), n_threads=4)
+    np.testing.assert_array_equal(sv.to_numpy(), vals)
+    blobs = run_task_batch(build_sv_serialization_plan(sv), n_threads=4)
+    assert len(blobs) == sum(1 for p in sv.planes if p is not None and p.any())
+    b = TaskBatch().add(lambda: 1).add(lambda: 2)
+    assert run_task_batch(b) == [1, 2]

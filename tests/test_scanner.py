@@ -1,0 +1,114 @@
+"""Scanner tests: compressed-form search (reference TestSparseVectorScan,
+tests/stress/t.cpp:32401)."""
+import numpy as np
+import pytest
+
+from bitmagic_tpu.sv.sparse_vector import SparseVector
+from bitmagic_tpu.sv.scanner import scanner
+from bitmagic_tpu.sv import algo as sv_algo
+from bitmagic_tpu.core.bitvector import BitVector
+
+N = 70000
+
+
+def test_find_eq_unsigned(rng):
+    vals = rng.integers(0, 50, N).astype(np.uint32)
+    sv = SparseVector.from_array(vals)
+    for v in [0, 1, 7, 49, 200]:
+        got = scanner.find_eq(sv, v).indices()
+        got = got[got < N]
+        np.testing.assert_array_equal(got, np.flatnonzero(vals == v)), v
+
+
+def test_find_eq_nullable(rng):
+    vals = rng.integers(0, 10, 1000).astype(np.uint32)
+    nulls = rng.random(1000) < 0.3
+    sv = SparseVector.from_array(vals, nullable=True, null_mask=nulls)
+    for v in [0, 3]:
+        got = scanner.find_eq(sv, v).indices()
+        want = np.flatnonzero((vals == v) & ~nulls)
+        np.testing.assert_array_equal(got[got < 1000], want)
+
+
+def test_find_eq_signed(rng):
+    vals = rng.integers(-20, 20, 5000).astype(np.int32)
+    sv = SparseVector.from_array(vals)
+    for v in [-20, -1, 0, 5, 19]:
+        got = scanner.find_eq(sv, v).indices()
+        np.testing.assert_array_equal(got[got < 5000], np.flatnonzero(vals == v))
+
+
+@pytest.mark.parametrize("signed", [False, True])
+def test_ordered_searches(rng, signed):
+    if signed:
+        vals = rng.integers(-100, 100, 5000).astype(np.int32)
+        probes = [-150, -100, -37, -1, 0, 1, 42, 99, 150]
+    else:
+        vals = rng.integers(0, 200, 5000).astype(np.uint32)
+        probes = [0, 1, 77, 199, 250]
+    sv = SparseVector.from_array(vals)
+    for v in probes:
+        for name, op in [("gt", np.greater), ("ge", np.greater_equal),
+                         ("lt", np.less), ("le", np.less_equal)]:
+            got = getattr(scanner, "find_" + name)(sv, v).indices()
+            got = got[got < vals.size]
+            want = np.flatnonzero(op(vals.astype(np.int64), v))
+            np.testing.assert_array_equal(got, want), (name, v)
+
+
+def test_find_range(rng):
+    vals = rng.integers(0, 1000, 5000).astype(np.uint32)
+    sv = SparseVector.from_array(vals)
+    got = scanner.find_range(sv, 100, 200).indices()
+    want = np.flatnonzero((vals >= 100) & (vals <= 200))
+    np.testing.assert_array_equal(got[got < vals.size], want)
+
+
+def test_find_zero_nonzero(rng):
+    vals = rng.integers(0, 3, 3000).astype(np.uint32)
+    sv = SparseVector.from_array(vals)
+    z = scanner.find_zero(sv).indices()
+    np.testing.assert_array_equal(z[z < 3000], np.flatnonzero(vals == 0))
+    nz = scanner.find_nonzero(sv).indices()
+    np.testing.assert_array_equal(nz[nz < 3000], np.flatnonzero(vals != 0))
+
+
+def test_sorted_search(rng):
+    vals = np.unique(rng.integers(0, 10**6, 2000)).astype(np.uint32)
+    sv = SparseVector.from_array(vals)
+    for v in [int(vals[0]), int(vals[100]), int(vals[-1])]:
+        assert scanner.bfind_eq(sv, v) == int(np.searchsorted(vals, v))
+    missing = int(vals[50]) + 1
+    if missing not in vals:
+        assert scanner.bfind_eq(sv, missing) == -1
+    assert scanner.lower_bound(sv, 0) == 0
+
+
+def test_pipeline_find_eq(rng):
+    vals = rng.integers(0, 20, 4000).astype(np.uint32)
+    sv = SparseVector.from_array(vals)
+    counts = scanner.pipeline_find_eq(sv, list(range(20)), counts_only=True)
+    want = [int((vals == v).sum()) for v in range(20)]
+    assert counts == want
+
+
+def test_first_mismatch(rng):
+    vals = rng.integers(0, 1000, 3000).astype(np.uint32)
+    a = SparseVector.from_array(vals)
+    b = SparseVector.from_array(vals)
+    assert sv_algo.find_first_mismatch(a, b) == -1
+    v2 = vals.copy(); v2[1234] += 1
+    b2 = SparseVector.from_array(v2)
+    assert sv_algo.find_first_mismatch(a, b2) == 1234
+    # size mismatch -> first index past the shorter
+    c = SparseVector.from_array(vals[:2000])
+    assert sv_algo.find_first_mismatch(a, c) == 2000
+
+
+def test_set2set_transform(rng):
+    vals = rng.integers(0, 500, 1000).astype(np.uint32)
+    sv = SparseVector.from_array(vals)
+    keys = BitVector.from_indices([1, 5, 999], 2**48)
+    out = sv_algo.set2set_transform(sv, keys)
+    want = np.unique(vals[[1, 5, 999]])
+    np.testing.assert_array_equal(out.indices(), want)

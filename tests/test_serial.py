@@ -1,0 +1,126 @@
+"""Serialization tests: codec round-trips + BLOB round-trips at all levels
+(reference SerializationCompressionLevelsTest :17427,
+InterpolativeCodingTest :26197, GammaEncoderTest :26811)."""
+import numpy as np
+import pytest
+
+from bitmagic_tpu import BitVector
+from bitmagic_tpu.constants import BITS_PER_BLOCK
+from bitmagic_tpu.serial.encoding import (BitReader, BitWriter, bic_decode,
+                                          bic_encode)
+from bitmagic_tpu.serial.serializer import Deserializer, Serializer
+from bitmagic_tpu.utils.golden import random_indices
+
+SIZE = 6 * BITS_PER_BLOCK + 12345
+
+
+def test_bitstream_roundtrip(rng):
+    w = BitWriter()
+    vals = [(1, 1), (0, 1), (12345, 17), (0xDEADBEEF, 32), (7, 3)]
+    for v, n in vals:
+        w.put_bits(v, n)
+    r = BitReader(w.getvalue())
+    for v, n in vals:
+        assert r.get_bits(n) == v
+
+
+def test_bitstream_large(rng):
+    """Many writes must stay fast and correct (incremental flush path)."""
+    vals = rng.integers(1, 2**20, 20000)
+    w = BitWriter()
+    for v in vals:
+        w.put_gamma(int(v))
+    r = BitReader(w.getvalue())
+    got = [r.get_gamma() for _ in range(vals.size)]
+    np.testing.assert_array_equal(got, vals)
+
+
+def test_gamma_roundtrip(rng):
+    vals = np.concatenate([[1, 2, 3, 2**16, 2**31 - 1],
+                           rng.integers(1, 10**6, 500)])
+    w = BitWriter()
+    w.put_gamma_array(vals.astype(np.uint64))
+    r = BitReader(w.getvalue())
+    got = [r.get_gamma() for _ in vals]
+    np.testing.assert_array_equal(got, vals)
+
+
+def test_bic_roundtrip(rng):
+    for n in [0, 1, 2, 100, 5000]:
+        arr = np.unique(rng.integers(0, 65536, n)).astype(np.int64)
+        w = BitWriter()
+        bic_encode(w, arr, 0, 65535)
+        r = BitReader(w.getvalue())
+        got = bic_decode(r, arr.size, 0, 65535)
+        np.testing.assert_array_equal(got, arr)
+
+
+def test_bic_dense(rng):
+    arr = np.arange(0, 60000, dtype=np.int64)      # consecutive run
+    w = BitWriter()
+    bic_encode(w, arr, 0, 65535)
+    assert len(w.getvalue()) < 1000                 # BIC collapses runs
+    r = BitReader(w.getvalue())
+    np.testing.assert_array_equal(bic_decode(r, arr.size, 0, 65535), arr)
+
+
+@pytest.mark.parametrize("level", [0, 1, 4, 5, 6])
+@pytest.mark.parametrize("style", ["uniform", "intervals"])
+def test_blob_roundtrip(rng, level, style):
+    idx = random_indices(rng, SIZE, 0.01, style)
+    bv = BitVector.from_indices(idx, SIZE)
+    bv.set_range(BITS_PER_BLOCK, 2 * BITS_PER_BLOCK + 100)  # mixed classes
+    bv.optimize()
+    blob = Serializer(level).serialize(bv)
+    back = Deserializer().deserialize(blob)
+    assert back.size == bv.size
+    assert back.equal(bv), (level, style)
+
+
+def test_blob_compression_effect(rng):
+    """higher levels must not be larger on sparse data."""
+    idx = random_indices(rng, SIZE, 0.002)
+    bv = BitVector.from_indices(idx, SIZE)
+    sizes = {lv: len(Serializer(lv).serialize(bv)) for lv in (0, 1, 6)}
+    assert sizes[1] <= sizes[0]
+    assert sizes[6] <= sizes[1]
+    # dense interval data: gap coding wins big
+    bv2 = BitVector(SIZE)
+    for lo in range(0, SIZE - 3000, 10007):
+        bv2.set_range(lo, lo + 2500)
+    s0 = len(Serializer(0).serialize(bv2))
+    s6 = len(Serializer(6).serialize(bv2))
+    assert s6 < s0 // 20
+
+
+def test_empty_and_full(rng):
+    e = BitVector(SIZE)
+    blob = Serializer(6).serialize(e)
+    assert Deserializer().deserialize(blob).none()
+    f = BitVector(SIZE)
+    f.set_range(0, SIZE - 1)
+    f.optimize()
+    back = Deserializer().deserialize(Serializer(6).serialize(f))
+    assert back.equal(f)
+    assert back.count() == SIZE
+
+
+def test_range_deserialize(rng):
+    idx = random_indices(rng, SIZE, 0.01)
+    bv = BitVector.from_indices(idx, SIZE)
+    blob = Serializer(6).serialize(bv)
+    lo, hi = BITS_PER_BLOCK + 5, 3 * BITS_PER_BLOCK
+    part = Deserializer().deserialize_range(blob, lo, hi)
+    want = idx[(idx >= lo) & (idx <= hi)]
+    np.testing.assert_array_equal(part.indices(), want)
+
+
+def test_compression_stat(rng):
+    bv = BitVector(SIZE)
+    bv.set_range(0, BITS_PER_BLOCK - 1)            # full block
+    bv.set_many(np.arange(BITS_PER_BLOCK, BITS_PER_BLOCK + 100))  # sparse arr
+    bv.optimize()
+    s = Serializer(6)
+    s.serialize(bv)
+    assert s.compression_stat.get("full", 0) == 1
+    assert sum(s.compression_stat.values()) == 2

@@ -1,0 +1,132 @@
+"""Bit-sliced sparse_vector tests (reference TestSparseVector*,
+tests/stress/t.cpp:27574+)."""
+import numpy as np
+import pytest
+
+from bitmagic_tpu import BitVector
+from bitmagic_tpu.constants import BITS_PER_BLOCK
+from bitmagic_tpu.sv.sparse_vector import SparseVector
+
+N = BITS_PER_BLOCK + 999
+
+
+def test_import_roundtrip_u32(rng):
+    vals = rng.integers(0, 2**31, N).astype(np.uint32)
+    sv = SparseVector.from_array(vals)
+    assert len(sv) == N
+    np.testing.assert_array_equal(sv.to_numpy(), vals)
+
+
+def test_import_roundtrip_small_dtypes(rng):
+    for dt in (np.uint8, np.uint16, np.uint64):
+        hi = min(np.iinfo(dt).max, 2**40)
+        vals = rng.integers(0, hi, 500).astype(dt)
+        sv = SparseVector.from_array(vals)
+        np.testing.assert_array_equal(sv.to_numpy(), vals)
+
+
+def test_signed_values(rng):
+    vals = rng.integers(-2**30, 2**30, 1000).astype(np.int32)
+    sv = SparseVector.from_array(vals)
+    np.testing.assert_array_equal(sv.to_numpy(), vals)
+    assert sv[0] == vals[0]
+
+
+def test_single_set_get(rng):
+    sv = SparseVector(np.uint32)
+    sv.set(5, 42)
+    sv.set(100000, 7)
+    sv[3] = 9
+    assert sv[5] == 42
+    assert sv[100000] == 7
+    assert sv[3] == 9
+    assert sv[4] == 0
+    assert len(sv) == 100001
+    sv.inc(5)
+    assert sv[5] == 43
+    sv.add(3, 10)
+    assert sv[3] == 19
+
+
+def test_gather_decode(rng):
+    vals = rng.integers(0, 2**20, N).astype(np.uint32)
+    sv = SparseVector.from_array(vals)
+    ids = rng.integers(0, N, 300)
+    np.testing.assert_array_equal(sv.gather(ids), vals[ids])
+    lo = N // 3
+    np.testing.assert_array_equal(sv.decode(lo, 500), vals[lo:lo + 500])
+
+
+def test_nullable(rng):
+    vals = rng.integers(1, 1000, 200).astype(np.uint32)
+    nulls = rng.random(200) < 0.3
+    sv = SparseVector.from_array(vals, nullable=True, null_mask=nulls)
+    for i in range(200):
+        assert sv.is_null(i) == bool(nulls[i])
+    got = sv.to_numpy()
+    want = np.where(nulls, 0, vals)
+    np.testing.assert_array_equal(got, want)
+    sv.set_null(0)
+    assert sv.is_null(0)
+    sv.set(0, 5)
+    assert not sv.is_null(0)
+    assert sv[0] == 5
+
+
+def test_import_at_offset_overwrites(rng):
+    vals = rng.integers(0, 2**16, 1000).astype(np.uint32)
+    sv = SparseVector.from_array(vals)
+    patch = rng.integers(0, 2**16, 128).astype(np.uint32)
+    sv.import_values(patch, offset=256)   # 32-aligned
+    want = vals.copy(); want[256:384] = patch
+    np.testing.assert_array_equal(sv.to_numpy(), want)
+    patch2 = rng.integers(0, 2**16, 50).astype(np.uint32)
+    sv.import_values(patch2, offset=101)  # unaligned
+    want[101:151] = patch2
+    np.testing.assert_array_equal(sv.to_numpy(), want)
+
+
+def test_import_back_extend(rng):
+    a = rng.integers(0, 99, 100).astype(np.uint32)
+    b = rng.integers(0, 99, 77).astype(np.uint32)
+    sv = SparseVector.from_array(a)
+    sv.import_back(b)
+    np.testing.assert_array_equal(sv.to_numpy(), np.concatenate([a, b]))
+
+
+def test_join_merge_filter_clear(rng):
+    a = SparseVector(np.uint32, nullable=True)
+    b = SparseVector(np.uint32, nullable=True)
+    a.set(1, 10); a.set(3, 30)
+    b.set(2, 20); b.set(3, 99); b.set(5, 50)
+    a.join(b)
+    assert a[1] == 10 and a[2] == 20 and a[3] == 30 and a[5] == 50
+    assert len(a) == 6
+    c = SparseVector(np.uint32, nullable=True)
+    c.set(0, 1)
+    c.merge(b)
+    assert c[2] == 20 and len(b) == 0
+    vals = rng.integers(1, 100, 100).astype(np.uint32)
+    sv = SparseVector.from_array(vals)
+    keep = BitVector.from_indices(np.arange(0, 100, 2), 2**48)
+    sv.filter(keep)
+    want = vals.copy(); want[1::2] = 0
+    np.testing.assert_array_equal(sv.to_numpy(), want)
+    sv.clear_range(0, 10)
+    want[:11] = 0
+    np.testing.assert_array_equal(sv.to_numpy(), want)
+
+
+def test_resize_equal_stat(rng):
+    vals = rng.integers(0, 2**10, 300).astype(np.uint32)
+    sv = SparseVector.from_array(vals)
+    sv2 = SparseVector.from_array(vals)
+    assert sv.equal(sv2)
+    sv2.set(5, sv2[5] + 1)
+    assert not sv.equal(sv2)
+    sv.resize(100)
+    np.testing.assert_array_equal(sv.to_numpy(), vals[:100])
+    sv.optimize()
+    st = sv.calc_stat()
+    assert st["planes"] >= 1
+    assert sv.effective_slices() <= 10

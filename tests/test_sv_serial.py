@@ -1,0 +1,103 @@
+"""Succinct-vector serialization + operation deserializer tests (reference
+sparse vector serialization suites + Check_SimModel/XOR tests in
+tests/stress/t.cpp:17365+)."""
+import numpy as np
+import pytest
+
+import bitmagic_tpu.constants as C
+from bitmagic_tpu import BitVector
+from bitmagic_tpu.serial.opdeser import OperationDeserializer
+from bitmagic_tpu.serial.serializer import Serializer
+from bitmagic_tpu.serial.sv_serial import (sparse_vector_deserialize,
+                                           sparse_vector_serialize)
+from bitmagic_tpu.sv import (FloatSparseVector, RSCSparseVector, SparseVector,
+                             StrSparseVector)
+from bitmagic_tpu.utils.golden import random_indices
+
+
+def test_sv_blob_roundtrip(rng):
+    vals = rng.integers(0, 2**20, 30000).astype(np.uint32)
+    sv = SparseVector.from_array(vals)
+    blob = sparse_vector_serialize(sv)
+    back = sparse_vector_deserialize(blob)
+    np.testing.assert_array_equal(back.to_numpy(), vals)
+    assert back.dtype == sv.dtype
+
+
+def test_sv_blob_signed_nullable(rng):
+    vals = rng.integers(-1000, 1000, 5000).astype(np.int32)
+    nulls = rng.random(5000) < 0.4
+    sv = SparseVector.from_array(vals, nullable=True, null_mask=nulls)
+    back = sparse_vector_deserialize(sparse_vector_serialize(sv))
+    np.testing.assert_array_equal(back.to_numpy(), np.where(nulls, 0, vals))
+    for i in rng.integers(0, 5000, 20):
+        assert back.is_null(int(i)) == bool(nulls[i])
+
+
+def test_sv_xor_filter_helps_correlated(rng):
+    """correlated planes: XOR ref filter must shrink the BLOB and round-trip."""
+    base = rng.integers(0, 2, 60000).astype(np.uint32)
+    vals = base * 0b1111111      # planes 0..6 all identical
+    sv = SparseVector.from_array(vals)
+    from bitmagic_tpu.serial.sv_serial import SparseVectorSerializer
+    b_on = SparseVectorSerializer(6, xor_filter=True).serialize(sv)
+    b_off = SparseVectorSerializer(6, xor_filter=False).serialize(sv)
+    assert len(b_on) < len(b_off) // 2
+    back = sparse_vector_deserialize(b_on)
+    np.testing.assert_array_equal(back.to_numpy(), vals)
+
+
+def test_rsc_blob_roundtrip(rng):
+    rsc = RSCSparseVector(np.uint32)
+    for i in sorted(rng.choice(10000, 500, replace=False)):
+        rsc.set(int(i), int(rng.integers(1, 10**6)))
+    back = sparse_vector_deserialize(sparse_vector_serialize(rsc))
+    assert back.count() == rsc.count()
+    np.testing.assert_array_equal(back.to_numpy(), rsc.to_numpy())
+
+
+def test_str_blob_roundtrip(rng):
+    words = ["hello", "world", "", "bitmagic", None, "tpu"]
+    ssv = StrSparseVector.from_strings(words)
+    back = sparse_vector_deserialize(sparse_vector_serialize(ssv))
+    assert back.to_list() == words
+    ssv2 = StrSparseVector.from_strings([w for w in words if w is not None])
+    ssv2.remap()
+    back2 = sparse_vector_deserialize(sparse_vector_serialize(ssv2))
+    assert back2.is_remap()
+    assert back2.to_list() == [w for w in words if w is not None]
+
+
+def test_float_blob_roundtrip(rng):
+    vals = (rng.standard_normal(2000) * 100).astype(np.float32)
+    fv = FloatSparseVector.from_array(vals)
+    back = sparse_vector_deserialize(sparse_vector_serialize(fv))
+    np.testing.assert_array_equal(back.to_numpy().view(np.uint32),
+                                  vals.view(np.uint32))
+
+
+def test_operation_deserializer(rng):
+    SIZE = 3 * C.BITS_PER_BLOCK
+    a_idx = random_indices(rng, SIZE, 0.02)
+    b_idx = random_indices(rng, SIZE, 0.02)
+    a = BitVector.from_indices(a_idx, SIZE)
+    b = BitVector.from_indices(b_idx, SIZE)
+    blob = Serializer(6).serialize(b)
+    od = OperationDeserializer()
+    am = np.zeros(SIZE, bool); am[a_idx] = True
+    bm_ = np.zeros(SIZE, bool); bm_[b_idx] = True
+    # counts without materializing
+    assert od.deserialize(a.copy(), blob, C.SET_COUNT_AND) == (am & bm_).sum()
+    assert od.deserialize(a.copy(), blob, C.SET_COUNT_OR) == (am | bm_).sum()
+    assert od.deserialize(a.copy(), blob, C.SET_COUNT_XOR) == (am ^ bm_).sum()
+    assert od.deserialize(a.copy(), blob, C.SET_COUNT_SUB_AB) == (am & ~bm_).sum()
+    assert od.deserialize(a.copy(), blob, C.SET_COUNT_B) == bm_.sum()
+    # in-place ops against the BLOB
+    for op, fn in [(C.SET_AND, np.logical_and), (C.SET_OR, np.logical_or),
+                   (C.SET_XOR, np.logical_xor)]:
+        t = a.copy()
+        od.deserialize(t, blob, op)
+        np.testing.assert_array_equal(t.indices(), np.flatnonzero(fn(am, bm_)))
+    t = a.copy()
+    od.deserialize(t, blob, C.SET_SUB)
+    np.testing.assert_array_equal(t.indices(), np.flatnonzero(am & ~bm_))
