@@ -20,8 +20,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_enable_x64", True)
-
 WORDS = 2048
 N_BLOCKS = 1536            # ~100.6M bits
 BYTES_PER_POOL = N_BLOCKS * WORDS * 4
@@ -40,17 +38,27 @@ def timeit(fn, *args, iters=20, warmup=2):
     fn must have signature fn(salt, *args) -> int-like scalar; the salt input
     forces a true dependency chain (no loop hoisting / elision)."""
 
-    @jax.jit
-    def repeated(*a):
-        def body(i, salt):
-            return fn(salt, *a).astype(jnp.int64) & jnp.int64(1)
-        return jax.lax.fori_loop(0, iters, body, jnp.int64(0))
+    def make(n_iters):
+        @jax.jit
+        def repeated(*a):
+            def body(i, salt):
+                return fn(salt, *a).astype(jnp.uint32) & jnp.uint32(1)
+            return jax.lax.fori_loop(0, n_iters, body, jnp.uint32(0))
+        return repeated
 
+    # slope method: the tunnel adds a large fixed RTT per fetch; run the
+    # chained loop at two iteration counts and divide the difference.
+    lo_fn, hi_fn = make(iters), make(5 * iters)
     for _ in range(warmup):
-        np.asarray(repeated(*args))
+        np.asarray(lo_fn(*args))
+        np.asarray(hi_fn(*args))
     t0 = time.perf_counter()
-    np.asarray(repeated(*args))
-    return (time.perf_counter() - t0) / iters
+    np.asarray(lo_fn(*args))
+    t_lo = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.asarray(hi_fn(*args))
+    t_hi = time.perf_counter() - t0
+    return max(t_hi - t_lo, 1e-9) / (4 * iters)
 
 
 def make_pool(rng, nblk=N_BLOCKS, density=0.5):
@@ -67,25 +75,26 @@ def bench_logical(rng):
 
     def and_count(salt, a, b):
         ax = a ^ salt.astype(jnp.uint32)
-        return jnp.sum(jax.lax.population_count(ax & b).astype(jnp.int64))
+        return jnp.sum(jax.lax.population_count(ax & b), dtype=jnp.uint32)
 
-    t_count = timeit(and_count, a, b)
+    t_count = timeit(and_count, a, b, iters=100)
 
     # materializing AND: carry the full result array through the loop so
-    # every iteration writes all 12.6 MB (no DCE/slicing possible)
-    ITERS = 20
+    # every iteration writes all 12.6 MB (no DCE/slicing possible); slope
+    # method over two iteration counts removes the fixed fetch RTT
+    def make_mat(n_iters):
+        @jax.jit
+        def rep_mat(a, b):
+            def body(i, acc):
+                return (acc ^ jnp.uint32(i + 1)) & b
+            return jax.lax.fori_loop(0, n_iters, body, a)[0, 0]
+        return rep_mat
 
-    @jax.jit
-    def rep_mat(a, b):
-        def body(i, acc):
-            return (acc ^ jnp.uint32(i + 1)) & b
-        return jax.lax.fori_loop(0, ITERS, body, a)
-
-    np.asarray(rep_mat(a, b))[0, 0]
-    t0 = time.perf_counter()
-    out = rep_mat(a, b)
-    out.block_until_ready()
-    t_mat = (time.perf_counter() - t0) / ITERS
+    lo_fn, hi_fn = make_mat(20), make_mat(100)
+    np.asarray(lo_fn(a, b)); np.asarray(hi_fn(a, b))
+    t0 = time.perf_counter(); np.asarray(lo_fn(a, b)); t_lo = time.perf_counter() - t0
+    t0 = time.perf_counter(); np.asarray(hi_fn(a, b)); t_hi = time.perf_counter() - t0
+    t_mat = max(t_hi - t_lo, 1e-9) / 80
     gb = 2 * BYTES_PER_POOL / 1e9
     gbps_count = gb / t_count
     gbps_mat = (3 * BYTES_PER_POOL / 1e9) / t_mat
@@ -119,7 +128,7 @@ def bench_rank_select(rng):
 
     def build_and_select(salt, pool, ranks):
         ranks = ranks + (salt & 1)
-        bc = jnp.sum(jax.lax.population_count(pool).astype(jnp.int64), axis=1)
+        bc = jnp.sum(jax.lax.population_count(pool).astype(jnp.int32), axis=1)
         cum = jnp.cumsum(bc)
         blk = jnp.searchsorted(cum, ranks, side="left")
         blk = jnp.minimum(blk, pool.shape[0] - 1)
@@ -145,7 +154,7 @@ def bench_rank_select(rng):
             r = jnp.where(hi, r - c, r)
             pos = pos + jnp.where(hi, width, 0)
             cur = jnp.where(hi, cur >> jnp.uint32(width), lo)
-        res = blk.astype(jnp.int64) * (WORDS * 32) + word * 32 + pos
+        res = blk * (WORDS * 32) + word * 32 + pos
         return jnp.sum(res)      # reduce over all queries: nothing is DCE'd
 
     t = timeit(build_and_select, pool, ranks)
@@ -168,7 +177,7 @@ def bench_aggregator(rng):
         def body2(i, acc):
             return acc & ~stack[i]
         acc = jax.lax.fori_loop(K // 2, K, body2, acc)
-        return jnp.sum(jax.lax.population_count(acc).astype(jnp.int64))
+        return jnp.sum(jax.lax.population_count(acc), dtype=jnp.uint32)
 
     t = timeit(and_sub_200, stack, iters=5)
     gb = K * nblk * WORDS * 4 / 1e9
@@ -190,7 +199,7 @@ def bench_scan(rng):
         for s in range(n_planes):
             bit = (value >> jnp.uint32(s)) & jnp.uint32(1)
             acc = jnp.where(bit, acc & planes[s], acc & ~planes[s])
-        return jnp.sum(jax.lax.population_count(acc).astype(jnp.int64))
+        return jnp.sum(jax.lax.population_count(acc), dtype=jnp.uint32)
 
     t = timeit(scan_eq, planes, jnp.uint32(123456789), iters=10)
     n_elem = nblk * WORDS * 32

@@ -7,11 +7,12 @@ bit-sliced succinct vectors of ints/floats/strings searchable in compressed
 form, entropy-coded serialization, and mesh-sharded multi-chip scaling.
 """
 
-import jax as _jax
-
-# 48-bit addressing end-to-end requires int64 indices (SURVEY.md §7 hard part
-# 6; the reference's 32/64 dual build is the cautionary tale).
-_jax.config.update("jax_enable_x64", True)
+# dtype discipline (SURVEY.md §7 hard part 6 — 48-bit addressing): bit ids
+# and block ids are int64 ON THE HOST (numpy metadata); device arrays are
+# uint32/int32 only.  TPUs emulate 64-bit integers as u32 pairs, and Pallas
+# rejects them outright, so nothing 64-bit ever crosses to the device: global
+# addresses decompose host-side into (pool row, in-block offset) pairs that
+# always fit 32 bits.
 
 from . import constants  # noqa: E402
 from .config import config, simd_version  # noqa: E402

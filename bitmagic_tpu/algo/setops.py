@@ -20,7 +20,7 @@ from .. import constants as C
 from ..core.blocks import gather_operand
 from ..core.bitvector import BitVector
 
-_I64 = jnp.int64
+_I32 = jnp.int32
 
 # distance metric codes (reference distance_metric enum,
 # src/bmalgo_impl.h:60-76)
@@ -43,7 +43,8 @@ def _metric_kernel(metrics, pa, a_slot, a_full, pb, b_slot, b_full):
     src/bmalgo_impl.h:406)."""
     a = gather_operand(pa, a_slot, a_full)
     b = gather_operand(pb, b_slot, b_full)
-    pc = lambda x: jnp.sum(jax.lax.population_count(x).astype(_I64))
+    # per-block int32 partials; the (possibly >2^31) total is host math
+    pc = lambda x: jnp.sum(jax.lax.population_count(x).astype(_I32), axis=-1)
     out = []
     for m in metrics:
         if m == COUNT_AND:
@@ -101,11 +102,11 @@ def distance_operation(a: BitVector, b: BitVector, metrics) -> dict:
     if kern.any():
         st_a2, sl_a2 = a._struct.lookup(cand[kern])
         st_b2, sl_b2 = b._struct.lookup(cand[kern])
-        vals = _metric_kernel(
+        per_block = np.asarray(_metric_kernel(
             tuple(metrics),
-            a._pool, jnp.asarray(sl_a2), jnp.asarray(st_a2 == 1),
-            b._pool, jnp.asarray(sl_b2), jnp.asarray(st_b2 == 1))
-        vals = np.asarray(vals)
+            a._pool, jnp.asarray(sl_a2.astype(np.int32)), jnp.asarray(st_a2 == 1),
+            b._pool, jnp.asarray(sl_b2.astype(np.int32)), jnp.asarray(st_b2 == 1)))
+        vals = per_block.astype(np.int64).sum(axis=1)
     else:
         vals = np.zeros(len(metrics), np.int64)
     return {m: int(v) + sym_counts[m] for m, v in zip(metrics, vals)}

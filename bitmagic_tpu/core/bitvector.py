@@ -396,7 +396,9 @@ class BitVector:
         full = int((self._struct.cls == C.CLS_FULL).sum()) * C.BITS_PER_BLOCK
         if self._pool.shape[0] == 0:
             return full
-        return full + int(jnp.sum(blockops.block_counts(self._pool).astype(jnp.int64)))
+        # per-block counts are int32 on device; the 64-bit total is host math
+        per_block = np.asarray(blockops.block_counts(self._pool))
+        return full + int(per_block.astype(np.int64).sum())
 
     def count_range(self, lo, hi) -> int:
         """popcount of closed range [lo, hi] (reference src/bm.h:1341)."""
@@ -417,8 +419,8 @@ class BitVector:
         if bitm.any():
             slots = self._struct.slots()[bitm]
             nbs = self._struct.nb[bitm]
-            rows = jnp.take(self._pool, jnp.asarray(slots), axis=0)
-            total += int(_count_range_rows(rows, jnp.asarray(nbs), lo, hi))
+            rows = jnp.take(self._pool, jnp.asarray(slots.astype(np.int32)), axis=0)
+            total += _count_range_rows(rows, nbs, lo, hi)
         return total
 
     def count_to(self, i) -> int:
@@ -924,23 +926,32 @@ def _binary(a: BitVector, b: BitVector, op: str) -> BitVector:
 
 
 @jax.jit
-def _count_range_rows(rows, nbs, lo, hi):
-    """popcount of bits within [lo, hi] restricted to the given block rows
-    (nbs = logical block id per row)."""
-    base = nbs.astype(jnp.int64)[:, None] * C.BITS_PER_BLOCK
-    widx = jax.lax.broadcasted_iota(jnp.int64, rows.shape, 1)
-    bit0 = base + widx * 32
-    lo = jnp.asarray(lo, jnp.int64)
-    hi = jnp.asarray(hi, jnp.int64)
-    # per-word overlap masks
-    lo_rel = jnp.clip(lo - bit0, 0, 32)
-    hi_rel = jnp.clip(hi - bit0 + 1, 0, 32)
-    n_bits = jnp.maximum(hi_rel - lo_rel, 0).astype(jnp.uint32)
-    lo_sh = lo_rel.astype(jnp.uint32)
+def _count_range_rows_dev(rows, lo_rel, hi_rel):
+    """popcount of bits within per-row in-block ranges [lo_rel, hi_rel)
+    (clipped to [0, 65536] on the HOST — 48-bit global addresses never reach
+    the device).  Returns per-row int32 counts."""
+    widx = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
+    bit0 = widx * 32
+    lo_w = jnp.clip(lo_rel[:, None] - bit0, 0, 32)
+    hi_w = jnp.clip(hi_rel[:, None] - bit0, 0, 32)
+    n_bits = jnp.maximum(hi_w - lo_w, 0).astype(jnp.uint32)
+    lo_sh = lo_w.astype(jnp.uint32)
     mask = jnp.where(n_bits >= 32, jnp.uint32(0xFFFFFFFF),
                      ((jnp.uint32(1) << n_bits) - 1)) << lo_sh
     mask = jnp.where(n_bits == 0, jnp.uint32(0), mask)
-    return jnp.sum(jax.lax.population_count(rows & mask).astype(jnp.int64))
+    return jnp.sum(jax.lax.population_count(rows & mask).astype(jnp.int32),
+                   axis=1)
+
+
+def _count_range_rows(rows, nbs_np, lo, hi):
+    """Host wrapper: split the global [lo, hi] into per-row relative ranges
+    (int64 host math), run the int32 device kernel, sum on host."""
+    base = np.asarray(nbs_np, np.int64) * C.BITS_PER_BLOCK
+    lo_rel = np.clip(int(lo) - base, 0, C.BITS_PER_BLOCK).astype(np.int32)
+    hi_rel = np.clip(int(hi) + 1 - base, 0, C.BITS_PER_BLOCK).astype(np.int32)
+    per_row = np.asarray(_count_range_rows_dev(
+        rows, jnp.asarray(lo_rel), jnp.asarray(hi_rel)))
+    return int(per_row.astype(np.int64).sum())
 
 
 def _materialize_dense(bv: BitVector, first_blk: int, last_blk: int):

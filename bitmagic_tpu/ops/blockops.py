@@ -30,7 +30,6 @@ from .bitops import popcount
 
 U32 = jnp.uint32
 I32 = jnp.int32
-I64 = jnp.int64
 
 
 # ---------------------------------------------------------------------------
@@ -155,18 +154,20 @@ def count_op(op, a, b):
 
 
 # ---------------------------------------------------------------------------
-# range masks.  Bit range [lo, hi] (inclusive, global bit addresses relative
-# to the pool's first block) -> uint32 mask pool.  XLA fuses the mask
-# construction into the consumer, so no 8KB/block materialization happens.
+# range masks.  The range is given pre-split on the HOST as word index +
+# in-word bit offset (both fit int32 — global 48-bit bit addresses never
+# cross to the device).  XLA fuses the mask construction into the consumer,
+# so no 8KB/block materialization happens.
 # ---------------------------------------------------------------------------
-def range_mask(n_blocks, lo, hi):
-    """uint32[n_blocks, 2048] with bits [lo, hi] set (inclusive)."""
+def range_mask(n_blocks, lo_w, lo_b, hi_w, hi_b):
+    """uint32[n_blocks, 2048] with bits [lo, hi] set, where lo = lo_w*32+lo_b
+    etc. (word index relative to the pool's first block)."""
     total_words = n_blocks * SET_BLOCK_SIZE
-    widx = jax.lax.broadcasted_iota(I64, (total_words,), 0)
-    lo = jnp.asarray(lo, I64)
-    hi = jnp.asarray(hi, I64)
-    lo_w, lo_b = lo >> 5, (lo & 31).astype(U32)
-    hi_w, hi_b = hi >> 5, (hi & 31).astype(U32)
+    widx = jax.lax.broadcasted_iota(I32, (total_words,), 0)
+    lo_w = jnp.asarray(lo_w, I32)
+    hi_w = jnp.asarray(hi_w, I32)
+    lo_b = jnp.asarray(lo_b, U32)
+    hi_b = jnp.asarray(hi_b, U32)
     full = jnp.where((widx > lo_w) & (widx < hi_w), ALL_ONES_WORD, U32(0))
     lo_mask = ALL_ONES_WORD << lo_b
     hi_mask = jnp.where(hi_b == 31, ALL_ONES_WORD,
@@ -178,24 +179,36 @@ def range_mask(n_blocks, lo, hi):
     return m.reshape(n_blocks, SET_BLOCK_SIZE)
 
 
+def _split_range(lo, hi):
+    lo, hi = int(lo), int(hi)
+    return (np.int32(lo >> 5), np.uint32(lo & 31),
+            np.int32(hi >> 5), np.uint32(hi & 31))
+
+
 @jax.jit
+def _count_range_jit(pool, lo_w, lo_b, hi_w, hi_b):
+    m = range_mask(pool.shape[0], lo_w, lo_b, hi_w, hi_b)
+    # per-block partials stay int32 (<= 65536); final sum on host if the
+    # total could exceed int32 — callers' pools are < 2^31 bits in practice
+    return jnp.sum(popcount(pool & m).astype(I32), axis=-1)
+
+
 def count_range_pool(pool, lo, hi):
     """popcount of bits [lo, hi] of the flattened pool (reference
-    bit_block_calc_count_range, src/bmfunc.h:6138, generalized cross-block)."""
-    m = range_mask(pool.shape[0], lo, hi)
-    return jnp.sum(popcount(pool & m).astype(I64))
+    bit_block_calc_count_range, src/bmfunc.h:6138, generalized cross-block).
+    Returns a host int."""
+    per_block = np.asarray(_count_range_jit(pool, *_split_range(lo, hi)))
+    return int(per_block.astype(np.int64).sum())
 
 
-@jax.jit
 def any_range_pool(pool, lo, hi):
-    m = range_mask(pool.shape[0], lo, hi)
+    m = range_mask(pool.shape[0], *_split_range(lo, hi))
     return jnp.any((pool & m) != 0)
 
 
-@jax.jit
 def is_all_one_range_pool(pool, lo, hi):
     """reference is_all_one_range (src/bmfunc.h:6049)."""
-    m = range_mask(pool.shape[0], lo, hi)
+    m = range_mask(pool.shape[0], *_split_range(lo, hi))
     return jnp.all((pool & m) == m)
 
 
@@ -290,7 +303,9 @@ def scatter_set_bits(rows, bits_in_block, n_blocks):
     ``np.unique`` on global bit ids); then each pair contributes a distinct
     power of two exactly once, so a scatter-add is exactly a scatter-OR.
     """
-    word_idx = rows.astype(I64) * SET_BLOCK_SIZE + (bits_in_block >> 5).astype(I64)
+    # pool-row addressing fits int32 (pools are bounded by HBM, far below
+    # 2^31 words); global 48-bit bit ids were already reduced on the host
+    word_idx = rows.astype(I32) * SET_BLOCK_SIZE + (bits_in_block >> 5).astype(I32)
     bit_val = U32(1) << (bits_in_block & 31).astype(U32)
     flat = jnp.zeros((n_blocks * SET_BLOCK_SIZE,), U32)
     flat = flat.at[word_idx].add(bit_val, mode="drop")

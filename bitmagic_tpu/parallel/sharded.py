@@ -83,7 +83,8 @@ class ShardedBitVector:
     # reductions: per-shard partials + psum
     # ------------------------------------------------------------------
     def count(self) -> int:
-        return int(_count_jit(self.pool))
+        per_block = np.asarray(_block_counts_jit(self.pool))
+        return int(per_block.astype(np.int64).sum())
 
     def count_shardmap(self) -> int:
         """Explicit-collective variant: local popcount + psum."""
@@ -92,13 +93,15 @@ class ShardedBitVector:
         @functools.partial(shard_map, mesh=mesh,
                            in_specs=P(BLOCK_AXIS, None), out_specs=P())
         def _cnt(local):
-            c = jnp.sum(jax.lax.population_count(local).astype(jnp.int64))
+            # u32 local partial (one shard holds < 2^32 set bits by HBM
+            # bounds); the cross-shard total rides a psum over ICI
+            c = jnp.sum(jax.lax.population_count(local), dtype=jnp.uint32)
             return jax.lax.psum(c[None], BLOCK_AXIS)
 
         return int(_cnt(self.pool)[0])
 
     def count_range(self, lo: int, hi: int) -> int:
-        return int(_count_range_jit(self.pool, jnp.int64(lo), jnp.int64(hi)))
+        return blockops.count_range_pool(self.pool, lo, hi)
 
     def rank(self, i: int) -> int:
         """popcount[0, i] — inter-shard exclusive prefix handled by XLA's
@@ -112,16 +115,6 @@ class ShardedBitVector:
     def digests(self):
         """Per-block wave digests (the 8-byte/block exchange currency)."""
         return _digest_jit(self.pool)
-
-
-@jax.jit
-def _count_jit(pool):
-    return jnp.sum(jax.lax.population_count(pool).astype(jnp.int64))
-
-
-@jax.jit
-def _count_range_jit(pool, lo, hi):
-    return blockops.count_range_pool(pool, lo, hi)
 
 
 @jax.jit
@@ -189,6 +182,6 @@ def scan_throughput_program(mesh, n_planes: int, n_blocks_per_shard: int):
         for s in range(n_planes):
             bit = (value_bits >> s) & 1
             acc = jnp.where(bit, acc & planes[s], acc & ~planes[s])
-        return jnp.sum(jax.lax.population_count(acc).astype(jnp.int64))
+        return jnp.sum(jax.lax.population_count(acc), dtype=jnp.uint32)
 
     return scan, sharding

@@ -1,0 +1,103 @@
+"""Loader for the native C++ codec library (BIC / gamma hot loops).
+
+Builds codecs.cpp with g++ on first use (cached next to the source); exposes
+ctypes wrappers.  If the toolchain is unavailable the package falls back to
+the pure-Python codecs transparently (``AVAILABLE`` is False).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "codecs.cpp")
+_LIB = os.path.join(_DIR, "libbmcodecs.so")
+
+_lock = threading.Lock()
+_lib = None
+AVAILABLE = False
+
+
+def _build():
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+           _SRC, "-o", _LIB]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def load():
+    """Load (building if needed) the codec library; returns None on failure."""
+    global _lib, AVAILABLE
+    with _lock:
+        if _lib is not None:
+            return _lib
+        try:
+            if (not os.path.exists(_LIB)
+                    or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                _build()
+            lib = ctypes.CDLL(_LIB)
+        except Exception:
+            return None
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.bm_bic_encode.restype = ctypes.c_uint64
+        lib.bm_bic_encode.argtypes = [i64p, ctypes.c_int64, ctypes.c_int64,
+                                      ctypes.c_int64, u8p]
+        lib.bm_bic_decode.restype = ctypes.c_uint64
+        lib.bm_bic_decode.argtypes = [u8p, ctypes.c_uint64, ctypes.c_int64,
+                                      ctypes.c_int64, ctypes.c_int64, i64p]
+        lib.bm_gamma_encode.restype = ctypes.c_uint64
+        lib.bm_gamma_encode.argtypes = [u64p, ctypes.c_int64, u8p]
+        lib.bm_gamma_decode.restype = ctypes.c_uint64
+        lib.bm_gamma_decode.argtypes = [u8p, ctypes.c_uint64, ctypes.c_int64,
+                                        u64p]
+        _lib = lib
+        AVAILABLE = True
+        return lib
+
+
+def bic_encode_bytes(arr: np.ndarray, lo: int, hi: int) -> bytes:
+    """BIC-encode a sorted int64 array -> byte-aligned payload."""
+    lib = load()
+    arr = np.ascontiguousarray(arr, np.int64)
+    out = np.zeros(arr.size * 8 + 16, np.uint8)
+    nbits = lib.bm_bic_encode(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), arr.size,
+        int(lo), int(hi), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out[: (nbits + 7) // 8].tobytes()
+
+
+def bic_decode_bytes(data: bytes, n: int, lo: int, hi: int) -> np.ndarray:
+    lib = load()
+    buf = np.frombuffer(data, np.uint8)
+    out = np.zeros(n, np.int64)
+    lib.bm_bic_decode(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), 0, int(n),
+        int(lo), int(hi), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return out
+
+
+def gamma_encode_bytes(arr: np.ndarray) -> bytes:
+    lib = load()
+    arr = np.ascontiguousarray(arr, np.uint64)
+    # worst case: 2*64-1 bits per value
+    out = np.zeros(arr.size * 16 + 16, np.uint8)
+    nbits = lib.bm_gamma_encode(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), arr.size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out[: (nbits + 7) // 8].tobytes()
+
+
+def gamma_decode_bytes(data: bytes, n: int) -> np.ndarray:
+    lib = load()
+    buf = np.frombuffer(data, np.uint8)
+    out = np.zeros(n, np.uint64)
+    lib.bm_gamma_decode(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), 0, int(n),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+    return out

@@ -30,6 +30,39 @@ from ..core.blocks import Structure
 from ..ops import blockops
 from .encoding import (BitReader, BitWriter, ByteDecoder, ByteEncoder,
                        bic_decode, bic_encode)
+from . import native
+
+
+def _bic_bytes(arr, lo, hi) -> bytes:
+    """Byte-aligned BIC payload: native C++ codec when available (built on
+    demand from serial/native/codecs.cpp), else the pure-Python bitstream —
+    both produce identical bytes."""
+    if native.load() is not None:
+        return native.bic_encode_bytes(np.asarray(arr, np.int64), lo, hi)
+    w = BitWriter()
+    bic_encode(w, arr, lo, hi)
+    return w.getvalue()
+
+
+def _bic_unbytes(data, n, lo, hi) -> np.ndarray:
+    if native.load() is not None:
+        return native.bic_decode_bytes(data, n, lo, hi)
+    return bic_decode(BitReader(data), n, lo, hi)
+
+
+def _gamma_bytes(arr) -> bytes:
+    if native.load() is not None:
+        return native.gamma_encode_bytes(np.asarray(arr, np.uint64))
+    w = BitWriter()
+    w.put_gamma_array(np.asarray(arr, np.uint64))
+    return w.getvalue()
+
+
+def _gamma_unbytes(data, n) -> np.ndarray:
+    if native.load() is not None:
+        return native.gamma_decode_bytes(data, n)
+    r = BitReader(data)
+    return np.asarray([r.get_gamma() for _ in range(n)], np.uint64)
 
 MAGIC = b"BMT1"
 END_BLOCK = (1 << 48) - 1
@@ -152,28 +185,27 @@ class Serializer:
             change = np.flatnonzero(np.diff(bits.astype(np.int8)) != 0)
             first_val = int(bits[0])
             if code == CODE_GAP_GAMMA:
-                w = BitWriter()
-                w.put_bit(first_val)
+                # 1 header byte (first_val) + gamma([n_runs, run lengths...])
                 runs = np.diff(np.concatenate([[-1], change,
                                                [C.BITS_PER_BLOCK - 1]]))
-                w.put_gamma(runs.size)
-                w.put_gamma_array(runs.astype(np.uint64))
-                return w.getvalue()
+                payload = _gamma_bytes(
+                    np.concatenate([[runs.size], runs]).astype(np.uint64))
+                return bytes([first_val]) + payload
             else:  # CODE_GAP_BIC: boundaries are strictly increasing u16s
-                w = BitWriter()
-                w.put_bit(first_val)
-                w.put_bits(change.size, 17)
-                bic_encode(w, change, 0, C.BITS_PER_BLOCK - 2)
-                return w.getvalue()
+                e = ByteEncoder()
+                e.put_8(first_val)
+                e.put_32(change.size)
+                e.put_bytes(_bic_bytes(change, 0, C.BITS_PER_BLOCK - 2))
+                return e.get_bytes()
         if code in (CODE_ARR16, CODE_ARR16_INV):
             e = ByteEncoder()
             e.put_32(pos.size)
             e.put_array_u16(pos)
             return e.get_bytes()
-        w = BitWriter()
-        w.put_bits(pos.size, 17)
-        bic_encode(w, pos, 0, C.BITS_PER_BLOCK - 1)
-        return w.getvalue()
+        e = ByteEncoder()
+        e.put_32(pos.size)
+        e.put_bytes(_bic_bytes(pos, 0, C.BITS_PER_BLOCK - 1))
+        return e.get_bytes()
 
 
 class Deserializer:
@@ -232,21 +264,23 @@ def _decode_payload(code, payload) -> np.ndarray:
         pos = d.get_array_u16(n).astype(np.int64)
         return _bits_to_words(pos, invert=(code == CODE_ARR16_INV))
     if code in (CODE_ARR_BIC, CODE_ARR_BIC_INV):
-        r = BitReader(payload)
-        n = r.get_bits(17)
-        pos = bic_decode(r, n, 0, C.BITS_PER_BLOCK - 1)
+        d = ByteDecoder(payload)
+        n = d.get_32()
+        pos = _bic_unbytes(payload[4:], n, 0, C.BITS_PER_BLOCK - 1)
         return _bits_to_words(pos, invert=(code == CODE_ARR_BIC_INV))
     if code == CODE_GAP_GAMMA:
-        r = BitReader(payload)
-        first = r.get_bit()
+        first = payload[0]
+        # first gamma value is the run count; decode it, then the whole list
+        r = BitReader(payload[1:])
         n = r.get_gamma()
-        runs = np.asarray([r.get_gamma() for _ in range(n)], np.int64)
+        vals = _gamma_unbytes(payload[1:], n + 1)
+        runs = vals[1:].astype(np.int64)
         return _runs_to_words(first, runs)
     if code == CODE_GAP_BIC:
-        r = BitReader(payload)
-        first = r.get_bit()
-        n = r.get_bits(17)
-        change = bic_decode(r, n, 0, C.BITS_PER_BLOCK - 2)
+        d = ByteDecoder(payload)
+        first = d.get_8()
+        n = d.get_32()
+        change = _bic_unbytes(payload[5:], n, 0, C.BITS_PER_BLOCK - 2)
         runs = np.diff(np.concatenate([[-1], change, [C.BITS_PER_BLOCK - 1]]))
         return _runs_to_words(first, runs)
     raise ValueError(f"unknown block code {code}")

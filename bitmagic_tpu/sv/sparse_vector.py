@@ -36,25 +36,31 @@ def _u(dtype):
     return {"bits": dt.itemsize * 8, "signed": dt.kind == "i"}
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _transpose_kernel(vals, n_slices, n_words):
-    """values uint64[N padded to n_words*32] -> plane word image
-    uint32[n_slices, n_words]: one fused device pass."""
-    v = vals.reshape(n_words, 32)
-    shifts = jnp.arange(n_slices, dtype=jnp.uint64)
-    # bits[s, w, k] = (v[w, k] >> s) & 1
-    bits = ((v[None, :, :] >> shifts[:, None, None]) & jnp.uint64(1))
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _transpose_kernel(vals_lo, vals_hi, n_slices, n_words):
+    """values (as u32 lo/hi halves; TPUs have no native u64) padded to
+    n_words*32 -> plane word image uint32[n_slices, n_words]: one fused
+    device pass (the bit-transpose of the reference's import loops)."""
+    lo = vals_lo.reshape(n_words, 32)
+    hi = vals_hi.reshape(n_words, 32)
     weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
-    return jnp.sum(bits.astype(jnp.uint32) * weights[None, None, :], axis=-1,
-                   dtype=jnp.uint32)
+    outs = []
+    for s in range(n_slices):
+        src, sh = (lo, s) if s < 32 else (hi, s - 32)
+        bits = (src >> jnp.uint32(sh)) & jnp.uint32(1)
+        outs.append(jnp.sum(bits * weights[None, :], axis=-1,
+                            dtype=jnp.uint32))
+    return jnp.stack(outs)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def _gather_decode_kernel(n_slices, word_idx, bit_in_word, *pools_and_slots):
     """Fused multi-plane gather: for each queried element, read its word from
-    every plane pool and assemble the value — the decode/gather analog
-    (reference decode/gather, src/bmsparsevec.h block-aligned extraction)."""
-    out = jnp.zeros(word_idx.shape, jnp.uint64)
+    every plane pool and assemble the value as u32 (lo, hi) halves — the
+    decode/gather analog (reference src/bmsparsevec.h block-aligned
+    extraction)."""
+    lo = jnp.zeros(word_idx.shape, jnp.uint32)
+    hi = jnp.zeros(word_idx.shape, jnp.uint32)
     for s in range(n_slices):
         pool, slots = pools_and_slots[2 * s], pools_and_slots[2 * s + 1]
         if pool.shape[0] == 0:
@@ -64,8 +70,11 @@ def _gather_decode_kernel(n_slices, word_idx, bit_in_word, *pools_and_slots):
         w = jnp.take(flat, jnp.maximum(idx, 0))
         bit = (w >> bit_in_word) & jnp.uint32(1)
         bit = jnp.where(slots < 0, jnp.uint32(0), bit)
-        out = out | (bit.astype(jnp.uint64) << jnp.uint64(s))
-    return out
+        if s < 32:
+            lo = lo | (bit << jnp.uint32(s))
+        else:
+            hi = hi | (bit << jnp.uint32(s - 32))
+    return lo, hi
 
 
 class SparseVector:
@@ -142,8 +151,11 @@ class SparseVector:
         n_words = -(-n // 32)
         pad = np.zeros(n_words * 32, np.uint64)
         pad[:n] = u
+        lo = (pad & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        hi = (pad >> np.uint64(32)).astype(np.uint32)
         planes_words = np.asarray(_transpose_kernel(
-            jnp.asarray(pad), self._effective_slices(u), n_words))
+            jnp.asarray(lo), jnp.asarray(hi), self._effective_slices(u),
+            n_words))
         word_off = offset // 32
         for s in range(planes_words.shape[0]):
             ws = planes_words[s]
@@ -299,15 +311,17 @@ class SparseVector:
             p = self.planes[s]
             if p is None:
                 args.extend([blockops.zero_pool(0),
-                             jnp.full(ids.shape, -1, jnp.int64)])
+                             jnp.full(ids.shape, -1, jnp.int32)])
             else:
                 p._flush()
                 st, slot = p._struct.lookup(blocks)
                 # FULL blocks: redirect to a shared all-ones row appended? —
                 # simpler: resolve FULL on host by OR-ing after
                 args.extend([p._pool, jnp.asarray(np.where(st == 2, slot, -1))])
-        u = np.asarray(_gather_decode_kernel(
-            self.n_slices, jnp.asarray(word_idx), jnp.asarray(bit_in), *args))
+        lo, hi = _gather_decode_kernel(
+            self.n_slices, jnp.asarray(word_idx), jnp.asarray(bit_in), *args)
+        u = (np.asarray(hi).astype(np.uint64) << np.uint64(32)) \
+            | np.asarray(lo).astype(np.uint64)
         # host-side patch for FULL blocks (rare)
         for s in range(self.n_slices):
             p = self.planes[s]
