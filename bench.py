@@ -86,7 +86,9 @@ def bench_logical(rng):
         @jax.jit
         def rep_mat(a, b):
             def body(i, acc):
-                return (acc ^ jnp.uint32(i + 1)) & b
+                # additive mixing: XOR-only bodies telescope under XLA's
+                # algebraic simplifier and the loop folds away
+                return (acc & b) + jnp.uint32(i + 1)
             return jax.lax.fori_loop(0, n_iters, body, a)[0, 0]
         return rep_mat
 
@@ -121,45 +123,31 @@ def bench_logical_cpu(rng):
 
 # ---------------------------------------------------------------- config 2
 def bench_rank_select(rng):
+    """The library's wave-descent select kernel (ops/select.py): gathers a
+    256 B wave table row + one 128 B wave per query instead of the 8 KB
+    block row."""
+    from bitmagic_tpu.ops.select import select_in_pool, wave_prefix
     pool = make_pool(rng, density=0.5)
+    wc = wave_prefix(pool)
+    bc = jnp.sum(jax.lax.population_count(pool).astype(jnp.int32), axis=1)
+    cum = jnp.cumsum(bc)
     n_q = 1_000_000
     ranks = jnp.asarray(
-        rng.integers(1, N_BLOCKS * WORDS * 16, n_q, dtype=np.int64))
+        rng.integers(1, N_BLOCKS * WORDS * 16, n_q).astype(np.int32))
 
-    def build_and_select(salt, pool, ranks):
-        ranks = ranks + (salt & 1)
-        bc = jnp.sum(jax.lax.population_count(pool).astype(jnp.int32), axis=1)
-        cum = jnp.cumsum(bc)
-        blk = jnp.searchsorted(cum, ranks, side="left")
+    def sel(salt, pool, wc, cum, ranks):
+        ranks = ranks + (salt & 1).astype(jnp.int32)
+        blk = jnp.searchsorted(cum, ranks, side="left").astype(jnp.int32)
         blk = jnp.minimum(blk, pool.shape[0] - 1)
         prev = jnp.where(blk > 0, cum[jnp.maximum(blk - 1, 0)], 0)
-        rem = (ranks - prev).astype(jnp.int32)
-        rows = pool[blk]
-        pc = jax.lax.population_count(rows).astype(jnp.int32)
-        wcum = jnp.cumsum(pc, axis=1)
-        word = jnp.sum((wcum < rem[:, None]).astype(jnp.int32), axis=1)
-        word = jnp.minimum(word, WORDS - 1)
-        prevw = jnp.where(word > 0,
-                          jnp.take_along_axis(wcum, jnp.maximum(word - 1, 0)[:, None], 1)[:, 0],
-                          0)
-        w = jnp.take_along_axis(rows, word[:, None], 1)[:, 0]
-        r = rem - prevw
-        pos = jnp.zeros_like(r)
-        cur = w
-        for width in (16, 8, 4, 2, 1):
-            mask = jnp.uint32((1 << width) - 1)
-            lo = cur & mask
-            c = jax.lax.population_count(lo).astype(jnp.int32)
-            hi = r > c
-            r = jnp.where(hi, r - c, r)
-            pos = pos + jnp.where(hi, width, 0)
-            cur = jnp.where(hi, cur >> jnp.uint32(width), lo)
-        res = blk * (WORDS * 32) + word * 32 + pos
-        return jnp.sum(res)      # reduce over all queries: nothing is DCE'd
+        rem = ranks - prev
+        pos = select_in_pool(pool, wc, blk, rem)
+        return jnp.sum(pos.astype(jnp.uint32))
 
-    t = timeit(build_and_select, pool, ranks)
+    t = timeit(sel, pool, wc, cum, ranks)
     qps = n_q / t
-    log(f"[2 rank-select] {n_q} select1 queries: {t*1e3:.2f} ms -> {qps/1e6:.1f} Mq/s")
+    log(f"[2 rank-select] {n_q} select1 queries (wave descent): "
+        f"{t*1e3:.2f} ms -> {qps/1e6:.1f} Mq/s")
     return qps
 
 

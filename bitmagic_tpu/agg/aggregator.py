@@ -222,6 +222,40 @@ class Aggregator:
         return acc
 
     # ------------------------------------------------------------------
+    # arena path: the Pallas K-way DMA sweep over a combined operand pool
+    # (the kernel-level analog of the reference's horizontal evaluation with
+    # digest narrowing; see agg/arena.py and ops/pallas_kernels.py)
+    # ------------------------------------------------------------------
+    def combine_and_sub_arena(self, arena, and_idx, sub_idx=()) -> BitVector:
+        """AND-SUB over vectors addressed by index into an OperandArena.
+        Streams each needed block exactly once through the Pallas sweep
+        kernel with all-zero early exit."""
+        from ..ops import pallas_kernels as pk
+        and_idx = list(and_idx)
+        sub_idx = list(sub_idx)
+        if not and_idx:
+            return BitVector(0)
+        structs = [arena.vectors[i]._struct for i in and_idx]
+        nb = _and_blocklist(structs)
+        size = max(arena.vectors[i].size for i in and_idx + sub_idx)
+        if nb.size == 0:
+            return BitVector(size)
+        # FULL SUB operand kills the block (kernel identity for a missing
+        # SUB row is zero, which would be wrong for FULL)
+        keep = np.ones(nb.size, bool)
+        for i in sub_idx:
+            st, _ = arena.vectors[i]._struct.lookup(nb)
+            keep &= st != 1
+        nb = nb[keep]
+        if nb.size == 0:
+            return BitVector(size)
+        slots = arena.slots_matrix(and_idx + sub_idx, nb)
+        pool = pk.agg_and_sub_pallas(len(and_idx), len(sub_idx),
+                                     jnp.asarray(slots), arena.pool)
+        cls = np.full(nb.size, C.CLS_BIT, np.uint8)
+        return BitVector._from_parts(Structure(nb.copy(), cls), pool, size)
+
+    # ------------------------------------------------------------------
     # pipeline (reference aggregator::pipeline, src/bmaggregator.h:223):
     # batch many AND-SUB searches with shared block cache.
     # ------------------------------------------------------------------

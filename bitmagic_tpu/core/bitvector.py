@@ -837,6 +837,23 @@ class BitVector:
     def build_rs_index(self):
         return self._rs_index()
 
+    # iterator factories (reference first()/get_enumerator, src/bm.h:602+)
+    def get_enumerator(self, pos: int = 0):
+        from .enumerator import Enumerator
+        return Enumerator(self, pos)
+
+    first = get_enumerator
+
+    def get_counted_enumerator(self, pos: int = 0):
+        from .enumerator import CountedEnumerator
+        return CountedEnumerator(self, pos)
+
+    def get_bulk_insert_iterator(self, buffer_size: int = 1 << 16):
+        from .enumerator import BulkInsertIterator
+        return BulkInsertIterator(self, buffer_size)
+
+    inserter = get_bulk_insert_iterator
+
     def __repr__(self):
         return (f"BitVector(size={self._size}, blocks={len(self._struct.nb)}, "
                 f"rows={self._pool.shape[0]})")

@@ -1,0 +1,183 @@
+"""Enumerators and insert iterators over BitVectors.
+
+Equivalents of the reference's nested iterator types (src/bm.h):
+enumerator (:602 — decode-ahead set-bit iterator with go_to / skip /
+skip_to_rank), counted_enumerator (:733), insert_iterator (:380) and
+bulk_insert_iterator (:464 — buffered bulk loading).
+
+TPU-idiomatic decoding: the enumerator decodes one *block* of positions at a
+time (a single device fetch + host unpack), then iterates on the host — the
+analog of the reference's per-wave decode-ahead buffers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import constants as C
+
+_I64 = np.int64
+
+
+class Enumerator:
+    """Set-bit position iterator (bm::bvector::enumerator equivalent)."""
+
+    def __init__(self, bv, pos: int = 0):
+        self._bv = bv
+        bv._flush()
+        self._block_cache = {}
+        self._pos = -1            # current bit position (valid after first next)
+        self._buf = np.zeros(0, _I64)
+        self._buf_i = 0
+        self._entry = -1          # index into struct.nb
+        self.go_to(pos)
+
+    # -- internals ---------------------------------------------------------
+    def _load_entry(self, k: int):
+        """Decode all set positions of metadata entry k."""
+        st = self._bv._struct
+        nb = int(st.nb[k])
+        base = nb << C.SET_BLOCK_SHIFT
+        if st.cls[k] == C.CLS_FULL:
+            self._buf = np.arange(base, base + C.BITS_PER_BLOCK, dtype=_I64)
+        else:
+            slot = int(st.slots()[k])
+            row = np.asarray(self._bv._pool[slot])
+            bits = np.unpackbits(row.view(np.uint8), bitorder="little")
+            self._buf = np.flatnonzero(bits).astype(_I64) + base
+        self._buf_i = 0
+        self._entry = k
+
+    def _advance_entry(self):
+        st = self._bv._struct
+        while True:
+            k = self._entry + 1
+            if k >= len(st.nb):
+                self._buf = np.zeros(0, _I64)
+                self._buf_i = 0
+                self._entry = k
+                return False
+            self._load_entry(k)
+            if self._buf.size:
+                return True
+
+    # -- API (reference enumerator) ----------------------------------------
+    def valid(self) -> bool:
+        return self._buf_i < self._buf.size
+
+    def value(self) -> int:
+        if not self.valid():
+            raise StopIteration
+        return int(self._buf[self._buf_i])
+
+    def go_up(self) -> bool:
+        """Advance to the next set bit (reference operator++)."""
+        self._buf_i += 1
+        if self._buf_i < self._buf.size:
+            return True
+        return self._advance_entry()
+
+    advance = go_up
+
+    def go_to(self, pos: int) -> bool:
+        """Position at the first set bit >= pos (reference go_to)."""
+        st = self._bv._struct
+        blk = int(pos) >> C.SET_BLOCK_SHIFT
+        k = int(np.searchsorted(st.nb, blk))
+        if k >= len(st.nb):
+            self._buf = np.zeros(0, _I64)
+            self._entry = k
+            return False
+        self._load_entry(k)
+        if int(st.nb[k]) == blk:
+            self._buf_i = int(np.searchsorted(self._buf, int(pos)))
+            if self._buf_i >= self._buf.size:
+                return self._advance_entry()
+            return True
+        self._buf_i = 0
+        return self._buf.size > 0 or self._advance_entry()
+
+    def skip(self, n: int) -> bool:
+        """Skip n set bits forward (reference skip)."""
+        n = int(n)
+        while n > 0:
+            remaining = self._buf.size - self._buf_i - 1
+            if remaining >= n:
+                self._buf_i += n
+                return True
+            n -= remaining + 1
+            if not self._advance_entry():
+                return False
+        return self.valid()
+
+    def skip_to_rank(self, rank: int) -> bool:
+        """Skip forward so that `rank` more set bits (1-based from the
+        current one) have been consumed (reference skip_to_rank)."""
+        return self.skip(int(rank) - 1)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if not self.valid():
+            raise StopIteration
+        v = self.value()
+        self.go_up()
+        return v
+
+
+class CountedEnumerator(Enumerator):
+    """Enumerator that tracks how many set bits were consumed
+    (bm::bvector::counted_enumerator, src/bm.h:733)."""
+
+    def __init__(self, bv, pos: int = 0):
+        super().__init__(bv, pos)
+        self.bit_count = 0
+
+    def __next__(self):
+        v = super().__next__()
+        self.bit_count += 1
+        return v
+
+
+class BulkInsertIterator:
+    """Buffered bulk set-bit inserter (bm::bvector::bulk_insert_iterator,
+    src/bm.h:464): positions accumulate host-side and flush as one device
+    scatter when the buffer fills."""
+
+    def __init__(self, bv, buffer_size: int = 1 << 16):
+        self._bv = bv
+        self._buf = []
+        self._cap = buffer_size
+
+    def add(self, pos: int):
+        self._buf.append(int(pos))
+        if len(self._buf) >= self._cap:
+            self.flush()
+        return self
+
+    __call__ = add
+
+    def add_many(self, ids):
+        self._buf.extend(int(i) for i in np.asarray(ids).ravel())
+        if len(self._buf) >= self._cap:
+            self.flush()
+        return self
+
+    def flush(self):
+        if self._buf:
+            self._bv.set_many(np.asarray(self._buf, _I64))
+            self._buf.clear()
+        return self
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.flush()
+        return False
+
+
+class InsertIterator(BulkInsertIterator):
+    """Unbuffered-looking inserter (bm::bvector::insert_iterator,
+    src/bm.h:380) — still batches under the hood."""

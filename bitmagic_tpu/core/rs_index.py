@@ -27,27 +27,10 @@ import numpy as np
 
 from .. import constants as C
 from ..ops import blockops
-from ..ops.bitops import word_select32
+from ..ops.select import select_in_pool, wave_prefix
 
 _I32 = jnp.int32
 _I64 = np.int64
-
-
-@jax.jit
-def _select_in_rows(rows, rem):
-    """Batched in-block select: rows uint32[q, 2048], rem int32[q] 1-based
-    rank within block -> bit position int32[q] in [0, 65536)."""
-    pc = jax.lax.population_count(rows).astype(_I32)
-    cum = jnp.cumsum(pc, axis=1, dtype=_I32)             # inclusive per word
-    word = jnp.sum((cum < rem[:, None]).astype(_I32), axis=1)
-    word_c = jnp.minimum(word, C.SET_BLOCK_SIZE - 1)
-    prev = jnp.where(word_c > 0,
-                     jnp.take_along_axis(cum, jnp.maximum(word_c - 1, 0)[:, None],
-                                         axis=1)[:, 0],
-                     0)
-    w = jnp.take_along_axis(rows, word_c[:, None], axis=1)[:, 0]
-    bit = word_select32(w, rem - prev)
-    return word_c * C.WORD_BITS + bit
 
 
 class RSIndex:
@@ -58,6 +41,9 @@ class RSIndex:
         self.cls = cls                 # uint8[n_alloc]
         self.cum = cum                 # int64[n_alloc] inclusive prefix
         self.pool = pool               # device uint32[r, 2048]
+        # per-row wave popcount prefix (the rs3 sub-count analog, 256 B/row)
+        self.wave_cum = (wave_prefix(pool) if pool.shape[0]
+                         else jnp.zeros((0, C.BLOCK_WAVES), jnp.int32))
         self.size = size
         self.total = int(cum[-1]) if cum.size else 0
         is_bit = cls == C.CLS_BIT
@@ -129,9 +115,10 @@ class RSIndex:
         res[fullm] = blk_base[fullm] + rem[fullm] - 1
         bitm = ~fullm
         if bitm.any():
-            slots = self.slots[entry[bitm]]
-            rows = jnp.take(self.pool, jnp.asarray(slots), axis=0)
-            pos = np.asarray(_select_in_rows(rows, jnp.asarray(rem[bitm])))
+            slots = self.slots[entry[bitm]].astype(np.int32)
+            pos = np.asarray(select_in_pool(
+                self.pool, self.wave_cum, jnp.asarray(slots),
+                jnp.asarray(rem[bitm])))
             res[bitm] = blk_base[bitm] + pos
         out[ok] = res
         return out

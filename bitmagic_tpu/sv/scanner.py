@@ -257,11 +257,43 @@ class SparseVectorScanner:
     # :653; masks/counts modes mirror agg_run_options)
     # ------------------------------------------------------------------
     def pipeline_find_eq(self, sv: SparseVector, values, counts_only=False):
-        """Run find_eq for a batch of values.  Returns list of BitVectors or
-        counts."""
+        """Run find_eq for a batch of values (reference scanner pipeline,
+        src/bmsparsevec_algo.h:653).
+
+        On TPU the plane pools concatenate ONCE into an operand arena
+        (reference pipeline_bcache analog) and each search is one Pallas
+        AND-SUB sweep over it; elsewhere it falls back to per-value
+        find_eq."""
+        from ..config import config
+        sv._flush()
+        if not config.pallas_enabled():
+            out = []
+            for v in values:
+                bv = self.find_eq(sv, v)
+                out.append(bv.count() if counts_only else bv)
+            return out
+        from ..agg.arena import OperandArena
+        plane_ids = [s for s, p in enumerate(sv.planes) if p is not None]
+        operands = [sv.planes[s] for s in plane_ids]
+        if sv.nullable:
+            null_idx = len(operands)
+            operands.append(sv.null_plane)
+        arena = OperandArena(operands)
+        pos_of = {s: k for k, s in enumerate(plane_ids)}
         out = []
         for v in values:
-            bv = self.find_eq(sv, v)
+            u = int(np.asarray(sv.s2u(np.asarray([v], sv.dtype)))[0])
+            if u == 0 or u.bit_length() > sv.n_slices or any(
+                    (u >> s) & 1 and s not in pos_of for s in range(sv.n_slices)):
+                bv = (self.find_eq(sv, v) if u == 0 else BitVector(C.ID_MAX48))
+            else:
+                and_idx = [pos_of[s] for s in range(sv.n_slices)
+                           if (u >> s) & 1]
+                sub_idx = [pos_of[s] for s in range(sv.n_slices)
+                           if not (u >> s) & 1 and s in pos_of]
+                if sv.nullable:
+                    and_idx.append(null_idx)
+                bv = _agg.combine_and_sub_arena(arena, and_idx, sub_idx)
             out.append(bv.count() if counts_only else bv)
         return out
 
