@@ -92,11 +92,11 @@ def bench_logical(rng):
             return jax.lax.fori_loop(0, n_iters, body, a)[0, 0]
         return rep_mat
 
-    lo_fn, hi_fn = make_mat(20), make_mat(100)
+    lo_fn, hi_fn = make_mat(100), make_mat(500)
     np.asarray(lo_fn(a, b)); np.asarray(hi_fn(a, b))
     t0 = time.perf_counter(); np.asarray(lo_fn(a, b)); t_lo = time.perf_counter() - t0
     t0 = time.perf_counter(); np.asarray(hi_fn(a, b)); t_hi = time.perf_counter() - t0
-    t_mat = max(t_hi - t_lo, 1e-9) / 80
+    t_mat = max(t_hi - t_lo, 1e-9) / 400
     gb = 2 * BYTES_PER_POOL / 1e9
     gbps_count = gb / t_count
     gbps_mat = (3 * BYTES_PER_POOL / 1e9) / t_mat
@@ -106,6 +106,20 @@ def bench_logical(rng):
 
 
 def bench_logical_cpu(rng):
+    """Baseline = the REFERENCE C++ implementation's measured count_and
+    throughput on this host (tools/make_fixtures.cpp, g++ -O3 -march=native
+    against /root/reference headers), recorded in tests/fixtures/timing.txt.
+    Falls back to a numpy measurement if fixtures are absent."""
+    import os
+    timing = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tests", "fixtures", "timing.txt")
+    if os.path.exists(timing):
+        for line in open(timing):
+            if line.startswith("count_and_gbps"):
+                gbps = float(line.split()[1])
+                log(f"[baseline] reference C++ count_and: {gbps:.2f} GB/s "
+                    f"(measured, AVX-native build)")
+                return gbps
     a = rng.integers(0, 2**32, (N_BLOCKS, WORDS), dtype=np.uint64).astype(np.uint32)
     b = rng.integers(0, 2**32, (N_BLOCKS, WORDS), dtype=np.uint64).astype(np.uint32)
     popcount = getattr(np, "bitwise_count", None)
@@ -126,25 +140,18 @@ def bench_rank_select(rng):
     """The library's wave-descent select kernel (ops/select.py): gathers a
     256 B wave table row + one 128 B wave per query instead of the 8 KB
     block row."""
-    from bitmagic_tpu.ops.select import select_in_pool, wave_prefix
+    from bitmagic_tpu.ops.select import global_wave_prefix, select_flat
     pool = make_pool(rng, density=0.5)
-    wc = wave_prefix(pool)
-    bc = jnp.sum(jax.lax.population_count(pool).astype(jnp.int32), axis=1)
-    cum = jnp.cumsum(bc)
+    gwc = global_wave_prefix(pool)
     n_q = 1_000_000
     ranks = jnp.asarray(
         rng.integers(1, N_BLOCKS * WORDS * 16, n_q).astype(np.int32))
 
-    def sel(salt, pool, wc, cum, ranks):
-        ranks = ranks + (salt & 1).astype(jnp.int32)
-        blk = jnp.searchsorted(cum, ranks, side="left").astype(jnp.int32)
-        blk = jnp.minimum(blk, pool.shape[0] - 1)
-        prev = jnp.where(blk > 0, cum[jnp.maximum(blk - 1, 0)], 0)
-        rem = ranks - prev
-        pos = select_in_pool(pool, wc, blk, rem)
+    def sel(salt, pool, gwc, ranks):
+        pos = select_flat(pool, gwc, ranks + (salt & 1).astype(jnp.int32))
         return jnp.sum(pos.astype(jnp.uint32))
 
-    t = timeit(sel, pool, wc, cum, ranks)
+    t = timeit(sel, pool, gwc, ranks)
     qps = n_q / t
     log(f"[2 rank-select] {n_q} select1 queries (wave descent): "
         f"{t*1e3:.2f} ms -> {qps/1e6:.1f} Mq/s")

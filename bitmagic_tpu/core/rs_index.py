@@ -27,7 +27,7 @@ import numpy as np
 
 from .. import constants as C
 from ..ops import blockops
-from ..ops.select import select_in_pool, wave_prefix
+from ..ops.select import global_wave_prefix, select_flat
 
 _I32 = jnp.int32
 _I64 = np.int64
@@ -41,9 +41,11 @@ class RSIndex:
         self.cls = cls                 # uint8[n_alloc]
         self.cum = cum                 # int64[n_alloc] inclusive prefix
         self.pool = pool               # device uint32[r, 2048]
-        # per-row wave popcount prefix (the rs3 sub-count analog, 256 B/row)
-        self.wave_cum = (wave_prefix(pool) if pool.shape[0]
-                         else jnp.zeros((0, C.BLOCK_WAVES), jnp.int32))
+        # global wave popcount prefix (the rs3 sub-count analog, 256 B/row,
+        # flattened so select is one searchsorted over a small table)
+        self.gwc = (global_wave_prefix(pool) if pool.shape[0]
+                    else jnp.zeros((0,), jnp.int32))
+        self._gwc_cache = None
         self.size = size
         self.total = int(cum[-1]) if cum.size else 0
         is_bit = cls == C.CLS_BIT
@@ -64,6 +66,11 @@ class RSIndex:
             counts[is_bit] = bc[struct.slots()[is_bit]]
         cum = np.cumsum(counts)
         return cls_(struct.nb.copy(), struct.cls.copy(), cum, pool, bv.size)
+
+    def _gwc_host(self):
+        if self._gwc_cache is None:
+            self._gwc_cache = np.asarray(self.gwc).astype(np.int64)
+        return self._gwc_cache
 
     # ------------------------------------------------------------------
     def count(self) -> int:
@@ -115,11 +122,19 @@ class RSIndex:
         res[fullm] = blk_base[fullm] + rem[fullm] - 1
         bitm = ~fullm
         if bitm.any():
-            slots = self.slots[entry[bitm]].astype(np.int32)
-            pos = np.asarray(select_in_pool(
-                self.pool, self.wave_cum, jnp.asarray(slots),
-                jnp.asarray(rem[bitm])))
-            res[bitm] = blk_base[bitm] + pos
+            slots = self.slots[entry[bitm]].astype(np.int64)
+            # translate the in-block rank into the pool's global rank space
+            # and resolve with ONE flat searchsorted over the global wave
+            # prefix (the table is small and stays cache-resident)
+            gwc_np = self._gwc_host()
+            before = np.where(slots > 0,
+                              gwc_np[np.maximum(slots * C.BLOCK_WAVES - 1, 0)],
+                              0)
+            granks = (rem[bitm].astype(np.int64) + before).astype(np.int32)
+            pos_flat = np.asarray(select_flat(
+                self.pool, self.gwc, jnp.asarray(granks))).astype(np.int64)
+            in_block = pos_flat - slots * C.BITS_PER_BLOCK
+            res[bitm] = blk_base[bitm] + in_block
         out[ok] = res
         return out
 

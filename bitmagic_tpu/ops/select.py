@@ -29,6 +29,43 @@ def wave_prefix(pool):
 
 
 @jax.jit
+def global_wave_prefix(pool):
+    """Inclusive popcount prefix over ALL waves of the pool, flattened ->
+    int32[n_rows * 64].  (Totals must fit int32: pools < 2^31 set bits.)"""
+    n = pool.shape[0]
+    w = pool.reshape(n * C.BLOCK_WAVES, C.WAVE_WORDS)
+    pc = jnp.sum(jax.lax.population_count(w).astype(_I32), axis=-1)
+    return jnp.cumsum(pc, dtype=_I32)
+
+
+@jax.jit
+def select_flat(pool, gwc, ranks):
+    """Batched select over the whole pool: ONE searchsorted over the global
+    wave prefix (a small table that stays cache/VMEM-resident), one 128 B
+    wave gather per query, then the in-word descent.  ranks are 1-based
+    global ranks (int32); out-of-range behavior is undefined (callers mask).
+    Returns global bit position = pool_row * 65536 + in-block offset."""
+    wave = jnp.searchsorted(gwc, ranks, side="left").astype(_I32)
+    wave = jnp.minimum(wave, gwc.shape[0] - 1)
+    prev = jnp.where(wave > 0, gwc[jnp.maximum(wave - 1, 0)], 0)
+    rem = ranks - prev                                   # 1-based in wave
+    base = wave * C.WAVE_WORDS
+    widx = base[:, None] + jax.lax.broadcasted_iota(
+        _I32, (ranks.shape[0], C.WAVE_WORDS), 1)
+    words = jnp.take(pool.reshape(-1), widx)
+    pc = jax.lax.population_count(words).astype(_I32)
+    cum = jnp.cumsum(pc, axis=1)
+    w = jnp.sum((cum < rem[:, None]).astype(_I32), axis=1)
+    w = jnp.minimum(w, C.WAVE_WORDS - 1)
+    prev_w = jnp.where(w > 0,
+                       jnp.take_along_axis(cum, jnp.maximum(w - 1, 0)[:, None],
+                                           axis=1)[:, 0], 0)
+    word_val = jnp.take_along_axis(words, w[:, None], axis=1)[:, 0]
+    bit = word_select32(word_val, rem - prev_w)
+    return wave * C.WAVE_BITS + w * C.WORD_BITS + bit
+
+
+@jax.jit
 def select_in_pool(pool, wave_cum, rows, rem):
     """For each query: pool row ``rows[q]`` (int32) and 1-based in-block rank
     ``rem[q]`` -> bit position int32[q] in [0, 65536)."""

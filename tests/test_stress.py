@@ -1,0 +1,79 @@
+"""Randomized stress test in the reference's style (tests/stress/t.cpp
+StressTest :11378): long random operation sequences, every op mirrored into
+the golden model, full comparison + serialization round-trip at checkpoints.
+"""
+import numpy as np
+import pytest
+
+from bitmagic_tpu import BitVector
+from bitmagic_tpu.constants import BITS_PER_BLOCK
+from bitmagic_tpu.serial import Deserializer, Serializer
+from bitmagic_tpu.utils.golden import GoldenBitSet, random_indices
+
+SIZE = 3 * BITS_PER_BLOCK + 4321
+N_STEPS = 60
+
+
+def check(bv, g, step):
+    assert bv.count() == g.count(), f"count mismatch at step {step}"
+    np.testing.assert_array_equal(bv.indices(), g.indices(),
+                                  err_msg=f"step {step}")
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_stress_random_ops(seed):
+    rng = np.random.default_rng(seed)
+    bv = BitVector(SIZE)
+    g = GoldenBitSet(SIZE)
+    others = []
+    for step in range(N_STEPS):
+        op = rng.integers(0, 10)
+        if op == 0:       # bulk set
+            ids = random_indices(rng, SIZE, 0.01)
+            bv.set_many(ids); g.bits[ids] = True
+        elif op == 1:     # bulk clear
+            ids = random_indices(rng, SIZE, 0.01)
+            bv.clear_many(ids); g.bits[ids] = False
+        elif op == 2:     # range set/clear
+            lo = int(rng.integers(0, SIZE)); hi = int(rng.integers(lo, SIZE))
+            val = bool(rng.integers(0, 2))
+            bv.set_range(lo, hi, val); g.set_range(lo, hi, val)
+        elif op == 3:     # single bits
+            for i in rng.integers(0, SIZE, 5):
+                v = bool(rng.integers(0, 2))
+                bv.set(int(i), v); g.set(int(i), v)
+        elif op == 4:     # logic with a random operand
+            idx = random_indices(rng, SIZE, 0.02)
+            other = BitVector.from_indices(idx, SIZE)
+            og = GoldenBitSet.from_indices(idx, SIZE)
+            which = rng.integers(0, 4)
+            [bv.bit_and, bv.bit_or, bv.bit_xor, bv.bit_sub][which](other)
+            [g.and_, g.or_, g.xor_, g.sub_][which](og)
+            others.append((other, og))
+        elif op == 5:     # invert
+            bv.invert(); g.invert()
+        elif op == 6:     # optimize must not change content
+            bv.optimize()
+        elif op == 7:     # serialization round-trip mid-stream
+            level = int(rng.integers(0, 7))
+            blob = Serializer(level).serialize(bv)
+            bv = Deserializer().deserialize(blob)
+        elif op == 8:     # shift
+            if rng.integers(0, 2):
+                bv.shift_right()
+                nb_ = np.zeros(SIZE, bool); nb_[1:] = g.bits[:-1]; g.bits = nb_
+            else:
+                bv.shift_left()
+                nb_ = np.zeros(SIZE, bool); nb_[:-1] = g.bits[1:]; g.bits = nb_
+        else:             # rank/select spot checks
+            if g.count():
+                i = int(rng.integers(0, SIZE))
+                assert bv.count_to(i) == g.count_to(i)
+                r = int(rng.integers(1, g.count() + 1))
+                assert bv.select(r) == g.select(r)
+        if step % 10 == 9:
+            check(bv, g, step)
+    check(bv, g, "final")
+    # final serialization round-trip at max compression
+    blob = Serializer(6).serialize(bv)
+    assert Deserializer().deserialize(blob).equal(bv)
