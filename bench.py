@@ -86,9 +86,10 @@ def bench_logical(rng):
         @jax.jit
         def rep_mat(a, b):
             def body(i, acc):
-                # additive mixing: XOR-only bodies telescope under XLA's
-                # algebraic simplifier and the loop folds away
-                return (acc & b) + jnp.uint32(i + 1)
+                # roll makes the op non-pointwise: fetching one output element
+                # then requires the whole loop (XLA narrows pointwise loops to
+                # the fetched element); '+' avoids XOR-algebra telescoping
+                return (jnp.roll(acc, 1, axis=1) & b) + jnp.uint32(i + 1)
             return jax.lax.fori_loop(0, n_iters, body, a)[0, 0]
         return rep_mat
 

@@ -80,3 +80,34 @@ def test_select_matches_reference(vectors, expected):
     want = expected["sels"][:, 1]
     got = rs.select_batch(ranks)
     np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# reference-format BLOB interop (via the native bridge)
+# ---------------------------------------------------------------------------
+from bitmagic_tpu.serial import refformat
+
+
+@pytest.mark.skipif(not refformat.available(),
+                    reason="reference bridge unavailable")
+def test_reference_blob_decode(vectors):
+    a, *_ = vectors
+    with open(os.path.join(FIX, "blob_a.bin"), "rb") as f:
+        blob = f.read()
+    got = refformat.deserialize_reference_blob(blob)
+    np.testing.assert_array_equal(got.indices(), a.indices())
+
+
+@pytest.mark.skipif(not refformat.available(),
+                    reason="reference bridge unavailable")
+def test_reference_blob_write_roundtrip(vectors):
+    a, *_ = vectors
+    blob = refformat.serialize_reference_blob(a)
+    back = refformat.deserialize_reference_blob(blob)
+    assert back.equal(a)
+    # and the reference itself must accept what we wrote
+    lib = refformat.load()
+    buf = np.frombuffer(blob, np.uint8)
+    import ctypes
+    assert lib.bmref_selfcheck(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))) == 1
