@@ -780,10 +780,17 @@ class BitVector:
         else:
             to_full = np.zeros_like(drop)
         if drop.any() or to_full.any():
+            # Pool rows must be selected with the OLD slot mapping (rows are
+            # 1:1 with the old CLS_BIT entries); reclassify to FULL only
+            # after the rows of newly-FULL blocks are physically removed.
+            keep = ~drop
+            row_keep = self._struct.slots()[keep & is_bit & ~to_full]
+            self._pool = (jnp.take(self._pool, jnp.asarray(row_keep), axis=0)
+                          if row_keep.size else blockops.zero_pool(0))
             new_cls = self._struct.cls.copy()
             new_cls[to_full] = C.CLS_FULL
-            self._struct = Structure(self._struct.nb, new_cls)
-            self._select_blocks(~drop)
+            self._struct = Structure(self._struct.nb[keep].copy(),
+                                     new_cls[keep].copy())
         self._dirty()
         return self
 

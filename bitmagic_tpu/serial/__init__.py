@@ -2,11 +2,18 @@ from .serializer import Deserializer, Serializer, deserialize, serialize
 from .opdeser import OperationDeserializer
 from .sv_serial import (SparseVectorDeserializer, SparseVectorSerializer,
                         sparse_vector_deserialize, sparse_vector_serialize)
-from . import encoding
+from .refcodec import (RefDeserializer, RefSerializer, ref_deserialize,
+                       ref_serialize)
+from . import encoding, refcodec, refformat
 
 __all__ = [
     "Serializer", "Deserializer", "serialize", "deserialize",
     "OperationDeserializer", "SparseVectorSerializer",
     "SparseVectorDeserializer", "sparse_vector_serialize",
     "sparse_vector_deserialize", "encoding",
+    # reference-format interop: refcodec is the standalone clean-room codec
+    # (all ~70 block codes); refformat wraps the reference's own compiled
+    # codec when its tree is present (fixture generation / cross-checks)
+    "RefSerializer", "RefDeserializer", "ref_serialize", "ref_deserialize",
+    "refcodec", "refformat",
 ]

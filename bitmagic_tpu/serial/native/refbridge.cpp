@@ -71,6 +71,141 @@ int64_t bmref_serialize_from_indices(const uint64_t* ids, int64_t n,
     }
 }
 
+// Parameterized serializer: compression level 0-6, optional bookmarks
+// (every `bookmarks` blocks when > 0), optional BM_GAP block strategy.
+// Used to generate fixture BLOBs exercising the full block-code zoo.
+int64_t bmref_serialize_ex(const uint64_t* ids, int64_t n, uint64_t size_hint,
+                           int level, int bookmarks, int use_gap,
+                           uint8_t* out, int64_t out_cap) {
+    try {
+        bvect bv;
+        if (use_gap) bv.set_new_blocks_strat(bm::BM_GAP);
+        {
+            bvect::bulk_insert_iterator ins(bv);
+            for (int64_t i = 0; i < n; ++i)
+                ins = static_cast<bm::id_t>(ids[i]);
+            ins.flush();
+        }
+        if (size_hint)
+            bv.resize(static_cast<bm::id_t>(size_hint));
+        bvect::statistics st;
+        bv.optimize(0, bvect::opt_compress, &st);
+        bm::serializer<bvect> ser;
+        ser.set_compression_level(static_cast<unsigned>(level));
+        if (bookmarks > 0)
+            ser.set_bookmarks(true, static_cast<unsigned>(bookmarks));
+        bm::serializer<bvect>::buffer buf;
+        ser.serialize(bv, buf);
+        if (out && out_cap >= static_cast<int64_t>(buf.size()))
+            memcpy(out, buf.data(), buf.size());
+        return static_cast<int64_t>(buf.size());
+    } catch (...) {
+        return -1;
+    }
+}
+
+// Serialize `target` with the XOR reference filter ON, using `ref` (row 0)
+// and `target` (row 1) as the reference collection — produces BLOBs with
+// xor_ref / ref_eq / xor_chain codes for decoder fixtures.
+int64_t bmref_serialize_xor(const uint64_t* ids_t, int64_t nt,
+                            const uint64_t* ids_r, int64_t nr,
+                            const uint64_t* ids_r2, int64_t nr2,
+                            uint64_t size_hint,
+                            uint8_t* out, int64_t out_cap) {
+    try {
+        bvect bv_t, bv_r, bv_r2;
+        {
+            bvect::bulk_insert_iterator it(bv_t);
+            for (int64_t i = 0; i < nt; ++i) it = (bm::id_t)ids_t[i];
+            it.flush();
+        }
+        {
+            bvect::bulk_insert_iterator it(bv_r);
+            for (int64_t i = 0; i < nr; ++i) it = (bm::id_t)ids_r[i];
+            it.flush();
+        }
+        if (nr2) {
+            bvect::bulk_insert_iterator it(bv_r2);
+            for (int64_t i = 0; i < nr2; ++i) it = (bm::id_t)ids_r2[i];
+            it.flush();
+        }
+        if (size_hint) {
+            bv_t.resize((bm::id_t)size_hint);
+            bv_r.resize((bm::id_t)size_hint);
+            if (nr2) bv_r2.resize((bm::id_t)size_hint);
+        }
+        bv_t.optimize();
+        bv_r.optimize();
+        if (nr2) bv_r2.optimize();
+
+        // the xor scanner searches candidate matches only FORWARD in the
+        // reference collection, so the target must precede its references
+        bm::bv_ref_vector<bvect> ref;
+        ref.add(&bv_t, 1);
+        ref.add(&bv_r, 0);
+        if (nr2) ref.add(&bv_r2, 2);
+
+        bm::serializer<bvect> ser;
+        ser.set_ref_vectors(&ref);
+        bm::serializer<bvect>::xor_sim_model_type sim;
+        bm::xor_sim_params xp;
+        ser.compute_sim_model(sim, ref, xp);
+        ser.set_sim_model(&sim);
+        ser.set_curr_ref_idx(0);  // serializing position 0 (the target)
+
+        bm::serializer<bvect>::buffer buf;
+        ser.serialize(bv_t, buf);
+        if (out && out_cap >= static_cast<int64_t>(buf.size()))
+            memcpy(out, buf.data(), buf.size());
+        return static_cast<int64_t>(buf.size());
+    } catch (...) {
+        return -1;
+    }
+}
+
+// Deserialize a XOR-compressed BLOB given reference vectors (rows 0, 2).
+int64_t bmref_deserialize_xor_to_indices(const uint8_t* blob,
+                                         const uint64_t* ids_r, int64_t nr,
+                                         const uint64_t* ids_r2, int64_t nr2,
+                                         uint64_t size_hint,
+                                         uint64_t* out, int64_t out_cap) {
+    try {
+        bvect bv_r, bv_r2;
+        {
+            bvect::bulk_insert_iterator it(bv_r);
+            for (int64_t i = 0; i < nr; ++i) it = (bm::id_t)ids_r[i];
+            it.flush();
+        }
+        if (nr2) {
+            bvect::bulk_insert_iterator it(bv_r2);
+            for (int64_t i = 0; i < nr2; ++i) it = (bm::id_t)ids_r2[i];
+            it.flush();
+        }
+        if (size_hint) {
+            bv_r.resize((bm::id_t)size_hint);
+            if (nr2) bv_r2.resize((bm::id_t)size_hint);
+        }
+        bv_r.optimize();
+        bm::bv_ref_vector<bvect> ref;
+        ref.add(&bv_r, 0);
+        if (nr2) { bv_r2.optimize(); ref.add(&bv_r2, 2); }
+
+        bvect bv;
+        bm::deserializer<bvect, bm::decoder> des;
+        des.set_ref_vectors(&ref);
+        des.deserialize(bv, blob);
+        int64_t n = 0;
+        bvect::enumerator en = bv.first();
+        for (; en.valid(); ++en) {
+            if (out && n < out_cap) out[n] = *en;
+            ++n;
+        }
+        return n;
+    } catch (...) {
+        return -1;
+    }
+}
+
 // Round-trip check inside the reference: returns 1 if blob deserializes and
 // re-serializes to an equal vector.
 int bmref_selfcheck(const uint8_t* blob) {

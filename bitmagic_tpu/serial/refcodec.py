@@ -1,0 +1,1552 @@
+"""Standalone clean-room codec for the REFERENCE serialization format.
+
+Implements, from the format spec derived by structural analysis of the
+reference (src/bmserial.h block codes :1173-1248, deserialize main loop
+:5511, deseriaizer_base readers :4203-4750, src/encoding.h bitstreams),
+a complete DECODER for reference-format BLOBs — all block-code families:
+
+  * zero/one runs (1/8/16/32/64-scale + 7-bit packed + azero/aone)
+  * raw bit blocks, bit intervals, 0-runs blocks, 1-bit blocks
+  * set-bit arrays (direct/inverted), plain / gamma / BIC v1/v2/v3/v3s
+  * D-GAP blocks plain / gamma / BIC v1/v2/v3/v3s / gamma_v3
+  * digest0 (wave-compressed) blocks
+  * super-block BIC arrays (v1 + v3)
+  * bookmarks & sync marks (skipped on linear decode)
+  * XOR reference filters (ref_eq, masked/unmasked 8/16/32-bit refs,
+    GAP refs, XOR chains) given a reference vector collection
+  * ID-list and 64-bit (BM64ADDR) headers
+
+and an ENCODER producing reference-readable BLOBs from v1-generation
+codes (raw / bit_1bit / arrbit(_inv) / gap / gap_egamma / arrgap_egamma /
+arr_bienc(_inv, _8bh) / zero & one runs), with compression levels 0-6.
+
+Unlike serial/refformat.py (which wraps the reference's own compiled
+codec and needs the reference tree at build time), this module is fully
+standalone: pure Python + numpy, no dependency on /root/reference.
+refformat.py's bridge doubles as the cross-validation oracle in tests.
+
+No code is copied from the reference; bit-exactness comes from matching
+the documented stream grammar (verified against fixtures in
+tests/fixtures/refblobs/).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import constants as C
+
+# ---------------------------------------------------------------------------
+# block-code constants (src/bmserial.h:1173-1248)
+# ---------------------------------------------------------------------------
+BLOCK_END = 0
+BLOCK_1ZERO = 1
+BLOCK_1ONE = 2
+BLOCK_8ZERO = 3
+BLOCK_8ONE = 4
+BLOCK_16ZERO = 5
+BLOCK_16ONE = 6
+BLOCK_32ZERO = 7
+BLOCK_32ONE = 8
+BLOCK_AZERO = 9
+BLOCK_AONE = 10
+BLOCK_BIT = 11
+BLOCK_SGAPBIT = 12
+BLOCK_SGAPGAP = 13
+BLOCK_GAP = 14
+BLOCK_GAPBIT = 15
+BLOCK_ARRBIT = 16
+BLOCK_BIT_INTERVAL = 17
+BLOCK_ARRGAP = 18
+BLOCK_BIT_1BIT = 19
+BLOCK_GAP_EGAMMA = 20
+BLOCK_ARRGAP_EGAMMA = 21
+BLOCK_BIT_0RUNS = 22
+BLOCK_ARRGAP_EGAMMA_INV = 23
+BLOCK_ARRGAP_INV = 24
+BLOCK_64ZERO = 25
+BLOCK_64ONE = 26
+BLOCK_GAP_BIENC = 27
+BLOCK_ARRGAP_BIENC = 28
+BLOCK_ARRGAP_BIENC_INV = 29
+BLOCK_ARRBIT_INV = 30
+BLOCK_ARR_BIENC = 31
+BLOCK_ARR_BIENC_INV = 32
+BLOCK_BITGAP_BIENC = 33
+BLOCK_BIT_DIGEST0 = 34
+BLOCK_REF_EQ = 35
+BLOCK_XOR_REF8 = 36
+BLOCK_XOR_REF16 = 37
+BLOCK_XOR_REF32 = 38
+BLOCK_XOR_GAP_REF8 = 39
+BLOCK_XOR_GAP_REF16 = 40
+BLOCK_XOR_GAP_REF32 = 41
+BLOCK_XOR_CHAIN = 42
+BLOCK_GAP_BIENC_V2 = 43
+BLOCK_ARRGAP_BIENC_V2 = 44
+BLOCK_ARRGAP_BIENC_INV_V2 = 45
+BLOCK_BITGAP_BIENC_V2 = 46
+NB_BOOKMARK16 = 47
+NB_BOOKMARK24 = 48
+NB_BOOKMARK32 = 49
+NB_SYNC_MARK8 = 50
+NB_SYNC_MARK16 = 51
+NB_SYNC_MARK24 = 52
+NB_SYNC_MARK32 = 53
+NB_SYNC_MARK48 = 54
+NB_SYNC_MARK64 = 55
+SBLOCK_BIENC = 56
+BLOCK_ARR_BIENC_8BH = 57
+BLOCK_XOR_REF8_UM = 58
+BLOCK_XOR_REF16_UM = 59
+BLOCK_XOR_REF32_UM = 60
+BLOCK_GAP_BIENC_V3 = 61
+BLOCK_GAP_BIENC_V3S = 62
+BLOCK_ARR_BIENC_V3 = 63
+BLOCK_ARR_BIENC_INV_V3 = 64
+BLOCK_ARR_BIENC_V3S = 65
+BLOCK_ARR_BIENC_INV_V3S = 66
+BLOCK_GAP_EGAMMA_V3 = 67
+SBLOCK_BIENC_V3 = 68
+SBLOCK_BIENC_GAPS_V3 = 69
+
+# header flags (src/bmserial.h:1157-1167)
+HM_DEFAULT = 1
+HM_RESIZE = 1 << 1
+HM_ID_LIST = 1 << 2
+HM_NO_BO = 1 << 3
+HM_NO_GAPL = 1 << 4
+HM_64_BIT = 1 << 5
+HM_HXOR = 1 << 6
+HM_SPARSE = 1 << 7
+
+# v2 gap-head flags (src/bmserial.h:1258-1259)
+H2F_MIN_V_8BIT = 1 << 1
+H2F_MAX_V_8BIT = 1 << 2
+
+# v3 head flags (src/bmserial.h:1263-1267)
+H3F_MIN0_SKIP = 1 << 3
+H3F_MIN0_8BIT = 1 << 4
+H3F_MIN1_8BIT = 1 << 5
+H3F_MIN1_SKIP = 1 << 6
+H3F_EXCEPTIONS = 1 << 7
+GAP_LEN_CUT_OFF_V3 = 4
+
+# encode_array / decode_array flags (src/encoding.h:1821-1840)
+H3F_EX_UPPER2 = 0b11
+H3F_USE_GAMMA = 1 << 3
+H3F_EX_ARR_1 = 1 << 4
+H3F_EX_ARR_EX_EOC = 1 << 5
+H3F_EX_ARR_MIN0_0 = 1 << 6
+H3F_EX_MINMAX_V = 1 << 7
+WCNT_CUTOFF = 15
+
+# sblock flags (src/bmserial.h:2930-2942)
+SB_FLAG_SB16 = 1
+SB_FLAG_SB32 = 1 << 1
+SB_FLAG_SBGAMMA = SB_FLAG_SB16 | SB_FLAG_SB32
+SB_FLAG_MIN16 = 1 << 2
+SB_FLAG_MIN24 = 1 << 3
+SB_FLAG_LEN16 = 1 << 4
+SB_FLAG_MAX16 = 1 << 5
+SB_FLAG_MAX24 = 1 << 6
+SB_FLAG_DR_MIN = 1 << 7
+
+WORDS = 2048                 # words per block
+BITS = 65536                 # bits per block
+WAVE_WORDS = 32              # digest wave size in words
+SUB_ARRAY = 256              # blocks per super-block
+SUB_TOTAL_BITS = SUB_ARRAY * BITS
+ID_MAX32 = 0xFFFFFFFF
+TOTAL_BLOCKS32 = 65536
+DEFAULT_GLEVELS = (128, 256, 512, 1280)
+
+_FULL = "FULL"
+
+
+# ---------------------------------------------------------------------------
+# byte reader / writer (little-endian, matching bm::encoder/decoder)
+# ---------------------------------------------------------------------------
+class _ByteReader:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, data: bytes):
+        self.buf = np.frombuffer(bytes(data), np.uint8)
+        self.pos = 0
+
+    def get_8(self):
+        v = int(self.buf[self.pos]); self.pos += 1; return v
+
+    def _get(self, nbytes):
+        p = self.pos
+        v = 0
+        for i in range(nbytes):
+            v |= int(self.buf[p + i]) << (8 * i)
+        self.pos = p + nbytes
+        return v
+
+    def get_16(self): return self._get(2)
+    def get_24(self): return self._get(3)
+    def get_32(self): return self._get(4)
+    def get_48(self): return self._get(6)
+    def get_64(self): return self._get(8)
+
+    def get_h64(self):
+        """h-compressed u64 (decoder_base::get_h64, src/encoding.h:897)."""
+        h_mask = self.get_8()
+        w = 0
+        for i in range(8):
+            if h_mask & (1 << i):
+                w |= self.get_8() << (8 * i)
+        return w
+
+    def get_u16_array(self, n):
+        p = self.pos
+        out = self.buf[p:p + 2 * n].view("<u2").astype(np.int64)
+        self.pos = p + 2 * n
+        return out
+
+    def get_u32_words(self, n):
+        p = self.pos
+        out = self.buf[p:p + 4 * n].view("<u4").astype(np.uint32)
+        self.pos = p + 4 * n
+        return out
+
+
+class _ByteWriter:
+    __slots__ = ("parts",)
+
+    def __init__(self):
+        self.parts = bytearray()
+
+    def put_8(self, v): self.parts.append(v & 0xFF)
+
+    def _put(self, v, nbytes):
+        for i in range(nbytes):
+            self.parts.append((v >> (8 * i)) & 0xFF)
+
+    def put_16(self, v): self._put(v, 2)
+    def put_24(self, v): self._put(v, 3)
+    def put_32(self, v): self._put(v, 4)
+    def put_48(self, v): self._put(v, 6)
+    def put_64(self, v): self._put(v, 8)
+
+    def put_u16_array(self, arr):
+        self.parts += np.asarray(arr, "<u2").tobytes()
+
+    def put_u32_words(self, words):
+        self.parts += np.asarray(words, "<u4").tobytes()
+
+    def get_bytes(self):
+        return bytes(self.parts)
+
+
+# ---------------------------------------------------------------------------
+# bitstream reader / writer (32-bit LE words, LSB-first; bm::bit_in/bit_out)
+# ---------------------------------------------------------------------------
+class _BitIn:
+    """Pulls whole 32-bit LE words from the shared byte reader on demand,
+    consuming bits LSB-first — matches bm::bit_in (src/encoding.h:299)."""
+
+    __slots__ = ("rdr", "acc", "n")
+
+    def __init__(self, rdr: _ByteReader):
+        self.rdr = rdr
+        self.acc = 0
+        self.n = 0
+
+    def get_bits(self, count):
+        while self.n < count:
+            self.acc |= self.rdr.get_32() << self.n
+            self.n += 32
+        v = self.acc & ((1 << count) - 1)
+        self.acc >>= count
+        self.n -= count
+        return v
+
+    def get_bit(self):
+        return self.get_bits(1)
+
+    def gamma(self):
+        zeros = 0
+        while not self.get_bit():
+            zeros += 1
+        if zeros == 0:
+            return 1
+        return self.get_bits(zeros) | (1 << zeros)
+
+    def gamma8(self):
+        c = self.gamma()
+        if c == 1:
+            return self.gamma()
+        if c == 2:
+            return self.get_bits(8)
+        if c == 3:
+            return self.delta16()
+        return 0  # c == 4
+
+    def delta16(self):
+        order = self.gamma()
+        if order == 1:
+            return 511 - self.get_bits(8)
+        if order == 2:
+            return 512 + 255 - self.get_bits(8)
+        if order == 3:
+            return 512 + 256 + 255 - self.get_bits(8)
+        return self.get_16_no()
+
+    def delta16s(self):
+        if self.get_bit():
+            return self.delta16()
+        return self.get_bits(8)
+
+    def get_16_no(self):
+        return self.get_bits(8) | (self.get_bits(8) << 8)
+
+    def get_24_no(self):
+        return self.get_bits(8) | (self.get_bits(8) << 8) | \
+            (self.get_bits(8) << 16)
+
+    def get_32_no(self):
+        return self.get_16_no() | (self.get_16_no() << 16)
+
+    # -- Binary Interpolative Coding, centered-minimal (bic_*_cm) ----------
+    def bic_decode_cm(self, sz, lo, hi):
+        """Returns list of sz values in (lo..hi); mirrors
+        bit_in::bic_decode_u16_cm / u32_cm (src/encoding.h:2404/2358)."""
+        out = [0] * sz
+        self._bic_cm(out, 0, sz, lo, hi)
+        return out
+
+    def _bic_cm(self, out, base, sz, lo, hi):
+        while sz:
+            r = hi - lo - sz + 1
+            val = r
+            if r:
+                logv = (r + 1).bit_length() - 1
+                c = (1 << (logv + 1)) - r - 1
+                half_c = c >> 1
+                half_r = r >> 1
+                lo1 = half_r - half_c - ((r + 1) & 1)
+                hi1 = half_r + half_c + 1
+                val = self.get_bits(logv)
+                if val <= lo1 or val >= hi1:
+                    val += self.get_bit() << logv
+            mid = sz >> 1
+            val += lo + mid
+            out[base + mid] = val
+            if sz <= 1:
+                return
+            self._bic_cm(out, base, mid, lo, val - 1)
+            mid += 1
+            base += mid
+            sz -= mid
+            lo = val + 1
+
+    # -- selective array decode (bit_in::decode_array, src/encoding.h:2697)
+    def decode_array(self, default_sz=0):
+        """Returns (h3_flag, np.int64 array)."""
+        h3 = self.get_bits(8)
+        if (h3 & H3F_EX_UPPER2) == H3F_EX_UPPER2 and (h3 & (1 << 7)):
+            return h3, np.zeros(0, np.int64)          # no-op, 0 length
+        if (h3 & H3F_EX_UPPER2) == H3F_EX_UPPER2:     # single value
+            if h3 & H3F_EX_ARR_MIN0_0:
+                v = 0
+            elif h3 & H3F_USE_GAMMA:
+                v = self.gamma()
+            else:
+                v = self.get_16_no()
+            return h3, np.asarray([v], np.int64)
+        # multi-value
+        if default_sz:
+            sz = default_sz
+        elif h3 & H3F_USE_GAMMA:
+            sz = self.gamma8() + 1
+        else:
+            sz = self.delta16()
+        min0 = 0 if (h3 & H3F_EX_ARR_MIN0_0) else self.gamma()
+        if (h3 & H3F_EX_UPPER2) == 0:                 # delta-gamma
+            zero_correct = bool(h3 & (1 << 7))
+            arr = np.zeros(sz, np.int64)
+            arr[0] = 0 if zero_correct else self.gamma()
+            for i in range(1, sz):
+                arr[i] = arr[i - 1] + self.gamma() + min0
+            return h3, arr
+        if h3 & (1 << 1):                             # gamma
+            zero_correct = bool(h3 & (1 << 7))
+            arr = np.asarray(
+                [self.gamma() - zero_correct + min0 for _ in range(sz)],
+                np.int64)
+            return h3, arr
+        # BIC-DR
+        arr = np.zeros(sz, np.int64)
+        if h3 & H3F_EX_MINMAX_V:
+            min_v = self.get_16_no()
+            max_v = self.get_16_no()
+            arr[0] = min_v
+            arr[sz - 1] = max_v
+            if sz == 2:
+                return h3, arr
+            if sz > 2:
+                arr[1:sz - 1] = self.bic_decode_cm(sz - 2, min_v + 1,
+                                                   max_v - 1)
+        else:
+            arr[:] = self.bic_decode_cm(sz, 0, 65535)
+        use_wdr = self.get_bit()
+        if use_wdr:
+            win_size = self.gamma()
+            wcnt = self.gamma() + WCNT_CUTOFF - 1
+            win_size = (win_size + 9) * 2
+            max_wd = (sz // win_size) + 1
+            wflags = set(self.bic_decode_cm(wcnt, 1, max_wd))
+            _arr_restore_min_w(arr, win_size, min0, wflags)
+        elif min0:
+            _arr_restore_min(arr, min0)
+        return h3, arr
+
+
+def _arr_restore_min(arr, min0, delta_acc=0):
+    """bm::arr_restore_min (src/bmfunc.h:2648): arr[i] += i*min0 + acc."""
+    arr += min0 * np.arange(len(arr), dtype=np.int64) + delta_acc
+
+
+def _arr_restore_min_w(arr, wlen, min0, wflags):
+    """bm::arr_restore_min_w (src/bmfunc.h:2517) — per-window DR restore."""
+    arr_len = len(arr)
+    delta_acc = 0
+    min_w_prev = (1 << 63)
+    for i in range(1, min(wlen, arr_len)):
+        arr[i] += min0 + delta_acc
+        delta_acc += min0
+        delta = arr[i] - arr[i - 1]
+        if delta < min_w_prev:
+            min_w_prev = delta
+    min_w_prev -= bool(min_w_prev)
+    wave = 1
+    i = wlen
+    while i < arr_len:
+        if i + wlen > arr_len:
+            wlen = arr_len % wlen
+        w_recalc = wave in wflags
+        min_w = (1 << 63)
+        for j in range(wlen):
+            if w_recalc:
+                arr[i + j] += min_w_prev + delta_acc
+                delta_acc += min_w_prev
+            else:
+                arr[i + j] += min0 + delta_acc
+                delta_acc += min0
+            delta = arr[i + j] - arr[i + j - 1]
+            if delta < min_w:
+                min_w = delta
+        min_w_prev = (min_w - 1) if min_w > min0 else min0
+        wave += 1
+        i += wlen
+
+
+class _BitOut:
+    """LSB-first bit writer flushing 32-bit LE words (bm::bit_out)."""
+
+    __slots__ = ("wtr", "acc", "n")
+
+    def __init__(self, wtr: _ByteWriter):
+        self.wtr = wtr
+        self.acc = 0
+        self.n = 0
+
+    def put_bits(self, value, count):
+        self.acc |= (value & ((1 << count) - 1)) << self.n
+        self.n += count
+        while self.n >= 32:
+            self.wtr.put_32(self.acc & 0xFFFFFFFF)
+            self.acc >>= 32
+            self.n -= 32
+
+    def put_bit(self, v):
+        self.put_bits(v, 1)
+
+    def gamma(self, value):
+        logv = value.bit_length() - 1
+        self.put_bits(1 << logv, logv + 1)       # logv zeros then a 1 bit
+        if logv:
+            self.put_bits(value & ((1 << logv) - 1), logv)
+
+    def put_16_no(self, v):
+        self.put_bits(v & 0xFF, 8)
+        self.put_bits((v >> 8) & 0xFF, 8)
+
+    def bic_encode_cm(self, arr, lo, hi):
+        """bit_out::bic_encode_u16_cm (src/encoding.h:1766)."""
+        arr = list(arr)
+        self._bic_cm(arr, 0, len(arr), lo, hi)
+
+    def _bic_cm(self, arr, base, sz, lo, hi):
+        while sz:
+            mid = sz >> 1
+            val = arr[base + mid]
+            r = hi - lo - sz + 1
+            if r:
+                value = val - lo - mid
+                n = r + 1
+                logv = n.bit_length() - 1
+                c = (1 << (logv + 1)) - n
+                half_c = c >> 1
+                half_r = r >> 1
+                lo1 = half_r - half_c - (n & 1)
+                hi1 = half_r + half_c
+                if value <= lo1 or value > hi1:
+                    logv += 1
+                self.put_bits(value, logv)
+            self._bic_cm(arr, base, mid, lo, val - 1)
+            mid += 1
+            base += mid
+            sz -= mid
+            lo = val + 1
+
+    def flush(self):
+        if self.n:
+            self.wtr.put_32(self.acc & 0xFFFFFFFF)
+            self.acc = 0
+            self.n = 0
+
+
+# ---------------------------------------------------------------------------
+# block-content helpers
+# ---------------------------------------------------------------------------
+def _words_from_positions(pos, invert=False):
+    bits = np.zeros(BITS, np.uint8)
+    if len(pos):
+        bits[np.asarray(pos, np.int64)] = 1
+    if invert:
+        bits = 1 - bits
+    return np.packbits(bits, bitorder="little").view(np.uint32)
+
+
+def _words_from_gap(start_bit, boundaries):
+    """GAP semantics: run i covers (prev_boundary, boundaries[i]] with value
+    start_bit ^ (i & 1); boundaries end with 65535."""
+    b = np.asarray(boundaries, np.int64)
+    runs = np.diff(np.concatenate([[-1], b]))
+    vals = ((np.arange(len(b)) + start_bit) % 2).astype(np.uint8)
+    bits = np.repeat(vals, runs)
+    return np.packbits(bits, bitorder="little").view(np.uint32)
+
+
+def _positions_from_words(words, invert=False):
+    bits = np.unpackbits(words.view(np.uint8), bitorder="little")
+    return np.flatnonzero(bits == (0 if invert else 1)).astype(np.int64)
+
+
+def _gap_boundaries_from_words(words):
+    """Returns (start_bit, boundaries ending with 65535)."""
+    bits = np.unpackbits(words.view(np.uint8), bitorder="little")
+    change = np.flatnonzero(np.diff(bits.astype(np.int8)) != 0)
+    return int(bits[0]), np.concatenate([change, [BITS - 1]])
+
+
+def _gap_restore_mins(boundaries_head_arr, min0, min1):
+    """bm::gap_restore_mins (src/bmfunc.h:3000).  Operates on the raw GAP
+    buffer layout: buf[0]=head, buf[1..L]=boundaries (buf[L]==65535)."""
+    buf = boundaries_head_arr
+    dsize = int(buf[0]) >> 3
+    i = 1
+    buf[i] += min0
+    delta_acc = min0
+    i += 1
+    while i <= dsize:
+        if i == dsize:
+            break
+        buf[i] += min1 + delta_acc
+        delta_acc += min1
+        i += 1
+        if i < dsize:
+            buf[i] += min0 + delta_acc
+            delta_acc += min0
+            i += 1
+        else:
+            break
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+class RefDeserializer:
+    """Standalone decoder for reference-format BLOBs.
+
+    ref_vectors: optional list of (row_id, BitVector) pairs — the analog of
+    bm::bv_ref_vector, required only for BLOBs serialized with the XOR
+    filter (header flag HM_HXOR / codes 35-42, 58-60).
+    """
+
+    def __init__(self, ref_vectors=None):
+        self.ref_vectors = list(ref_vectors or [])
+        self._ref_rows = {int(r): bv for r, bv in self.ref_vectors}
+        self._ref_cache = {}
+        self.code_stat = {}   # per-block-code decode counters (parity debug)
+
+    # -- reference-vector block access -------------------------------------
+    def _ref_block_words(self, row_idx, nb):
+        """Returns uint32[2048] words, _FULL, or None for a ref block."""
+        bv = self._ref_rows.get(int(row_idx))
+        if bv is None:
+            raise ValueError(f"XOR ref row {row_idx} not in ref_vectors")
+        key = id(bv)
+        cached = self._ref_cache.get(key)
+        if cached is None:
+            bv._flush()
+            nb_arr = bv._struct.nb
+            cls_arr = bv._struct.cls
+            pool = np.asarray(bv._pool) if bv._pool.shape[0] else \
+                np.zeros((0, WORDS), np.uint32)
+            slots = bv._struct.slots()
+            cached = {}
+            for k in range(len(nb_arr)):
+                if cls_arr[k] == C.CLS_FULL:
+                    cached[int(nb_arr[k])] = _FULL
+                else:
+                    cached[int(nb_arr[k])] = pool[slots[k]]
+            self._ref_cache[key] = cached
+        return cached.get(int(nb))
+
+    # -----------------------------------------------------------------
+    def deserialize(self, data: bytes):
+        from ..core.bitvector import BitVector
+        from ..core.blocks import Structure
+        from ..ops import blockops
+
+        r = _ByteReader(data)
+        header = r.get_8()
+        if not (header & HM_NO_BO):
+            r.get_8()                      # byte order mark (LE assumed)
+        is64 = bool(header & HM_64_BIT)
+        size = (1 << 48) if is64 else ID_MAX32
+
+        blocks: dict[int, np.ndarray] = {}
+        full: set[int] = set()
+
+        def or_words(nb, words):
+            if nb in full:
+                return
+            cur = blocks.get(nb)
+            if cur is None:
+                blocks[nb] = words.astype(np.uint32, copy=True)
+            else:
+                cur |= words
+
+        if header & HM_ID_LIST:
+            if header & HM_RESIZE:
+                size = r.get_64() if is64 else r.get_32()
+            cnt = r.get_32()
+            ids = np.asarray([r.get_32() for _ in range(cnt)], np.int64)
+            return BitVector.from_indices(ids, max(size, 1))
+
+        if not (header & HM_NO_GAPL):
+            for _ in range(4):
+                r.get_16()                 # GAP level table (informational)
+        if header & HM_RESIZE:
+            size = r.get_64() if is64 else r.get_32()
+
+        total_blocks = (1 << 32) if is64 else TOTAL_BLOCKS32
+
+        # XOR FSM state
+        x_row = x_d64 = 0
+        x_nb = -1
+        x_chain = []
+        or_block = None
+
+        def xor_decode():
+            nonlocal x_row, x_d64, x_nb, x_chain, or_block
+            ref = self._ref_block_words(x_row, x_nb)
+            if ref is None:
+                if or_block is not None:
+                    or_words(x_nb, or_block)
+                if x_chain:
+                    blk = blocks.get(x_nb)
+                    if blk is None and x_nb not in full:
+                        blk = blocks[x_nb] = np.zeros(WORDS, np.uint32)
+                    if x_nb not in full:
+                        _apply_chain(blk, x_chain)
+            else:
+                if ref is _FULL:
+                    ref = np.full(WORDS, 0xFFFFFFFF, np.uint32)
+                if x_nb in full:
+                    full.discard(x_nb)
+                    blk = blocks[x_nb] = np.full(WORDS, 0xFFFFFFFF,
+                                                 np.uint32)
+                else:
+                    blk = blocks.get(x_nb)
+                    if blk is None:
+                        blk = blocks[x_nb] = np.zeros(WORDS, np.uint32)
+                _xor_digest(blk, ref, x_d64)
+                if x_chain:
+                    _apply_chain(blk, x_chain)
+                if or_block is not None:
+                    blk |= or_block
+            x_row = x_d64 = 0
+            x_nb = -1
+            x_chain = []
+            or_block = None
+
+        def _apply_chain(blk, chain):
+            for row, d64 in chain:
+                refc = self._ref_block_words(row, x_nb if x_nb >= 0 else 0)
+                if refc is None:
+                    continue
+                if refc is _FULL:
+                    refc = np.full(WORDS, 0xFFFFFFFF, np.uint32)
+                _xor_digest(blk, refc, d64)
+
+        def start_xor(nb_i, row, d64):
+            nonlocal x_row, x_d64, x_nb, or_block
+            x_row, x_d64, x_nb = row, d64, nb_i
+            if nb_i in full:
+                or_block = np.full(WORDS, 0xFFFFFFFF, np.uint32)
+                full.discard(nb_i)
+            elif nb_i in blocks:
+                or_block = blocks.pop(nb_i)
+
+        nb_i = 0
+        while nb_i < total_blocks:
+            btype = r.get_8()
+            if btype & 0x80:               # 7-bit packed zero run
+                nb_i += btype & 0x7F
+                continue
+            self.code_stat[btype] = self.code_stat.get(btype, 0) + 1
+
+            if btype in (BLOCK_AZERO, BLOCK_END):
+                break
+            if btype == BLOCK_1ZERO:
+                pass
+            elif btype == BLOCK_8ZERO:
+                nb_i += r.get_8(); continue
+            elif btype == BLOCK_16ZERO:
+                nb_i += r.get_16(); continue
+            elif btype == BLOCK_32ZERO:
+                nb_i += r.get_32(); continue
+            elif btype == BLOCK_64ZERO:
+                nb_i += r.get_64(); continue
+            elif btype == BLOCK_AONE:
+                for nb in range(nb_i, min(total_blocks,
+                                          (size >> 16) + 1)):
+                    blocks.pop(nb, None)
+                    full.add(nb)
+                break
+            elif btype == BLOCK_1ONE:
+                blocks.pop(nb_i, None)
+                full.add(nb_i)
+            elif btype in (BLOCK_8ONE, BLOCK_16ONE, BLOCK_32ONE,
+                           BLOCK_64ONE):
+                n = {BLOCK_8ONE: r.get_8, BLOCK_16ONE: r.get_16,
+                     BLOCK_32ONE: r.get_32, BLOCK_64ONE: r.get_64}[btype]()
+                for nb in range(nb_i, nb_i + n):
+                    blocks.pop(nb, None)
+                    full.add(nb)
+                nb_i += n - 1
+            elif btype == BLOCK_BIT:
+                or_words(nb_i, r.get_u32_words(WORDS))
+            elif btype == BLOCK_BIT_1BIT:
+                pos = r.get_16()
+                w = np.zeros(WORDS, np.uint32)
+                w[pos >> 5] = np.uint32(1 << (pos & 31))
+                or_words(nb_i, w)
+            elif btype == BLOCK_BIT_0RUNS:
+                or_words(nb_i, self._read_0runs(r))
+            elif btype == BLOCK_BIT_INTERVAL:
+                head = r.get_16()
+                tail = r.get_16()
+                w = np.zeros(WORDS, np.uint32)
+                w[head:tail + 1] = r.get_u32_words(tail - head + 1)
+                or_words(nb_i, w)
+            elif btype in (BLOCK_GAP, BLOCK_GAPBIT, BLOCK_ARRGAP,
+                           BLOCK_GAP_EGAMMA, BLOCK_ARRGAP_EGAMMA,
+                           BLOCK_ARRGAP_EGAMMA_INV, BLOCK_ARRGAP_INV,
+                           BLOCK_GAP_BIENC, BLOCK_GAP_BIENC_V2,
+                           BLOCK_ARRGAP_BIENC, BLOCK_ARRGAP_BIENC_INV,
+                           BLOCK_ARRGAP_BIENC_V2, BLOCK_ARRGAP_BIENC_INV_V2,
+                           BLOCK_GAP_BIENC_V3, BLOCK_GAP_BIENC_V3S,
+                           BLOCK_GAP_EGAMMA_V3):
+                or_words(nb_i, self._read_gap_family(r, btype))
+            elif btype == BLOCK_ARRBIT:
+                ln = r.get_16()
+                pos = r.get_u16_array(ln)
+                or_words(nb_i, _words_from_positions(pos))
+            elif btype == BLOCK_ARRBIT_INV:
+                ln = r.get_16()
+                pos = r.get_u16_array(ln)
+                or_words(nb_i, _words_from_positions(pos, invert=True))
+            elif btype in (BLOCK_ARR_BIENC, BLOCK_ARR_BIENC_INV,
+                           BLOCK_ARR_BIENC_8BH, BLOCK_ARR_BIENC_V3,
+                           BLOCK_ARR_BIENC_INV_V3, BLOCK_ARR_BIENC_V3S,
+                           BLOCK_ARR_BIENC_INV_V3S):
+                or_words(nb_i, self._read_bic_arr(r, btype))
+            elif btype == BLOCK_BITGAP_BIENC:
+                or_words(nb_i, self._read_bic_gap(r))
+            elif btype == BLOCK_BIT_DIGEST0:
+                or_words(nb_i, self._read_digest0(r))
+            elif btype in (SBLOCK_BIENC, SBLOCK_BIENC_V3):
+                sb, arr = self._read_sblock(r, btype)
+                base = sb * SUB_TOTAL_BITS
+                for off in arr:
+                    idx = base + int(off)
+                    nb = idx >> 16
+                    w = blocks.get(nb)
+                    if nb in full:
+                        continue
+                    if w is None:
+                        w = blocks[nb] = np.zeros(WORDS, np.uint32)
+                    bit = idx & 0xFFFF
+                    w[bit >> 5] |= np.uint32(1 << (bit & 31))
+                nb_i += SUB_ARRAY - (nb_i & (SUB_ARRAY - 1))
+                continue
+            elif btype == SBLOCK_BIENC_GAPS_V3:
+                # reference encoder never emits this (disabled, bmserial.h)
+                raise ValueError("sblock_bienc_gaps_v3 unsupported")
+            elif btype in (NB_BOOKMARK16, NB_BOOKMARK24, NB_BOOKMARK32):
+                {NB_BOOKMARK16: r.get_16, NB_BOOKMARK24: r.get_24,
+                 NB_BOOKMARK32: r.get_32}[btype]()
+                continue
+            elif btype in (NB_SYNC_MARK8, NB_SYNC_MARK16, NB_SYNC_MARK24,
+                           NB_SYNC_MARK32, NB_SYNC_MARK48, NB_SYNC_MARK64):
+                {NB_SYNC_MARK8: r.get_8, NB_SYNC_MARK16: r.get_16,
+                 NB_SYNC_MARK24: r.get_24, NB_SYNC_MARK32: r.get_32,
+                 NB_SYNC_MARK48: r.get_48, NB_SYNC_MARK64: r.get_64}[btype]()
+                continue
+            elif btype == BLOCK_REF_EQ:
+                if x_d64:
+                    xor_decode()
+                row = r.get_32()
+                ref = self._ref_block_words(row, nb_i)
+                if ref is _FULL:
+                    blocks.pop(nb_i, None)
+                    full.add(nb_i)
+                elif ref is not None:
+                    or_words(nb_i, ref)
+            elif btype in (BLOCK_XOR_REF8, BLOCK_XOR_REF16, BLOCK_XOR_REF32,
+                           BLOCK_XOR_REF8_UM, BLOCK_XOR_REF16_UM,
+                           BLOCK_XOR_REF32_UM):
+                if x_d64:
+                    xor_decode()
+                row = {BLOCK_XOR_REF8: r.get_8, BLOCK_XOR_REF16: r.get_16,
+                       BLOCK_XOR_REF32: r.get_32,
+                       BLOCK_XOR_REF8_UM: r.get_8,
+                       BLOCK_XOR_REF16_UM: r.get_16,
+                       BLOCK_XOR_REF32_UM: r.get_32}[btype]()
+                d64 = r.get_64() if btype <= BLOCK_XOR_REF32 \
+                    else 0xFFFFFFFFFFFFFFFF
+                start_xor(nb_i, row, d64)
+                continue
+            elif btype in (BLOCK_XOR_GAP_REF8, BLOCK_XOR_GAP_REF16,
+                           BLOCK_XOR_GAP_REF32):
+                if x_d64:
+                    xor_decode()
+                row = {BLOCK_XOR_GAP_REF8: r.get_8,
+                       BLOCK_XOR_GAP_REF16: r.get_16,
+                       BLOCK_XOR_GAP_REF32: r.get_32}[btype]()
+                start_xor(nb_i, row, 0xFFFFFFFFFFFFFFFF)
+                continue
+            elif btype == BLOCK_XOR_CHAIN:
+                if x_d64:
+                    xor_decode()
+                vbr = r.get_8()
+                row = {1: r.get_8, 2: r.get_16, 0: r.get_32}[vbr]()
+                d64 = r.get_h64()
+                chain_n = r.get_8()
+                chain = []
+                for _ in range(chain_n):
+                    ref_idx = {1: r.get_8, 2: r.get_16, 0: r.get_32}[vbr]()
+                    chain.append((ref_idx, r.get_h64()))
+                start_xor(nb_i, row, d64)
+                x_chain = chain
+                continue
+            elif btype in (BLOCK_SGAPBIT, BLOCK_SGAPGAP):
+                raise ValueError(f"legacy sgap code {btype} unsupported")
+            else:
+                raise ValueError(f"unknown block code {btype}")
+            nb_i += 1
+
+        if x_d64:
+            xor_decode()
+
+        # assemble BitVector: clamp to size
+        size = max(int(size), 1)
+        last_nb = (size - 1) >> 16
+        tail_bits = size - (last_nb << 16)
+        nbs, clss, rows = [], [], []
+        for nb in sorted(set(blocks) | full):
+            if nb > last_nb:
+                continue
+            if nb in full:
+                if nb == last_nb and tail_bits < BITS:
+                    w = np.full(WORDS, 0xFFFFFFFF, np.uint32)
+                    w &= _tail_mask(tail_bits)
+                    nbs.append(nb); clss.append(C.CLS_BIT); rows.append(w)
+                else:
+                    nbs.append(nb); clss.append(C.CLS_FULL)
+                continue
+            w = blocks[nb]
+            if nb == last_nb and tail_bits < BITS:
+                w = w & _tail_mask(tail_bits)
+            if not w.any():
+                continue
+            nbs.append(nb); clss.append(C.CLS_BIT); rows.append(w)
+        import jax.numpy as jnp
+        pool = (jnp.asarray(np.stack(rows)) if rows
+                else blockops.zero_pool(0))
+        struct = Structure(np.asarray(nbs, np.int64),
+                           np.asarray(clss, np.uint8))
+        return BitVector._from_parts(struct, pool, size)
+
+    # -- per-family readers -------------------------------------------------
+    @staticmethod
+    def _read_0runs(r):
+        """set_block_bit_0runs (read_0runs_block, src/bmserial.h:4674)."""
+        w = np.zeros(WORDS, np.uint32)
+        run_type = r.get_8()
+        j = 0
+        while j < WORDS:
+            run_len = r.get_16()
+            if run_type:
+                w[j:j + run_len] = r.get_u32_words(run_len)
+            j += run_len
+            run_type = not run_type
+        return w
+
+    @staticmethod
+    def _read_digest0(r):
+        """set_block_bit_digest0 (read_digest0_block, src/bmserial.h:4634)."""
+        w = np.zeros(WORDS, np.uint32)
+        d0 = r.get_64()
+        wave = 0
+        while d0:
+            if d0 & 1:
+                off = wave * WAVE_WORDS
+                w[off:off + WAVE_WORDS] = r.get_u32_words(WAVE_WORDS)
+            d0 >>= 1
+            wave += 1
+        return w
+
+    def _read_bic_arr(self, r, btype):
+        """read_bic_arr families (src/bmserial.h:4284)."""
+        if btype in (BLOCK_ARR_BIENC, BLOCK_ARR_BIENC_INV):
+            min_v = r.get_16()
+            max_v = r.get_16()
+            arr_len = r.get_16()
+            bi = _BitIn(r)
+            mids = bi.bic_decode_cm(arr_len - 2, min_v, max_v) \
+                if arr_len > 2 else []
+            pos = [min_v] + mids + [max_v]
+            return _words_from_positions(
+                pos, invert=(btype == BLOCK_ARR_BIENC_INV))
+        if btype == BLOCK_ARR_BIENC_8BH:
+            min_v = r.get_8()
+            max_delta = r.get_8()
+            max_v = (65536 - max_delta) & 0xFFFF
+            arr_len = r.get_16()
+            bi = _BitIn(r)
+            mids = bi.bic_decode_cm(arr_len - 2, min_v, max_v) \
+                if arr_len > 2 else []
+            return _words_from_positions([min_v] + mids + [max_v])
+        if btype in (BLOCK_ARR_BIENC_V3, BLOCK_ARR_BIENC_INV_V3):
+            bi = _BitIn(r)
+            w = np.zeros(WORDS, np.uint32)
+            h3, arr_s = bi.decode_array()
+            for p in arr_s:
+                w[int(p) >> 5] |= np.uint32(1 << (int(p) & 31))
+            if not (h3 & H3F_EX_ARR_EX_EOC):
+                _h3r, arr_r = bi.decode_array()
+                h3rl, arr_rl = bi.decode_array(default_sz=len(arr_r))
+                if (h3rl & H3F_EX_UPPER2) == 1:      # BIC coder: ends stored
+                    arr_rl = arr_rl - arr_r
+                bits = np.unpackbits(w.view(np.uint8), bitorder="little")
+                for s, ln in zip(arr_r, arr_rl):
+                    bits[int(s):int(s) + int(ln) + 1] = 1
+                w = np.packbits(bits, bitorder="little").view(np.uint32)
+            if btype == BLOCK_ARR_BIENC_INV_V3:
+                w = ~w
+            return w
+        # v3s
+        bi = _BitIn(r)
+        arr_len = bi.delta16s()
+        need_min_max = bi.get_bits(1)
+        pos = []
+        if need_min_max:
+            min_v = bi.delta16s()
+            arr_len -= 2
+            max_delta = bi.delta16s()
+            max_v = (65536 - max_delta) & 0xFFFF
+            pos += [min_v, max_v]
+            min_v += 1
+            max_v -= 1
+        else:
+            min_v, max_v = 0, 65535
+        if arr_len:
+            pos += bi.bic_decode_cm(arr_len, min_v, max_v)
+        return _words_from_positions(
+            pos, invert=(btype == BLOCK_ARR_BIENC_INV_V3S))
+
+    @staticmethod
+    def _read_bic_gap(r):
+        """set_block_bitgap_bienc (read_bic_gap, src/bmserial.h:4611)."""
+        head = r.get_8()
+        arr_len = r.get_16()
+        min_v = r.get_16()
+        bi = _BitIn(r)
+        mids = bi.bic_decode_cm(arr_len - 2, min_v, 65535) \
+            if arr_len > 2 else []
+        boundaries = np.asarray([min_v] + mids + [65535], np.int64)
+        # gap buffer [head, b1..] — head bit0 is the start value
+        return _words_from_gap(head & 1, boundaries)
+
+    def _read_gap_family(self, r, btype):
+        """All GAP-family codes -> dense words (read_gap_block,
+        src/bmserial.h:4748 + deserialize_gap :5245)."""
+        if btype in (BLOCK_GAP, BLOCK_GAPBIT):
+            head = r.get_16()
+            L = head >> 3
+            vals = r.get_u16_array(L - 1)
+            boundaries = np.concatenate([vals, [BITS - 1]])
+            return _words_from_gap(head & 1, boundaries)
+
+        if btype in (BLOCK_ARRGAP, BLOCK_ARRGAP_INV):
+            ln = r.get_16()
+            pos = r.get_u16_array(ln)
+            return _words_from_positions(pos,
+                                         invert=(btype == BLOCK_ARRGAP_INV))
+
+        if btype in (BLOCK_ARRGAP_EGAMMA, BLOCK_ARRGAP_EGAMMA_INV):
+            bi = _BitIn(r)
+            ln = bi.gamma()
+            pos = []
+            prev = 0
+            for k in range(ln):
+                v = bi.gamma()
+                if k == 0:
+                    v -= 1
+                prev = v + prev
+                pos.append(prev)
+            return _words_from_positions(
+                pos, invert=(btype == BLOCK_ARRGAP_EGAMMA_INV))
+
+        if btype in (BLOCK_ARRGAP_BIENC, BLOCK_ARRGAP_BIENC_INV):
+            min_v = r.get_16()
+            max_v = r.get_16()
+            bi = _BitIn(r)
+            ln = bi.gamma() + 4
+            mids = bi.bic_decode_cm(ln - 2, min_v, max_v)
+            pos = [min_v] + mids + [max_v]
+            return _words_from_positions(
+                pos, invert=(btype == BLOCK_ARRGAP_BIENC_INV))
+
+        if btype in (BLOCK_ARRGAP_BIENC_V2, BLOCK_ARRGAP_BIENC_INV_V2):
+            ln = r.get_16()
+            min_v = r.get_8() if (ln & 1) else r.get_16()
+            max_d = r.get_8() if (ln & 2) else r.get_16()
+            max_v = (min_v + max_d) & 0xFFFF
+            ln >>= 2
+            bi = _BitIn(r)
+            mids = bi.bic_decode_cm(ln - 2, min_v, max_v) if ln > 2 else []
+            pos = [min_v] + mids + [max_v]
+            return _words_from_positions(
+                pos, invert=(btype == BLOCK_ARRGAP_BIENC_INV_V2))
+
+        if btype == BLOCK_GAP_EGAMMA:
+            head = r.get_16()
+            L = (head >> 3) - 1
+            bi = _BitIn(r)
+            vals = []
+            s = 0
+            for i in range(L):
+                v = bi.gamma()
+                s = (s + v - 1) if i == 0 else (s + v)
+                vals.append(s)
+            boundaries = np.asarray(vals + [BITS - 1], np.int64)
+            return _words_from_gap(head & 1, boundaries)
+
+        if btype == BLOCK_GAP_EGAMMA_V3:
+            bi = _BitIn(r)
+            L = bi.gamma() + 1
+            start = bi.get_bit()
+            use_gamma = bi.get_bit()
+            vals = []
+            if use_gamma:
+                prev = bi.gamma8()
+                vals.append(prev)
+                for _ in range(2, L):
+                    prev += bi.gamma8()
+                    vals.append(prev)
+            else:
+                for _ in range(1, L):
+                    vals.append(bi.get_16_no())
+            boundaries = np.asarray(vals + [BITS - 1], np.int64)
+            return _words_from_gap(start, boundaries)
+
+        if btype == BLOCK_GAP_BIENC:
+            head = r.get_16()
+            L = head >> 3
+            min_v = r.get_16()
+            bi = _BitIn(r)
+            mids = bi.bic_decode_cm(L - 2, min_v, 65535) if L > 2 else []
+            boundaries = np.asarray([min_v] + mids + [BITS - 1], np.int64)
+            return _words_from_gap(head & 1, boundaries)
+
+        if btype == BLOCK_GAP_BIENC_V2:
+            head = r.get_16()
+            L = head >> 3
+            min_v = r.get_8() if (head & H2F_MIN_V_8BIT) else r.get_16()
+            max_v = r.get_8() if (head & H2F_MAX_V_8BIT) else r.get_16()
+            max_v = (65535 - max_v) & 0xFFFF
+            bi = _BitIn(r)
+            mids = bi.bic_decode_cm(L - 3, min_v, max_v) if L > 3 else []
+            boundaries = np.asarray([min_v] + mids + [max_v, BITS - 1],
+                                    np.int64)
+            return _words_from_gap(head & 1, boundaries)
+
+        if btype == BLOCK_GAP_BIENC_V3S:
+            bi = _BitIn(r)
+            head = bi.delta16s()
+            L = head >> 3
+            min8 = head & H2F_MIN_V_8BIT
+            tail8 = head & H2F_MAX_V_8BIT
+            min_v = bi.gamma8() if min8 else bi.get_16_no()
+            max_v = bi.gamma8() if tail8 else bi.get_16_no()
+            max_v = (65535 - max_v) & 0xFFFF
+            mids = bi.bic_decode_cm(L - 3, min_v, max_v) if L > 3 else []
+            boundaries = np.asarray([min_v] + mids + [max_v, BITS - 1],
+                                    np.int64)
+            return _words_from_gap(head & 1, boundaries)
+
+        if btype == BLOCK_GAP_BIENC_V3:
+            return self._read_gap_bienc_v3(r)
+
+        raise ValueError(f"unhandled GAP code {btype}")
+
+    @staticmethod
+    def _read_gap_bienc_v3(r):
+        """set_block_gap_bienc_v3 (src/bmserial.h:4884)."""
+        bi = _BitIn(r)
+        head_v3 = bi.get_bits(8)
+        gap_head = bi.delta16s()
+        L = gap_head >> 3
+        start = gap_head & 1
+
+        def decode_min_max():
+            min_v = bi.get_bits(8) if (gap_head & H2F_MIN_V_8BIT) \
+                else bi.get_16_no()
+            if gap_head & H2F_MAX_V_8BIT:
+                mv = bi.get_bits(8)
+                mv = (mv << 3) | (head_v3 & 0b111)
+            else:
+                mv = bi.get_16_no()
+            return min_v, (65535 - mv) & 0xFFFF
+
+        def decode_mins():
+            min0 = min1 = 0
+            if not (head_v3 & H3F_MIN0_SKIP):
+                min0 = bi.gamma8() if (head_v3 & H3F_MIN0_8BIT) \
+                    else bi.delta16()
+            if not (head_v3 & H3F_MIN1_SKIP):
+                min1 = bi.gamma8() if (head_v3 & H3F_MIN1_8BIT) \
+                    else bi.delta16()
+            return min0, min1
+
+        def bic_body():
+            min_v, max_v = decode_min_max()
+            min0, min1 = decode_mins()
+            mids = bi.bic_decode_cm(L - 3, min_v + 1, max_v) if L > 3 else []
+            buf = np.zeros(L + 1, np.int64)
+            buf[0] = gap_head & ~6         # head with v2 flags cleared
+            buf[1] = min_v
+            if L > 3:
+                buf[2:L - 1] = mids
+            buf[L - 1] = max_v + 1
+            buf[L] = BITS - 1
+            return buf, min0, min1
+
+        if head_v3 & H3F_EXCEPTIONS:
+            if L < GAP_LEN_CUT_OFF_V3:
+                vals = []
+                if L > 1:
+                    prev = bi.delta16s()
+                    vals.append(prev)
+                    for _ in range(2, L):
+                        prev += bi.delta16s()
+                        vals.append(prev)
+                boundaries = np.asarray(vals + [BITS - 1], np.int64)
+            else:
+                buf, min0, min1 = bic_body()
+                _gap_restore_mins(buf, min0, min1)
+                boundaries = buf[1:]
+            words = _words_from_gap(start, boundaries)
+            bits = np.unpackbits(words.view(np.uint8), bitorder="little")
+            h3, ex = bi.decode_array()
+            bits[ex.astype(np.int64)] = 1 if (h3 & H3F_EX_ARR_1) else 0
+            if not (h3 & H3F_EX_ARR_EX_EOC):
+                h3b, ex2 = bi.decode_array()
+                bits[ex2.astype(np.int64)] = 1 if (h3b & H3F_EX_ARR_1) else 0
+            return np.packbits(bits, bitorder="little").view(np.uint32)
+        buf, min0, min1 = bic_body()
+        if min0 or min1:
+            _gap_restore_mins(buf, min0, min1)
+        return _words_from_gap(start, buf[1:])
+
+    @staticmethod
+    def _read_sblock(r, btype):
+        """set_sblock_bienc (v1+v3) -> (sb_index, offsets array)
+        (read_bic_sb_arr, src/bmserial.h:4423)."""
+        bi = _BitIn(r)
+        if btype == SBLOCK_BIENC:
+            sb_flag = r.get_8()
+            if sb_flag & SB_FLAG_SB32:
+                sb = r.get_32()
+            elif sb_flag & SB_FLAG_SB16:
+                sb = r.get_16()
+            else:
+                sb = r.get_8()
+            ln = r.get_16() if (sb_flag & SB_FLAG_LEN16) else r.get_8()
+            if not ln:
+                raise ValueError("zero-length sblock")
+            if sb_flag & SB_FLAG_MIN24:
+                min_v = r.get_32() if (sb_flag & SB_FLAG_MIN16) else \
+                    r.get_24()
+            elif sb_flag & SB_FLAG_MIN16:
+                min_v = r.get_16()
+            else:
+                min_v = r.get_8()
+            if sb_flag & SB_FLAG_MAX24:
+                max_v = r.get_32() if (sb_flag & SB_FLAG_MAX16) else \
+                    r.get_24()
+            elif sb_flag & SB_FLAG_MAX16:
+                max_v = r.get_16()
+            else:
+                max_v = r.get_8()
+            max_v = SUB_TOTAL_BITS - max_v
+            min0 = 0
+            if sb_flag & SB_FLAG_DR_MIN:
+                min0 = bi.gamma() if bi.get_bit() else bi.get_16_no()
+            arr = np.zeros(ln, np.int64)
+            arr[0] = min_v
+            arr[ln - 1] = max_v
+            if ln > 2:
+                arr[1:ln - 1] = bi.bic_decode_cm(ln - 2, min_v, max_v)
+            if min0:
+                _arr_restore_min(arr, min0)
+            return sb, arr
+        # v3
+        sb_flag = bi.get_bits(8)
+        ln = bi.delta16() if (sb_flag & SB_FLAG_LEN16) else bi.get_bits(8)
+        if sb_flag & SB_FLAG_MIN24:
+            j = bi.gamma()
+            nbit = bi.get_16_no()
+            min_v = j * 65536 + nbit
+        elif sb_flag & SB_FLAG_MIN16:
+            min_v = bi.get_16_no()
+        else:
+            min_v = bi.get_bits(8)
+        if sb_flag & SB_FLAG_MAX24:
+            max_v = bi.get_24_no()
+        elif sb_flag & SB_FLAG_MAX16:
+            max_v = bi.get_16_no()
+        else:
+            max_v = bi.get_bits(8)
+        max_v = SUB_TOTAL_BITS - max_v
+        min0 = 0
+        if sb_flag & SB_FLAG_DR_MIN:
+            code = bi.gamma()
+            if code == 1:
+                min0 = bi.gamma()
+            elif code == 2:
+                min0 = bi.get_bits(8)
+            elif code == 3:
+                min0 = bi.get_16_no()
+        if (sb_flag & SB_FLAG_SBGAMMA) == SB_FLAG_SBGAMMA:
+            sb = bi.gamma() - 1
+        elif sb_flag & SB_FLAG_SB32:
+            sb = bi.get_32_no()
+        elif sb_flag & SB_FLAG_SB16:
+            sb = bi.get_16_no()
+        else:
+            sb = bi.get_bits(8)
+        arr = np.zeros(ln, np.int64)
+        arr[0] = min_v
+        arr[ln - 1] = max_v
+        if ln > 2:
+            arr[1:ln - 1] = bi.bic_decode_cm(ln - 2, min_v + 1, max_v - 1)
+        if min0:
+            _arr_restore_min(arr, min0)
+        return sb, arr
+
+
+def _xor_digest(blk, ref, d64):
+    """bm::bit_block_xor w/ digest (src/bmxor.h:569): XOR ref into blk for
+    every wave whose digest bit is set."""
+    if d64 == 0xFFFFFFFFFFFFFFFF:
+        blk ^= ref
+        return
+    wave = 0
+    while d64:
+        if d64 & 1:
+            off = wave * WAVE_WORDS
+            blk[off:off + WAVE_WORDS] ^= ref[off:off + WAVE_WORDS]
+        d64 >>= 1
+        wave += 1
+
+
+def _tail_mask(tail_bits):
+    bits = np.zeros(BITS, np.uint8)
+    bits[:tail_bits] = 1
+    return np.packbits(bits, bitorder="little").view(np.uint32)
+
+
+# ---------------------------------------------------------------------------
+# Encoder (reference-readable subset, v1-generation codes)
+# ---------------------------------------------------------------------------
+class RefSerializer:
+    """Standalone serializer producing reference-format BLOBs.
+
+    Emits v1-generation block codes readable by ANY reference version:
+    zero/one runs, raw bit blocks, bit_1bit, arrbit(_inv), plain GAP,
+    gamma GAP/arrays, BIC v1 arrays (arr_bienc/_inv/_8bh).  Compression
+    levels follow the reference ladder (src/bmserial.h:115-127):
+    0 raw, 1-3 +arrays/GAP, 4 +gamma, 5-6 +BIC.
+    """
+
+    def __init__(self, level: int = 6):
+        if not (0 <= level <= 6):
+            raise ValueError("level must be 0..6")
+        self.level = level
+        self.compression_stat = {}
+
+    def serialize(self, bv) -> bytes:
+        bv._flush()
+        from ..ops import blockops
+        w = _ByteWriter()
+        size = int(bv.size)
+        struct = bv._struct
+        is64 = size > ID_MAX32 or (
+            len(struct.nb) and int(struct.nb[-1]) >= TOTAL_BLOCKS32)
+
+        header = HM_RESIZE
+        if is64:
+            header |= HM_64_BIT
+        w.put_8(header)
+        w.put_8(1)                                # ByteOrder::LittleEndian
+        for g in DEFAULT_GLEVELS:
+            w.put_16(g)
+        (w.put_64 if is64 else w.put_32)(min(size, (1 << 48) if is64
+                                             else ID_MAX32))
+
+        self.compression_stat = {}
+        if bv._pool.shape[0]:
+            pool = np.asarray(bv._pool)
+            bc_all = np.asarray(blockops.block_counts(bv._pool))
+        else:
+            pool = np.zeros((0, WORDS), np.uint32)
+            bc_all = np.zeros(0, np.int64)
+        slots = struct.slots()
+
+        cur = 0
+        k = 0
+        n = len(struct.nb)
+        while k < n:
+            nb = int(struct.nb[k])
+            gap = nb - cur
+            if gap:
+                self._put_zero_run(w, gap)
+            if struct.cls[k] == C.CLS_FULL:
+                run = 1
+                while (k + run < n and struct.cls[k + run] == C.CLS_FULL
+                       and int(struct.nb[k + run]) == nb + run):
+                    run += 1
+                self._put_one_run(w, run)
+                cur = nb + run
+                k += run
+                continue
+            s = slots[k]
+            bc = int(bc_all[s])
+            if bc == 0:
+                cur = nb  # nothing emitted; zero run continues
+                k += 1
+                continue
+            if bc == BITS:
+                self._put_one_run(w, 1)
+            else:
+                self._encode_block(w, pool[s], bc)
+            cur = nb + 1
+            k += 1
+        w.put_8(BLOCK_END)
+        return w.get_bytes()
+
+    # ------------------------------------------------------------------
+    def _stat(self, name):
+        self.compression_stat[name] = self.compression_stat.get(name, 0) + 1
+
+    def _put_zero_run(self, w, n):
+        while n:
+            if 1 < n < 128:
+                w.put_8(0x80 | n)
+                return
+            if n == 1:
+                w.put_8(BLOCK_1ZERO)
+                return
+            if n < 256:
+                w.put_8(BLOCK_8ZERO); w.put_8(n); return
+            if n < 65536:
+                w.put_8(BLOCK_16ZERO); w.put_16(n); return
+            if n < ID_MAX32:
+                w.put_8(BLOCK_32ZERO); w.put_32(n); return
+            w.put_8(BLOCK_64ZERO); w.put_64(n); return
+
+    def _put_one_run(self, w, n):
+        if n == 1:
+            w.put_8(BLOCK_1ONE)
+        elif n < 256:
+            w.put_8(BLOCK_8ONE); w.put_8(n)
+        elif n < 65536:
+            w.put_8(BLOCK_16ONE); w.put_16(n)
+        elif n < ID_MAX32:
+            w.put_8(BLOCK_32ONE); w.put_32(n)
+        else:
+            w.put_8(BLOCK_64ONE); w.put_64(n)
+
+    def _encode_block(self, w, words, bc):
+        level = self.level
+        if bc == 1:
+            pos = int(_positions_from_words(words)[0])
+            w.put_8(BLOCK_BIT_1BIT)
+            w.put_16(pos)
+            self._stat("bit_1bit")
+            return
+
+        candidates = []   # (size_bytes, tag, payload_bytes)
+        raw = self._enc_raw(words)
+        candidates.append((len(raw), "bit", raw))
+        ibc = BITS - bc
+        if level >= 1:
+            if bc < 65536:
+                pos = _positions_from_words(words)
+                p = self._enc_arrbit(pos, inverted=False)
+                candidates.append((len(p), "arrbit", p))
+            if ibc < 65536:
+                ipos = _positions_from_words(words, invert=True)
+                p = self._enc_arrbit(ipos, inverted=True)
+                candidates.append((len(p), "arrbit_inv", p))
+            start, boundaries = _gap_boundaries_from_words(words)
+            L = len(boundaries)
+            if L < 8192:
+                p = self._enc_gap(start, boundaries)
+                candidates.append((len(p), "gap", p))
+        if level >= 4:
+            if L < 8192:
+                p = self._enc_gap_egamma(start, boundaries)
+                candidates.append((len(p), "gap_egamma", p))
+            if bc <= 4096:
+                p = self._enc_arrgap_egamma(pos, inverted=False)
+                candidates.append((len(p), "arrgap_egamma", p))
+            elif ibc <= 4096:
+                p = self._enc_arrgap_egamma(ipos, inverted=True)
+                candidates.append((len(p), "arrgap_egamma_inv", p))
+        if level >= 5:
+            if 2 < bc <= 16384:
+                p = self._enc_arr_bienc(pos, inverted=False)
+                candidates.append((len(p), "arr_bienc", p))
+            if 2 < ibc <= 16384:
+                p = self._enc_arr_bienc(ipos, inverted=True)
+                candidates.append((len(p), "arr_bienc_inv", p))
+        candidates.sort(key=lambda t: t[0])
+        size, tag, payload = candidates[0]
+        w.parts += payload
+        self._stat(tag)
+
+    @staticmethod
+    def _enc_raw(words):
+        w = _ByteWriter()
+        w.put_8(BLOCK_BIT)
+        w.put_u32_words(words)
+        return w.get_bytes()
+
+    @staticmethod
+    def _enc_arrbit(pos, inverted):
+        w = _ByteWriter()
+        w.put_8(BLOCK_ARRBIT_INV if inverted else BLOCK_ARRBIT)
+        w.put_16(len(pos))
+        w.put_u16_array(pos)
+        return w.get_bytes()
+
+    @staticmethod
+    def _enc_gap(start, boundaries):
+        """set_block_gap: head u16 + boundaries[0..L-2] u16 (last implied)."""
+        L = len(boundaries)
+        w = _ByteWriter()
+        w.put_8(BLOCK_GAP)
+        head = (L << 3) | (3 << 1) | start       # level bits informational
+        w.put_16(head)
+        w.put_u16_array(boundaries[:-1])
+        return w.get_bytes()
+
+    @staticmethod
+    def _enc_gap_egamma(start, boundaries):
+        """set_block_gap_egamma: head u16, then gammas of first+1, deltas."""
+        L = len(boundaries)                      # includes final 65535
+        w = _ByteWriter()
+        w.put_8(BLOCK_GAP_EGAMMA)
+        head = (L << 3) | (3 << 1) | start
+        w.put_16(head)
+        bo = _BitOut(w)
+        vals = boundaries[:-1]                   # final 65535 implied
+        prev = 0
+        for i, v in enumerate(vals):
+            v = int(v)
+            bo.gamma(v + 1 if i == 0 else v - prev)
+            prev = v
+        bo.flush()
+        return w.get_bytes()
+
+    @staticmethod
+    def _enc_arrgap_egamma(pos, inverted):
+        w = _ByteWriter()
+        w.put_8(BLOCK_ARRGAP_EGAMMA_INV if inverted
+                else BLOCK_ARRGAP_EGAMMA)
+        bo = _BitOut(w)
+        bo.gamma(len(pos))
+        prev = 0
+        for k, v in enumerate(pos):
+            v = int(v)
+            bo.gamma(v + 1 if k == 0 else v - prev)
+            prev = v
+        bo.flush()
+        return w.get_bytes()
+
+    @staticmethod
+    def _enc_arr_bienc(pos, inverted):
+        """set_block_arr_bienc / _inv / _8bh (v1 layout,
+        src/bmserial.h:3419-3452)."""
+        min_v = int(pos[0])
+        max_v = int(pos[-1])
+        max_delta = 65536 - max_v
+        w = _ByteWriter()
+        if not inverted and min_v <= 0xFF and max_delta <= 0xFF:
+            w.put_8(BLOCK_ARR_BIENC_8BH)
+            w.put_8(min_v)
+            w.put_8(max_delta)
+        else:
+            w.put_8(BLOCK_ARR_BIENC_INV if inverted else BLOCK_ARR_BIENC)
+            w.put_16(min_v)
+            w.put_16(max_v)
+        w.put_16(len(pos))
+        bo = _BitOut(w)
+        bo.bic_encode_cm([int(v) for v in pos[1:-1]], min_v, max_v)
+        bo.flush()
+        return w.get_bytes()
+
+
+# ---------------------------------------------------------------------------
+# one-shot helpers
+# ---------------------------------------------------------------------------
+def ref_serialize(bv, level: int = 6) -> bytes:
+    """BitVector -> reference-format BLOB (standalone)."""
+    return RefSerializer(level).serialize(bv)
+
+
+def ref_deserialize(data: bytes, ref_vectors=None):
+    """Reference-format BLOB -> BitVector (standalone, all block codes)."""
+    return RefDeserializer(ref_vectors).deserialize(data)

@@ -1,13 +1,15 @@
-"""Reference-format BLOB interop.
+"""Reference-codec bridge (fixture generator / cross-validation oracle).
 
-Read/write compatibility with the reference serialization format
-(src/bmserial.h — ~67 block codes incl. BIC v1-v3, XOR reference chains,
-bookmarks) via the native bridge (serial/native/refbridge.cpp), which wraps
-the reference's own codec compiled from its headers.
+Wraps the REFERENCE's own serializer/deserializer, compiled from its
+headers via serial/native/refbridge.cpp.  Only available where the
+reference tree is present (BITMAGIC_REFERENCE_PATH or /root/reference);
+used by tools/make_refblob_fixtures.py and the cross-checks in
+tests/test_refcodec.py.
 
-Availability is optional: the bridge builds only where the reference tree is
-present (BITMAGIC_REFERENCE_PATH or /root/reference).  The framework's own
-format (serializer.py, magic BMT1) is always available and standalone.
+For standalone reference-format interop use serial/refcodec.py — the
+clean-room codec that decodes all ~70 reference block codes (and encodes
+a reference-readable subset) with no dependency on the reference tree.
+The framework's own native format is serializer.py (magic BMT1).
 """
 
 from __future__ import annotations
@@ -64,6 +66,21 @@ def load():
                                                      ctypes.c_int64]
         lib.bmref_selfcheck.restype = ctypes.c_int
         lib.bmref_selfcheck.argtypes = [u8p]
+        lib.bmref_serialize_ex.restype = ctypes.c_int64
+        lib.bmref_serialize_ex.argtypes = [u64p, ctypes.c_int64,
+                                           ctypes.c_uint64, ctypes.c_int,
+                                           ctypes.c_int, ctypes.c_int,
+                                           u8p, ctypes.c_int64]
+        lib.bmref_serialize_xor.restype = ctypes.c_int64
+        lib.bmref_serialize_xor.argtypes = [u64p, ctypes.c_int64,
+                                            u64p, ctypes.c_int64,
+                                            u64p, ctypes.c_int64,
+                                            ctypes.c_uint64,
+                                            u8p, ctypes.c_int64]
+        lib.bmref_deserialize_xor_to_indices.restype = ctypes.c_int64
+        lib.bmref_deserialize_xor_to_indices.argtypes = [
+            u8p, u64p, ctypes.c_int64, u64p, ctypes.c_int64,
+            ctypes.c_uint64, u64p, ctypes.c_int64]
         _lib = lib
         return lib
 
@@ -88,6 +105,77 @@ def deserialize_reference_blob(blob: bytes):
     lib.bmref_deserialize_to_indices(
         bp, buf.size, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), n)
     return BitVector.from_indices(out[:n].astype(np.int64), 1 << 32)
+
+
+def _u64p(arr):
+    return np.ascontiguousarray(arr, np.uint64).ctypes.data_as(
+        ctypes.POINTER(ctypes.c_uint64))
+
+
+def serialize_reference_blob_ex(ids, size, level=6, bookmarks=0,
+                                use_gap=False) -> bytes:
+    """Reference serializer with explicit level/bookmarks/GAP strategy —
+    fixture generator for the standalone decoder (serial/refcodec.py)."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("reference bridge unavailable")
+    ids = np.ascontiguousarray(np.asarray(ids, np.uint64))
+    ip = ids.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+    n = lib.bmref_serialize_ex(ip, ids.size, size, level, bookmarks,
+                               int(use_gap), None, 0)
+    if n < 0:
+        raise ValueError("reference serialization failed")
+    out = np.zeros(n, np.uint8)
+    lib.bmref_serialize_ex(ip, ids.size, size, level, bookmarks,
+                           int(use_gap),
+                           out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                           n)
+    return out.tobytes()
+
+
+def serialize_reference_blob_xor(ids_target, ids_ref, size,
+                                 ids_ref2=None) -> bytes:
+    """Reference serializer with the XOR reference filter ON
+    (refs at rows 0 and optionally 2)."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("reference bridge unavailable")
+    t = np.ascontiguousarray(np.asarray(ids_target, np.uint64))
+    rr = np.ascontiguousarray(np.asarray(ids_ref, np.uint64))
+    r2 = np.ascontiguousarray(np.asarray(
+        ids_ref2 if ids_ref2 is not None else [], np.uint64))
+    tp, rp, r2p = _u64p(t), _u64p(rr), _u64p(r2)
+    n = lib.bmref_serialize_xor(tp, t.size, rp, rr.size, r2p, r2.size,
+                                size, None, 0)
+    if n < 0:
+        raise ValueError("reference XOR serialization failed")
+    out = np.zeros(n, np.uint8)
+    lib.bmref_serialize_xor(
+        tp, t.size, rp, rr.size, r2p, r2.size, size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n)
+    return out.tobytes()
+
+
+def deserialize_reference_blob_xor(blob, ids_ref, size, ids_ref2=None):
+    """Reference deserializer with ref vectors (rows 0, 2) -> indices."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("reference bridge unavailable")
+    buf = np.frombuffer(bytes(blob), np.uint8)
+    bp = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    rr = np.ascontiguousarray(np.asarray(ids_ref, np.uint64))
+    r2 = np.ascontiguousarray(np.asarray(
+        ids_ref2 if ids_ref2 is not None else [], np.uint64))
+    rp, r2p = _u64p(rr), _u64p(r2)
+    n = lib.bmref_deserialize_xor_to_indices(bp, rp, rr.size, r2p, r2.size,
+                                             size, None, 0)
+    if n < 0:
+        raise ValueError("reference XOR deserialization failed")
+    out = np.zeros(max(n, 1), np.uint64)
+    lib.bmref_deserialize_xor_to_indices(
+        bp, rp, rr.size, r2p, r2.size, size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), n)
+    return out[:n].astype(np.int64)
 
 
 def serialize_reference_blob(bv) -> bytes:

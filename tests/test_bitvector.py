@@ -266,6 +266,29 @@ def test_optimize_stats(rng):
     assert bv.count() == BITS_PER_BLOCK * 2
 
 
+def test_optimize_to_full_keeps_later_blocks_aligned(rng):
+    """Regression: optimize() reclassifying dense all-ones BIT rows to FULL
+    must remove their pool rows with the OLD slot mapping, or every later
+    block reads a shifted row (caught on-chip via ref-format round-trip)."""
+    big = 10 * BITS_PER_BLOCK + 777
+    bv = BitVector(big)
+    ids = np.concatenate([
+        rng.integers(0, BITS_PER_BLOCK, 500),             # partial block 0
+        np.arange(BITS_PER_BLOCK * 2, BITS_PER_BLOCK * 5),  # blocks 2-4 ones
+        rng.integers(BITS_PER_BLOCK * 7, BITS_PER_BLOCK * 8, 700),
+        [big - 3],
+    ]).astype(np.int64)
+    ids = np.unique(ids)
+    bv.set_many(ids)
+    before = bv.indices()
+    np.testing.assert_array_equal(before, ids)
+    bv.optimize()
+    st = bv.calc_stat()
+    assert st["full_blocks"] == 3
+    np.testing.assert_array_equal(bv.indices(), ids)
+    assert bv.count() == len(ids)
+
+
 def test_48bit_addressing():
     big = 1 << 40
     ids = np.asarray([0, BITS_PER_BLOCK, big - 1, big - BITS_PER_BLOCK], np.int64)

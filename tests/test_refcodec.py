@@ -1,0 +1,374 @@
+"""Standalone reference-format codec (serial/refcodec.py) parity tests.
+
+Three layers of validation:
+ 1. committed fixture BLOBs produced by the REFERENCE serializer
+    (tools/make_refblob_fixtures.py) decode bit-exactly — no reference
+    tree needed at test time;
+ 2. our encoder's BLOBs round-trip through our decoder at every level;
+ 3. when the reference bridge is available, cross-checks in both
+    directions (reference reads our BLOBs; we read freshly-made
+    reference BLOBs), plus hand-crafted streams for legacy block codes
+    the modern reference serializer no longer emits (v1/v2 BIC, digest0,
+    bit_interval, sgap-era arrays) checked against the reference decoder.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from bitmagic_tpu import BitVector
+from bitmagic_tpu.serial import refcodec, refformat
+from bitmagic_tpu.serial.refcodec import (_BitOut, _ByteWriter,
+                                          _words_from_positions)
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures", "refblobs")
+HAVE_FIXTURES = os.path.exists(os.path.join(FIX, "manifest.json"))
+
+if HAVE_FIXTURES:
+    with open(os.path.join(FIX, "manifest.json")) as f:
+        MANIFEST = json.load(f)
+    INPUTS = np.load(os.path.join(FIX, "inputs.npz"))
+    PLAIN_BLOBS = [b for b in MANIFEST["blobs"]
+                   if b["options"] != "xor"]
+else:
+    MANIFEST, INPUTS, PLAIN_BLOBS = {"size": 0}, {}, []
+
+pytestmark = pytest.mark.skipif(not HAVE_FIXTURES,
+                                reason="refblob fixtures not generated")
+
+
+# ---------------------------------------------------------------------------
+# 1. fixture decode (standalone)
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("entry", PLAIN_BLOBS,
+                         ids=[b["file"] for b in PLAIN_BLOBS])
+def test_fixture_decodes_bit_exact(entry):
+    with open(os.path.join(FIX, entry["file"]), "rb") as f:
+        blob = f.read()
+    expected = INPUTS[entry["dist"]]
+    de = refcodec.RefDeserializer()
+    bv = de.deserialize(blob)
+    assert np.array_equal(bv.indices(), expected), entry["file"]
+    assert bv.size == MANIFEST["size"]
+
+
+def test_fixture_xor_decodes():
+    data = np.load(os.path.join(FIX, "xor_inputs.npz"))
+    with open(os.path.join(FIX, "xor_target.bin"), "rb") as f:
+        blob = f.read()
+    size = MANIFEST["size"]
+    de = refcodec.RefDeserializer(
+        ref_vectors=[(0, BitVector.from_indices(data["ref"], size))])
+    assert np.array_equal(de.deserialize(blob).indices(), data["target"])
+    assert any(c in de.code_stat for c in (35, 36, 37, 58, 59))
+
+
+def test_fixture_xor_chain_decodes():
+    data = np.load(os.path.join(FIX, "xor_chain_inputs.npz"))
+    with open(os.path.join(FIX, "xor_chain.bin"), "rb") as f:
+        blob = f.read()
+    size = MANIFEST["size"]
+    de = refcodec.RefDeserializer(
+        ref_vectors=[(0, BitVector.from_indices(data["ref"], size)),
+                     (2, BitVector.from_indices(data["ref2"], size))])
+    assert np.array_equal(de.deserialize(blob).indices(), data["target"])
+
+
+def test_fixture_corpus_code_coverage():
+    """The committed corpus must keep exercising the full code families."""
+    covered = set(MANIFEST["codes_covered"])
+    # runs, raw bit, arrays, gamma, 0runs, bookmarks, v3 BIC gap/arr,
+    # sblock v3, xor refs + chain
+    for code in (0, 1, 4, 5, 9, 11, 16, 19, 21, 22, 35, 42, 48, 50,
+                 61, 63, 65, 67, 68):
+        assert code in covered, f"fixture corpus lost code {code}"
+
+
+# ---------------------------------------------------------------------------
+# 2. our encoder -> our decoder (standalone, all levels)
+# ---------------------------------------------------------------------------
+def _dists(rng, size):
+    yield "sparse", np.unique(rng.integers(0, size, 3000))
+    yield "dense", np.unique(rng.integers(0, 300_000, 200_000))
+    starts = rng.integers(0, size - 3000, 50)
+    yield "clustered", np.unique(np.concatenate(
+        [np.arange(s, s + rng.integers(1, 2500)) for s in starts]))
+    yield "runs", np.arange(70_000, 400_000)
+    yield "edges", np.asarray([0, 1, 65535, 65536, size - 1])
+
+
+@pytest.mark.parametrize("level", [0, 1, 4, 5, 6])
+def test_own_encoder_roundtrip(level):
+    rng = np.random.default_rng(level)
+    size = 5_000_000
+    for name, ids in _dists(rng, size):
+        bv = BitVector.from_indices(ids.astype(np.int64), size)
+        blob = refcodec.ref_serialize(bv, level)
+        got = refcodec.ref_deserialize(blob)
+        assert np.array_equal(got.indices(), ids), (name, level)
+        assert got.size == size
+
+
+def test_own_encoder_full_and_empty():
+    size = 1_000_000
+    bv = BitVector(size)
+    blob = refcodec.ref_serialize(bv)
+    assert refcodec.ref_deserialize(blob).count() == 0
+    bv.set_range(0, size - 1)
+    bv.optimize()
+    blob = refcodec.ref_serialize(bv)
+    got = refcodec.ref_deserialize(blob)
+    assert got.count() == size
+
+
+def test_own_encoder_48bit_address():
+    size = 1 << 40
+    ids = np.asarray([5, 1 << 33, (1 << 40) - 2], np.int64)
+    bv = BitVector.from_indices(ids, size)
+    blob = refcodec.ref_serialize(bv)
+    got = refcodec.ref_deserialize(blob)
+    assert np.array_equal(got.indices(), ids)
+    assert blob[0] & refcodec.HM_64_BIT
+
+
+# ---------------------------------------------------------------------------
+# 3. bridge cross-checks (skipped when the reference tree is absent)
+# ---------------------------------------------------------------------------
+bridge = pytest.mark.skipif(not refformat.available(),
+                            reason="reference bridge unavailable")
+
+
+@bridge
+@pytest.mark.parametrize("level", [0, 1, 4, 5, 6])
+def test_reference_reads_our_blobs(level):
+    rng = np.random.default_rng(100 + level)
+    size = 5_000_000
+    for name, ids in _dists(rng, size):
+        bv = BitVector.from_indices(ids.astype(np.int64), size)
+        blob = refcodec.ref_serialize(bv, level)
+        got = refformat.deserialize_reference_blob(blob)
+        assert np.array_equal(got.indices(), ids), (name, level)
+
+
+@bridge
+def test_we_read_fresh_reference_blobs():
+    rng = np.random.default_rng(77)
+    size = 8_000_000
+    for level in range(7):
+        ids = np.unique(rng.integers(0, size, 20_000)).astype(np.int64)
+        blob = refformat.serialize_reference_blob_ex(ids, size, level=level)
+        got = refcodec.ref_deserialize(blob)
+        assert np.array_equal(got.indices(), ids), level
+
+
+# ---------------------------------------------------------------------------
+# hand-crafted streams for legacy codes (decode parity vs the reference)
+# ---------------------------------------------------------------------------
+SIZE_C = 2_000_000
+
+
+def _hdr():
+    w = _ByteWriter()
+    w.put_8(refcodec.HM_RESIZE)
+    w.put_8(1)                       # little-endian
+    for g in refcodec.DEFAULT_GLEVELS:
+        w.put_16(g)
+    w.put_32(SIZE_C)
+    return w
+
+
+def _finish(w):
+    w.put_8(refcodec.BLOCK_END)
+    return w.get_bytes()
+
+
+def _check(blob, expected_ids):
+    got = refcodec.ref_deserialize(blob)
+    assert np.array_equal(got.indices(), np.asarray(expected_ids, np.int64))
+    if refformat.available():
+        ref = refformat.deserialize_reference_blob(blob)
+        assert np.array_equal(ref.indices(),
+                              np.asarray(expected_ids, np.int64))
+
+
+def test_crafted_bit_interval():
+    w = _hdr()
+    w.put_8(refcodec.BLOCK_BIT_INTERVAL)
+    w.put_16(3)                      # head word index
+    w.put_16(4)                      # tail word index
+    w.put_u32_words(np.asarray([0x1, 0x80000000], np.uint32))
+    _check(_finish(w), [3 * 32, 4 * 32 + 31])
+
+
+def test_crafted_digest0():
+    w = _hdr()
+    w.put_8(refcodec.BLOCK_BIT_DIGEST0)
+    w.put_64((1 << 0) | (1 << 63))   # waves 0 and 63
+    wave0 = np.zeros(32, np.uint32)
+    wave0[0] = 0b101
+    wave63 = np.zeros(32, np.uint32)
+    wave63[31] = 1 << 31
+    w.put_u32_words(wave0)
+    w.put_u32_words(wave63)
+    _check(_finish(w), [0, 2, 65535])
+
+
+def test_crafted_arrgap_plain_and_inv():
+    pos = [10, 500, 60_000]
+    w = _hdr()
+    w.put_8(refcodec.BLOCK_ARRGAP)
+    w.put_16(len(pos))
+    w.put_u16_array(pos)
+    _check(_finish(w), pos)
+
+    w = _hdr()
+    w.put_8(refcodec.BLOCK_ARRGAP_INV)
+    w.put_16(len(pos))
+    w.put_u16_array(pos)
+    _check(_finish(w), sorted(set(range(65536)) - set(pos)))
+
+
+def test_crafted_arrgap_egamma_inv():
+    pos = [3, 77, 1024]
+    w = _hdr()
+    w.put_8(refcodec.BLOCK_ARRGAP_EGAMMA_INV)
+    bo = _BitOut(w)
+    bo.gamma(len(pos))
+    prev = 0
+    for k, v in enumerate(pos):
+        bo.gamma(v + 1 if k == 0 else v - prev)
+        prev = v
+    bo.flush()
+    _check(_finish(w), sorted(set(range(65536)) - set(pos)))
+
+
+def test_crafted_gap_bienc_v1():
+    # boundaries [100, 200, 65535], start=0 -> bits 101..200 set
+    boundaries = [100, 200]
+    L = len(boundaries) + 1
+    w = _hdr()
+    w.put_8(refcodec.BLOCK_GAP_BIENC)
+    w.put_16((L << 3) | 0)           # head: len, start=0
+    w.put_16(boundaries[0])          # min_v
+    bo = _BitOut(w)
+    bo.bic_encode_cm(boundaries[1:], boundaries[0], 65535)
+    bo.flush()
+    _check(_finish(w), list(range(101, 201)))
+
+
+def test_crafted_arrgap_bienc_v1_and_inv():
+    pos = [7, 19, 300, 4000, 60001]   # len = 5 -> gamma(len-4)=gamma(1)
+    for code, inv in [(refcodec.BLOCK_ARRGAP_BIENC, False),
+                      (refcodec.BLOCK_ARRGAP_BIENC_INV, True)]:
+        w = _hdr()
+        w.put_8(code)
+        w.put_16(pos[0])
+        w.put_16(pos[-1])
+        bo = _BitOut(w)
+        bo.gamma(len(pos) - 4)
+        bo.bic_encode_cm(pos[1:-1], pos[0], pos[-1])
+        bo.flush()
+        expected = sorted(set(range(65536)) - set(pos)) if inv else pos
+        _check(_finish(w), expected)
+
+
+def test_crafted_gap_bienc_v2():
+    # head with 8-bit min & max flags; boundaries [9, 150, 65500, 65535]
+    boundaries = [9, 150, 65500]
+    L = len(boundaries) + 1
+    head = (L << 3) | refcodec.H2F_MIN_V_8BIT | refcodec.H2F_MAX_V_8BIT | 1
+    w = _hdr()
+    w.put_8(refcodec.BLOCK_GAP_BIENC_V2)
+    w.put_16(head)
+    w.put_8(boundaries[0])
+    w.put_8(65535 - boundaries[-1])
+    bo = _BitOut(w)
+    bo.bic_encode_cm(boundaries[1:-1], boundaries[0], boundaries[-1])
+    bo.flush()
+    # start=1: bits 0..9 set, 10..150 clear, 151..65500 set, rest clear
+    expected = list(range(0, 10)) + list(range(151, 65501))
+    _check(_finish(w), expected)
+
+
+def test_crafted_arrgap_bienc_v2():
+    pos = [5, 88, 290, 61000]
+    ln = len(pos)
+    packed = (ln << 2) | 1           # 8-bit min, 16-bit max-delta
+    w = _hdr()
+    w.put_8(refcodec.BLOCK_ARRGAP_BIENC_V2)
+    w.put_16(packed)
+    w.put_8(pos[0])
+    w.put_16(pos[-1] - pos[0])
+    bo = _BitOut(w)
+    bo.bic_encode_cm(pos[1:-1], pos[0], pos[-1])
+    bo.flush()
+    _check(_finish(w), pos)
+
+
+def test_crafted_bitgap_bienc():
+    # GAP-as-bitstream: boundaries [50, 120, 65535], start=1
+    boundaries = [50, 120, 65535]
+    w = _hdr()
+    w.put_8(refcodec.BLOCK_BITGAP_BIENC)
+    w.put_8(1)                       # head: start=1
+    w.put_16(len(boundaries))
+    w.put_16(boundaries[0])
+    bo = _BitOut(w)
+    bo.bic_encode_cm(boundaries[1:-1], boundaries[0], 65535)
+    bo.flush()
+    expected = list(range(0, 51)) + list(range(121, 65536))
+    _check(_finish(w), expected)
+
+
+def test_crafted_sblock_bienc_v1():
+    # super-block 1, offsets within 16M-bit space, 8-bit flags everywhere
+    offs = [100, 5000, 300_000]
+    w = _hdr()
+    w.put_8(refcodec.SBLOCK_BIENC)
+    w.put_8(refcodec.SB_FLAG_MAX24)  # sb8, len8, min8, max24, no drmin
+    w.put_8(0)                       # sb = 0
+    w.put_8(len(offs))
+    w.put_8(offs[0])
+    w.put_24(refcodec.SUB_TOTAL_BITS - offs[-1])
+    bo = _BitOut(w)
+    bo.bic_encode_cm(offs[1:-1], offs[0], offs[-1])
+    bo.flush()
+    # sblock consumes the rest of the super-block: next record starts there
+    blob = _finish(w)
+    got = refcodec.ref_deserialize(blob)
+    assert np.array_equal(got.indices(), np.asarray(offs, np.int64))
+
+
+def test_crafted_zero_one_runs():
+    w = _hdr()
+    w.put_8(refcodec.BLOCK_8ONE)
+    w.put_8(2)                       # blocks 0-1 full
+    w.put_8(0x80 | 3)                # skip 3 zero blocks
+    w.put_8(refcodec.BLOCK_16ZERO)
+    w.put_16(4)                      # skip 4 more
+    w.put_8(refcodec.BLOCK_BIT_1BIT)
+    w.put_16(7)                      # block 9, bit 7
+    expected = list(range(0, 2 * 65536)) + [9 * 65536 + 7]
+    _check(_finish(w), expected)
+
+
+def test_crafted_legacy_sgap_rejected():
+    w = _hdr()
+    w.put_8(refcodec.BLOCK_SGAPBIT)
+    with pytest.raises(ValueError):
+        refcodec.ref_deserialize(_finish(w))
+
+
+def test_crafted_id_list_header():
+    w = _ByteWriter()
+    w.put_8(refcodec.HM_ID_LIST | refcodec.HM_RESIZE | refcodec.HM_NO_BO |
+            refcodec.HM_NO_GAPL)
+    w.put_32(SIZE_C)
+    ids = [3, 99, 1_500_000]
+    w.put_32(len(ids))
+    for i in ids:
+        w.put_32(i)
+    got = refcodec.ref_deserialize(w.get_bytes())
+    assert np.array_equal(got.indices(), np.asarray(ids, np.int64))
+    assert got.size == SIZE_C
