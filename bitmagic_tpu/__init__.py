@@ -17,6 +17,7 @@ form, entropy-coded serialization, and mesh-sharded multi-chip scaling.
 from . import constants  # noqa: E402
 from .config import config, simd_version  # noqa: E402
 from .core.bitvector import BitVector  # noqa: E402
+from . import algo, agg, parallel, serial, sv, utils  # noqa: E402
 
 __version__ = "0.1.0"
 
@@ -25,5 +26,6 @@ __all__ = [
     "config",
     "constants",
     "simd_version",
+    "algo", "agg", "parallel", "serial", "sv", "utils",
     "__version__",
 ]

@@ -60,6 +60,8 @@ class BitVector:
         self._staged: dict[int, bool] = {}
         self._ro = False
         self._rs = None           # cached RSIndex
+        self._gap_stat = None     # optimize() GAP classification cache
+        self._glevel = tuple(config.gap_levels)
         self.strategy = strategy
 
     # ------------------------------------------------------------------
@@ -74,6 +76,8 @@ class BitVector:
         bv._staged = {}
         bv._ro = False
         bv._rs = None
+        bv._gap_stat = None
+        bv._glevel = tuple(config.gap_levels)
         bv.strategy = C.BM_BIT
         return bv
 
@@ -187,6 +191,7 @@ class BitVector:
 
     def _dirty(self):
         self._rs = None
+        self._gap_stat = None
 
     def set(self, i, val: bool = True):
         self._check_writable()
@@ -762,12 +767,16 @@ class BitVector:
     # optimization / stats / freeze
     # ------------------------------------------------------------------
     def optimize(self, opt_mode: int = C.OPT_COMPRESS):
-        """Reclassify blocks: free zero blocks, collapse full blocks
-        (reference optimize, src/bm.h:1942; best_representation
-        src/bmfunc.h:9769 decides GAP-worthiness for serialization)."""
+        """Reclassify blocks: free zero blocks, collapse full blocks, and
+        (at opt_compress) classify GAP-compressable blocks exactly as the
+        reference does (optimize, src/bm.h:1942; optimize_bit_block
+        src/bmblocks.h:1414).  The device keeps GAP-classified blocks
+        dense (SURVEY.md §7 decision 3) — the classification drives
+        calc_stat() and the serialized formats."""
         self._check_writable()
         self._flush()
         if self._pool.shape[0] == 0:
+            self._dirty()
             return self
         counts = np.asarray(blockops.block_counts(self._pool))
         is_bit = self._struct.cls == C.CLS_BIT
@@ -792,23 +801,98 @@ class BitVector:
             self._struct = Structure(self._struct.nb[keep].copy(),
                                      new_cls[keep].copy())
         self._dirty()
+        if opt_mode >= C.OPT_COMPRESS and self._pool.shape[0]:
+            from . import gaps
+            bc = np.asarray(blockops.block_counts(self._pool))
+            gc = np.asarray(blockops.gap_counts(self._pool))
+            gap_mask, gap_len, gap_level = gaps.classify_blocks(
+                bc, gc, self._glevel)
+            rows = self._struct.slots()[self._struct.cls == C.CLS_BIT]
+            self._gap_stat = {
+                "mask": gap_mask[rows], "len": gap_len[rows],
+                "level": gap_level[rows],
+            }
+        return self
+
+    def set_new_blocks_strat(self, strategy: int) -> int:
+        """BM_BIT / BM_GAP preference for new blocks (reference
+        set_new_blocks_strat, src/bm.h:1912).  Device storage is always
+        dense; the strategy biases optimize()/serialization choices."""
+        old, self.strategy = self.strategy, int(strategy)
+        return old
+
+    def get_new_blocks_strat(self) -> int:
+        return self.strategy
+
+    def set_gap_levels(self, glevel_len) -> "BitVector":
+        """Per-vector GAP level table (reference set_gap_levels,
+        src/bm.h:1977; default table src/bmconst.h:396-403)."""
+        tbl = tuple(int(x) for x in glevel_len)
+        if len(tbl) != 4:
+            raise ValueError("gap level table must have 4 entries")
+        self._glevel = tbl
+        self._gap_stat = None
+        return self
+
+    def get_gap_levels(self) -> tuple:
+        return self._glevel
+
+    def optimize_gap_size(self):
+        """Tune the GAP level table to this vector's observed GAP block
+        lengths (reference optimize_gap_size, src/bm.h:1942 ->
+        improve_gap_levels src/bmfunc.h:10170)."""
+        self._check_writable()
+        from . import gaps
+        if self._gap_stat is None:
+            self.optimize()
+        st = self._gap_stat
+        if st is None or not st["mask"].any():
+            return self
+        lengths = st["len"][st["mask"]]
+        improved, new_tbl = gaps.improve_gap_levels(lengths, self._glevel)
+        if improved:
+            self.set_gap_levels(new_tbl)
+            self.optimize()
         return self
 
     def calc_stat(self) -> dict:
-        """Block/memory statistics (reference bv_statistics,
-        src/bmfunc.h:56; calc_stat src/bm.h:1904)."""
+        """Block/memory statistics shaped like the reference bv_statistics
+        (src/bmfunc.h:56; calc_stat src/bm.h:1904).  GAP numbers follow the
+        optimize() classification: a GAP-classified block is counted and
+        cost-modelled as a GAP buffer (capacity by level table) even though
+        the device keeps it dense."""
         self._flush()
-        n_bit = int((self._struct.cls == C.CLS_BIT).sum())
+        n_bit_rows = int((self._struct.cls == C.CLS_BIT).sum())
         n_full = int((self._struct.cls == C.CLS_FULL).sum())
+        st = self._gap_stat
+        gaps_by_level = [0, 0, 0, 0]
+        gap_mem = gap_cap_overhead = gap_serial = 0
+        n_gap = 0
+        if st is not None and st["mask"].any():
+            m = st["mask"]
+            n_gap = int(m.sum())
+            for lv, ln in zip(st["level"][m], st["len"][m]):
+                gaps_by_level[int(lv)] += 1
+                cap = self._glevel[int(lv)]
+                gap_mem += cap * 2
+                gap_cap_overhead += (cap - int(ln)) * 2
+                gap_serial += int(ln) * 2 + 3
+        n_bit = n_bit_rows - n_gap
         mem = (self._pool.shape[0] * C.SET_BLOCK_SIZE * 4
                + self._struct.nb.nbytes + self._struct.cls.nbytes)
+        max_ser = n_bit * (C.SET_BLOCK_SIZE * 4 + 16) + gap_serial + 64
         return {
             "bit_blocks": n_bit,
-            "gap_blocks": 0,
+            "gap_blocks": n_gap,
             "full_blocks": n_full,
-            "zero_blocks": C.blocks_for_bits(self._size) - n_bit - n_full,
-            "memory_used": mem,
-            "max_serialize_mem": n_bit * (C.SET_BLOCK_SIZE * 4 + 16) + 64,
+            "zero_blocks": C.blocks_for_bits(self._size)
+            - n_bit_rows - n_full,
+            "gaps_by_level": gaps_by_level,
+            "gap_levels": list(self._glevel),
+            "gap_cap_overhead": gap_cap_overhead,
+            "memory_used": mem + gap_mem,
+            "device_memory_used": mem,
+            "max_serialize_mem": max_ser,
         }
 
     def freeze(self):

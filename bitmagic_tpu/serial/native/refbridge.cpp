@@ -206,6 +206,31 @@ int64_t bmref_deserialize_xor_to_indices(const uint8_t* blob,
     }
 }
 
+// Block-classification ground truth: build + optimize(opt_compress) in the
+// reference, return its bv_statistics as
+// [bit_blocks, gap_blocks, gaps_by_level[0..3], gap_cap_overhead].
+int bmref_gap_stat(const uint64_t* ids, int64_t n, uint64_t size_hint,
+                   uint64_t* out7) {
+    try {
+        bvect bv;
+        {
+            bvect::bulk_insert_iterator it(bv);
+            for (int64_t i = 0; i < n; ++i) it = (bm::id_t)ids[i];
+            it.flush();
+        }
+        if (size_hint) bv.resize((bm::id_t)size_hint);
+        bvect::statistics st;
+        bv.optimize(0, bvect::opt_compress, &st);
+        out7[0] = st.bit_blocks;
+        out7[1] = st.gap_blocks;
+        for (int i = 0; i < 4; ++i) out7[2 + i] = st.gaps_by_level[i];
+        out7[6] = st.gap_cap_overhead;
+        return 0;
+    } catch (...) {
+        return -1;
+    }
+}
+
 // Round-trip check inside the reference: returns 1 if blob deserializes and
 // re-serializes to an equal vector.
 int bmref_selfcheck(const uint8_t* blob) {

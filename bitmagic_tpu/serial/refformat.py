@@ -81,6 +81,9 @@ def load():
         lib.bmref_deserialize_xor_to_indices.argtypes = [
             u8p, u64p, ctypes.c_int64, u64p, ctypes.c_int64,
             ctypes.c_uint64, u64p, ctypes.c_int64]
+        lib.bmref_gap_stat.restype = ctypes.c_int
+        lib.bmref_gap_stat.argtypes = [u64p, ctypes.c_int64,
+                                       ctypes.c_uint64, u64p]
         _lib = lib
         return lib
 
@@ -176,6 +179,22 @@ def deserialize_reference_blob_xor(blob, ids_ref, size, ids_ref2=None):
         bp, rp, rr.size, r2p, r2.size, size,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), n)
     return out[:n].astype(np.int64)
+
+
+def reference_gap_stat(ids, size):
+    """Reference optimize(opt_compress) classification ground truth:
+    dict(bit_blocks, gap_blocks, gaps_by_level, gap_cap_overhead)."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("reference bridge unavailable")
+    ids = np.ascontiguousarray(np.asarray(ids, np.uint64))
+    out = np.zeros(7, np.uint64)
+    rc = lib.bmref_gap_stat(_u64p(ids), ids.size, size, _u64p(out))
+    if rc != 0:
+        raise ValueError("reference gap_stat failed")
+    return {"bit_blocks": int(out[0]), "gap_blocks": int(out[1]),
+            "gaps_by_level": [int(x) for x in out[2:6]],
+            "gap_cap_overhead": int(out[6])}
 
 
 def serialize_reference_blob(bv) -> bytes:
