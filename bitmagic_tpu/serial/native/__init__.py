@@ -56,6 +56,22 @@ def load():
         lib.bm_gamma_decode.restype = ctypes.c_uint64
         lib.bm_gamma_decode.argtypes = [u8p, ctypes.c_uint64, ctypes.c_int64,
                                         u64p]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.bmref_bic_decode_cm.restype = ctypes.c_int
+        lib.bmref_bic_decode_cm.argtypes = [
+            u8p, ctypes.c_int64, i64p, u64p, i32p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p]
+        lib.bmref_bic_encode_cm.restype = ctypes.c_int
+        lib.bmref_bic_encode_cm.argtypes = [
+            i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            u64p, i32p, u8p, ctypes.c_int64, i64p]
+        lib.bmref_gamma_decode.restype = ctypes.c_int
+        lib.bmref_gamma_decode.argtypes = [
+            u8p, ctypes.c_int64, i64p, u64p, i32p, ctypes.c_int64, u32p]
+        lib.bmref_gamma_encode.restype = ctypes.c_int
+        lib.bmref_gamma_encode.argtypes = [
+            u32p, ctypes.c_int64, u64p, i32p, u8p, ctypes.c_int64, i64p]
         _lib = lib
         AVAILABLE = True
         return lib

@@ -180,3 +180,202 @@ uint64_t bm_gamma_decode(const uint8_t* data, uint64_t bit_offset, int64_t n,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// REFERENCE-format bitstreams: LSB-first bits in little-endian 32-bit words
+// (bm::bit_in/bit_out, src/encoding.h) with the centered-minimal BIC codes
+// (bic_*_cm).  State (byte pos, accumulator, bit count) is passed in/out so
+// Python's _BitIn/_BitOut (serial/refcodec.py) can hand the hot inner loops
+// to these functions mid-stream and keep going.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct RBitR {
+    const uint8_t* buf;
+    int64_t len;
+    int64_t pos;     // byte position of the next 32-bit word
+    uint64_t acc;    // unread bits, LSB-first
+    int nbits;
+    int ok = 1;
+
+    inline void pull() {
+        if (pos + 4 > len) { ok = 0; nbits += 32; return; }
+        uint32_t w;
+        memcpy(&w, buf + pos, 4);
+        pos += 4;
+        acc |= static_cast<uint64_t>(w) << nbits;
+        nbits += 32;
+    }
+    inline uint32_t get_bits(int n) {
+        while (nbits < n) pull();
+        uint32_t v = static_cast<uint32_t>(
+            acc & ((n >= 32) ? 0xFFFFFFFFull : ((1ull << n) - 1)));
+        acc >>= n;
+        nbits -= n;
+        return v;
+    }
+    inline int get_bit() { return static_cast<int>(get_bits(1)); }
+    inline uint32_t gamma() {
+        int zeros = 0;
+        while (!get_bit()) {
+            if (!ok) return 0;
+            ++zeros;
+        }
+        if (!zeros) return 1;
+        return get_bits(zeros) | (1u << zeros);
+    }
+};
+
+struct RBitW {
+    uint8_t* buf;
+    int64_t cap;
+    int64_t pos = 0;
+    uint64_t acc;
+    int nbits;
+    int ok = 1;
+
+    inline void put_bits(uint64_t v, int n) {
+        acc |= (v & ((n >= 64) ? ~0ull : ((1ull << n) - 1)))
+               << nbits;
+        nbits += n;
+        while (nbits >= 32) {
+            if (pos + 4 > cap) { ok = 0; return; }
+            uint32_t w = static_cast<uint32_t>(acc & 0xFFFFFFFFull);
+            memcpy(buf + pos, &w, 4);
+            pos += 4;
+            acc >>= 32;
+            nbits -= 32;
+        }
+    }
+    inline void gamma(uint32_t value) {
+        int logv = 31 - __builtin_clz(value);
+        put_bits(1ull << logv, logv + 1);     // logv zeros then the 1 bit
+        if (logv)
+            put_bits(value & ((1u << logv) - 1), logv);
+    }
+};
+
+struct RFrame { int64_t base, sz, lo, hi; };
+
+// one centered-minimal value read (bit_in::bic_decode_u16_cm inner step)
+inline int64_t cm_read(RBitR& r, int64_t range) {
+    if (!range) return 0;
+    int logv = bit_length_u64(static_cast<uint64_t>(range + 1)) - 1;
+    int64_t c = (1ll << (logv + 1)) - range - 1;
+    int64_t half_c = c >> 1;
+    int64_t half_r = range >> 1;
+    int64_t lo1 = half_r - half_c - ((range + 1) & 1);
+    int64_t hi1 = half_r + half_c + 1;
+    int64_t v = r.get_bits(logv);
+    if (v <= lo1 || v >= hi1)
+        v += static_cast<int64_t>(r.get_bit()) << logv;
+    return v;
+}
+
+inline void cm_write(RBitW& w, int64_t value, int64_t range) {
+    if (!range) return;
+    int64_t n = range + 1;
+    int logv = bit_length_u64(static_cast<uint64_t>(n)) - 1;
+    int64_t c = (1ll << (logv + 1)) - n;
+    int64_t half_c = c >> 1;
+    int64_t half_r = range >> 1;
+    int64_t lo1 = half_r - half_c - (n & 1);
+    int64_t hi1 = half_r + half_c;
+    if (value <= lo1 || value > hi1)
+        ++logv;
+    w.put_bits(static_cast<uint64_t>(value), logv);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode sz centered-minimal BIC values in (lo..hi) into out (int64).
+// State (pos/acc/nbits) is read and written back.  Returns 0, or -1 on
+// buffer overrun.
+int bmref_bic_decode_cm(const uint8_t* buf, int64_t len, int64_t* pos,
+                        uint64_t* acc, int32_t* nbits,
+                        int64_t sz, int64_t lo, int64_t hi, int64_t* out) {
+    RBitR r{buf, len, *pos, *acc, *nbits};
+    RFrame* stack = new RFrame[2 * 40 + 4];   // depth <= log2(sz)+1 per side
+    int sp = 0;
+    stack[sp++] = {0, sz, lo, hi};
+    while (sp) {
+        RFrame f = stack[--sp];
+        while (f.sz) {
+            int64_t range = f.hi - f.lo - f.sz + 1;
+            int64_t val = cm_read(r, range);
+            int64_t mid = f.sz >> 1;
+            val += f.lo + mid;
+            out[f.base + mid] = val;
+            if (f.sz <= 1) break;
+            // iterate left; push nothing — emulate the tail loop by
+            // processing left inline and continuing with right
+            stack[sp++] = {f.base + mid + 1, f.sz - mid - 1, val + 1, f.hi};
+            f = {f.base, mid, f.lo, val - 1};
+        }
+        if (!r.ok) { delete[] stack; return -1; }
+    }
+    *pos = r.pos; *acc = r.acc; *nbits = r.nbits;
+    delete[] stack;
+    return 0;
+}
+
+// Encode sz strictly-increasing values (int64, within (lo..hi)) as
+// centered-minimal BIC.  Whole 32-bit words are written to out; leftover
+// bits stay in acc/nbits for the caller to continue the stream.
+int bmref_bic_encode_cm(const int64_t* arr, int64_t sz, int64_t lo,
+                        int64_t hi, uint64_t* acc, int32_t* nbits,
+                        uint8_t* out, int64_t cap, int64_t* written) {
+    RBitW w{out, cap};
+    w.acc = *acc; w.nbits = *nbits;
+    RFrame* stack = new RFrame[2 * 40 + 4];
+    int sp = 0;
+    stack[sp++] = {0, sz, lo, hi};
+    while (sp) {
+        RFrame f = stack[--sp];
+        while (f.sz) {
+            int64_t mid = f.sz >> 1;
+            int64_t val = arr[f.base + mid];
+            int64_t range = f.hi - f.lo - f.sz + 1;
+            cm_write(w, val - f.lo - mid, range);
+            if (f.sz <= 1) break;
+            stack[sp++] = {f.base + mid + 1, f.sz - mid - 1, val + 1, f.hi};
+            f = {f.base, mid, f.lo, val - 1};
+        }
+        if (!w.ok) { delete[] stack; return -1; }
+    }
+    *acc = w.acc; *nbits = w.nbits; *written = w.pos;
+    delete[] stack;
+    return 0;
+}
+
+// Decode n Elias-gamma values (reference LSB-first stream) into out.
+int bmref_gamma_decode(const uint8_t* buf, int64_t len, int64_t* pos,
+                       uint64_t* acc, int32_t* nbits,
+                       int64_t n, uint32_t* out) {
+    RBitR r{buf, len, *pos, *acc, *nbits};
+    for (int64_t i = 0; i < n; ++i) {
+        out[i] = r.gamma();
+        if (!r.ok) return -1;
+    }
+    *pos = r.pos; *acc = r.acc; *nbits = r.nbits;
+    return 0;
+}
+
+// Encode n Elias-gamma values (each >= 1).
+int bmref_gamma_encode(const uint32_t* arr, int64_t n,
+                       uint64_t* acc, int32_t* nbits,
+                       uint8_t* out, int64_t cap, int64_t* written) {
+    RBitW w{out, cap};
+    w.acc = *acc; w.nbits = *nbits;
+    for (int64_t i = 0; i < n; ++i) {
+        w.gamma(arr[i]);
+        if (!w.ok) return -1;
+    }
+    *acc = w.acc; *nbits = w.nbits; *written = w.pos;
+    return 0;
+}
+
+}  // extern "C"

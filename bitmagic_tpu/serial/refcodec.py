@@ -32,9 +32,24 @@ tests/fixtures/refblobs/).
 
 from __future__ import annotations
 
+import ctypes
+
 import numpy as np
 
 from .. import constants as C
+from . import native
+
+
+def _u8p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _i64p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _u32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
 
 # ---------------------------------------------------------------------------
 # block-code constants (src/bmserial.h:1173-1248)
@@ -312,11 +327,48 @@ class _BitIn:
 
     # -- Binary Interpolative Coding, centered-minimal (bic_*_cm) ----------
     def bic_decode_cm(self, sz, lo, hi):
-        """Returns list of sz values in (lo..hi); mirrors
-        bit_in::bic_decode_u16_cm / u32_cm (src/encoding.h:2404/2358)."""
+        """Returns int64 array of sz values in (lo..hi); mirrors
+        bit_in::bic_decode_u16_cm / u32_cm (src/encoding.h:2404/2358).
+        Hot loop runs in C++ (codecs.cpp bmref_bic_decode_cm) when the
+        native library is available."""
+        lib = native.load()
+        if lib is not None and sz:
+            pos = ctypes.c_int64(self.rdr.pos)
+            acc = ctypes.c_uint64(self.acc)
+            nb = ctypes.c_int32(self.n)
+            out = np.zeros(sz, np.int64)
+            rc = lib.bmref_bic_decode_cm(
+                _u8p(self.rdr.buf), self.rdr.buf.size, ctypes.byref(pos),
+                ctypes.byref(acc), ctypes.byref(nb), sz, int(lo), int(hi),
+                _i64p(out))
+            if rc != 0:
+                raise ValueError("BIC bitstream overrun")
+            self.rdr.pos = pos.value
+            self.acc = acc.value
+            self.n = nb.value
+            return out
         out = [0] * sz
         self._bic_cm(out, 0, sz, lo, hi)
-        return out
+        return np.asarray(out, np.int64)
+
+    def gamma_array(self, n):
+        """Decode n Elias-gamma values -> int64 array (native fast path)."""
+        lib = native.load()
+        if lib is not None and n:
+            pos = ctypes.c_int64(self.rdr.pos)
+            acc = ctypes.c_uint64(self.acc)
+            nb = ctypes.c_int32(self.n)
+            out = np.zeros(n, np.uint32)
+            rc = lib.bmref_gamma_decode(
+                _u8p(self.rdr.buf), self.rdr.buf.size, ctypes.byref(pos),
+                ctypes.byref(acc), ctypes.byref(nb), n, _u32p(out))
+            if rc != 0:
+                raise ValueError("gamma bitstream overrun")
+            self.rdr.pos = pos.value
+            self.acc = acc.value
+            self.n = nb.value
+            return out.astype(np.int64)
+        return np.asarray([self.gamma() for _ in range(n)], np.int64)
 
     def _bic_cm(self, out, base, sz, lo, hi):
         while sz:
@@ -475,8 +527,48 @@ class _BitOut:
         self.put_bits(v & 0xFF, 8)
         self.put_bits((v >> 8) & 0xFF, 8)
 
+    def gamma_many(self, arr):
+        """Bulk Elias-gamma writes (native fast path)."""
+        lib = native.load()
+        arr = np.asarray(arr, np.uint32)
+        if lib is not None and arr.size:
+            acc = ctypes.c_uint64(self.acc)
+            nb = ctypes.c_int32(self.n)
+            out = np.zeros(arr.size * 5 + 16, np.uint8)
+            written = ctypes.c_int64(0)
+            rc = lib.bmref_gamma_encode(
+                _u32p(arr), arr.size, ctypes.byref(acc), ctypes.byref(nb),
+                _u8p(out), out.size, ctypes.byref(written))
+            if rc != 0:
+                raise ValueError("gamma encode overflow")
+            self.wtr.parts += out[:written.value].tobytes()
+            self.acc = acc.value
+            self.n = nb.value
+            return
+        for v in arr:
+            self.gamma(int(v))
+
     def bic_encode_cm(self, arr, lo, hi):
-        """bit_out::bic_encode_u16_cm (src/encoding.h:1766)."""
+        """bit_out::bic_encode_u16_cm (src/encoding.h:1766); hot loop in
+        C++ (codecs.cpp bmref_bic_encode_cm) when available."""
+        lib = native.load()
+        if lib is not None:
+            a = np.ascontiguousarray(arr, np.int64)
+            if a.size:
+                acc = ctypes.c_uint64(self.acc)
+                nb = ctypes.c_int32(self.n)
+                out = np.zeros(a.size * 8 + 64, np.uint8)
+                written = ctypes.c_int64(0)
+                rc = lib.bmref_bic_encode_cm(
+                    _i64p(a), a.size, int(lo), int(hi), ctypes.byref(acc),
+                    ctypes.byref(nb), _u8p(out), out.size,
+                    ctypes.byref(written))
+                if rc != 0:
+                    raise ValueError("BIC encode overflow")
+                self.wtr.parts += out[:written.value].tobytes()
+                self.acc = acc.value
+                self.n = nb.value
+            return
         arr = list(arr)
         self._bic_cm(arr, 0, len(arr), lo, hi)
 
@@ -513,6 +605,11 @@ class _BitOut:
 # ---------------------------------------------------------------------------
 # block-content helpers
 # ---------------------------------------------------------------------------
+def _cat(*parts):
+    return np.concatenate([np.atleast_1d(np.asarray(x, np.int64))
+                           for x in parts])
+
+
 def _words_from_positions(pos, invert=False):
     bits = np.zeros(BITS, np.uint8)
     if len(pos):
@@ -934,9 +1031,9 @@ class RefDeserializer:
             bi = _BitIn(r)
             mids = bi.bic_decode_cm(arr_len - 2, min_v, max_v) \
                 if arr_len > 2 else []
-            pos = [min_v] + mids + [max_v]
             return _words_from_positions(
-                pos, invert=(btype == BLOCK_ARR_BIENC_INV))
+                _cat(min_v, mids, max_v),
+                invert=(btype == BLOCK_ARR_BIENC_INV))
         if btype == BLOCK_ARR_BIENC_8BH:
             min_v = r.get_8()
             max_delta = r.get_8()
@@ -945,7 +1042,7 @@ class RefDeserializer:
             bi = _BitIn(r)
             mids = bi.bic_decode_cm(arr_len - 2, min_v, max_v) \
                 if arr_len > 2 else []
-            return _words_from_positions([min_v] + mids + [max_v])
+            return _words_from_positions(_cat(min_v, mids, max_v))
         if btype in (BLOCK_ARR_BIENC_V3, BLOCK_ARR_BIENC_INV_V3):
             bi = _BitIn(r)
             w = np.zeros(WORDS, np.uint32)
@@ -968,19 +1065,20 @@ class RefDeserializer:
         bi = _BitIn(r)
         arr_len = bi.delta16s()
         need_min_max = bi.get_bits(1)
-        pos = []
+        parts = []
         if need_min_max:
             min_v = bi.delta16s()
             arr_len -= 2
             max_delta = bi.delta16s()
             max_v = (65536 - max_delta) & 0xFFFF
-            pos += [min_v, max_v]
+            parts.append(np.asarray([min_v, max_v], np.int64))
             min_v += 1
             max_v -= 1
         else:
             min_v, max_v = 0, 65535
         if arr_len:
-            pos += bi.bic_decode_cm(arr_len, min_v, max_v)
+            parts.append(bi.bic_decode_cm(arr_len, min_v, max_v))
+        pos = _cat(*parts) if parts else np.zeros(0, np.int64)
         return _words_from_positions(
             pos, invert=(btype == BLOCK_ARR_BIENC_INV_V3S))
 
@@ -993,9 +1091,8 @@ class RefDeserializer:
         bi = _BitIn(r)
         mids = bi.bic_decode_cm(arr_len - 2, min_v, 65535) \
             if arr_len > 2 else []
-        boundaries = np.asarray([min_v] + mids + [65535], np.int64)
         # gap buffer [head, b1..] — head bit0 is the start value
-        return _words_from_gap(head & 1, boundaries)
+        return _words_from_gap(head & 1, _cat(min_v, mids, 65535))
 
     def _read_gap_family(self, r, btype):
         """All GAP-family codes -> dense words (read_gap_block,
@@ -1016,14 +1113,10 @@ class RefDeserializer:
         if btype in (BLOCK_ARRGAP_EGAMMA, BLOCK_ARRGAP_EGAMMA_INV):
             bi = _BitIn(r)
             ln = bi.gamma()
-            pos = []
-            prev = 0
-            for k in range(ln):
-                v = bi.gamma()
-                if k == 0:
-                    v -= 1
-                prev = v + prev
-                pos.append(prev)
+            vals = bi.gamma_array(ln)
+            if ln:
+                vals[0] -= 1
+            pos = np.cumsum(vals)
             return _words_from_positions(
                 pos, invert=(btype == BLOCK_ARRGAP_EGAMMA_INV))
 
@@ -1033,9 +1126,9 @@ class RefDeserializer:
             bi = _BitIn(r)
             ln = bi.gamma() + 4
             mids = bi.bic_decode_cm(ln - 2, min_v, max_v)
-            pos = [min_v] + mids + [max_v]
             return _words_from_positions(
-                pos, invert=(btype == BLOCK_ARRGAP_BIENC_INV))
+                _cat(min_v, mids, max_v),
+                invert=(btype == BLOCK_ARRGAP_BIENC_INV))
 
         if btype in (BLOCK_ARRGAP_BIENC_V2, BLOCK_ARRGAP_BIENC_INV_V2):
             ln = r.get_16()
@@ -1045,22 +1138,19 @@ class RefDeserializer:
             ln >>= 2
             bi = _BitIn(r)
             mids = bi.bic_decode_cm(ln - 2, min_v, max_v) if ln > 2 else []
-            pos = [min_v] + mids + [max_v]
             return _words_from_positions(
-                pos, invert=(btype == BLOCK_ARRGAP_BIENC_INV_V2))
+                _cat(min_v, mids, max_v),
+                invert=(btype == BLOCK_ARRGAP_BIENC_INV_V2))
 
         if btype == BLOCK_GAP_EGAMMA:
             head = r.get_16()
             L = (head >> 3) - 1
             bi = _BitIn(r)
-            vals = []
-            s = 0
-            for i in range(L):
-                v = bi.gamma()
-                s = (s + v - 1) if i == 0 else (s + v)
-                vals.append(s)
-            boundaries = np.asarray(vals + [BITS - 1], np.int64)
-            return _words_from_gap(head & 1, boundaries)
+            vals = bi.gamma_array(L)
+            if L:
+                vals[0] -= 1
+            return _words_from_gap(head & 1,
+                                   _cat(np.cumsum(vals), BITS - 1))
 
         if btype == BLOCK_GAP_EGAMMA_V3:
             bi = _BitIn(r)
@@ -1086,8 +1176,7 @@ class RefDeserializer:
             min_v = r.get_16()
             bi = _BitIn(r)
             mids = bi.bic_decode_cm(L - 2, min_v, 65535) if L > 2 else []
-            boundaries = np.asarray([min_v] + mids + [BITS - 1], np.int64)
-            return _words_from_gap(head & 1, boundaries)
+            return _words_from_gap(head & 1, _cat(min_v, mids, BITS - 1))
 
         if btype == BLOCK_GAP_BIENC_V2:
             head = r.get_16()
@@ -1097,9 +1186,8 @@ class RefDeserializer:
             max_v = (65535 - max_v) & 0xFFFF
             bi = _BitIn(r)
             mids = bi.bic_decode_cm(L - 3, min_v, max_v) if L > 3 else []
-            boundaries = np.asarray([min_v] + mids + [max_v, BITS - 1],
-                                    np.int64)
-            return _words_from_gap(head & 1, boundaries)
+            return _words_from_gap(
+                head & 1, _cat(min_v, mids, max_v, BITS - 1))
 
         if btype == BLOCK_GAP_BIENC_V3S:
             bi = _BitIn(r)
@@ -1111,9 +1199,8 @@ class RefDeserializer:
             max_v = bi.gamma8() if tail8 else bi.get_16_no()
             max_v = (65535 - max_v) & 0xFFFF
             mids = bi.bic_decode_cm(L - 3, min_v, max_v) if L > 3 else []
-            boundaries = np.asarray([min_v] + mids + [max_v, BITS - 1],
-                                    np.int64)
-            return _words_from_gap(head & 1, boundaries)
+            return _words_from_gap(
+                head & 1, _cat(min_v, mids, max_v, BITS - 1))
 
         if btype == BLOCK_GAP_BIENC_V3:
             return self._read_gap_bienc_v3(r)
@@ -1417,43 +1504,51 @@ class RefSerializer:
             self._stat("bit_1bit")
             return
 
-        candidates = []   # (size_bytes, tag, payload_bytes)
-        raw = self._enc_raw(words)
-        candidates.append((len(raw), "bit", raw))
+        # Size-estimate chooser (the reference's find_bit_best_encoding is
+        # also a cost model, src/bmserial.h:2373; BIC cost uses the same
+        # bie_bits_per_int ~3.75 heuristic as src/bmserial.h:139-152).
+        # Only the winning candidate is actually encoded.
         ibc = BITS - bc
+        start, boundaries = _gap_boundaries_from_words(words)
+        L = len(boundaries)
+        est = [(1 + 4 * WORDS, "bit")]
         if level >= 1:
             if bc < 65536:
-                pos = _positions_from_words(words)
-                p = self._enc_arrbit(pos, inverted=False)
-                candidates.append((len(p), "arrbit", p))
+                est.append((3 + 2 * bc, "arrbit"))
             if ibc < 65536:
-                ipos = _positions_from_words(words, invert=True)
-                p = self._enc_arrbit(ipos, inverted=True)
-                candidates.append((len(p), "arrbit_inv", p))
-            start, boundaries = _gap_boundaries_from_words(words)
-            L = len(boundaries)
+                est.append((3 + 2 * ibc, "arrbit_inv"))
             if L < 8192:
-                p = self._enc_gap(start, boundaries)
-                candidates.append((len(p), "gap", p))
-        if level >= 4:
-            if L < 8192:
-                p = self._enc_gap_egamma(start, boundaries)
-                candidates.append((len(p), "gap_egamma", p))
-            if bc <= 4096:
-                p = self._enc_arrgap_egamma(pos, inverted=False)
-                candidates.append((len(p), "arrgap_egamma", p))
-            elif ibc <= 4096:
-                p = self._enc_arrgap_egamma(ipos, inverted=True)
-                candidates.append((len(p), "arrgap_egamma_inv", p))
+                est.append((3 + 2 * (L - 1), "gap"))
+        if level >= 4 and L < 8192:
+            vals = np.asarray(boundaries[:-1], np.int64)
+            deltas = np.diff(vals, prepend=-1)
+            gamma_bits = int(np.sum(
+                2 * np.floor(np.log2(np.maximum(deltas, 1))) + 1))
+            est.append((3 + (gamma_bits + 31) // 32 * 4, "gap_egamma"))
         if level >= 5:
             if 2 < bc <= 16384:
-                p = self._enc_arr_bienc(pos, inverted=False)
-                candidates.append((len(p), "arr_bienc", p))
+                est.append((7 + int(bc * 3.75) // 8, "arr_bienc"))
             if 2 < ibc <= 16384:
-                p = self._enc_arr_bienc(ipos, inverted=True)
-                candidates.append((len(p), "arr_bienc_inv", p))
-        candidates.sort(key=lambda t: t[0])
-        size, tag, payload = candidates[0]
+                est.append((7 + int(ibc * 3.75) // 8, "arr_bienc_inv"))
+        est.sort()
+        tag = est[0][1]
+        if tag == "bit":
+            payload = self._enc_raw(words)
+        elif tag == "arrbit":
+            payload = self._enc_arrbit(_positions_from_words(words), False)
+        elif tag == "arrbit_inv":
+            payload = self._enc_arrbit(
+                _positions_from_words(words, invert=True), True)
+        elif tag == "gap":
+            payload = self._enc_gap(start, boundaries)
+        elif tag == "gap_egamma":
+            payload = self._enc_gap_egamma(start, boundaries)
+        elif tag == "arr_bienc":
+            payload = self._enc_arr_bienc(_positions_from_words(words),
+                                          False)
+        else:
+            payload = self._enc_arr_bienc(
+                _positions_from_words(words, invert=True), True)
         w.parts += payload
         self._stat(tag)
 
@@ -1492,12 +1587,8 @@ class RefSerializer:
         head = (L << 3) | (3 << 1) | start
         w.put_16(head)
         bo = _BitOut(w)
-        vals = boundaries[:-1]                   # final 65535 implied
-        prev = 0
-        for i, v in enumerate(vals):
-            v = int(v)
-            bo.gamma(v + 1 if i == 0 else v - prev)
-            prev = v
+        vals = np.asarray(boundaries[:-1], np.int64)  # final 65535 implied
+        bo.gamma_many(np.diff(vals, prepend=-1))      # first stored as v+1
         bo.flush()
         return w.get_bytes()
 
@@ -1508,11 +1599,7 @@ class RefSerializer:
                 else BLOCK_ARRGAP_EGAMMA)
         bo = _BitOut(w)
         bo.gamma(len(pos))
-        prev = 0
-        for k, v in enumerate(pos):
-            v = int(v)
-            bo.gamma(v + 1 if k == 0 else v - prev)
-            prev = v
+        bo.gamma_many(np.diff(np.asarray(pos, np.int64), prepend=-1))
         bo.flush()
         return w.get_bytes()
 
