@@ -14,12 +14,18 @@
 
 #include <cstdint>
 #include <cstring>
+#include <ostream>   // the reference's bmsparsevec_serial.h uses std::endl
 #include <vector>
 
 #include "bm.h"
 #include "bmserial.h"
+#include "bmsparsevec.h"
+#include "bmsparsevec_compr.h"
+#include "bmsparsevec_serial.h"
 
 typedef bm::bvector<> bvect;
+typedef bm::sparse_vector<unsigned, bvect> svect_u32;
+typedef bm::rsc_sparse_vector<unsigned, svect_u32> rsc_u32;
 
 extern "C" {
 
@@ -199,6 +205,95 @@ int64_t bmref_deserialize_xor_to_indices(const uint8_t* blob,
         for (; en.valid(); ++en) {
             if (out && n < out_cap) out[n] = *en;
             ++n;
+        }
+        return n;
+    } catch (...) {
+        return -1;
+    }
+}
+
+// Reference sparse_vector<unsigned> serializer: values + not-null mask ->
+// 'BM' BLOB (XOR plane filter on/off).  Fixture generator for ref_sv.py.
+int64_t bmref_sv_serialize(const uint32_t* vals, const uint8_t* notnull,
+                           int64_t n, int use_xor,
+                           uint8_t* out, int64_t out_cap) {
+    try {
+        svect_u32 sv(bm::use_null);
+        for (int64_t i = 0; i < n; ++i)
+            if (notnull[i])
+                sv.set(static_cast<bm::id_t>(i), vals[i]);
+        sv.optimize();
+        bm::sparse_vector_serializer<svect_u32> ser;
+        ser.enable_xor_compression();
+        if (!use_xor) ser.disable_xor_compression();
+        bm::sparse_vector_serial_layout<svect_u32> lay;
+        ser.serialize(sv, lay);
+        if (out && out_cap >= static_cast<int64_t>(lay.size()))
+            memcpy(out, lay.buf(), lay.size());
+        return static_cast<int64_t>(lay.size());
+    } catch (...) {
+        return -1;
+    }
+}
+
+// Reference sparse_vector<unsigned> deserializer: BLOB -> values +
+// not-null mask.  Returns vector size, fills up to cap entries.
+int64_t bmref_sv_deserialize(const uint8_t* blob, uint32_t* vals,
+                             uint8_t* notnull, int64_t cap) {
+    try {
+        svect_u32 sv(bm::use_null);
+        bm::sparse_vector_deserializer<svect_u32> des;
+        des.deserialize(sv, blob);
+        int64_t n = static_cast<int64_t>(sv.size());
+        for (int64_t i = 0; i < n && i < cap; ++i) {
+            notnull[i] = !sv.is_null(static_cast<bm::id_t>(i));
+            vals[i] = notnull[i] ? sv.get(static_cast<bm::id_t>(i)) : 0;
+        }
+        return n;
+    } catch (...) {
+        return -1;
+    }
+}
+
+// Reference rsc_sparse_vector<unsigned> serializer ('BC' BLOB).
+int64_t bmref_rsc_serialize(const uint32_t* vals, const uint8_t* notnull,
+                            int64_t n, uint8_t* out, int64_t out_cap) {
+    try {
+        rsc_u32 rsc;
+        {
+            rsc_u32::back_insert_iterator it(rsc.get_back_inserter());
+            for (int64_t i = 0; i < n; ++i) {
+                if (notnull[i]) it = vals[i];
+                else it.add_null();
+            }
+            it.flush();
+        }
+        rsc.optimize();
+        rsc.sync();
+        bm::sparse_vector_serializer<rsc_u32> ser;
+        bm::sparse_vector_serial_layout<rsc_u32> lay;
+        ser.serialize(rsc, lay);
+        if (out && out_cap >= static_cast<int64_t>(lay.size()))
+            memcpy(out, lay.buf(), lay.size());
+        return static_cast<int64_t>(lay.size());
+    } catch (...) {
+        return -1;
+    }
+}
+
+// Reference rsc_sparse_vector<unsigned> deserializer.
+int64_t bmref_rsc_deserialize(const uint8_t* blob, uint32_t* vals,
+                              uint8_t* notnull, int64_t cap) {
+    try {
+        rsc_u32 rsc;
+        bm::sparse_vector_deserializer<rsc_u32> des;
+        des.deserialize(rsc, blob);
+        int64_t n = static_cast<int64_t>(rsc.size());
+        for (int64_t i = 0; i < n && i < cap; ++i) {
+            unsigned v = 0;
+            bool has = rsc.try_get(static_cast<bm::id_t>(i), v);
+            notnull[i] = has;
+            vals[i] = has ? v : 0;
         }
         return n;
     } catch (...) {

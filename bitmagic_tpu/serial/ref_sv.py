@@ -1,0 +1,275 @@
+"""Standalone codec for the REFERENCE sparse-vector BLOB format.
+
+Format (derived from src/bmsparsevec_serial.h:940-1160 serialize /
+:1232-1700 deserialize):
+
+  header (33 bytes, planes start at byte 33):
+    'B' 'M'|'C'|'Z'   magic ('M' bit-matrix / 'C' rank-select-compressed /
+                      'Z' empty)
+    u8  byte order
+    u8  legacy plane count (0 -> modern bit-matrix header follows)
+    u8  matrix serialization version (1 = 32-bit, 2 = 64-bit/BM64ADDR)
+    u64 planes_code   (row count; bit 63 set -> digest_offset present)
+    u64 size          (sv.size_internal)
+    u64 digest_offset (absolute offset of the plane-digest section)
+    4 bytes reserved
+  planes: per non-empty row, a standard bvector BLOB (optionally
+    XOR-compressed against other rows — row id == plane index)
+  [remap matrix section — only for remap-trait SVs (str vectors)]
+  at digest_offset:
+    plane-digest bvector BLOB (bit i set = row i non-empty)
+    offset table: u8 '6' + u64 absolute offset per non-empty row, or
+                  u8 '3' + u32 min + u32 max + BIC-u32-cm middle offsets
+
+Row layout of a sparse_vector<Val> (src/bmbmatrix.h:485-496): rows
+0..value_bits-1 are the s2u value bit-slices; the NULL ("not null") row is
+the last row (index = stored value slices).
+
+Reader handles 'BM' and 'BC'; writer emits reference-readable 'BM'/'BC'
+BLOBs (no XOR filter — the reference reads both).  Validated against the
+reference's own sparse_vector_serializer via the native bridge.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import constants as C
+from ..core.bitvector import BitVector
+from .refcodec import (RefDeserializer, RefSerializer, _BitIn, _BitOut,
+                       _ByteReader, _ByteWriter)
+
+_HDR_SIZE = 33
+
+
+# ---------------------------------------------------------------------------
+# read
+# ---------------------------------------------------------------------------
+def _read_header(r: _ByteReader):
+    h1, h2 = r.get_8(), r.get_8()
+    if h1 != ord("B") or h2 not in (ord("M"), ord("C"), ord("Z")):
+        raise ValueError("bad sparse-vector BLOB magic")
+    if h2 == ord("Z"):
+        return dict(kind="Z", planes=0, size=0, digest_offset=0)
+    r.get_8()                                   # byte order
+    planes = r.get_8()
+    matr_ver = 1
+    planes_code = 0
+    if planes == 0:
+        matr_ver = r.get_8()
+        planes_code = r.get_64()
+        planes = planes_code & ((1 << 63) - 1)
+    size = r.get_64()
+    digest_offset = r.get_64() if (planes_code & (1 << 63)) else 0
+    return dict(kind=chr(h2), planes=int(planes), size=int(size),
+                digest_offset=digest_offset, matr_ver=matr_ver)
+
+
+def _read_planes(data, hdr):
+    """Decode all non-empty rows -> dict row -> BitVector."""
+    if not hdr["digest_offset"]:
+        raise ValueError("legacy sparse-vector BLOB without digest offset")
+    de = RefDeserializer()
+    digest_bv = de.deserialize(bytes(
+        np.frombuffer(data, np.uint8)[hdr["digest_offset"]:]))
+    tab = _ByteReader(bytes(
+        np.frombuffer(data, np.uint8)[hdr["digest_offset"]
+                                      + de.bytes_consumed:]))
+    nonempty = [int(i) for i in digest_bv.indices() if i < hdr["planes"]]
+    dtype_code = tab.get_8()
+    offsets = {}
+    if dtype_code == ord("6"):
+        for i in nonempty:
+            offsets[i] = tab.get_64()
+    elif dtype_code == ord("3"):
+        min_v = tab.get_32()
+        max_v = tab.get_32()
+        bi = _BitIn(tab)
+        mids = (bi.bic_decode_cm(len(nonempty) - 2, min_v, max_v)
+                if len(nonempty) > 2 else [])
+        vals = [min_v] + [int(x) for x in mids] + [max_v]
+        for i, off in zip(nonempty, vals):
+            offsets[i] = off
+    else:
+        raise ValueError(f"unknown offset table type {dtype_code}")
+
+    rows: dict[int, BitVector] = {}
+    buf = bytes(data)
+    refs = []
+    for i in sorted(nonempty, reverse=True):   # backward: NULL row first
+        de = RefDeserializer(ref_vectors=refs)
+        bv = de.deserialize(buf[offsets[i]:])
+        rows[i] = bv
+        refs.append((i, bv))
+    return rows
+
+
+def deserialize_sv_blob(data, dtype=np.uint32):
+    """Reference sparse-vector BLOB -> SparseVector."""
+    from ..sv.sparse_vector import SparseVector
+    r = _ByteReader(data)
+    hdr = _read_header(r)
+    if hdr["kind"] == "Z":
+        return SparseVector(dtype, nullable=True)
+    if hdr["kind"] == "C":
+        raise ValueError("RSC BLOB: use deserialize_rsc_blob")
+    rows = _read_planes(data, hdr)
+    sv = SparseVector(dtype, nullable=True)
+    # the NULL row sits at index = stored value slices (8*sizeof(Val));
+    # it is present only when the row count includes it
+    # (load_null_plane, src/bmsparsevec_serial.h)
+    ref_val = 8 * np.dtype(dtype).itemsize
+    null_row = ref_val if hdr["planes"] == ref_val + 1 else -1
+    sv._size = hdr["size"]
+    for i, bv in rows.items():
+        if i == null_row:
+            sv.null_plane = bv
+        elif i < sv.n_slices:
+            sv.planes[i] = bv
+        elif bv.any():
+            raise ValueError(f"value slice {i} exceeds dtype width")
+    if sv.null_plane is None:
+        sv.null_plane = BitVector(C.ID_MAX48)
+        if sv._size:
+            sv.null_plane.set_range(0, sv._size - 1)
+    return sv
+
+
+def deserialize_rsc_blob(data, dtype=np.uint32):
+    """Reference rsc_sparse_vector BLOB ('BC') -> RSCSparseVector."""
+    from ..sv.rsc_vector import RSCSparseVector
+    from ..sv.sparse_vector import SparseVector
+    r = _ByteReader(data)
+    hdr = _read_header(r)
+    rsc = RSCSparseVector(dtype)
+    if hdr["kind"] == "Z":
+        return rsc
+    if hdr["kind"] != "C":
+        raise ValueError("not an RSC BLOB")
+    rows = _read_planes(data, hdr)
+    ref_val = 8 * np.dtype(dtype).itemsize
+    null_row = ref_val if hdr["planes"] == ref_val + 1 else -1
+    dense = SparseVector(dtype, nullable=False)
+    dense._size = hdr["size"]
+    null_bv = None
+    for i, bv in rows.items():
+        if i == null_row:
+            null_bv = bv
+        elif i < dense.n_slices:
+            dense.planes[i] = bv
+    # rows hold values at rank-compressed positions; expand via the index
+    if null_bv is None:
+        return rsc
+    idx = null_bv.indices()
+    vals = dense.gather(np.arange(len(idx), dtype=np.int64))
+    n = int(idx[-1]) + 1 if len(idx) else 0
+    arr = np.zeros(n, dtype)
+    arr[idx] = vals
+    mask = np.ones(n, bool)
+    mask[idx] = False                           # True = NULL
+    sv = SparseVector.from_array(arr, nullable=True, null_mask=mask)
+    return RSCSparseVector.from_sparse_vector(sv)
+
+
+# ---------------------------------------------------------------------------
+# write
+# ---------------------------------------------------------------------------
+def _clamped(bv: BitVector, size: int) -> BitVector:
+    """Plane copy sized to the vector length (planes are stored with the
+    element-count address space so 32-bit reference builds can read them)."""
+    out = BitVector._from_parts(bv._struct, bv._pool, max(size, 1))
+    out._drop_trailing(max(size, 1))
+    return out
+
+
+def _serialize_matrix(rows: dict[int, BitVector], n_rows: int, size: int,
+                      kind: str, level: int, clamp: int | None = None) -> \
+        bytes:
+    ser = RefSerializer(level)
+    w = _ByteWriter()
+    w.put_8(ord("B"))
+    w.put_8(ord(kind))
+    w.put_8(1)                                  # little-endian
+    w.put_8(0)                                  # modern bit-matrix header
+    w.put_8(1)                                  # matrix version (32-bit)
+    w.put_64(n_rows | (1 << 63))
+    w.put_64(size)
+    digest_pos_at = len(w.parts)
+    w.put_64(0)                                 # digest offset placeholder
+    w.put_32(0)                                 # reserved
+    assert len(w.parts) == _HDR_SIZE
+
+    offsets = {}
+    for i in sorted(rows):
+        bv = rows[i]
+        if bv is None or not bv.any():
+            continue
+        offsets[i] = len(w.parts)
+        w.parts += ser.serialize(_clamped(bv, clamp or size))
+
+    digest_offset = len(w.parts)
+    digest_bv = BitVector.from_indices(
+        np.asarray(sorted(offsets), np.int64), max(n_rows, 1))
+    w.parts += ser.serialize(digest_bv)
+    w.put_8(ord("6"))
+    for i in sorted(offsets):
+        w.put_64(offsets[i])
+
+    blob = bytearray(w.get_bytes())
+    blob[digest_pos_at:digest_pos_at + 8] = int(digest_offset).to_bytes(
+        8, "little")
+    return bytes(blob)
+
+
+def serialize_sv_blob(sv, level: int = 6) -> bytes:
+    """SparseVector -> reference-format 'BM' BLOB (reference-readable).
+
+    The NULL row must land at index 8*sizeof(Val) for the reference to
+    recognize it; a signed vector using our extra top slice (s2u magnitude
+    overflow past the dtype width) cannot be represented and raises."""
+    sv._flush()
+    if sv.size == 0:
+        return b"BZ"
+    ref_val = 8 * sv.dtype.itemsize
+    rows = {}
+    for i, bv in enumerate(sv.planes):
+        if bv is None or not bv.any():
+            continue
+        if i >= ref_val:
+            raise ValueError(
+                f"value slice {i} exceeds the reference layout for "
+                f"{sv.dtype} (signed magnitudes too large)")
+        rows[i] = bv
+    if sv.nullable and sv.null_plane is not None:
+        rows[ref_val] = sv.null_plane
+    else:
+        # reference vectors always mark assigned positions in the NULL row
+        rows[ref_val] = BitVector.from_indices(
+            np.arange(sv.size, dtype=np.int64), sv.size)
+    return _serialize_matrix(rows, ref_val + 1, sv.size, "M", level)
+
+
+def serialize_rsc_blob(rsc, level: int = 6) -> bytes:
+    """RSCSparseVector -> reference-format 'BC' BLOB."""
+    rsc._flush()
+    null_bv = rsc.get_null_bvector()
+    idx = null_bv.indices()
+    if idx.size == 0:
+        return b"BZ"
+    vals = rsc.gather(idx)
+    from ..sv.sparse_vector import SparseVector
+    dense = SparseVector.from_array(np.asarray(vals, rsc.dtype))
+    ref_val = 8 * np.dtype(rsc.dtype).itemsize
+    rows = {}
+    for i, bv in enumerate(dense.planes):
+        if bv is None or not bv.any():
+            continue
+        if i >= ref_val:
+            raise ValueError("value slice exceeds the reference layout")
+        rows[i] = bv
+    rows[ref_val] = null_bv
+    # RSC size_internal is the ASSIGNED count (src/bmsparsevec_compr.h:935);
+    # value rows live in the rank-compressed domain, the NULL row in the
+    # logical domain — clamp all rows by the logical size
+    return _serialize_matrix(rows, ref_val + 1, len(idx), "C", level,
+                             clamp=int(rsc.size))

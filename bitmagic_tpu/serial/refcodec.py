@@ -735,6 +735,7 @@ class RefDeserializer:
                 size = r.get_64() if is64 else r.get_32()
             cnt = r.get_32()
             ids = np.asarray([r.get_32() for _ in range(cnt)], np.int64)
+            self.bytes_consumed = r.pos
             return BitVector.from_indices(ids, max(size, 1))
 
         if not (header & HM_NO_GAPL):
@@ -963,6 +964,8 @@ class RefDeserializer:
 
         if x_d64:
             xor_decode()
+
+        self.bytes_consumed = r.pos   # for embedded BLOBs (SV plane streams)
 
         # assemble BitVector: clamp to size
         size = max(int(size), 1)

@@ -84,6 +84,17 @@ def load():
         lib.bmref_gap_stat.restype = ctypes.c_int
         lib.bmref_gap_stat.argtypes = [u64p, ctypes.c_int64,
                                        ctypes.c_uint64, u64p]
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.bmref_sv_serialize.restype = ctypes.c_int64
+        lib.bmref_sv_serialize.argtypes = [u32p, u8p, ctypes.c_int64,
+                                           ctypes.c_int, u8p, ctypes.c_int64]
+        lib.bmref_sv_deserialize.restype = ctypes.c_int64
+        lib.bmref_sv_deserialize.argtypes = [u8p, u32p, u8p, ctypes.c_int64]
+        lib.bmref_rsc_serialize.restype = ctypes.c_int64
+        lib.bmref_rsc_serialize.argtypes = [u32p, u8p, ctypes.c_int64,
+                                            u8p, ctypes.c_int64]
+        lib.bmref_rsc_deserialize.restype = ctypes.c_int64
+        lib.bmref_rsc_deserialize.argtypes = [u8p, u32p, u8p, ctypes.c_int64]
         _lib = lib
         return lib
 
@@ -179,6 +190,80 @@ def deserialize_reference_blob_xor(blob, ids_ref, size, ids_ref2=None):
         bp, rp, rr.size, r2p, r2.size, size,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), n)
     return out[:n].astype(np.int64)
+
+
+def serialize_reference_sv(values, notnull, use_xor=True) -> bytes:
+    """Reference sparse_vector<u32> serializer -> 'BM' BLOB."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("reference bridge unavailable")
+    v = np.ascontiguousarray(values, np.uint32)
+    m = np.ascontiguousarray(notnull, np.uint8)
+    vp = v.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+    mp = m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    n = lib.bmref_sv_serialize(vp, mp, v.size, int(use_xor), None, 0)
+    if n < 0:
+        raise ValueError("reference sv serialization failed")
+    out = np.zeros(n, np.uint8)
+    lib.bmref_sv_serialize(
+        vp, mp, v.size, int(use_xor),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n)
+    return out.tobytes()
+
+
+def deserialize_reference_sv(blob):
+    """Reference sparse_vector<u32> deserializer -> (values, notnull)."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("reference bridge unavailable")
+    buf = np.frombuffer(bytes(blob), np.uint8)
+    bp = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    n = lib.bmref_sv_deserialize(bp, None, None, 0)
+    if n < 0:
+        raise ValueError("reference sv deserialization failed")
+    vals = np.zeros(max(n, 1), np.uint32)
+    mask = np.zeros(max(n, 1), np.uint8)
+    lib.bmref_sv_deserialize(
+        bp, vals.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n)
+    return vals[:n], mask[:n].astype(bool)
+
+
+def serialize_reference_rsc(values, notnull) -> bytes:
+    """Reference rsc_sparse_vector<u32> serializer -> 'BC' BLOB."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("reference bridge unavailable")
+    v = np.ascontiguousarray(values, np.uint32)
+    m = np.ascontiguousarray(notnull, np.uint8)
+    vp = v.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+    mp = m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    n = lib.bmref_rsc_serialize(vp, mp, v.size, None, 0)
+    if n < 0:
+        raise ValueError("reference rsc serialization failed")
+    out = np.zeros(n, np.uint8)
+    lib.bmref_rsc_serialize(
+        vp, mp, v.size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n)
+    return out.tobytes()
+
+
+def deserialize_reference_rsc(blob):
+    """Reference rsc_sparse_vector<u32> deserializer -> (values, notnull)."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("reference bridge unavailable")
+    buf = np.frombuffer(bytes(blob), np.uint8)
+    bp = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    n = lib.bmref_rsc_deserialize(bp, None, None, 0)
+    if n < 0:
+        raise ValueError("reference rsc deserialization failed")
+    vals = np.zeros(max(n, 1), np.uint32)
+    mask = np.zeros(max(n, 1), np.uint8)
+    lib.bmref_rsc_deserialize(
+        bp, vals.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n)
+    return vals[:n], mask[:n].astype(bool)
 
 
 def reference_gap_stat(ids, size):

@@ -1,0 +1,122 @@
+"""Reference sparse-vector BLOB format interop (serial/ref_sv.py).
+
+Fixture BLOBs come from the reference's own sparse_vector_serializer
+(tools/make_refblob_fixtures.py); bridge tests additionally round-trip our
+writer's output through the reference reader.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from bitmagic_tpu.serial import ref_sv, refformat
+from bitmagic_tpu.sv.rsc_vector import RSCSparseVector
+from bitmagic_tpu.sv.sparse_vector import SparseVector
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures", "refblobs")
+HAVE = os.path.exists(os.path.join(FIX, "sv_inputs.npz"))
+
+pytestmark = pytest.mark.skipif(not HAVE, reason="sv fixtures missing")
+
+if HAVE:
+    _IN = np.load(os.path.join(FIX, "sv_inputs.npz"))
+    VALS, NOTNULL = _IN["vals"], _IN["notnull"].astype(bool)
+    IDX = np.flatnonzero(NOTNULL).astype(np.int64)
+
+
+def _blob(name):
+    with open(os.path.join(FIX, name), "rb") as f:
+        return f.read()
+
+
+@pytest.mark.parametrize("name", ["sv_plain.bin", "sv_xor.bin"])
+def test_reference_sv_fixture_decodes(name):
+    sv = ref_sv.deserialize_sv_blob(_blob(name), np.uint32)
+    assert sv.size == len(VALS)
+    got = np.asarray(sv.gather(IDX), np.uint32)
+    assert np.array_equal(got, VALS[IDX])
+    nn = np.zeros(len(VALS), bool)
+    nz = sv.null_plane.indices()
+    nn[nz[nz < len(VALS)]] = True
+    assert np.array_equal(nn, NOTNULL)
+
+
+def test_reference_rsc_fixture_decodes():
+    rsc = ref_sv.deserialize_rsc_blob(_blob("rsc.bin"), np.uint32)
+    got = np.asarray(rsc.gather(IDX), np.uint32)
+    assert np.array_equal(got, VALS[IDX])
+
+
+def test_sv_roundtrip_standalone():
+    rng = np.random.default_rng(4)
+    n = 60_000
+    vals = rng.integers(0, 1 << 16, n).astype(np.uint32)
+    nn = rng.random(n) > 0.5
+    arr = vals.copy()
+    arr[~nn] = 0
+    sv = SparseVector.from_array(arr, nullable=True, null_mask=~nn)
+    blob = ref_sv.serialize_sv_blob(sv)
+    back = ref_sv.deserialize_sv_blob(blob, np.uint32)
+    idx = np.flatnonzero(nn).astype(np.int64)
+    assert np.array_equal(np.asarray(back.gather(idx), np.uint32), vals[idx])
+    assert back.size == n
+
+
+def test_rsc_roundtrip_standalone():
+    rng = np.random.default_rng(6)
+    n = 50_000
+    vals = rng.integers(0, 1 << 16, n).astype(np.uint32)
+    nn = rng.random(n) > 0.7
+    nn[-1] = True
+    arr = vals.copy()
+    arr[~nn] = 0
+    sv = SparseVector.from_array(arr, nullable=True, null_mask=~nn)
+    rsc = RSCSparseVector.from_sparse_vector(sv)
+    blob = ref_sv.serialize_rsc_blob(rsc)
+    back = ref_sv.deserialize_rsc_blob(blob, np.uint32)
+    idx = np.flatnonzero(nn).astype(np.int64)
+    assert np.array_equal(np.asarray(back.gather(idx), np.uint32), vals[idx])
+
+
+def test_empty_sv_blob():
+    sv = SparseVector(np.uint32, nullable=True)
+    blob = ref_sv.serialize_sv_blob(sv)
+    assert blob == b"BZ"
+    back = ref_sv.deserialize_sv_blob(blob)
+    assert back.size == 0
+
+
+bridge = pytest.mark.skipif(not refformat.available(),
+                            reason="reference bridge unavailable")
+
+
+@bridge
+def test_reference_reads_our_sv_blob():
+    rng = np.random.default_rng(8)
+    n = 40_000
+    vals = rng.integers(0, 1 << 20, n).astype(np.uint32)
+    nn = rng.random(n) > 0.4
+    arr = vals.copy()
+    arr[~nn] = 0
+    sv = SparseVector.from_array(arr, nullable=True, null_mask=~nn)
+    rv, rm = refformat.deserialize_reference_sv(ref_sv.serialize_sv_blob(sv))
+    assert np.array_equal(rm, nn)
+    assert np.array_equal(rv[nn], vals[nn])
+
+
+@bridge
+def test_reference_reads_our_rsc_blob():
+    rng = np.random.default_rng(10)
+    n = 30_000
+    vals = rng.integers(0, 1 << 20, n).astype(np.uint32)
+    nn = rng.random(n) > 0.6
+    nn[-1] = True
+    arr = vals.copy()
+    arr[~nn] = 0
+    sv = SparseVector.from_array(arr, nullable=True, null_mask=~nn)
+    rsc = RSCSparseVector.from_sparse_vector(sv)
+    rv, rm = refformat.deserialize_reference_rsc(
+        ref_sv.serialize_rsc_blob(rsc))
+    assert np.array_equal(rm, nn)
+    assert np.array_equal(rv[nn], vals[nn])

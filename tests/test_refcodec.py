@@ -30,7 +30,8 @@ if HAVE_FIXTURES:
         MANIFEST = json.load(f)
     INPUTS = np.load(os.path.join(FIX, "inputs.npz"))
     PLAIN_BLOBS = [b for b in MANIFEST["blobs"]
-                   if b["options"] != "xor"]
+                   if b["options"] != "xor"
+                   and b["dist"] not in ("sv", "rsc")]
 else:
     MANIFEST, INPUTS, PLAIN_BLOBS = {"size": 0}, {}, []
 

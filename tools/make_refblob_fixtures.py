@@ -129,6 +129,34 @@ def main():
                      "level": 6, "options": "xor",
                      "codes": sorted(de.code_stat)})
 
+    # sparse-vector / RSC BLOB fixtures (reference sparse_vector_serializer)
+    nsv = 250_000
+    sv_vals = rng.integers(0, 1 << 22, nsv).astype(np.uint32)
+    sv_nn = rng.random(nsv) > 0.35
+    sv_nn[-1] = True     # avoid trailing-NULL size ambiguity in fixtures
+    np.savez_compressed(os.path.join(OUT, "sv_inputs.npz"),
+                        vals=sv_vals, notnull=sv_nn)
+    from bitmagic_tpu.serial import ref_sv
+    for name, use_xor in (("sv_plain.bin", False), ("sv_xor.bin", True)):
+        blob = refformat.serialize_reference_sv(sv_vals, sv_nn, use_xor)
+        with open(os.path.join(OUT, name), "wb") as f:
+            f.write(blob)
+        sv = ref_sv.deserialize_sv_blob(blob, np.uint32)
+        sidx = np.flatnonzero(sv_nn).astype(np.int64)
+        assert np.array_equal(
+            np.asarray(sv.gather(sidx), np.uint32), sv_vals[sidx]), name
+        manifest.append({"file": name, "dist": "sv", "level": 6,
+                         "options": "xor" if use_xor else "", "codes": []})
+    blob = refformat.serialize_reference_rsc(sv_vals, sv_nn)
+    with open(os.path.join(OUT, "rsc.bin"), "wb") as f:
+        f.write(blob)
+    rsc = ref_sv.deserialize_rsc_blob(blob, np.uint32)
+    sidx = np.flatnonzero(sv_nn).astype(np.int64)
+    assert np.array_equal(
+        np.asarray(rsc.gather(sidx), np.uint32), sv_vals[sidx])
+    manifest.append({"file": "rsc.bin", "dist": "rsc", "level": 6,
+                     "options": "", "codes": []})
+
     with open(os.path.join(OUT, "manifest.json"), "w") as f:
         json.dump({"size": SIZE, "blobs": manifest,
                    "codes_covered": sorted(seen_codes)}, f, indent=1)
