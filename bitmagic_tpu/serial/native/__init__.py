@@ -58,6 +58,13 @@ def load():
                                         u64p]
         i32p = ctypes.POINTER(ctypes.c_int32)
         u32p = ctypes.POINTER(ctypes.c_uint32)
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        lib.bm_block_positions.restype = ctypes.c_int64
+        lib.bm_block_positions.argtypes = [u32p, ctypes.c_int, u16p]
+        lib.bm_block_gap_boundaries.restype = ctypes.c_int64
+        lib.bm_block_gap_boundaries.argtypes = [u32p, u16p, i32p]
+        lib.bm_block_popcount.restype = ctypes.c_int64
+        lib.bm_block_popcount.argtypes = [u32p]
         lib.bmref_bic_decode_cm.restype = ctypes.c_int
         lib.bmref_bic_decode_cm.argtypes = [
             u8p, ctypes.c_int64, i64p, u64p, i32p,
@@ -75,6 +82,36 @@ def load():
         _lib = lib
         AVAILABLE = True
         return lib
+
+
+def block_positions(words: np.ndarray, inverted: bool = False):
+    """Set/clear-bit positions of a 2048-word uint32 block (int64 array),
+    or None when the native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    words = np.ascontiguousarray(words, np.uint32)
+    out = np.zeros(65536, np.uint16)
+    n = lib.bm_block_positions(
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        int(inverted),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+    return out[:n].astype(np.int64)
+
+
+def block_gap_boundaries(words: np.ndarray):
+    """(start_bit, boundaries incl. final 65535) or None if unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    words = np.ascontiguousarray(words, np.uint32)
+    out = np.zeros(65537, np.uint16)
+    start = ctypes.c_int32(0)
+    n = lib.bm_block_gap_boundaries(
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        ctypes.byref(start))
+    return int(start.value), out[:n].astype(np.int64)
 
 
 def bic_encode_bytes(arr: np.ndarray, lo: int, hi: int) -> bytes:

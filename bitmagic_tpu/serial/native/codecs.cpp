@@ -351,6 +351,53 @@ int bmref_bic_encode_cm(const int64_t* arr, int64_t sz, int64_t lo,
     return 0;
 }
 
+// Set-bit (or clear-bit) positions of a 2048-word block -> u16 list.
+// Returns the count.  (Replaces numpy unpackbits+flatnonzero in the
+// serializer hot loops.)
+int64_t bm_block_positions(const uint32_t* words, int inverted,
+                           uint16_t* out) {
+    int64_t n = 0;
+    for (unsigned k = 0; k < 2048; ++k) {
+        uint32_t w = inverted ? ~words[k] : words[k];
+        unsigned base = k << 5;
+        while (w) {
+            out[n++] = static_cast<uint16_t>(base + __builtin_ctz(w));
+            w &= w - 1;
+        }
+    }
+    return n;
+}
+
+// D-GAP boundaries of a block: positions i where bit i != bit i+1, plus the
+// final 65535.  *start gets bit 0.  Returns the boundary count.
+int64_t bm_block_gap_boundaries(const uint32_t* words, uint16_t* out,
+                                int32_t* start) {
+    *start = static_cast<int32_t>(words[0] & 1u);
+    int64_t n = 0;
+    uint32_t prev_top = words[0] & 1u;   // so bit -1 == bit 0 (no change)
+    for (unsigned k = 0; k < 2048; ++k) {
+        uint32_t w = words[k];
+        uint32_t x = w ^ ((w << 1) | prev_top);
+        prev_top = w >> 31;
+        unsigned base = k << 5;
+        while (x) {
+            // change at bit (base+i) means boundary at (base+i-1)
+            out[n++] = static_cast<uint16_t>(base + __builtin_ctz(x) - 1);
+            x &= x - 1;
+        }
+    }
+    out[n++] = 65535;
+    return n;
+}
+
+// Popcount of a 2048-word block.
+int64_t bm_block_popcount(const uint32_t* words) {
+    int64_t n = 0;
+    for (unsigned k = 0; k < 2048; ++k)
+        n += __builtin_popcount(words[k]);
+    return n;
+}
+
 // Decode n Elias-gamma values (reference LSB-first stream) into out.
 int bmref_gamma_decode(const uint8_t* buf, int64_t len, int64_t* pos,
                        uint64_t* acc, int32_t* nbits,

@@ -87,13 +87,44 @@ class OperationDeserializer:
         }.get(op)
         if metric is None:
             raise ValueError(f"unsupported op {op}")
-        # AND-like counts only need blocks present in bv; stream-skip others
+        # AND-like counts only need blocks present in bv; stream-skip others.
+        # The whole count runs on the host (numpy popcount): BLOB ops are
+        # latency-bound, and a host pass beats device round-trips until the
+        # working set is orders of magnitude larger than typical BLOBs.
         if op == C.SET_COUNT_AND:
-            want = set(int(x) for x in bv._struct.nb)
-            other = _materialize_subset(data, want, bv.size)
-        else:
-            other = Deserializer().deserialize(data)
+            return self._count_and_host(bv, data)
+        other = Deserializer().deserialize(data)
         return setops.distance_operation(bv, other, [metric])[metric]
+
+    @staticmethod
+    def _count_and_host(bv: BitVector, data: bytes) -> int:
+        nb_a = bv._struct.nb
+        cls_a = bv._struct.cls
+        slots_a = bv._struct.slots()
+        amap = {int(nb_a[k]): (cls_a[k], slots_a[k])
+                for k in range(len(nb_a))}
+        pool = (np.asarray(bv._pool) if bv._pool.shape[0]
+                else np.zeros((0, C.SET_BLOCK_SIZE), np.uint32))
+        total = 0
+        for nb, code, payload in _stream_blocks(data, want=set(amap)):
+            if nb == "header" or (payload is None and code != CODE_FULL):
+                continue
+            ent = amap.get(nb)
+            if ent is None:
+                continue
+            cls, slot = ent
+            if code == CODE_FULL:
+                if cls == C.CLS_FULL:
+                    total += C.BITS_PER_BLOCK
+                else:
+                    total += int(np.bitwise_count(pool[slot]).sum())
+                continue
+            words = _decode_payload(code, payload)
+            if cls == C.CLS_FULL:
+                total += int(np.bitwise_count(words).sum())
+            else:
+                total += int(np.bitwise_count(pool[slot] & words).sum())
+        return total
 
 
 def _materialize_subset(data, want, size):

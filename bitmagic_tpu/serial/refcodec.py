@@ -630,12 +630,18 @@ def _words_from_gap(start_bit, boundaries):
 
 
 def _positions_from_words(words, invert=False):
+    pos = native.block_positions(words, invert)
+    if pos is not None:
+        return pos
     bits = np.unpackbits(words.view(np.uint8), bitorder="little")
     return np.flatnonzero(bits == (0 if invert else 1)).astype(np.int64)
 
 
 def _gap_boundaries_from_words(words):
     """Returns (start_bit, boundaries ending with 65535)."""
+    r = native.block_gap_boundaries(words)
+    if r is not None:
+        return r
     bits = np.unpackbits(words.view(np.uint8), bitorder="little")
     change = np.flatnonzero(np.diff(bits.astype(np.int8)) != 0)
     return int(bits[0]), np.concatenate([change, [BITS - 1]])

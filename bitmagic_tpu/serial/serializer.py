@@ -174,16 +174,26 @@ class Serializer:
     def _encode_payload(self, code, words, bc):
         if code == CODE_RAW:
             return words.astype("<u4").tobytes()
-        bits = np.unpackbits(words.view(np.uint8), bitorder="little")
-        if code in (CODE_ARR16, CODE_ARR_BIC):
-            pos = np.flatnonzero(bits)
-        elif code in (CODE_ARR16_INV, CODE_ARR_BIC_INV):
-            pos = np.flatnonzero(bits == 0)
+        if code in (CODE_ARR16, CODE_ARR_BIC, CODE_ARR16_INV,
+                    CODE_ARR_BIC_INV):
+            inv = code in (CODE_ARR16_INV, CODE_ARR_BIC_INV)
+            pos = native.block_positions(words, inv)
+            if pos is None:
+                bits = np.unpackbits(words.view(np.uint8),
+                                     bitorder="little")
+                pos = np.flatnonzero(bits == (0 if inv else 1))
         else:
             # D-GAP runs: boundary positions where the bit value changes;
             # reference GAP buffer stores [last-index-of-run...] u16s
-            change = np.flatnonzero(np.diff(bits.astype(np.int8)) != 0)
-            first_val = int(bits[0])
+            r = native.block_gap_boundaries(words)
+            if r is not None:
+                first_val, bounds = r
+                change = bounds[:-1]
+            else:
+                bits = np.unpackbits(words.view(np.uint8),
+                                     bitorder="little")
+                change = np.flatnonzero(np.diff(bits.astype(np.int8)) != 0)
+                first_val = int(bits[0])
             if code == CODE_GAP_GAMMA:
                 # 1 header byte (first_val) + gamma([n_runs, run lengths...])
                 runs = np.diff(np.concatenate([[-1], change,
