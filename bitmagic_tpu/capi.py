@@ -289,3 +289,188 @@ def BM_bvector_enumerator_next(en):
         return BM_OK, True, next(en)
     except StopIteration:
         return BM_OK, False, -1
+
+
+# -- full libbm parity surface (lang-maps/libbm/include/libbm.h) ----------
+def BM_simd_version():
+    from .config import simd_version
+    return BM_OK, simd_version()
+
+
+def BM_error_msg(err):
+    return {BM_OK: "BM-00: all OK",
+            BM_ERR_BADARG: "BM-01: bad arguments",
+            BM_ERR_BADALLOC: "BM-02: memory allocation error",
+            BM_ERR_RANGE: "BM-03: incorrect range or index",
+            BM_ERR_DETACHED: "BM-04: JNI call error",
+            BM_ERR_JVM_NOT_SUPPORTED: "BM-05: JNI unsupported",
+            BM_ERR_SERIALFORMAT: "BM-06: serialization format error",
+            }.get(err, "BM-XX: unknown error")
+
+
+def BM_bvector_init(bv):
+    return BM_OK
+
+
+def BM_bvector_construct_copy_ro(bv):
+    def run():
+        out = bv.copy()
+        out.freeze()
+        return out
+    return _guard(run)
+
+
+def BM_bvector_construct_copy_rw(bv):
+    return _guard(lambda: bv.copy())
+
+
+def BM_bvector_get_capacity(bv):
+    return BM_OK, bv.size
+
+
+def BM_bvector_swap_bits(bv, i, j):
+    return _guard(lambda: bv.swap_bits(i, j))
+
+
+def BM_bvector_get_first(bv):
+    """(err, found, pos) — first set bit."""
+    pos = bv.find(0)
+    return BM_OK, pos >= 0, max(pos, 0)
+
+
+def BM_bvector_get_next(bv, pos):
+    """(err, found, pos) — next set bit strictly after pos."""
+    nxt = bv.find(int(pos) + 1)
+    return BM_OK, nxt >= 0, max(nxt, 0)
+
+
+def BM_bvector_count_AND(a, b):
+    from .algo import setops
+    return _guard(lambda: setops.count_and(a, b))
+
+
+def BM_bvector_count_OR(a, b):
+    from .algo import setops
+    return _guard(lambda: setops.count_or(a, b))
+
+
+def BM_bvector_count_XOR(a, b):
+    from .algo import setops
+    return _guard(lambda: setops.count_xor(a, b))
+
+
+def BM_bvector_count_SUB(a, b):
+    from .algo import setops
+    return _guard(lambda: setops.count_sub(a, b))
+
+
+def BM_bvector_any_AND(a, b):
+    from .algo import setops
+    return _guard(lambda: setops.any_and(a, b))
+
+
+def BM_bvector_any_OR(a, b):
+    from .algo import setops
+    return _guard(lambda: setops.any_or(a, b))
+
+
+def BM_bvector_any_XOR(a, b):
+    from .algo import setops
+    return _guard(lambda: setops.any_xor(a, b))
+
+
+def BM_bvector_any_SUB(a, b):
+    from .algo import setops
+    return _guard(lambda: setops.any_sub(a, b))
+
+
+def BM_bvector_combine_operation(dst, src, opcode):
+    """Generic op dispatch (libbm BM_bvector_combine_operation;
+    opcodes: 0 AND, 1 OR, 2 SUB, 3 XOR as in the reference binding)."""
+    def run():
+        if opcode == 0:
+            dst.bit_and(src)
+        elif opcode == 1:
+            dst.bit_or(src)
+        elif opcode == 2:
+            dst.bit_sub(src)
+        elif opcode == 3:
+            dst.bit_xor(src)
+        else:
+            raise ValueError(f"bad opcode {opcode}")
+        return dst
+    return _guard(run)
+
+
+def _combine_arr(dst, arr, op):
+    def run():
+        other = BitVector.from_indices(
+            np.unique(np.asarray(arr, np.int64)), dst.size)
+        getattr(dst, op)(other)
+        return dst
+    return _guard(run)
+
+
+def BM_bvector_combine_OR_arr(dst, arr):
+    return _combine_arr(dst, arr, "bit_or")
+
+
+def BM_bvector_combine_AND_arr(dst, arr):
+    return _combine_arr(dst, arr, "bit_and")
+
+
+def BM_bvector_combine_AND_arr_sorted(dst, arr):
+    return _combine_arr(dst, arr, "bit_and")
+
+
+def BM_bvector_combine_XOR_arr(dst, arr):
+    return _combine_arr(dst, arr, "bit_xor")
+
+
+def BM_bvector_combine_SUB_arr(dst, arr):
+    return _combine_arr(dst, arr, "bit_sub")
+
+
+def BM_bvector_statistics(bv):
+    """(err, dict) — reference BM_bvector_statistics (bv_statistics)."""
+    return _guard(bv.calc_stat)
+
+
+# stateful enumerator handles (libbm enumerator object surface)
+class _Enumerator:
+    __slots__ = ("idx", "k")
+
+    def __init__(self, idx, pos):
+        self.idx = idx
+        self.k = int(np.searchsorted(idx, pos))
+
+
+def BM_bvector_enumerator_construct_from(bv, pos):
+    return BM_OK, _Enumerator(bv.indices(), pos)
+
+
+def BM_bvector_enumerator_free(en):
+    return BM_OK
+
+
+def BM_bvector_enumerator_is_valid(en):
+    return BM_OK, en.k < len(en.idx)
+
+
+def BM_bvector_enumerator_get_value(en):
+    if en.k >= len(en.idx):
+        return BM_ERR_RANGE, 0
+    return BM_OK, int(en.idx[en.k])
+
+
+def BM_bvector_enumerator_next_value(en):
+    """(err, valid, value) — advance then read."""
+    en.k += 1
+    if en.k >= len(en.idx):
+        return BM_OK, False, 0
+    return BM_OK, True, int(en.idx[en.k])
+
+
+def BM_bvector_enumerator_goto(en, pos):
+    en.k = int(np.searchsorted(en.idx, pos))
+    return BM_OK, en.k < len(en.idx)
