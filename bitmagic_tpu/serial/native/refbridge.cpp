@@ -22,10 +22,12 @@
 #include "bmsparsevec.h"
 #include "bmsparsevec_compr.h"
 #include "bmsparsevec_serial.h"
+#include "bmstrsparsevec.h"
 
 typedef bm::bvector<> bvect;
 typedef bm::sparse_vector<unsigned, bvect> svect_u32;
 typedef bm::rsc_sparse_vector<unsigned, svect_u32> rsc_u32;
+typedef bm::str_sparse_vector<char, bvect, 32> str_sv32;
 
 extern "C" {
 
@@ -294,6 +296,60 @@ int64_t bmref_rsc_deserialize(const uint8_t* blob, uint32_t* vals,
             bool has = rsc.try_get(static_cast<bm::id_t>(i), v);
             notnull[i] = has;
             vals[i] = has ? v : 0;
+        }
+        return n;
+    } catch (...) {
+        return -1;
+    }
+}
+
+// Reference str_sparse_vector<char,bv,32> serializer.  Strings are passed
+// as a flat NUL-padded [n x 32] char matrix; empty rows become NULLs.
+int64_t bmref_str_serialize(const char* strs, int64_t n, int use_remap,
+                            uint8_t* out, int64_t out_cap) {
+    try {
+        str_sv32 sv(bm::use_null);
+        {
+            str_sv32::back_insert_iterator it = sv.get_back_inserter();
+            for (int64_t i = 0; i < n; ++i) {
+                const char* s = strs + i * 32;
+                if (*s) it = s;
+                else it.add_null();
+            }
+            it.flush();
+        }
+        if (use_remap)
+            sv.remap();
+        sv.optimize();
+        bm::sparse_vector_serializer<str_sv32> ser;
+        ser.disable_xor_compression();
+        bm::sparse_vector_serial_layout<str_sv32> lay;
+        ser.serialize(sv, lay);
+        if (out && out_cap >= static_cast<int64_t>(lay.size()))
+            memcpy(out, lay.buf(), lay.size());
+        return static_cast<int64_t>(lay.size());
+    } catch (...) {
+        return -1;
+    }
+}
+
+// Reference str_sparse_vector deserializer -> NUL-padded [n x 32] matrix.
+int64_t bmref_str_deserialize(const uint8_t* blob, char* out, int64_t cap) {
+    try {
+        str_sv32 sv(bm::use_null);
+        bm::sparse_vector_deserializer<str_sv32> des;
+        des.deserialize(sv, blob);
+        int64_t n = static_cast<int64_t>(sv.size());
+        char buf[64];
+        for (int64_t i = 0; i < n && i < cap; ++i) {
+            char* dst = out + i * 32;
+            memset(dst, 0, 32);
+            if (!sv.is_null(static_cast<bm::id_t>(i))) {
+                memset(buf, 0, sizeof(buf));
+                sv.get(static_cast<bm::id_t>(i), buf, sizeof(buf));
+                for (int k = 0; k < 31 && buf[k]; ++k)
+                    dst[k] = buf[k];
+            }
         }
         return n;
     } catch (...) {

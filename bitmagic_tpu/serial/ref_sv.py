@@ -183,8 +183,8 @@ def _clamped(bv: BitVector, size: int) -> BitVector:
 
 
 def _serialize_matrix(rows: dict[int, BitVector], n_rows: int, size: int,
-                      kind: str, level: int, clamp: int | None = None) -> \
-        bytes:
+                      kind: str, level: int, clamp: int | None = None,
+                      remap_section: bytes | None = None) -> bytes:
     ser = RefSerializer(level)
     w = _ByteWriter()
     w.put_8(ord("B"))
@@ -206,6 +206,9 @@ def _serialize_matrix(rows: dict[int, BitVector], n_rows: int, size: int,
             continue
         offsets[i] = len(w.parts)
         w.parts += ser.serialize(_clamped(bv, clamp or size))
+
+    if remap_section is not None:      # str vectors: after the last plane
+        w.parts += remap_section
 
     digest_offset = len(w.parts)
     digest_bv = BitVector.from_indices(
@@ -273,3 +276,193 @@ def serialize_rsc_blob(rsc, level: int = 6) -> bytes:
     # logical domain — clamp all rows by the logical size
     return _serialize_matrix(rows, ref_val + 1, len(idx), "C", level,
                              clamp=int(rsc.size))
+
+
+# ---------------------------------------------------------------------------
+# string sparse vectors (remap-trait SVs)
+# ---------------------------------------------------------------------------
+def _parse_remap_section(data, offsets, rows_decoded):
+    """The remap section sits right after the byte-wise last plane BLOB
+    (deserialize_planes records it off the highest-index row,
+    src/bmsparsevec_serial.h).  Returns unmap ([rows][256] stored->char)
+    or None."""
+    if not offsets:
+        return None
+    last_row = max(offsets, key=offsets.get)
+    # re-measure the last plane to find where the remap section starts
+    de = RefDeserializer(
+        ref_vectors=[(i, bv) for i, bv in rows_decoded.items()
+                     if i != last_row])
+    de.deserialize(bytes(data)[offsets[last_row]:])
+    pos = offsets[last_row] + de.bytes_consumed
+    r = _ByteReader(bytes(data)[pos:])
+    tag = r.get_8()
+    if tag == ord("N"):
+        return None
+    if tag == ord("R"):
+        n = r.get_64()
+        buf = np.frombuffer(bytes(data)[pos + 9:pos + 9 + n], np.uint8)
+        cols = 256
+        return buf.reshape(-1, cols).copy()
+    if tag == ord("C"):
+        n_rows = r.get_32()
+        cols = r.get_16()
+        bi = _BitIn(r)
+        rlens = [bi.gamma() for _ in range(n_rows)]
+        out = np.zeros((n_rows, 256), np.uint8)
+        # (col, value) byte pairs follow the bitstream, byte-aligned
+        for rr in range(n_rows):
+            for _ in range(rlens[rr]):
+                j = r.get_8()
+                v = r.get_8()
+                out[rr, j] = v
+        if r.get_8() != ord("E"):
+            raise ValueError("remap matrix integrity token missing")
+        return out
+    raise ValueError(f"unknown remap section tag {tag}")
+
+
+def deserialize_str_blob(data):
+    """Reference str_sparse_vector BLOB -> StrSparseVector."""
+    from ..sv.str_vector import StrSparseVector
+    r = _ByteReader(data)
+    hdr = _read_header(r)
+    if hdr["kind"] == "Z":
+        return StrSparseVector(1, nullable=True)
+    if hdr["kind"] != "M":
+        raise ValueError("not a bit-matrix BLOB")
+    planes = hdr["planes"]
+    has_null = (planes % 8) == 1
+    max_str = planes // 8
+    rows, offsets = _read_planes_with_offsets(data, hdr)
+    unmap = _parse_remap_section(data, offsets, rows)
+
+    ssv = StrSparseVector(max_str, nullable=True)
+    ssv._size = hdr["size"]
+    from ..sv.sparse_vector import SparseVector
+    for k in range(max_str):
+        osv = SparseVector(np.uint8)
+        osv._size = hdr["size"]
+        for b in range(8):
+            bv = rows.get(8 * k + b)
+            if bv is not None:
+                osv.planes[b] = bv
+        ssv.octets[k] = osv
+    if has_null and (8 * max_str) in rows:
+        ssv.null_plane = rows[8 * max_str]
+    else:
+        ssv.null_plane = BitVector(C.ID_MAX48)
+        if ssv._size:
+            ssv.null_plane.set_range(0, ssv._size - 1)
+    if unmap is not None:
+        um = np.zeros((max_str, 256), np.uint8)
+        um[:unmap.shape[0], :unmap.shape[1]] = unmap[:max_str]
+        rm = np.zeros((max_str, 256), np.uint8)
+        for k in range(max_str):
+            for code in range(256):
+                ch = um[k, code]
+                if ch:
+                    rm[k, ch] = code
+        ssv.unmap_matrices = um
+        ssv.remap_matrices = rm
+    return ssv
+
+
+def serialize_str_blob(ssv, level: int = 6, template_max_str: int = 32) \
+        -> bytes:
+    """StrSparseVector -> reference-format BLOB (reference-readable;
+    remap matrix stored in CSR form when the vector is remapped).
+
+    template_max_str must match the reading side's str_sparse_vector
+    STR_SIZE template parameter: the reference fixes the NULL row at
+    row 8*STR_SIZE (load_null_plane reads row planes-1), so the blob's
+    row count is 8*STR_SIZE+1 regardless of actual string lengths."""
+    for o in ssv.octets:
+        o._flush()
+    size = int(ssv._size)
+    if size == 0:
+        return b"BZ"
+    max_str = ssv.max_str_size
+    if max_str > template_max_str:
+        raise ValueError(
+            f"strings up to {max_str} octets exceed the reader template "
+            f"STR_SIZE={template_max_str}")
+    rows = {}
+    for k in range(max_str):
+        for b, bv in enumerate(ssv.octets[k].planes[:8]):
+            if bv is not None and bv.any():
+                rows[8 * k + b] = bv
+    null_row = 8 * template_max_str
+    if ssv.nullable and ssv.null_plane is not None:
+        rows[null_row] = ssv.null_plane
+    else:
+        rows[null_row] = BitVector.from_indices(
+            np.arange(size, dtype=np.int64), size)
+    max_str = template_max_str
+
+    w = _ByteWriter()
+    if ssv.is_remap():
+        # CSR form ('C'): rows/cols, gamma row lengths, (col, value) pairs.
+        # Effective rows stop at the first empty row, as the reference's
+        # encode_remap_matrix does (a zero row length cannot be gamma-coded).
+        um = ssv.unmap_matrices
+        n_rows = um.shape[0]
+        for k in range(um.shape[0]):
+            if not np.count_nonzero(um[k]):
+                n_rows = k
+                break
+        w.put_8(ord("C"))
+        w.put_32(n_rows)
+        w.put_16(256)
+        bo = _BitOut(w)
+        for k in range(n_rows):
+            bo.gamma(int(np.count_nonzero(um[k])))
+        bo.flush()
+        for k in range(n_rows):
+            for j in np.flatnonzero(um[k]):
+                w.put_8(int(j))
+                w.put_8(int(um[k, j]))
+        w.put_8(ord("E"))
+    else:
+        w.put_8(ord("N"))
+    remap_section = w.get_bytes()
+    return _serialize_matrix(rows, 8 * max_str + 1, size, "M", level,
+                             remap_section=remap_section)
+
+
+def _read_planes_with_offsets(data, hdr):
+    """Like _read_planes but also returns the per-row offsets."""
+    if not hdr["digest_offset"]:
+        raise ValueError("legacy sparse-vector BLOB without digest offset")
+    de = RefDeserializer()
+    digest_bv = de.deserialize(bytes(
+        np.frombuffer(data, np.uint8)[hdr["digest_offset"]:]))
+    tab = _ByteReader(bytes(
+        np.frombuffer(data, np.uint8)[hdr["digest_offset"]
+                                      + de.bytes_consumed:]))
+    nonempty = [int(i) for i in digest_bv.indices() if i < hdr["planes"]]
+    dtype_code = tab.get_8()
+    offsets = {}
+    if dtype_code == ord("6"):
+        for i in nonempty:
+            offsets[i] = tab.get_64()
+    elif dtype_code == ord("3"):
+        min_v = tab.get_32()
+        max_v = tab.get_32()
+        bi = _BitIn(tab)
+        mids = (bi.bic_decode_cm(len(nonempty) - 2, min_v, max_v)
+                if len(nonempty) > 2 else [])
+        vals = [min_v] + [int(x) for x in mids] + [max_v]
+        for i, off in zip(nonempty, vals):
+            offsets[i] = off
+    else:
+        raise ValueError(f"unknown offset table type {dtype_code}")
+    rows: dict[int, BitVector] = {}
+    buf = bytes(data)
+    refs = []
+    for i in sorted(nonempty, reverse=True):
+        de = RefDeserializer(ref_vectors=refs)
+        bv = de.deserialize(buf[offsets[i]:])
+        rows[i] = bv
+        refs.append((i, bv))
+    return rows, offsets

@@ -95,6 +95,13 @@ def load():
                                             u8p, ctypes.c_int64]
         lib.bmref_rsc_deserialize.restype = ctypes.c_int64
         lib.bmref_rsc_deserialize.argtypes = [u8p, u32p, u8p, ctypes.c_int64]
+        cp = ctypes.c_char_p
+        lib.bmref_str_serialize.restype = ctypes.c_int64
+        lib.bmref_str_serialize.argtypes = [cp, ctypes.c_int64,
+                                            ctypes.c_int, u8p,
+                                            ctypes.c_int64]
+        lib.bmref_str_deserialize.restype = ctypes.c_int64
+        lib.bmref_str_deserialize.argtypes = [u8p, cp, ctypes.c_int64]
         _lib = lib
         return lib
 
@@ -264,6 +271,49 @@ def deserialize_reference_rsc(blob):
         bp, vals.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n)
     return vals[:n], mask[:n].astype(bool)
+
+
+def serialize_reference_str(strings, use_remap=False) -> bytes:
+    """Reference str_sparse_vector<char,bv,32> serializer.  ``strings`` is
+    a list of str/None (None or empty -> NULL)."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("reference bridge unavailable")
+    n = len(strings)
+    mat = np.zeros((n, 32), np.uint8)
+    for i, s in enumerate(strings):
+        if s:
+            b = s.encode()[:31]
+            mat[i, :len(b)] = np.frombuffer(b, np.uint8)
+    buf = mat.tobytes()
+    sz = lib.bmref_str_serialize(buf, n, int(use_remap), None, 0)
+    if sz < 0:
+        raise ValueError("reference str serialization failed")
+    out = np.zeros(sz, np.uint8)
+    lib.bmref_str_serialize(
+        buf, n, int(use_remap),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), sz)
+    return out.tobytes()
+
+
+def deserialize_reference_str(blob):
+    """Reference str_sparse_vector deserializer -> list of str/None."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("reference bridge unavailable")
+    buf = np.frombuffer(bytes(blob), np.uint8)
+    bp = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    n = lib.bmref_str_deserialize(bp, None, 0)
+    if n < 0:
+        raise ValueError("reference str deserialization failed")
+    out = ctypes.create_string_buffer(max(int(n), 1) * 32)
+    lib.bmref_str_deserialize(bp, out, n)
+    mat = np.frombuffer(out.raw, np.uint8).reshape(-1, 32)[:n]
+    res = []
+    for row in mat:
+        nz = row[row != 0]
+        res.append(bytes(nz).decode() if nz.size else None)
+    return res
 
 
 def reference_gap_stat(ids, size):

@@ -120,3 +120,55 @@ def test_reference_reads_our_rsc_blob():
         ref_sv.serialize_rsc_blob(rsc))
     assert np.array_equal(rm, nn)
     assert np.array_equal(rv[nn], vals[nn])
+
+
+# ---------------------------------------------------------------------------
+# string sparse vectors
+# ---------------------------------------------------------------------------
+HAVE_STR = os.path.exists(os.path.join(FIX, "str_inputs.npz"))
+
+if HAVE_STR:
+    _SIN = np.load(os.path.join(FIX, "str_inputs.npz"), allow_pickle=True)
+    STRINGS = [s or None for s in _SIN["strings"].tolist()]
+
+
+@pytest.mark.skipif(not HAVE_STR, reason="str fixtures missing")
+@pytest.mark.parametrize("name", ["strsv_plain.bin", "strsv_remap.bin"])
+def test_reference_str_fixture_decodes(name):
+    ssv = ref_sv.deserialize_str_blob(_blob(name))
+    got = [g or None for g in ssv.to_list()]
+    assert got == STRINGS
+
+
+@pytest.mark.skipif(not HAVE_STR, reason="str fixtures missing")
+def test_str_roundtrip_standalone():
+    from bitmagic_tpu.sv.str_vector import StrSparseVector
+    sub = STRINGS[:5000]
+    ssv = StrSparseVector.from_strings([s or "" for s in sub],
+                                       nullable=True)
+    for i, s in enumerate(sub):
+        if not s:
+            ssv.set_null(i)
+    for do_remap in (False, True):
+        if do_remap:
+            ssv.remap()
+        blob = ref_sv.serialize_str_blob(ssv)
+        got = [g or None for g in
+               ref_sv.deserialize_str_blob(blob).to_list()]
+        assert got == sub, f"remap={do_remap}"
+
+
+@bridge
+@pytest.mark.skipif(not HAVE_STR, reason="str fixtures missing")
+def test_reference_reads_our_str_blob():
+    from bitmagic_tpu.sv.str_vector import StrSparseVector
+    sub = STRINGS[:5000]
+    ssv = StrSparseVector.from_strings([s or "" for s in sub],
+                                       nullable=True)
+    for i, s in enumerate(sub):
+        if not s:
+            ssv.set_null(i)
+    ssv.remap()
+    back = refformat.deserialize_reference_str(
+        ref_sv.serialize_str_blob(ssv))
+    assert [b or None for b in back] == sub

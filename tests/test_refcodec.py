@@ -31,7 +31,7 @@ if HAVE_FIXTURES:
     INPUTS = np.load(os.path.join(FIX, "inputs.npz"))
     PLAIN_BLOBS = [b for b in MANIFEST["blobs"]
                    if b["options"] != "xor"
-                   and b["dist"] not in ("sv", "rsc")]
+                   and b["dist"] not in ("sv", "rsc", "strsv")]
 else:
     MANIFEST, INPUTS, PLAIN_BLOBS = {"size": 0}, {}, []
 

@@ -157,6 +157,25 @@ def main():
     manifest.append({"file": "rsc.bin", "dist": "rsc", "level": 6,
                      "options": "", "codes": []})
 
+    # string sparse-vector fixtures (with and without remap)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    strs = [words[rng.integers(0, len(words))] + str(rng.integers(0, 5000))
+            if rng.random() > 0.25 else None for _ in range(60_000)]
+    np.savez_compressed(
+        os.path.join(OUT, "str_inputs.npz"),
+        strings=np.asarray([s or "" for s in strs], dtype=object),
+        allow_pickle=True)
+    for name, remap in (("strsv_plain.bin", False), ("strsv_remap.bin",
+                                                     True)):
+        blob = refformat.serialize_reference_str(strs, use_remap=remap)
+        with open(os.path.join(OUT, name), "wb") as f:
+            f.write(blob)
+        got = [g or None for g in
+               ref_sv.deserialize_str_blob(blob).to_list()]
+        assert got == [s or None for s in strs], name
+        manifest.append({"file": name, "dist": "strsv", "level": 6,
+                         "options": "remap" if remap else "", "codes": []})
+
     with open(os.path.join(OUT, "manifest.json"), "w") as f:
         json.dump({"size": SIZE, "blobs": manifest,
                    "codes_covered": sorted(seen_codes)}, f, indent=1)
