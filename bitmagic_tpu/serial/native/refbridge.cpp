@@ -23,11 +23,14 @@
 #include "bmsparsevec_compr.h"
 #include "bmsparsevec_serial.h"
 #include "bmstrsparsevec.h"
+#include "bmsparsevec_float.h"
+#include "bmsparsevec_float_serial.h"
 
 typedef bm::bvector<> bvect;
 typedef bm::sparse_vector<unsigned, bvect> svect_u32;
 typedef bm::rsc_sparse_vector<unsigned, svect_u32> rsc_u32;
 typedef bm::str_sparse_vector<char, bvect, 32> str_sv32;
+typedef bm::sparse_vector_float<svect_u32> fsvect;
 
 extern "C" {
 
@@ -351,6 +354,39 @@ int64_t bmref_str_deserialize(const uint8_t* blob, char* out, int64_t cap) {
                     dst[k] = buf[k];
             }
         }
+        return n;
+    } catch (...) {
+        return -1;
+    }
+}
+
+// Reference sparse_vector_float serializer ('bf0' composite).
+int64_t bmref_float_serialize(const float* vals, int64_t n,
+                              uint8_t* out, int64_t out_cap) {
+    try {
+        fsvect fv;
+        for (int64_t i = 0; i < n; ++i)
+            fv.push_back(vals[i]);
+        bm::sparse_vector_float_serializer<fsvect> ser;
+        bm::sparse_vector_float_serial_layout<fsvect> lay;
+        ser.serialize(fv, lay);
+        if (out && out_cap >= static_cast<int64_t>(lay.size()))
+            memcpy(out, lay.buf(), lay.size());
+        return static_cast<int64_t>(lay.size());
+    } catch (...) {
+        return -1;
+    }
+}
+
+int64_t bmref_float_deserialize(const uint8_t* blob, float* out,
+                                int64_t cap) {
+    try {
+        fsvect fv;
+        bm::sparse_vector_float_deserializer<fsvect> des;
+        des.deserialize(fv, blob);
+        int64_t n = static_cast<int64_t>(fv.size());
+        for (int64_t i = 0; i < n && i < cap; ++i)
+            out[i] = fv.get(static_cast<bm::id_t>(i));
         return n;
     } catch (...) {
         return -1;

@@ -121,14 +121,17 @@ def deserialize_sv_blob(data, dtype=np.uint32):
     ref_val = 8 * np.dtype(dtype).itemsize
     null_row = ref_val if hdr["planes"] == ref_val + 1 else -1
     sv._size = hdr["size"]
+    got_null = False
     for i, bv in rows.items():
         if i == null_row:
             sv.null_plane = bv
+            got_null = True
         elif i < sv.n_slices:
             sv.planes[i] = bv
         elif bv.any():
             raise ValueError(f"value slice {i} exceeds dtype width")
-    if sv.null_plane is None:
+    if not got_null:
+        # no NULL row serialized: every position is assigned
         sv.null_plane = BitVector(C.ID_MAX48)
         if sv._size:
             sv.null_plane.set_range(0, sv._size - 1)
@@ -466,3 +469,65 @@ def _read_planes_with_offsets(data, hdr):
         rows[i] = bv
         refs.append((i, bv))
     return rows, offsets
+
+
+# ---------------------------------------------------------------------------
+# float sparse vectors ("bf0" composite, src/bmsparsevec_float_serial.h)
+# ---------------------------------------------------------------------------
+def serialize_float_blob(fv, level: int = 6) -> bytes:
+    """FloatSparseVector (float32) -> reference 'bf0' BLOB: header + sign
+    bvector BLOB + exponent SV BLOB + mantissa SV BLOB (sizes as u64)."""
+    from ..sv.sparse_vector import SparseVector
+    if fv.dtype != np.float32:
+        raise ValueError("reference float format is float32 only")
+    n = int(fv.size)
+    sign_blob = RefSerializer(level).serialize(_clamped(fv.sign, n))
+
+    def u32_blob(sv_small):
+        vals = sv_small.to_numpy().astype(np.uint32) if n else \
+            np.zeros(0, np.uint32)
+        sv = SparseVector.from_array(vals, nullable=True)
+        if fv.nullable and fv.null_plane is not None:
+            sv.null_plane = fv.null_plane
+        return serialize_sv_blob(sv, level)
+
+    exp_blob = u32_blob(fv.exponent)
+    mant_blob = u32_blob(fv.mantissa)
+    w = _ByteWriter()
+    w.parts += b"bf0"
+    w.put_64(len(sign_blob))
+    w.put_64(len(exp_blob))
+    w.put_64(len(mant_blob))
+    w.parts += sign_blob + exp_blob + mant_blob
+    return w.get_bytes()
+
+
+def deserialize_float_blob(data):
+    """Reference 'bf0' BLOB -> FloatSparseVector (float32)."""
+    from ..sv.float_vector import FloatSparseVector
+    data = bytes(data)
+    if data[:3] != b"bf0":
+        raise ValueError("bad float sparse-vector magic")
+    r = _ByteReader(data[3:27])
+    sizes = [r.get_64() for _ in range(3)]
+    off = 27
+    sign_bv = RefDeserializer().deserialize(data[off:off + sizes[0]])
+    off += sizes[0]
+    exp_sv = deserialize_sv_blob(data[off:off + sizes[1]], np.uint32)
+    off += sizes[1]
+    mant_sv = deserialize_sv_blob(data[off:off + sizes[2]], np.uint32)
+
+    n = max(int(exp_sv.size), int(mant_sv.size))
+    fv = FloatSparseVector(np.float32, nullable=True)
+    if n == 0:
+        return fv
+    ids = np.arange(n, dtype=np.int64)
+    exp = np.asarray(exp_sv.gather(ids), np.uint32)
+    mant = np.asarray(mant_sv.gather(ids), np.uint32)
+    sbits = sign_bv.to_numpy(n).astype(np.uint32)
+    bits = (sbits << np.uint32(31)) | (exp << np.uint32(23)) | mant
+    fv.import_values(bits.view(np.float32), 0)
+    nn = exp_sv.null_plane
+    if nn is not None:
+        fv.null_plane = nn
+    return fv

@@ -102,6 +102,12 @@ def load():
                                             ctypes.c_int64]
         lib.bmref_str_deserialize.restype = ctypes.c_int64
         lib.bmref_str_deserialize.argtypes = [u8p, cp, ctypes.c_int64]
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.bmref_float_serialize.restype = ctypes.c_int64
+        lib.bmref_float_serialize.argtypes = [f32p, ctypes.c_int64,
+                                              u8p, ctypes.c_int64]
+        lib.bmref_float_deserialize.restype = ctypes.c_int64
+        lib.bmref_float_deserialize.argtypes = [u8p, f32p, ctypes.c_int64]
         _lib = lib
         return lib
 
@@ -314,6 +320,38 @@ def deserialize_reference_str(blob):
         nz = row[row != 0]
         res.append(bytes(nz).decode() if nz.size else None)
     return res
+
+
+def serialize_reference_float(values) -> bytes:
+    """Reference sparse_vector_float serializer -> 'bf0' BLOB."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("reference bridge unavailable")
+    v = np.ascontiguousarray(values, np.float32)
+    vp = v.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    n = lib.bmref_float_serialize(vp, v.size, None, 0)
+    if n < 0:
+        raise ValueError("reference float serialization failed")
+    out = np.zeros(n, np.uint8)
+    lib.bmref_float_serialize(
+        vp, v.size, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n)
+    return out.tobytes()
+
+
+def deserialize_reference_float(blob):
+    """Reference 'bf0' BLOB -> float32 array."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("reference bridge unavailable")
+    buf = np.frombuffer(bytes(blob), np.uint8)
+    bp = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    n = lib.bmref_float_deserialize(bp, None, 0)
+    if n < 0:
+        raise ValueError("reference float deserialization failed")
+    out = np.zeros(max(n, 1), np.float32)
+    lib.bmref_float_deserialize(
+        bp, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n)
+    return out[:n]
 
 
 def reference_gap_stat(ids, size):

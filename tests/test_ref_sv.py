@@ -172,3 +172,32 @@ def test_reference_reads_our_str_blob():
     back = refformat.deserialize_reference_str(
         ref_sv.serialize_str_blob(ssv))
     assert [b or None for b in back] == sub
+
+
+# ---------------------------------------------------------------------------
+# float sparse vectors ('bf0' composite)
+# ---------------------------------------------------------------------------
+def test_float_roundtrip_standalone():
+    from bitmagic_tpu.sv.float_vector import FloatSparseVector
+    rng = np.random.default_rng(3)
+    vals = (rng.standard_normal(20_000) * 100).astype(np.float32)
+    vals[::11] = 0.0
+    fv = FloatSparseVector.from_array(vals)
+    blob = ref_sv.serialize_float_blob(fv)
+    back = ref_sv.deserialize_float_blob(blob)
+    assert np.array_equal(back.to_numpy()[:len(vals)], vals)
+
+
+@bridge
+def test_float_bridge_both_directions():
+    from bitmagic_tpu.sv.float_vector import FloatSparseVector
+    rng = np.random.default_rng(4)
+    vals = (rng.standard_normal(30_000) * 1e4).astype(np.float32)
+    vals[::7] *= -1
+    blob = refformat.serialize_reference_float(vals)
+    got = ref_sv.deserialize_float_blob(blob).to_numpy()[:len(vals)]
+    assert np.array_equal(got, vals)
+    fv = FloatSparseVector.from_array(vals)
+    back = refformat.deserialize_reference_float(
+        ref_sv.serialize_float_blob(fv))
+    assert np.array_equal(back, vals)
