@@ -44,7 +44,13 @@ class OperationDeserializer:
 
     def deserialize(self, bv: BitVector, data: bytes, op: int):
         """Apply ``op`` (constants.SET_*) between bv (in place) and the BLOB;
-        COUNT_* ops return the count without modifying bv."""
+        COUNT_* ops return the count without modifying bv.  Accepts both the
+        native BMT1 format and reference-format BLOBs (sniffed by magic)."""
+        if bytes(data[:4]) != MAGIC:
+            # reference-format BLOB: decode standalone, then apply
+            from .refcodec import ref_deserialize
+            other = ref_deserialize(data)
+            return self._apply_decoded(bv, other, op)
         if op in (C.SET_AND, C.SET_OR, C.SET_XOR, C.SET_SUB, C.SET_ASSIGN):
             other = Deserializer().deserialize(data)
             if op == C.SET_AND:
@@ -59,6 +65,34 @@ class OperationDeserializer:
                 bv.swap(other)
             return bv
         return self._count_op(bv, data, op)
+
+    def _apply_decoded(self, bv: BitVector, other: BitVector, op: int):
+        from ..algo import setops
+        if op == C.SET_AND:
+            return bv.bit_and(other)
+        if op == C.SET_OR:
+            return bv.bit_or(other)
+        if op == C.SET_XOR:
+            return bv.bit_xor(other)
+        if op == C.SET_SUB:
+            return bv.bit_sub(other)
+        if op == C.SET_ASSIGN:
+            bv.swap(other)
+            return bv
+        if op in (C.SET_COUNT_B, C.SET_COUNT):
+            return other.count()
+        if op == C.SET_COUNT_A:
+            return bv.count()
+        metric = {
+            C.SET_COUNT_AND: setops.COUNT_AND,
+            C.SET_COUNT_OR: setops.COUNT_OR,
+            C.SET_COUNT_XOR: setops.COUNT_XOR,
+            C.SET_COUNT_SUB_AB: setops.COUNT_SUB_AB,
+            C.SET_COUNT_SUB_BA: setops.COUNT_SUB_BA,
+        }.get(op)
+        if metric is None:
+            raise ValueError(f"unsupported op {op}")
+        return setops.distance_operation(bv, other, [metric])[metric]
 
     def _count_op(self, bv: BitVector, data: bytes, op: int) -> int:
         from ..algo import setops

@@ -712,10 +712,19 @@ class RefDeserializer:
         return cached.get(int(nb))
 
     # -----------------------------------------------------------------
-    def deserialize(self, data: bytes):
+    def deserialize(self, data: bytes, range_=None):
+        """Decode a reference BLOB; with ``range_=(lo, hi)`` only the bit
+        range is materialized and bookmark sync marks (set_nb_bookmark*/
+        set_nb_sync_mark*, src/bmserial.h:1224-1232) fast-skip whole
+        regions of the stream (deserialize_range equivalent)."""
         from ..core.bitvector import BitVector
         from ..core.blocks import Structure
         from ..ops import blockops
+
+        nb_from, nb_to = 0, 1 << 62
+        if range_ is not None:
+            nb_from = int(range_[0]) >> 16
+            nb_to = int(range_[1]) >> 16
 
         r = _ByteReader(data)
         header = r.get_8()
@@ -811,6 +820,8 @@ class RefDeserializer:
 
         nb_i = 0
         while nb_i < total_blocks:
+            if nb_i > nb_to:
+                break                      # past the requested range
             btype = r.get_8()
             if btype & 0x80:               # 7-bit packed zero run
                 nb_i += btype & 0x7F
@@ -906,8 +917,28 @@ class RefDeserializer:
                 # reference encoder never emits this (disabled, bmserial.h)
                 raise ValueError("sblock_bienc_gaps_v3 unsupported")
             elif btype in (NB_BOOKMARK16, NB_BOOKMARK24, NB_BOOKMARK32):
-                {NB_BOOKMARK16: r.get_16, NB_BOOKMARK24: r.get_24,
-                 NB_BOOKMARK32: r.get_32}[btype]()
+                skip_off = {NB_BOOKMARK16: r.get_16, NB_BOOKMARK24: r.get_24,
+                            NB_BOOKMARK32: r.get_32}[btype]()
+                if range_ is not None and skip_off and nb_i < nb_from:
+                    # try_skip (src/bmserial.h:5040): peek the sync mark at
+                    # the bookmark target; jump when still before the range
+                    save = r.pos
+                    skip_pos = r.pos + skip_off
+                    if skip_pos + 1 < r.buf.size:
+                        r.pos = skip_pos
+                        sync = r.get_8()
+                        getter = {NB_SYNC_MARK8: r.get_8,
+                                  NB_SYNC_MARK16: r.get_16,
+                                  NB_SYNC_MARK24: r.get_24,
+                                  NB_SYNC_MARK32: r.get_32,
+                                  NB_SYNC_MARK48: r.get_48,
+                                  NB_SYNC_MARK64: r.get_64}.get(sync)
+                        if getter is not None:
+                            target = nb_i + getter()
+                            if target <= nb_from:
+                                nb_i = target
+                                continue
+                        r.pos = save
                 continue
             elif btype in (NB_SYNC_MARK8, NB_SYNC_MARK16, NB_SYNC_MARK24,
                            NB_SYNC_MARK32, NB_SYNC_MARK48, NB_SYNC_MARK64):
@@ -973,25 +1004,36 @@ class RefDeserializer:
 
         self.bytes_consumed = r.pos   # for embedded BLOBs (SV plane streams)
 
-        # assemble BitVector: clamp to size
+        # assemble BitVector: clamp to size (and to range_, host-side)
         size = max(int(size), 1)
         last_nb = (size - 1) >> 16
         tail_bits = size - (last_nb << 16)
+        lo_edge = hi_edge = None
+        if range_ is not None:
+            lo_bit, hi_bit = int(range_[0]), int(range_[1])
+            lo_edge = (nb_from, _edge_mask_ge(lo_bit & 0xFFFF))
+            hi_edge = (nb_to, _edge_mask_le(hi_bit & 0xFFFF))
         nbs, clss, rows = [], [], []
         for nb in sorted(set(blocks) | full):
-            if nb > last_nb:
+            if nb > last_nb or not (nb_from <= nb <= nb_to):
                 continue
+            w = None
             if nb in full:
-                if nb == last_nb and tail_bits < BITS:
+                if (nb == last_nb and tail_bits < BITS) or \
+                        (lo_edge and nb == lo_edge[0]) or \
+                        (hi_edge and nb == hi_edge[0]):
                     w = np.full(WORDS, 0xFFFFFFFF, np.uint32)
-                    w &= _tail_mask(tail_bits)
-                    nbs.append(nb); clss.append(C.CLS_BIT); rows.append(w)
                 else:
                     nbs.append(nb); clss.append(C.CLS_FULL)
-                continue
-            w = blocks[nb]
+                    continue
+            else:
+                w = blocks[nb]
             if nb == last_nb and tail_bits < BITS:
                 w = w & _tail_mask(tail_bits)
+            if lo_edge and nb == lo_edge[0]:
+                w = w & lo_edge[1]
+            if hi_edge and nb == hi_edge[0]:
+                w = w & hi_edge[1]
             if not w.any():
                 continue
             nbs.append(nb); clss.append(C.CLS_BIT); rows.append(w)
@@ -1001,6 +1043,9 @@ class RefDeserializer:
         struct = Structure(np.asarray(nbs, np.int64),
                            np.asarray(clss, np.uint8))
         return BitVector._from_parts(struct, pool, size)
+
+    def deserialize_range(self, data: bytes, lo: int, hi: int):
+        return self.deserialize(data, range_=(lo, hi))
 
     # -- per-family readers -------------------------------------------------
     @staticmethod
@@ -1390,6 +1435,20 @@ def _xor_digest(blk, ref, d64):
 def _tail_mask(tail_bits):
     bits = np.zeros(BITS, np.uint8)
     bits[:tail_bits] = 1
+    return np.packbits(bits, bitorder="little").view(np.uint32)
+
+
+def _edge_mask_ge(bit):
+    """Mask keeping in-block bits >= bit."""
+    bits = np.zeros(BITS, np.uint8)
+    bits[bit:] = 1
+    return np.packbits(bits, bitorder="little").view(np.uint32)
+
+
+def _edge_mask_le(bit):
+    """Mask keeping in-block bits <= bit."""
+    bits = np.zeros(BITS, np.uint8)
+    bits[:bit + 1] = 1
     return np.packbits(bits, bitorder="little").view(np.uint32)
 
 

@@ -373,3 +373,43 @@ def test_crafted_id_list_header():
     got = refcodec.ref_deserialize(w.get_bytes())
     assert np.array_equal(got.indices(), np.asarray(ids, np.int64))
     assert got.size == SIZE_C
+
+
+def test_range_deserialize_with_bookmarks():
+    """deserialize_range skips regions via bookmark sync marks and clamps
+    edges host-side (reference deserialize_range, src/bmserial.h:647)."""
+    entry = next(b for b in MANIFEST["blobs"]
+                 if b["options"] == "bm" and b["dist"] == "midsparse")
+    with open(os.path.join(FIX, entry["file"]), "rb") as f:
+        blob = f.read()
+    ids = INPUTS[entry["dist"]]
+    lo, hi = int(ids[len(ids) // 3]), int(ids[2 * len(ids) // 3])
+    got = refcodec.RefDeserializer().deserialize_range(blob, lo, hi)
+    want = ids[(ids >= lo) & (ids <= hi)]
+    assert np.array_equal(got.indices(), want)
+
+
+def test_range_deserialize_no_bookmarks():
+    entry = next(b for b in MANIFEST["blobs"]
+                 if b["options"] == "" and b["dist"] == "clustered"
+                 and b["level"] == 6)
+    with open(os.path.join(FIX, entry["file"]), "rb") as f:
+        blob = f.read()
+    ids = INPUTS[entry["dist"]]
+    lo, hi = int(ids[10]) + 3, int(ids[-10])
+    got = refcodec.RefDeserializer().deserialize_range(blob, lo, hi)
+    want = ids[(ids >= lo) & (ids <= hi)]
+    assert np.array_equal(got.indices(), want)
+
+
+def test_opdeser_accepts_reference_blobs():
+    import bitmagic_tpu.constants as CC
+    from bitmagic_tpu.serial import OperationDeserializer
+    ids = INPUTS["sparse"]
+    with open(os.path.join(FIX, "sparse_L6.bin"), "rb") as f:
+        blob = f.read()
+    bv = BitVector.from_indices(ids[:100], MANIFEST["size"])
+    od = OperationDeserializer()
+    assert od.deserialize(bv.copy(), blob, CC.SET_COUNT_AND) == 100
+    out = od.deserialize(bv.copy(), blob, CC.SET_OR)
+    assert out.count() == len(ids)
