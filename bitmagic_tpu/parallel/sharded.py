@@ -112,6 +112,45 @@ class ShardedBitVector:
         """Per-block popcounts (sharded result)."""
         return _block_counts_jit(self.pool)
 
+    # ------------------------------------------------------------------
+    # sharded select: shard-prefix exclusive scan + local wave descent
+    # ------------------------------------------------------------------
+    def select_batch(self, ranks) -> np.ndarray:
+        """Batched select1 across the mesh (SURVEY.md §2.7: rank/select =
+        per-shard prefix sums + exclusive scan across shards).  Each shard
+        all-gathers the tiny per-shard totals, claims the queries whose
+        global rank falls inside it, answers them with the local wave
+        descent (ops/select.py), and the answers combine with one psum —
+        communication is O(n_shards + n_queries), never block data."""
+        mesh = self.mesh
+        n_shards = mesh.devices.size
+        blocks_per_shard = self.pool.shape[0] // n_shards
+        ranks_a = jnp.asarray(np.asarray(ranks, np.int32))
+
+        @functools.partial(shard_map, mesh=mesh,
+                           in_specs=(P(BLOCK_AXIS, None), P()),
+                           out_specs=P())
+        def _sel(local, rk):
+            from ..ops.select import global_wave_prefix, select_flat
+            gwc = global_wave_prefix(local)
+            total = gwc[-1]
+            sid = jax.lax.axis_index(BLOCK_AXIS)
+            totals = jax.lax.all_gather(total, BLOCK_AXIS)   # [n_shards]
+            before = jnp.sum(
+                jnp.where(jnp.arange(n_shards) < sid, totals, 0))
+            local_rank = rk - before
+            mine = (local_rank >= 1) & (local_rank <= total)
+            safe = jnp.clip(local_rank, 1, jnp.maximum(total, 1))
+            pos = select_flat(local, gwc, safe.astype(jnp.int32))
+            base = sid.astype(jnp.int64) * blocks_per_shard * C.BITS_PER_BLOCK
+            out = jnp.where(mine, base + pos.astype(jnp.int64), 0)
+            return jax.lax.psum(out, BLOCK_AXIS)
+
+        return np.asarray(_sel(self.pool, ranks_a), np.int64)
+
+    def select(self, rank: int) -> int:
+        return int(self.select_batch([rank])[0])
+
     def digests(self):
         """Per-block wave digests (the 8-byte/block exchange currency)."""
         return _digest_jit(self.pool)

@@ -96,3 +96,22 @@ def test_task_batch_plans(rng):
     assert len(blobs) == sum(1 for p in sv.planes if p is not None and p.any())
     b = TaskBatch().add(lambda: 1).add(lambda: 2)
     assert run_task_batch(b) == [1, 2]
+
+
+def test_sharded_select_matches_host():
+    """Sharded select1: shard-prefix exclusive scan + local wave descent
+    must agree with the single-vector select across shard boundaries."""
+    rng = np.random.default_rng(21)
+    size = 8 * BITS_PER_BLOCK * 3          # 3 blocks per shard on 8 devices
+    ids = np.unique(rng.integers(0, size, 40_000)).astype(np.int64)
+    bv = BitVector.from_indices(ids, size)
+    sbv = ShardedBitVector.from_bitvector(bv)
+    n = len(ids)
+    ranks = np.unique(np.concatenate([
+        [1, n],                                  # extremes
+        rng.integers(1, n + 1, 500),
+    ])).astype(np.int64)
+    got = sbv.select_batch(ranks)
+    want = ids[ranks - 1]
+    np.testing.assert_array_equal(got, want)
+    assert sbv.select(1) == ids[0]
