@@ -47,17 +47,20 @@ def timeit(fn, *args, iters=20, warmup=2):
         return repeated
 
     # slope method: the tunnel adds a large fixed RTT per fetch; run the
-    # chained loop at two iteration counts and divide the difference.
+    # chained loop at two iteration counts and divide the difference;
+    # tunnel RTT jitter is removed by taking the min of several passes.
     lo_fn, hi_fn = make(iters), make(5 * iters)
     for _ in range(warmup):
         np.asarray(lo_fn(*args))
         np.asarray(hi_fn(*args))
-    t0 = time.perf_counter()
-    np.asarray(lo_fn(*args))
-    t_lo = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    np.asarray(hi_fn(*args))
-    t_hi = time.perf_counter() - t0
+    t_lo = t_hi = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(lo_fn(*args))
+        t_lo = min(t_lo, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(hi_fn(*args))
+        t_hi = min(t_hi, time.perf_counter() - t0)
     return max(t_hi - t_lo, 1e-9) / (4 * iters)
 
 
@@ -190,7 +193,9 @@ def bench_scan(rng):
         .astype(np.uint32))
 
     def scan_eq(salt, planes, value):
-        value = value ^ salt.astype(jnp.uint32)
+        # salt must perturb EVERY value bit, or XLA hoists the
+        # salt-independent plane selects out of the timing loop
+        value = value ^ (salt.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
         acc = jnp.full((nblk, WORDS), jnp.uint32(0xFFFFFFFF))
         for s in range(n_planes):
             bit = (value >> jnp.uint32(s)) & jnp.uint32(1)
@@ -212,22 +217,26 @@ def bench_serialization(rng):
     from bitmagic_tpu.serial.opdeser import OperationDeserializer
     import bitmagic_tpu.constants as C
 
-    size = 20 * C.BITS_PER_BLOCK
+    size = 512 * C.BITS_PER_BLOCK           # ~33.5M bits
     idx = np.unique(rng.integers(0, size, size // 100))
     bv = BitVector.from_indices(idx, size)
     bv.set_range(2 * C.BITS_PER_BLOCK, 4 * C.BITS_PER_BLOCK - 1)
     bv.optimize()
     ser = Serializer(6)
+    ser.serialize(bv)                       # warm-up: jits + device fetch
     t0 = time.perf_counter()
     blob = ser.serialize(bv)
     t_ser = time.perf_counter() - t0
+    Deserializer().deserialize(blob)
     t0 = time.perf_counter()
     back = Deserializer().deserialize(blob)
     t_deser = time.perf_counter() - t0
     assert back.equal(bv)
     raw_mb = size / 8 / 1e6
+    od = OperationDeserializer()
+    od.deserialize(bv.copy(), blob, C.SET_COUNT_AND)
     t0 = time.perf_counter()
-    cnt = OperationDeserializer().deserialize(bv.copy(), blob, C.SET_COUNT_AND)
+    cnt = od.deserialize(bv.copy(), blob, C.SET_COUNT_AND)
     t_op = time.perf_counter() - t0
     log(f"[5 serial] {raw_mb:.1f} MB bitmap -> {len(blob)/1e3:.1f} KB blob "
         f"({raw_mb*1e6/len(blob):.0f}x); ser {raw_mb/t_ser:.1f} MB/s, "

@@ -725,16 +725,21 @@ class BitVector:
             base = int(nb) << C.SET_BLOCK_SHIFT
             out.append(np.arange(base, base + C.BITS_PER_BLOCK, dtype=_I64))
         if self._pool.shape[0]:
-            w = np.asarray(self._pool)
-            bits = np.unpackbits(
-                np.ascontiguousarray(w).view(np.uint8), bitorder="little"
-            ).reshape(w.shape[0], C.BITS_PER_BLOCK)
-            rows, pos = np.nonzero(bits)
+            w = np.ascontiguousarray(np.asarray(self._pool))
             bases = (self._struct.nb[self._struct.cls == C.CLS_BIT]
                      << C.SET_BLOCK_SHIFT)
-            out.append(bases[rows] + pos)
+            pos = _pool_positions_native(w, bases)
+            if pos is None:
+                bits = np.unpackbits(
+                    w.view(np.uint8), bitorder="little"
+                ).reshape(w.shape[0], C.BITS_PER_BLOCK)
+                rows, p = np.nonzero(bits)
+                pos = bases[rows] + p
+            out.append(pos)
         if not out:
             return np.zeros(0, _I64)
+        if len(out) == 1:
+            return out[0]          # BIT positions come out already sorted
         return np.sort(np.concatenate(out))
 
     def __iter__(self):
@@ -963,6 +968,26 @@ def _pool_from_ids(ids: np.ndarray):
         jnp.asarray((ids & C.SET_BLOCK_MASK).astype(np.int32)),
         int(ub.size))
     return Structure(ub.astype(_I64), np.full(ub.size, C.CLS_BIT, np.uint8)), pool
+
+
+def _pool_positions_native(words: np.ndarray, bases: np.ndarray):
+    """Enumerator-decode hot loop in C (serial/native bm_pool_positions);
+    returns None when the native library is unavailable."""
+    import ctypes
+
+    from ..serial import native
+    lib = native.load()
+    if lib is None:
+        return None
+    total = int(np.bitwise_count(words).sum())
+    out = np.zeros(max(total, 1), np.int64)
+    bases = np.ascontiguousarray(bases, np.int64)
+    n = lib.bm_pool_positions(
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        words.shape[0],
+        bases.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return out[:n]
 
 
 def _tail_mask_np(tail_bits: int) -> np.ndarray:

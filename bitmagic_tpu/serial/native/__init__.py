@@ -65,6 +65,8 @@ def load():
         lib.bm_block_gap_boundaries.argtypes = [u32p, u16p, i32p]
         lib.bm_block_popcount.restype = ctypes.c_int64
         lib.bm_block_popcount.argtypes = [u32p]
+        lib.bm_pool_positions.restype = ctypes.c_int64
+        lib.bm_pool_positions.argtypes = [u32p, ctypes.c_int64, i64p, i64p]
         lib.bmref_bic_decode_cm.restype = ctypes.c_int
         lib.bmref_bic_decode_cm.argtypes = [
             u8p, ctypes.c_int64, i64p, u64p, i32p,

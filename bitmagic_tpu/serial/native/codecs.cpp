@@ -398,6 +398,27 @@ int64_t bm_block_popcount(const uint32_t* words) {
     return n;
 }
 
+// Whole-pool set-bit extraction: for each 2048-word row, emit
+// bases[row] + in-block offset for every set bit (the enumerator decode
+// hot loop; replaces numpy unpackbits over the full pool).
+int64_t bm_pool_positions(const uint32_t* pool, int64_t n_rows,
+                          const int64_t* bases, int64_t* out) {
+    int64_t n = 0;
+    for (int64_t r = 0; r < n_rows; ++r) {
+        const uint32_t* words = pool + r * 2048;
+        int64_t base = bases[r];
+        for (unsigned k = 0; k < 2048; ++k) {
+            uint32_t w = words[k];
+            int64_t wbase = base + (k << 5);
+            while (w) {
+                out[n++] = wbase + __builtin_ctz(w);
+                w &= w - 1;
+            }
+        }
+    }
+    return n;
+}
+
 // Decode n Elias-gamma values (reference LSB-first stream) into out.
 int bmref_gamma_decode(const uint8_t* buf, int64_t len, int64_t* pos,
                        uint64_t* acc, int32_t* nbits,

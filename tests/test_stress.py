@@ -77,3 +77,47 @@ def test_stress_random_ops(seed):
     # final serialization round-trip at max compression
     blob = Serializer(6).serialize(bv)
     assert Deserializer().deserialize(blob).equal(bv)
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_stress_insert_erase_and_refcodec(seed):
+    """Bit-shifting insert/erase plus reference-format round-trips mixed
+    into the op stream (reference stress mixes serialization the same
+    way, t.cpp:11378)."""
+    from bitmagic_tpu.serial import refcodec
+    rng = np.random.default_rng(seed)
+    bv = BitVector(SIZE)
+    g = GoldenBitSet(SIZE)
+    ids = random_indices(rng, SIZE, 0.02)
+    bv.set_many(ids)
+    g.bits[ids] = True
+    for step in range(30):
+        op = rng.integers(0, 4)
+        if op == 0:       # insert a bit (shifts everything up)
+            i = int(rng.integers(0, SIZE))
+            v = bool(rng.integers(0, 2))
+            bv.insert(i, v)
+            nb_ = np.zeros(SIZE, bool)
+            nb_[:i] = g.bits[:i]
+            nb_[i] = v
+            nb_[i + 1:] = g.bits[i:-1]
+            g.bits = nb_
+        elif op == 1:     # erase a bit (shifts everything down)
+            i = int(rng.integers(0, SIZE))
+            bv.erase(i)
+            nb_ = np.zeros(SIZE, bool)
+            nb_[:i] = g.bits[:i]
+            nb_[i:-1] = g.bits[i + 1:]
+            g.bits = nb_
+        elif op == 2:     # reference-format round-trip mid-stream
+            level = int(rng.integers(0, 7))
+            blob = refcodec.ref_serialize(bv, level)
+            bv = refcodec.ref_deserialize(blob)
+            bv.resize(SIZE)
+        else:             # bulk mutation
+            ids = random_indices(rng, SIZE, 0.01)
+            bv.set_many(ids)
+            g.bits[ids] = True
+        if step % 5 == 4:
+            check(bv, g, step)
+    check(bv, g, "final")
