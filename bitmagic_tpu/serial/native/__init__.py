@@ -67,6 +67,13 @@ def load():
         lib.bm_block_popcount.argtypes = [u32p]
         lib.bm_pool_positions.restype = ctypes.c_int64
         lib.bm_pool_positions.argtypes = [u32p, ctypes.c_int64, i64p, i64p]
+        lib.bm_bmt1_scan.restype = ctypes.c_int
+        lib.bm_bmt1_scan.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64,
+                                     i64p, i64p]
+        lib.bm_bmt1_decode.restype = ctypes.c_int
+        lib.bm_bmt1_decode.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64,
+                                       i64p, ctypes.POINTER(ctypes.c_uint8),
+                                       u32p]
         lib.bmref_bic_decode_cm.restype = ctypes.c_int
         lib.bmref_bic_decode_cm.argtypes = [
             u8p, ctypes.c_int64, i64p, u64p, i32p,
@@ -114,6 +121,32 @@ def block_gap_boundaries(words: np.ndarray):
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
         ctypes.byref(start))
     return int(start.value), out[:n].astype(np.int64)
+
+
+def bmt1_decode(blob: bytes, rec_offset: int):
+    """Whole-BLOB BMT1 decode in C: returns (nbs int64, cls uint8,
+    words uint32[n_rows, 2048]) or None when unavailable/malformed."""
+    lib = load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(bytes(blob), np.uint8)
+    bp = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    n_rec = ctypes.c_int64(0)
+    n_rows = ctypes.c_int64(0)
+    if lib.bm_bmt1_scan(bp, buf.size, rec_offset, ctypes.byref(n_rec),
+                        ctypes.byref(n_rows)) != 0:
+        return None
+    nbs = np.zeros(max(n_rec.value, 1), np.int64)
+    cls = np.zeros(max(n_rec.value, 1), np.uint8)
+    words = np.zeros((max(n_rows.value, 1), 2048), np.uint32)
+    rc = lib.bm_bmt1_decode(
+        bp, buf.size, rec_offset,
+        nbs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        cls.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    if rc != 0:
+        return None
+    return (nbs[:n_rec.value], cls[:n_rec.value], words[:n_rows.value])
 
 
 def bic_encode_bytes(arr: np.ndarray, lo: int, hi: int) -> bytes:

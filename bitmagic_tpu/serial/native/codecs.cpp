@@ -419,6 +419,199 @@ int64_t bm_pool_positions(const uint32_t* pool, int64_t n_rows,
     return n;
 }
 
+// ---------------------------------------------------------------------------
+// Whole-BLOB BMT1 decoder: parse every record and materialize dense
+// 2048-word rows in one call (replaces the per-block Python decode loop).
+// Record: nb u48 LE | code u8 | payload_len u32 LE | payload.
+// ---------------------------------------------------------------------------
+
+extern "C" int bmref_bic_decode_cm(const uint8_t*, int64_t, int64_t*,
+                                   uint64_t*, int32_t*, int64_t, int64_t,
+                                   int64_t, int64_t*);
+
+namespace {
+
+inline uint64_t rd48(const uint8_t* p) {
+    uint64_t v = 0;
+    for (int i = 0; i < 6; ++i) v |= (uint64_t)p[i] << (8 * i);
+    return v;
+}
+inline uint32_t rd32(const uint8_t* p) {
+    uint32_t v;
+    memcpy(&v, p, 4);
+    return v;
+}
+
+enum {
+    BMT1_END = 0, BMT1_FULL = 1, BMT1_RAW = 2,
+    BMT1_ARR16 = 3, BMT1_ARR16_INV = 4,
+    BMT1_ARR_BIC = 5, BMT1_ARR_BIC_INV = 6,
+    BMT1_GAP_GAMMA = 7, BMT1_GAP_BIC = 8,
+};
+const uint64_t BMT1_END_NB = (1ull << 48) - 1;
+
+inline void set_bit_blk(uint32_t* w, uint32_t pos) {
+    w[pos >> 5] |= 1u << (pos & 31);
+}
+
+inline void fill_runs(uint32_t* w, int first_val, const int64_t* bounds,
+                      int64_t n_bounds) {
+    // run i covers (prev, bounds[i]] with value first_val ^ (i & 1)
+    int64_t prev = -1;
+    int val = first_val;
+    for (int64_t i = 0; i < n_bounds; ++i) {
+        if (val) {
+            for (int64_t b = prev + 1; b <= bounds[i]; ++b)
+                set_bit_blk(w, (uint32_t)b);
+        }
+        prev = bounds[i];
+        val ^= 1;
+    }
+}
+
+// decode one BMT1 payload into a zeroed 2048-word row; returns 0/-1
+int bmt1_payload(int code, const uint8_t* p, int64_t plen, uint32_t* w,
+                 int64_t* scratch) {
+    switch (code) {
+    case BMT1_RAW:
+        if (plen < 8192) return -1;
+        memcpy(w, p, 8192);
+        return 0;
+    case BMT1_ARR16:
+    case BMT1_ARR16_INV: {
+        if (plen < 4) return -1;
+        uint32_t n = rd32(p);
+        const uint8_t* q = p + 4;
+        for (uint32_t i = 0; i < n; ++i) {
+            uint16_t pos;
+            memcpy(&pos, q + 2 * i, 2);
+            set_bit_blk(w, pos);
+        }
+        if (code == BMT1_ARR16_INV)
+            for (int k = 0; k < 2048; ++k) w[k] = ~w[k];
+        return 0;
+    }
+    case BMT1_ARR_BIC:
+    case BMT1_ARR_BIC_INV: {
+        if (plen < 4) return -1;
+        uint32_t n = rd32(p);
+        int64_t pos = 0; uint64_t acc = 0; int32_t nb = 0;
+        if (n) {
+            int rc = bmref_bic_decode_cm(p + 4, plen - 4, &pos, &acc, &nb,
+                                         n, 0, 65535, scratch);
+            if (rc) return -1;
+        }
+        for (uint32_t i = 0; i < n; ++i)
+            set_bit_blk(w, (uint32_t)scratch[i]);
+        if (code == BMT1_ARR_BIC_INV)
+            for (int k = 0; k < 2048; ++k) w[k] = ~w[k];
+        return 0;
+    }
+    case BMT1_GAP_GAMMA: {
+        if (plen < 1) return -1;
+        int first = p[0];
+        // MSB-first gamma stream: first value = run count, then run lens
+        BitR rd{p + 1, 0};
+        int nz = 0;
+        while (rd.get_bit() == 0) ++nz;
+        uint64_t n_runs = nz ? ((1ull << nz) | rd.get(nz)) : 1;
+        int64_t prev = -1;
+        int val = first;
+        for (uint64_t i = 0; i < n_runs; ++i) {
+            int z = 0;
+            while (rd.get_bit() == 0) ++z;
+            uint64_t run = z ? ((1ull << z) | rd.get(z)) : 1;
+            int64_t end = prev + (int64_t)run;
+            if (val)
+                for (int64_t b = prev + 1; b <= end; ++b)
+                    set_bit_blk(w, (uint32_t)b);
+            prev = end;
+            val ^= 1;
+        }
+        return 0;
+    }
+    case BMT1_GAP_BIC: {
+        if (plen < 5) return -1;
+        int first = p[0];
+        uint32_t n = rd32(p + 1);
+        int64_t pos = 0; uint64_t acc = 0; int32_t nb = 0;
+        if (n) {
+            int rc = bmref_bic_decode_cm(p + 5, plen - 5, &pos, &acc, &nb,
+                                         n, 0, 65534, scratch);
+            if (rc) return -1;
+        }
+        scratch[n] = 65535;
+        fill_runs(w, first, scratch, n + 1);
+        return 0;
+    }
+    default:
+        return -1;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Pass 1: count records and BIT rows.  Returns 0, or -1 on malformed input.
+int bm_bmt1_scan(const uint8_t* blob, int64_t len, int64_t rec_offset,
+                 int64_t* n_records, int64_t* n_rows) {
+    int64_t pos = rec_offset, recs = 0, rows = 0;
+    while (pos + 11 <= len) {
+        uint64_t nb = rd48(blob + pos);
+        uint8_t code = blob[pos + 6];
+        uint32_t plen = rd32(blob + pos + 7);
+        pos += 11;
+        if (code == BMT1_END && nb == BMT1_END_NB) {
+            *n_records = recs;
+            *n_rows = rows;
+            return 0;
+        }
+        pos += plen;
+        ++recs;
+        if (code != BMT1_FULL) ++rows;
+    }
+    return -1;
+}
+
+// Pass 2: decode every record.  nbs[n_records], cls[n_records],
+// words[n_rows][2048] (rows in record order for non-FULL records).
+int bm_bmt1_decode(const uint8_t* blob, int64_t len, int64_t rec_offset,
+                   int64_t* nbs, uint8_t* cls, uint32_t* words) {
+    int64_t pos = rec_offset, rec = 0, row = 0;
+    int64_t* scratch = new int64_t[65537];
+    while (pos + 11 <= len) {
+        uint64_t nb = rd48(blob + pos);
+        uint8_t code = blob[pos + 6];
+        uint32_t plen = rd32(blob + pos + 7);
+        pos += 11;
+        if (code == BMT1_END && nb == BMT1_END_NB) {
+            delete[] scratch;
+            return 0;
+        }
+        if (pos + plen > len) { delete[] scratch; return -1; }
+        nbs[rec] = (int64_t)nb;
+        if (code == BMT1_FULL) {
+            cls[rec] = 1;                       // CLS_FULL
+        } else {
+            cls[rec] = 2;                       // CLS_BIT
+            uint32_t* w = words + row * 2048;
+            memset(w, 0, 8192);
+            if (bmt1_payload(code, blob + pos, plen, w, scratch)) {
+                delete[] scratch;
+                return -1;
+            }
+            ++row;
+        }
+        pos += plen;
+        ++rec;
+    }
+    delete[] scratch;
+    return -1;
+}
+
+}  // extern "C"
+
 // Decode n Elias-gamma values (reference LSB-first stream) into out.
 int bmref_gamma_decode(const uint8_t* buf, int64_t len, int64_t* pos,
                        uint64_t* acc, int32_t* nbits,

@@ -235,6 +235,17 @@ class Deserializer:
             raise ValueError("bad magic")
         dec.get_8()
         size = dec.get_64()
+        if range_ is None:
+            # whole-BLOB fast path: one native call decodes every record
+            res = native.bmt1_decode(data, dec.pos)
+            if res is not None:
+                nbs_a, cls_a, words = res
+                import jax.numpy as jnp
+                pool = (jnp.asarray(words) if words.shape[0]
+                        else blockops.zero_pool(0))
+                # drop rows the encoder never emits as zero; classes map 1:1
+                struct = Structure(nbs_a.copy(), cls_a.copy())
+                return BitVector._from_parts(struct, pool, size)
         lo_blk, hi_blk = 0, (1 << 48)
         if range_ is not None:
             lo_blk = int(range_[0]) >> C.SET_BLOCK_SHIFT
