@@ -74,6 +74,11 @@ def load():
         lib.bm_bmt1_decode.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64,
                                        i64p, ctypes.POINTER(ctypes.c_uint8),
                                        u32p]
+        lib.bm_bmt1_encode.restype = ctypes.c_int64
+        lib.bm_bmt1_encode.argtypes = [u32p, i64p,
+                                       ctypes.POINTER(ctypes.c_uint8),
+                                       ctypes.c_int64, ctypes.c_int,
+                                       u8p, ctypes.c_int64, i64p]
         lib.bmref_bic_decode_cm.restype = ctypes.c_int
         lib.bmref_bic_decode_cm.argtypes = [
             u8p, ctypes.c_int64, i64p, u64p, i32p,
@@ -147,6 +152,32 @@ def bmt1_decode(blob: bytes, rec_offset: int):
     if rc != 0:
         return None
     return (nbs[:n_rec.value], cls[:n_rec.value], words[:n_rows.value])
+
+
+def bmt1_encode(words: np.ndarray, nbs: np.ndarray, cls: np.ndarray,
+                level: int):
+    """Whole-BLOB BMT1 record encoding in C: returns (records_bytes,
+    code_counts int64[9]) or None when unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    words = np.ascontiguousarray(words, np.uint32)
+    nbs = np.ascontiguousarray(nbs, np.int64)
+    cls = np.ascontiguousarray(cls, np.uint8)
+    n_rec = nbs.size
+    cap = n_rec * 11 + words.shape[0] * 8400 + 64
+    out = np.zeros(cap, np.uint8)
+    counts = np.zeros(9, np.int64)
+    n = lib.bm_bmt1_encode(
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        nbs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        cls.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n_rec, int(level),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if n < 0:
+        return None
+    return out[:n].tobytes(), counts
 
 
 def bic_encode_bytes(arr: np.ndarray, lo: int, hi: int) -> bytes:

@@ -428,6 +428,13 @@ int64_t bm_pool_positions(const uint32_t* pool, int64_t n_rows,
 extern "C" int bmref_bic_decode_cm(const uint8_t*, int64_t, int64_t*,
                                    uint64_t*, int32_t*, int64_t, int64_t,
                                    int64_t, int64_t*);
+extern "C" int bmref_bic_encode_cm(const int64_t*, int64_t, int64_t,
+                                   int64_t, uint64_t*, int32_t*, uint8_t*,
+                                   int64_t, int64_t*);
+extern "C" int64_t bm_block_popcount(const uint32_t*);
+extern "C" int64_t bm_block_positions(const uint32_t*, int, uint16_t*);
+extern "C" int64_t bm_block_gap_boundaries(const uint32_t*, uint16_t*,
+                                           int32_t*);
 
 namespace {
 
@@ -552,6 +559,159 @@ int bmt1_payload(int code, const uint8_t* p, int64_t plen, uint32_t* w,
 }  // namespace
 
 extern "C" {
+
+// Whole-BLOB BMT1 encoder: mirror of serializer.Serializer._encode_block
+// (size-estimate chooser + payload emitters).  words holds the CLS_BIT rows
+// in nb order; cls uses the package codes (1=FULL, 2=BIT).  Returns bytes
+// written (records + END trailer), or -1 on overflow.  code_counts[9]
+// accumulates the per-code histogram for compression_stat.
+int64_t bm_bmt1_encode(const uint32_t* words, const int64_t* nbs,
+                       const uint8_t* cls, int64_t n_rec, int level,
+                       uint8_t* out, int64_t cap, int64_t* code_counts) {
+    int64_t pos = 0;
+    int64_t row = 0;
+    uint16_t* pos_buf = new uint16_t[65536];
+    uint16_t* bnd_buf = new uint16_t[65537];
+    int64_t* arr64 = new int64_t[65537];
+    uint32_t* gam = new uint32_t[65537];
+
+    auto put8 = [&](uint8_t v) { out[pos++] = v; };
+    auto put32 = [&](uint32_t v) { memcpy(out + pos, &v, 4); pos += 4; };
+    auto put48 = [&](uint64_t v) {
+        for (int i = 0; i < 6; ++i) out[pos++] = (v >> (8 * i)) & 0xFF;
+    };
+    auto fail = [&]() {
+        delete[] pos_buf; delete[] bnd_buf; delete[] arr64; delete[] gam;
+        return (int64_t)-1;
+    };
+
+    for (int64_t rec = 0; rec < n_rec; ++rec) {
+        if (pos + 11 + 8192 + 64 > cap) return fail();
+        if (cls[rec] == 1) {                       // FULL
+            put48((uint64_t)nbs[rec]); put8(BMT1_FULL); put32(0);
+            ++code_counts[BMT1_FULL];
+            continue;
+        }
+        const uint32_t* w = words + (row++) * 2048;
+        int64_t bc = bm_block_popcount(w);
+        if (bc == 0)
+            continue;                              // zero: implicit
+        if (bc == 65536) {
+            put48((uint64_t)nbs[rec]); put8(BMT1_FULL); put32(0);
+            ++code_counts[BMT1_FULL];
+            continue;
+        }
+        int32_t start = 0;
+        int64_t nb_bnd = bm_block_gap_boundaries(w, bnd_buf, &start);
+        int64_t L = nb_bnd;                        // incl. final 65535
+        int64_t ibc = 65536 - bc;
+
+        // size-estimate chooser (same model as the Python serializer)
+        int best_code = BMT1_RAW;
+        int64_t best = 1 + 4 * 2048;
+        auto consider = [&](int64_t est, int code) {
+            if (est < best) { best = est; best_code = code; }
+        };
+        if (level >= 1) {
+            if (bc < 65536) consider(3 + 2 * bc, BMT1_ARR16);
+            if (ibc < 65536) consider(3 + 2 * ibc, BMT1_ARR16_INV);
+        }
+        int64_t gamma_bits = 0;
+        if (level >= 4 && L < 16384) {
+            // exact gamma cost of the run-length list
+            int64_t prev = -1;
+            for (int64_t i = 0; i < L; ++i) {
+                uint32_t run = (uint32_t)(bnd_buf[i] - prev);
+                prev = bnd_buf[i];
+                gamma_bits += 2 * bit_length_u64(run) - 1;
+            }
+            gamma_bits += 2 * bit_length_u64((uint64_t)L) - 1;
+            consider(2 + (gamma_bits + 7) / 8, BMT1_GAP_GAMMA);
+        }
+        if (level >= 5) {
+            if (bc > 0 && bc <= 16384)
+                consider((bc * 30) / 64 + 5, BMT1_ARR_BIC);
+            if (ibc > 0 && ibc <= 16384)
+                consider((ibc * 30) / 64 + 5, BMT1_ARR_BIC_INV);
+            if (L < 16384)
+                consider((L * 30) / 64 + 6, BMT1_GAP_BIC);
+        }
+
+        put48((uint64_t)nbs[rec]); put8((uint8_t)best_code);
+        int64_t len_at = pos;
+        put32(0);                                  // payload length patch
+        int64_t pstart = pos;
+        ++code_counts[best_code];
+
+        switch (best_code) {
+        case BMT1_RAW:
+            memcpy(out + pos, w, 8192); pos += 8192;
+            break;
+        case BMT1_ARR16:
+        case BMT1_ARR16_INV: {
+            int inv = best_code == BMT1_ARR16_INV;
+            int64_t n = bm_block_positions(w, inv, pos_buf);
+            put32((uint32_t)n);
+            memcpy(out + pos, pos_buf, 2 * n); pos += 2 * n;
+            break;
+        }
+        case BMT1_ARR_BIC:
+        case BMT1_ARR_BIC_INV: {
+            int inv = best_code == BMT1_ARR_BIC_INV;
+            int64_t n = bm_block_positions(w, inv, pos_buf);
+            put32((uint32_t)n);
+            for (int64_t i = 0; i < n; ++i) arr64[i] = pos_buf[i];
+            uint64_t acc = 0; int32_t nb2 = 0; int64_t written = 0;
+            if (bmref_bic_encode_cm(arr64, n, 0, 65535, &acc, &nb2,
+                                    out + pos, cap - pos, &written))
+                return fail();
+            pos += written;
+            if (nb2) {                              // flush leftover bits
+                uint32_t tail = (uint32_t)acc;
+                memcpy(out + pos, &tail, 4); pos += 4;
+            }
+            break;
+        }
+        case BMT1_GAP_GAMMA: {
+            put8((uint8_t)start);
+            BitW bw{out + pos};
+            uint32_t v = (uint32_t)L;
+            bw.put(v, 2 * bit_length_u64(v) - 1);
+            int64_t prev = -1;
+            for (int64_t i = 0; i < L; ++i) {
+                uint32_t run = (uint32_t)(bnd_buf[i] - prev);
+                prev = bnd_buf[i];
+                bw.put(run, 2 * bit_length_u64(run) - 1);
+            }
+            bw.flush();
+            pos += (int64_t)bw.byte;
+            break;
+        }
+        case BMT1_GAP_BIC: {
+            put8((uint8_t)start);
+            int64_t n = L - 1;                      // final 65535 implied
+            put32((uint32_t)n);
+            for (int64_t i = 0; i < n; ++i) arr64[i] = bnd_buf[i];
+            uint64_t acc = 0; int32_t nb2 = 0; int64_t written = 0;
+            if (bmref_bic_encode_cm(arr64, n, 0, 65534, &acc, &nb2,
+                                    out + pos, cap - pos, &written))
+                return fail();
+            pos += written;
+            if (nb2) {
+                uint32_t tail = (uint32_t)acc;
+                memcpy(out + pos, &tail, 4); pos += 4;
+            }
+            break;
+        }
+        }
+        uint32_t plen = (uint32_t)(pos - pstart);
+        memcpy(out + len_at, &plen, 4);
+    }
+    // END trailer
+    put48(BMT1_END_NB); put8(BMT1_END); put32(0);
+    delete[] pos_buf; delete[] bnd_buf; delete[] arr64; delete[] gam;
+    return pos;
+}
 
 // Pass 1: count records and BIT rows.  Returns 0, or -1 on malformed input.
 int bm_bmt1_scan(const uint8_t* blob, int64_t len, int64_t rec_offset,

@@ -111,6 +111,18 @@ class Serializer:
         enc.put_64(bv.size)
         self.compression_stat = {}
         struct = bv._struct
+        # whole-BLOB fast path: encode every record in one C call
+        res = native.bmt1_encode(
+            np.asarray(bv._pool) if bv._pool.shape[0]
+            else np.zeros((0, C.SET_BLOCK_SIZE), np.uint32),
+            struct.nb, struct.cls, self.level)
+        if res is not None:
+            records, counts = res
+            for code, cnt in enumerate(counts):
+                if cnt:
+                    self.compression_stat[_CODE_NAMES.get(code, str(code))] \
+                        = int(cnt)
+            return enc.get_bytes() + records
         # batched device stats for every BIT block
         if bv._pool.shape[0]:
             words_all = np.asarray(bv._pool)
