@@ -13,8 +13,6 @@ set-bit lists — no per-bit loops.
 
 from __future__ import annotations
 
-import numpy as np
-
 from ..core.bitvector import BitVector
 
 

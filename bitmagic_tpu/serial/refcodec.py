@@ -569,8 +569,8 @@ class _BitOut:
                 self.acc = acc.value
                 self.n = nb.value
             return
-        arr = list(arr)
-        self._bic_cm(arr, 0, len(arr), lo, hi)
+        arr = [int(v) for v in arr]
+        self._bic_cm(arr, 0, len(arr), int(lo), int(hi))
 
     def _bic_cm(self, arr, base, sz, lo, hi):
         while sz:

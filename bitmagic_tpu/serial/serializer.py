@@ -28,8 +28,7 @@ from .. import constants as C
 from ..core.bitvector import BitVector
 from ..core.blocks import Structure
 from ..ops import blockops
-from .encoding import (BitReader, BitWriter, ByteDecoder, ByteEncoder,
-                       bic_decode, bic_encode)
+from .encoding import BitReader, BitWriter, ByteDecoder, ByteEncoder
 from . import native
 
 

@@ -124,3 +124,30 @@ def test_compression_stat(rng):
     s.serialize(bv)
     assert s.compression_stat.get("full", 0) == 1
     assert sum(s.compression_stat.values()) == 2
+
+
+def test_native_and_python_paths_interchange(rng, monkeypatch):
+    """Blobs from the native whole-BLOB encoder must decode through the
+    pure-Python record loop and vice versa (payload bitstreams are
+    byte-compatible; record layout is self-describing)."""
+    from bitmagic_tpu.serial import native as nat
+    from bitmagic_tpu.serial.serializer import Deserializer, Serializer
+
+    size = 40 * BITS_PER_BLOCK
+    ids = np.unique(rng.integers(0, size, 60_000))
+    bv = BitVector.from_indices(ids, size)
+    bv.set_range(5 * BITS_PER_BLOCK, 7 * BITS_PER_BLOCK + 17)
+    bv.optimize()
+
+    if nat.load() is None:
+        pytest.skip("native codecs unavailable")
+    blob_native = Serializer(6).serialize(bv)
+
+    # force the pure-Python paths
+    monkeypatch.setattr(nat, "load", lambda: None)
+    monkeypatch.setattr(nat, "bmt1_encode", lambda *a, **k: None)
+    monkeypatch.setattr(nat, "bmt1_decode", lambda *a, **k: None)
+    blob_python = Serializer(6).serialize(bv)
+    assert Deserializer().deserialize(blob_native).equal(bv)   # py decode
+    monkeypatch.undo()
+    assert Deserializer().deserialize(blob_python).equal(bv)   # native-ish
