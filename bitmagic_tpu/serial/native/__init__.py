@@ -141,9 +141,9 @@ def bmt1_decode(blob: bytes, rec_offset: int):
     if lib.bm_bmt1_scan(bp, buf.size, rec_offset, ctypes.byref(n_rec),
                         ctypes.byref(n_rows)) != 0:
         return None
-    nbs = np.zeros(max(n_rec.value, 1), np.int64)
-    cls = np.zeros(max(n_rec.value, 1), np.uint8)
-    words = np.zeros((max(n_rows.value, 1), 2048), np.uint32)
+    nbs = np.empty(max(n_rec.value, 1), np.int64)
+    cls = np.empty(max(n_rec.value, 1), np.uint8)
+    words = np.empty((max(n_rows.value, 1), 2048), np.uint32)
     rc = lib.bm_bmt1_decode(
         bp, buf.size, rec_offset,
         nbs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
@@ -166,7 +166,7 @@ def bmt1_encode(words: np.ndarray, nbs: np.ndarray, cls: np.ndarray,
     cls = np.ascontiguousarray(cls, np.uint8)
     n_rec = nbs.size
     cap = n_rec * 11 + words.shape[0] * 8400 + 64
-    out = np.zeros(cap, np.uint8)
+    out = np.empty(cap, np.uint8)
     counts = np.zeros(9, np.int64)
     n = lib.bm_bmt1_encode(
         words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),

@@ -297,7 +297,26 @@ extern "C" {
 int bmref_bic_decode_cm(const uint8_t* buf, int64_t len, int64_t* pos,
                         uint64_t* acc, int32_t* nbits,
                         int64_t sz, int64_t lo, int64_t hi, int64_t* out) {
-    RBitR r{buf, len, *pos, *acc, *nbits};
+    // bitstream state in registers (the struct-member version costs ~2x)
+    int64_t p = *pos;
+    uint64_t a = *acc;
+    int nb = *nbits;
+    int ok = 1;
+    auto get_bits = [&](int n) -> int64_t {
+        while (nb < n) {
+            if (p + 4 > len) { ok = 0; nb += 32; continue; }
+            uint32_t w;
+            memcpy(&w, buf + p, 4);
+            p += 4;
+            a |= static_cast<uint64_t>(w) << nb;
+            nb += 32;
+        }
+        int64_t v = (int64_t)(a & ((n >= 32) ? 0xFFFFFFFFull
+                                             : ((1ull << n) - 1)));
+        a >>= n;
+        nb -= n;
+        return v;
+    };
     RFrame* stack = new RFrame[2 * 40 + 4];   // depth <= log2(sz)+1 per side
     int sp = 0;
     stack[sp++] = {0, sz, lo, hi};
@@ -305,19 +324,29 @@ int bmref_bic_decode_cm(const uint8_t* buf, int64_t len, int64_t* pos,
         RFrame f = stack[--sp];
         while (f.sz) {
             int64_t range = f.hi - f.lo - f.sz + 1;
-            int64_t val = cm_read(r, range);
+            int64_t val = range;
+            if (range) {
+                int logv = bit_length_u64((uint64_t)(range + 1)) - 1;
+                int64_t c = (1ll << (logv + 1)) - range - 1;
+                int64_t half_c = c >> 1;
+                int64_t half_r = range >> 1;
+                int64_t lo1 = half_r - half_c - ((range + 1) & 1);
+                int64_t hi1 = half_r + half_c + 1;
+                val = get_bits(logv);
+                if (val <= lo1 || val >= hi1)
+                    val += get_bits(1) << logv;
+            }
             int64_t mid = f.sz >> 1;
             val += f.lo + mid;
             out[f.base + mid] = val;
             if (f.sz <= 1) break;
-            // iterate left; push nothing — emulate the tail loop by
-            // processing left inline and continuing with right
+            // iterate left; push right for later
             stack[sp++] = {f.base + mid + 1, f.sz - mid - 1, val + 1, f.hi};
             f = {f.base, mid, f.lo, val - 1};
         }
-        if (!r.ok) { delete[] stack; return -1; }
+        if (!ok) { delete[] stack; return -1; }
     }
-    *pos = r.pos; *acc = r.acc; *nbits = r.nbits;
+    *pos = p; *acc = a; *nbits = nb;
     delete[] stack;
     return 0;
 }
@@ -390,11 +419,15 @@ int64_t bm_block_gap_boundaries(const uint32_t* words, uint16_t* out,
     return n;
 }
 
-// Popcount of a 2048-word block.
+// Popcount of a 2048-word block (64-bit strides).
 int64_t bm_block_popcount(const uint32_t* words) {
+    uint64_t w8[4];
     int64_t n = 0;
-    for (unsigned k = 0; k < 2048; ++k)
-        n += __builtin_popcount(words[k]);
+    for (unsigned k = 0; k < 2048; k += 8) {
+        memcpy(w8, words + k, 32);
+        n += __builtin_popcountll(w8[0]) + __builtin_popcountll(w8[1]) +
+             __builtin_popcountll(w8[2]) + __builtin_popcountll(w8[3]);
+    }
     return n;
 }
 
