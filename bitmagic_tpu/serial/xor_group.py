@@ -1,0 +1,236 @@
+"""Cross-vector XOR delta compression for groups of related bit-vectors.
+
+Equivalent of the reference's bmxor.h machinery (bv_ref_vector +
+xor_sim_model + serializer XOR filter, src/bmxor.h:623-1440) on the
+native BMT1 format: when serializing a GROUP of related vectors, a block
+whose XOR against the same block of an EARLIER group member is much
+sparser is stored as that XOR product plus a reference id.
+
+Unlike the reference (which scans match chains per block with GC/BC
+heuristics), the similarity model here is computed in one vectorized
+pass per vector pair: per-block popcounts of the XOR products for all
+shared blocks at once (numpy popcount over aligned pools) — the TPU-idiom
+replacement for the per-block scanner loop.
+
+Group BLOB layout:
+  magic b"BMX1" | u32 n_vectors
+  per vector: u32 blob_len | payload
+    payload = standard BMT1 BLOB whose record stream may contain
+    XOR-reference records: code 9 | payload = u32 ref_vector_idx |
+    inner_code u8 | inner payload (the XOR product, any BMT1 block code)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import constants as C
+from ..core.bitvector import BitVector
+from .encoding import ByteDecoder, ByteEncoder
+from .serializer import (CODE_END, CODE_FULL, Deserializer, MAGIC,
+                         Serializer, _decode_payload)
+
+GROUP_MAGIC = b"BMX1"
+CODE_XOR_REF = 9
+
+
+def _pool_map(bv):
+    """dict nb -> words (np, dense) for BIT blocks; FULL handled separately."""
+    bv._flush()
+    out = {}
+    if bv._pool.shape[0]:
+        pool = np.asarray(bv._pool)
+        slots = bv._struct.slots()
+        for k in range(len(bv._struct.nb)):
+            if bv._struct.cls[k] == C.CLS_BIT:
+                out[int(bv._struct.nb[k])] = pool[slots[k]]
+    return out
+
+
+def serialize_group(vectors, level: int = 6, gain: float = 0.5) -> bytes:
+    """Serialize related vectors with cross-vector XOR deltas.  A block is
+    stored as an XOR product against vector j<i when the product popcount
+    is below ``gain`` * original popcount (the reference's target_gain
+    knob, src/bmxor.h:58-71)."""
+    ser = Serializer(level)
+    enc = ByteEncoder()
+    enc.put_bytes(GROUP_MAGIC)
+    enc.put_32(len(vectors))
+
+    prev_maps = []                       # (vec_idx, dict nb -> words)
+    for vi, bv in enumerate(vectors):
+        bv._flush()
+        my_map = _pool_map(bv)
+        # vectorized similarity model: per-block XOR popcounts vs each
+        # earlier vector, all shared blocks at once
+        best = {}                        # nb -> (ref_idx, xor_words, xor_bc)
+        if prev_maps and my_map:
+            my_nbs = np.asarray(sorted(my_map), np.int64)
+            mine = np.stack([my_map[int(nb)] for nb in my_nbs])
+            my_bc = np.bitwise_count(mine).sum(axis=1).astype(np.int64)
+            for rj, rmap in prev_maps:
+                shared = [i for i, nb in enumerate(my_nbs)
+                          if int(nb) in rmap]
+                if not shared:
+                    continue
+                ref_stack = np.stack([rmap[int(my_nbs[i])] for i in shared])
+                prod = mine[shared] ^ ref_stack
+                pbc = np.bitwise_count(prod).sum(axis=1).astype(np.int64)
+                for row, i in enumerate(shared):
+                    nb = int(my_nbs[i])
+                    if pbc[row] < gain * my_bc[i] and \
+                            (nb not in best or pbc[row] < best[nb][2]):
+                        best[nb] = (rj, prod[row], int(pbc[row]))
+
+        blob = ser.serialize(bv)
+        if best:
+            blob = _rewrite_with_xor(blob, best, ser)
+        enc.put_32(len(blob))
+        enc.put_bytes(blob)
+        prev_maps.append((vi, my_map))
+    return enc.get_bytes()
+
+
+def _rewrite_with_xor(blob: bytes, best: dict, ser: Serializer) -> bytes:
+    """Replace records of blocks in ``best`` with XOR-reference records."""
+    dec = ByteDecoder(blob)
+    out = ByteEncoder()
+    out.put_bytes(dec.get_bytes(4))      # magic
+    out.put_8(dec.get_8())
+    out.put_64(dec.get_64())
+    while True:
+        nb = dec.get_48()
+        code = dec.get_8()
+        plen = dec.get_32()
+        payload = dec.get_bytes(plen)
+        if code == CODE_END:
+            out.put_48(nb)
+            out.put_8(code)
+            out.put_32(0)
+            break
+        ent = best.get(nb)
+        if ent is None or code == CODE_FULL:
+            out.put_48(nb)
+            out.put_8(code)
+            out.put_32(plen)
+            out.put_bytes(payload)
+            continue
+        ref_idx, prod, pbc = ent
+        inner_code, inner_payload = ser._encode_block(
+            prod, pbc, _gap_count(prod))
+        wrapped = ByteEncoder()
+        wrapped.put_32(ref_idx)
+        wrapped.put_8(inner_code)
+        wrapped.put_bytes(inner_payload)
+        w = wrapped.get_bytes()
+        if len(w) >= plen:               # XOR did not actually help
+            out.put_48(nb)
+            out.put_8(code)
+            out.put_32(plen)
+            out.put_bytes(payload)
+            continue
+        out.put_48(nb)
+        out.put_8(CODE_XOR_REF)
+        out.put_32(len(w))
+        out.put_bytes(w)
+    return out.get_bytes()
+
+
+def _gap_count(words) -> int:
+    from . import native
+    r = native.block_gap_boundaries(words)
+    if r is not None:
+        return len(r[1])
+    bits = np.unpackbits(words.view(np.uint8), bitorder="little")
+    return int((np.diff(bits.astype(np.int8)) != 0).sum()) + 1
+
+
+def deserialize_group(data: bytes) -> list[BitVector]:
+    """Inverse of serialize_group."""
+    dec = ByteDecoder(data)
+    if dec.get_bytes(4) != GROUP_MAGIC:
+        raise ValueError("bad group magic")
+    n = dec.get_32()
+    out: list[BitVector] = []
+    deser = Deserializer()
+    for _ in range(n):
+        blen = dec.get_32()
+        blob = dec.get_bytes(blen)
+        out.append(_deserialize_with_xor(blob, out, deser))
+    return out
+
+
+def _deserialize_with_xor(blob, group, deser) -> BitVector:
+    """Decode a BMT1 BLOB that may contain CODE_XOR_REF records."""
+    if CODE_XOR_REF not in _codes_present(blob):
+        return deser.deserialize(blob)
+    # split: decode plain records via the native path, patch XOR records
+    d = ByteDecoder(blob)
+    out = ByteEncoder()
+    out.put_bytes(d.get_bytes(4))
+    out.put_8(d.get_8())
+    size = d.get_64()
+    out.put_64(size)
+    patches = []                         # (nb, ref_idx, words)
+    while True:
+        nb = d.get_48()
+        code = d.get_8()
+        plen = d.get_32()
+        payload = d.get_bytes(plen)
+        if code == CODE_END:
+            out.put_48(nb)
+            out.put_8(code)
+            out.put_32(0)
+            break
+        if code != CODE_XOR_REF:
+            out.put_48(nb)
+            out.put_8(code)
+            out.put_32(plen)
+            out.put_bytes(payload)
+            continue
+        pd = ByteDecoder(payload)
+        ref_idx = pd.get_32()
+        inner_code = pd.get_8()
+        prod = _decode_payload(inner_code, payload[5:])
+        patches.append((nb, ref_idx, prod))
+    bv = deser.deserialize(out.get_bytes())
+    if patches:
+        ref_words = {}
+        all_pos = []
+        for nb, ref_idx, prod in patches:
+            key = ref_idx
+            if key not in ref_words:
+                ref_words[key] = _pool_map(group[key])
+            ref_blk = ref_words[key].get(nb)
+            if ref_blk is None:
+                # FULL or ZERO reference block
+                st, _ = group[key]._struct.lookup(np.asarray([nb]))
+                ref_blk = (np.full(C.SET_BLOCK_SIZE, 0xFFFFFFFF, np.uint32)
+                           if st[0] == 1 else
+                           np.zeros(C.SET_BLOCK_SIZE, np.uint32))
+            words = prod ^ ref_blk
+            base = nb << C.SET_BLOCK_SHIFT
+            pos = np.flatnonzero(np.unpackbits(
+                words.view(np.uint8), bitorder="little")).astype(np.int64)
+            if pos.size:
+                all_pos.append(base + pos)
+        if all_pos:
+            # single bulk scatter: one device pass for all patched blocks
+            bv.set_many(np.concatenate(all_pos))
+    return bv
+
+
+def _codes_present(blob) -> set:
+    codes = set()
+    d = ByteDecoder(blob)
+    d.get_bytes(4)
+    d.get_8()
+    d.get_64()
+    while True:
+        d.get_48()
+        code = d.get_8()
+        plen = d.get_32()
+        if code == CODE_END:
+            return codes
+        codes.add(code)
+        d.pos += plen

@@ -151,3 +151,41 @@ def test_native_and_python_paths_interchange(rng, monkeypatch):
     assert Deserializer().deserialize(blob_native).equal(bv)   # py decode
     monkeypatch.undo()
     assert Deserializer().deserialize(blob_python).equal(bv)   # native-ish
+
+
+def test_xor_group_serialization(rng):
+    """Cross-vector XOR deltas (serial/xor_group.py, bmxor.h equivalent):
+    related vectors compress far better as a group, and round-trip."""
+    from bitmagic_tpu.serial import serialize
+    from bitmagic_tpu.serial.xor_group import (deserialize_group,
+                                               serialize_group)
+    size = 64 * BITS_PER_BLOCK
+    base_ids = np.unique(rng.integers(0, size, 200_000))
+    vectors = [BitVector.from_indices(base_ids, size)]
+    for k in range(4):
+        flip = rng.choice(base_ids, 300, replace=False)
+        extra = np.unique(rng.integers(0, size, 300))
+        ids = np.union1d(np.setdiff1d(base_ids, flip), extra)
+        vectors.append(BitVector.from_indices(ids, size))
+
+    blob = serialize_group(vectors)
+    solo = sum(len(serialize(v)) for v in vectors)
+    assert len(blob) < 0.5 * solo       # the deltas must actually pay off
+
+    back = deserialize_group(blob)
+    assert len(back) == len(vectors)
+    for got, want in zip(back, vectors):
+        assert got.equal(want)
+
+
+def test_xor_group_unrelated_vectors(rng):
+    """Unrelated vectors must not regress (XOR records only when they
+    shrink the payload)."""
+    from bitmagic_tpu.serial.xor_group import (deserialize_group,
+                                               serialize_group)
+    size = 16 * BITS_PER_BLOCK
+    vectors = [BitVector.from_indices(
+        np.unique(rng.integers(0, size, 5_000)), size) for _ in range(3)]
+    back = deserialize_group(serialize_group(vectors))
+    for got, want in zip(back, vectors):
+        assert got.equal(want)

@@ -121,3 +121,37 @@ def test_stress_insert_erase_and_refcodec(seed):
         if step % 5 == 4:
             check(bv, g, step)
     check(bv, g, "final")
+
+
+@pytest.mark.parametrize("seed", [7])
+def test_stress_48bit_borders(seed):
+    """t64-style stress: operations around the 2^32 and 2^48 borders
+    (reference tests/stress64, gena.h distribution mixes)."""
+    rng = np.random.default_rng(seed)
+    big = 1 << 48
+    borders = np.asarray([0, (1 << 32) - 1, 1 << 32, (1 << 32) + 1,
+                          (1 << 40), big - 2, big - 1], np.int64)
+    scatter = rng.integers(0, big, 2000).astype(np.int64)
+    ids = np.unique(np.concatenate([borders, scatter]))
+    bv = BitVector.from_indices(ids, big)
+    np.testing.assert_array_equal(bv.indices(), ids)
+    assert bv.count() == len(ids)
+    assert bv.test(big - 1) and bv.test(1 << 32)
+    assert bv.count_range(1 << 32, big - 1) == int(
+        ((ids >= (1 << 32)) & (ids <= big - 1)).sum())
+    # rank/select across the 2^32 border
+    bv.build_rs_index()
+    for r in (1, len(ids) // 2, len(ids)):
+        assert bv.select(r) == ids[r - 1]
+    # logic with a second 48-bit vector
+    ids2 = np.unique(rng.integers(0, big, 2000)).astype(np.int64)
+    other = BitVector.from_indices(ids2, big)
+    both = bv & other
+    np.testing.assert_array_equal(both.indices(),
+                                  np.intersect1d(ids, ids2))
+    # serialization round-trips (both formats, 64-bit headers)
+    blob = Serializer(6).serialize(bv)
+    assert Deserializer().deserialize(blob).equal(bv)
+    from bitmagic_tpu.serial import refcodec
+    rblob = refcodec.ref_serialize(bv, 6)
+    assert refcodec.ref_deserialize(rblob).equal(bv)
