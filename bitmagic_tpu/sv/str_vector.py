@@ -142,6 +142,36 @@ class StrSparseVector:
     def to_list(self) -> list:
         return self.gather(np.arange(self._size, dtype=_I64))
 
+    def gather_substr(self, ids, frm: int, to: int) -> list:
+        """Substring extraction [frm, to] per element WITHOUT decoding the
+        other octet columns (the reference const_iterator substring mode,
+        src/bmstrsparsevec.h:382-390): only the selected octet slices are
+        gathered."""
+        if not (0 <= frm <= to < self.max_str_size):
+            raise ValueError("substring range out of octet capacity")
+        ids = np.asarray(ids, _I64)
+        cols = np.stack([self.octets[k].gather(ids)
+                         for k in range(frm, to + 1)], axis=1)
+        if self.remap_matrices is not None:
+            out_cols = np.zeros_like(cols)
+            for j, k in enumerate(range(frm, to + 1)):
+                out_cols[:, j] = self.unmap_matrices[k][cols[:, j]]
+            cols = out_cols
+        null_bits = (self.null_plane.get_bits(ids) if self.nullable else None)
+        out = []
+        for r in range(cols.shape[0]):
+            if null_bits is not None and not null_bits[r]:
+                out.append(None)
+                continue
+            row = cols[r]
+            nz = np.flatnonzero(row == 0)
+            end = int(nz[0]) if nz.size else row.size
+            out.append(bytes(row[:end]).decode("latin-1"))
+        return out
+
+    def substr(self, i: int, frm: int, to: int) -> str | None:
+        return self.gather_substr([i], frm, to)[0]
+
     def compare(self, i: int, s) -> int:
         """Lexicographic compare of element i vs string s: -1/0/1
         (reference compare, src/bmstrsparsevec.h:775)."""

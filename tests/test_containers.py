@@ -168,3 +168,19 @@ def test_compressed_collection():
         cc.get(6)
     assert len(cc) == 2
     np.testing.assert_array_equal(cc.keys(), [5, 100])
+
+
+def test_str_substr_mode():
+    """Substring const_iterator mode: only the selected octet slices are
+    decoded (reference bmstrsparsevec const_iterator substr)."""
+    from bitmagic_tpu.sv.str_vector import StrSparseVector
+    strs = ["abcdef", "xy", "hello", ""]
+    ssv = StrSparseVector.from_strings(strs, nullable=True)
+    ssv.set_null(3)
+    assert ssv.substr(0, 1, 3) == "bcd"
+    assert ssv.substr(1, 1, 3) == "y"
+    assert ssv.gather_substr([0, 1, 2, 3], 0, 2) == ["abc", "xy", "hel",
+                                                     None]
+    ssv.remap()
+    assert ssv.substr(0, 1, 3) == "bcd"
+    assert ssv.gather_substr([2], 2, 4) == ["llo"]
