@@ -327,3 +327,32 @@ def scan_eq_pallas(n_planes, planes, value):
         out_shape=jax.ShapeDtypeStruct((n_blocks, C.SET_BLOCK_SIZE), U32),
         interpret=_interpret(),
     )(jnp.asarray([value], U32), planes)
+
+
+# ---------------------------------------------------------------------------
+# batched scanner pipeline: counts for MANY values in one device call
+# (reference scanner/aggregator pipeline, src/bmsparsevec_algo.h:653).
+# A Pallas value-sweep over VMEM-resident tiles was tried and hit a Mosaic
+# scalar-path serialization (~70x slower than the HBM bound); the XLA
+# formulation below — lax.map over values of a fused slice-select reduce —
+# runs each search at full HBM rate with zero per-search dispatch overhead.
+# ---------------------------------------------------------------------------
+@jax.jit
+def pipeline_counts(planes, selectors):
+    """planes: uint32[S, n_blocks, 2048] (plane arena); selectors:
+    int32[V, S] with 1=AND, -1=AND-NOT, 0=skip per (value, slice).
+    Returns int32[V] hit counts per value."""
+    S = planes.shape[0]
+
+    def one(selv):
+        def body(s, acc):
+            p = planes[s]
+            acc = jnp.where(selv[s] == 1, acc & p, acc)
+            acc = jnp.where(selv[s] == -1, acc & ~p, acc)
+            return acc
+        acc = jax.lax.fori_loop(
+            0, S, body,
+            jnp.full(planes.shape[1:], 0xFFFFFFFF, U32))
+        return jnp.sum(jax.lax.population_count(acc).astype(jnp.int64))
+
+    return jax.lax.map(one, selectors)

@@ -280,6 +280,10 @@ class SparseVectorScanner:
             operands.append(sv.null_plane)
         arena = OperandArena(operands)
         pos_of = {s: k for k, s in enumerate(plane_ids)}
+        if counts_only:
+            counts = self._pipeline_counts(sv, values, arena, pos_of)
+            if counts is not None:
+                return counts
         out = []
         for v in values:
             u = int(np.asarray(sv.s2u(np.asarray([v], sv.dtype)))[0])
@@ -295,6 +299,73 @@ class SparseVectorScanner:
                     and_idx.append(null_idx)
                 bv = _agg.combine_and_sub_arena(arena, and_idx, sub_idx)
             out.append(bv.count() if counts_only else bv)
+        return out
+
+    @staticmethod
+    def _pipeline_counts(sv, values, arena, pos_of):
+        """Counts-only bulk path: ONE device call evaluates every search
+        (ops.pallas_kernels.pipeline_counts — lax.map of the fused
+        slice-select reduce over a dense plane stack).  Returns a list of
+        ints, or None when the dense stack cannot be built."""
+        import jax.numpy as jnp
+
+        from ..ops.pallas_kernels import pipeline_counts
+
+        K = len(arena.vectors)
+        nb_union = np.unique(np.concatenate(
+            [v._struct.nb for v in arena.vectors] or
+            [np.zeros(0, np.int64)]))
+        if nb_union.size == 0:
+            return None                     # no payload: per-value fallback
+        # dense [K, nb_u, 2048] stack: arena rows + synthetic zero/one rows
+        pool = arena.pool
+        zero_row = pool.shape[0]
+        ones_row = pool.shape[0] + 1
+        aug = jnp.concatenate([
+            pool if pool.shape[0] else
+            jnp.zeros((0, C.SET_BLOCK_SIZE), jnp.uint32),
+            jnp.zeros((1, C.SET_BLOCK_SIZE), jnp.uint32),
+            jnp.full((1, C.SET_BLOCK_SIZE), 0xFFFFFFFF, jnp.uint32),
+        ], axis=0)
+        slot_tab = np.empty((K, nb_union.size), np.int64)
+        for k in range(K):
+            s = arena.slot_row(k, nb_union, full_as=ones_row)
+            slot_tab[k] = np.where(s < 0, zero_row, s)
+        planes = jnp.take(aug, jnp.asarray(slot_tab.reshape(-1)),
+                          axis=0).reshape(K, nb_union.size,
+                                          C.SET_BLOCK_SIZE)
+
+        sels = np.zeros((len(values), K), np.int32)
+        fallback = {}
+        for i, v in enumerate(values):
+            u = int(np.asarray(sv.s2u(np.asarray([v], sv.dtype)))[0])
+            if u == 0:
+                fallback[i] = v
+                continue
+            impossible = False
+            for s in range(sv.n_slices):
+                if (u >> s) & 1:
+                    if s not in pos_of:
+                        impossible = True
+                        break
+                    sels[i, pos_of[s]] = 1
+                elif s in pos_of:
+                    sels[i, pos_of[s]] = -1
+            if impossible:
+                sels[i] = 0
+                fallback[i] = None          # known-zero count
+                continue
+            if sv.nullable:
+                sels[i, K - 1] = 1
+        counts = np.asarray(pipeline_counts(planes, jnp.asarray(sels)))
+        out = []
+        for i, v in enumerate(values):
+            if i in fallback:
+                fv = fallback[i]
+                out.append(0 if fv is None else scanner.find_eq(sv, fv)
+                           .count())
+            else:
+                out.append(int(counts[i]))
         return out
 
 

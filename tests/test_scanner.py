@@ -112,3 +112,35 @@ def test_set2set_transform(rng):
     out = sv_algo.set2set_transform(sv, keys)
     want = np.unique(vals[[1, 5, 999]])
     np.testing.assert_array_equal(out.indices(), want)
+
+
+def test_pipeline_counts_bulk(rng):
+    """Bulk counts-only pipeline: one device call for the whole value
+    batch; must agree with per-value find_eq counts, including values
+    needing a missing plane (0 hits) and value 0 (find_zero path)."""
+    from bitmagic_tpu.sv.scanner import scanner
+    vals = rng.integers(0, 1 << 12, 50_000).astype(np.uint32)
+    vals[::9] = 0
+    sv = SparseVector.from_array(vals, nullable=True)
+    queries = list(rng.integers(0, 1 << 12, 40)) + [0, 1 << 20]
+    got = scanner.pipeline_find_eq(sv, queries, counts_only=True)
+    want = [int(scanner.find_eq(sv, q).count()) for q in queries]
+    assert got == want
+
+
+def test_pipeline_counts_with_full_blocks(rng):
+    """FULL plane blocks (optimized dense slices / FULL null ranges) must
+    map to all-ones rows in the bulk pipeline (regression: they briefly
+    decoded as zero rows on-chip)."""
+    from bitmagic_tpu.sv.scanner import scanner
+    n = 150_000                       # > one block: null plane gets FULL
+    vals = rng.integers(0, 16, n).astype(np.uint32)
+    sv = SparseVector.from_array(vals, nullable=True)
+    for p in sv.planes:
+        if p is not None:
+            p.optimize()
+    sv.null_plane.optimize()
+    queries = list(range(16))
+    got = scanner.pipeline_find_eq(sv, queries, counts_only=True)
+    want = [int((vals == q).sum()) for q in queries]
+    assert got == want
