@@ -276,3 +276,46 @@ def sparse_vector_serialize(sv, level: int = 6) -> bytes:
 
 def sparse_vector_deserialize(data: bytes):
     return SparseVectorDeserializer().deserialize(data)
+
+
+# ---------------------------------------------------------------------------
+# compressed collections (reference compressed_collection_serializer,
+# src/bmsparsevec_serial.h:582)
+# ---------------------------------------------------------------------------
+def serialize_compressed_collection(coll, level: int = 6) -> bytes:
+    """CompressedBufferCollection -> BLOB: magic | key-bvector BLOB |
+    u32 count | per buffer u32 len + bytes."""
+    from ..serial.serializer import Serializer
+    coll.sync()
+    enc = ByteEncoder()
+    enc.put_bytes(b"BMCC")
+    kb = Serializer(level).serialize(coll.resolver.addr_bv)
+    enc.put_32(len(kb))
+    enc.put_bytes(kb)
+    enc.put_32(len(coll.values))
+    for buf in coll.values:
+        b = bytes(buf)
+        enc.put_32(len(b))
+        enc.put_bytes(b)
+    return enc.get_bytes()
+
+
+def deserialize_compressed_collection(data: bytes):
+    """Inverse of serialize_compressed_collection."""
+    from ..serial.serializer import Deserializer
+    from ..sv.util import CompressedBufferCollection
+    dec = ByteDecoder(data)
+    if dec.get_bytes(4) != b"BMCC":
+        raise ValueError("bad collection magic")
+    klen = dec.get_32()
+    key_bv = Deserializer().deserialize(dec.get_bytes(klen))
+    n = dec.get_32()
+    coll = CompressedBufferCollection()
+    keys = key_bv.indices()
+    if len(keys) != n:
+        raise ValueError("key/value count mismatch")
+    for k in keys:
+        blen = dec.get_32()
+        coll.push_back(int(k), dec.get_bytes(blen))
+    coll.sync()
+    return coll

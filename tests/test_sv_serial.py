@@ -101,3 +101,20 @@ def test_operation_deserializer(rng):
     t = a.copy()
     od.deserialize(t, blob, C.SET_SUB)
     np.testing.assert_array_equal(t.indices(), np.flatnonzero(am & ~bm_))
+
+
+def test_compressed_collection_roundtrip():
+    from bitmagic_tpu.serial.sv_serial import (
+        deserialize_compressed_collection, serialize_compressed_collection)
+    from bitmagic_tpu.sv.util import CompressedBufferCollection
+    coll = CompressedBufferCollection()
+    coll.push_back(10, b"alpha")
+    coll.push_back(42, b"beta" * 50)
+    coll.push_back(9_000_000, b"")
+    coll.push_back(10_000_000, b"far")
+    blob = serialize_compressed_collection(coll)
+    back = deserialize_compressed_collection(blob)
+    assert list(back.keys()) == [10, 42, 9_000_000, 10_000_000]
+    assert back[42] == b"beta" * 50
+    assert back[9_000_000] == b""
+    assert 10 in back and 11 not in back
