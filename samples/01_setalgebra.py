@@ -1,4 +1,7 @@
 """Set algebra basics (reference samples/bvsetalgebra, bvsample01-04)."""
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
 import numpy as np
 import bitmagic_tpu as bm
 

@@ -1,4 +1,7 @@
 """rank/select queries (reference samples/rscsample01, bvsample*rank)."""
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
 import numpy as np
 import bitmagic_tpu as bm
 

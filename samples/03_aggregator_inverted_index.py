@@ -1,5 +1,8 @@
 """Inverted-index intersection with the aggregator (reference
 samples/bvsample16 / xsample02)."""
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
 import numpy as np
 import bitmagic_tpu as bm
 from bitmagic_tpu.agg import Aggregator

@@ -1,5 +1,8 @@
 """Bit-sliced sparse vector + compressed-form search (reference
 samples/svsample02/06)."""
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
 import numpy as np
 import bitmagic_tpu as bm
 from bitmagic_tpu.sv import SparseVector, scanner

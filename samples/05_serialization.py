@@ -1,5 +1,8 @@
 """Serialization: compressed BLOBs, range decode, ops on BLOBs (reference
 samples/bvsample14 / svsample09)."""
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
 import numpy as np
 import bitmagic_tpu as bm
 import bitmagic_tpu.constants as C

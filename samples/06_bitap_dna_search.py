@@ -1,4 +1,7 @@
 """Bitap (shift-AND) DNA substring search (reference samples/xsample04)."""
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
 import bitmagic_tpu as bm
 from bitmagic_tpu.agg import Aggregator
 

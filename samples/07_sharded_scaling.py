@@ -1,6 +1,9 @@
 """Mesh-sharded vectors + collectives (the scale-out story; SURVEY §2.7).
 Run with JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
 for a virtual mesh, or on a real multi-chip slice unchanged."""
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
 import numpy as np
 import jax
 import bitmagic_tpu as bm

@@ -1,4 +1,7 @@
 """String and float succinct vectors (reference strsvsample*, svfsample)."""
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
 import numpy as np
 from bitmagic_tpu.sv import StrSparseVector, FloatSparseVector, scanner
 
