@@ -1598,6 +1598,8 @@ class RefSerializer:
                 est.append((7 + int(bc * 3.75) // 8, "arr_bienc"))
             if 2 < ibc <= 16384:
                 est.append((7 + int(ibc * 3.75) // 8, "arr_bienc_inv"))
+            if 2 <= L < 8192:
+                est.append((6 + int(L * 3.75) // 8, "gap_bienc"))
         est.sort()
         tag = est[0][1]
         if tag == "bit":
@@ -1611,6 +1613,8 @@ class RefSerializer:
             payload = self._enc_gap(start, boundaries)
         elif tag == "gap_egamma":
             payload = self._enc_gap_egamma(start, boundaries)
+        elif tag == "gap_bienc":
+            payload = self._enc_gap_bienc(start, boundaries)
         elif tag == "arr_bienc":
             payload = self._enc_arr_bienc(_positions_from_words(words),
                                           False)
@@ -1657,6 +1661,21 @@ class RefSerializer:
         bo = _BitOut(w)
         vals = np.asarray(boundaries[:-1], np.int64)  # final 65535 implied
         bo.gamma_many(np.diff(vals, prepend=-1))      # first stored as v+1
+        bo.flush()
+        return w.get_bytes()
+
+    @staticmethod
+    def _enc_gap_bienc(start, boundaries):
+        """set_block_gap_bienc (v1): head u16, min boundary u16, BIC-cm of
+        the middle boundaries in (min, 65535); final 65535 implied."""
+        L = len(boundaries)                      # incl. final 65535
+        w = _ByteWriter()
+        w.put_8(BLOCK_GAP_BIENC)
+        w.put_16((L << 3) | (3 << 1) | start)
+        b0 = int(boundaries[0])
+        w.put_16(b0)
+        bo = _BitOut(w)
+        bo.bic_encode_cm(np.asarray(boundaries[1:-1], np.int64), b0, 65535)
         bo.flush()
         return w.get_bytes()
 
