@@ -1499,11 +1499,43 @@ class RefSerializer:
             bc_all = np.zeros(0, np.int64)
         slots = struct.slots()
 
+        # super-block grouping: a 16M-bit sub-tree whose total popcount is
+        # tiny serializes as ONE BIC offset list (set_sblock_bienc, the
+        # reference's is_sparse_sblock path, src/bmserial.h:3655)
+        sblocks = {}
+        if self.level >= 5 and len(struct.nb):
+            sb_ids = struct.nb >> 8
+            for sb in np.unique(sb_ids):
+                sel = np.flatnonzero(sb_ids == sb)
+                if len(sel) < 2 or (struct.cls[sel] != C.CLS_BIT).any():
+                    continue
+                rows = slots[sel]
+                total = int(bc_all[rows].sum())
+                # len >= 3: the reference's u32 BIC decode loop is do-while
+                # and would misparse a zero-length middle section
+                if not (3 <= total < 65536) or total > 256 * len(sel):
+                    continue
+                offs = np.concatenate([
+                    (int(struct.nb[i]) & 0xFF) * 65536
+                    + _positions_from_words(pool[slots[i]])
+                    for i in sel])
+                sblocks[int(sb)] = offs
+
         cur = 0
         k = 0
         n = len(struct.nb)
         while k < n:
             nb = int(struct.nb[k])
+            sb = nb >> 8
+            if sb in sblocks:
+                gap = nb - cur
+                if gap:
+                    self._put_zero_run(w, gap)
+                self._put_sblock(w, sb, sblocks.pop(sb))
+                cur = (sb + 1) << 8
+                while k < n and (int(struct.nb[k]) >> 8) == sb:
+                    k += 1
+                continue
             gap = nb - cur
             if gap:
                 self._put_zero_run(w, gap)
@@ -1550,6 +1582,24 @@ class RefSerializer:
             if n < ID_MAX32:
                 w.put_8(BLOCK_32ZERO); w.put_32(n); return
             w.put_8(BLOCK_64ZERO); w.put_64(n); return
+
+    def _put_sblock(self, w, sb, offs):
+        """set_sblock_bienc (v1, code 56): whole 16M-bit super-block as one
+        BIC offset list (flags: 32-bit sb id, 16-bit len, 24-bit min/max,
+        no DR-min)."""
+        w.put_8(SBLOCK_BIENC)
+        w.put_8(SB_FLAG_SB32 | SB_FLAG_LEN16 | SB_FLAG_MIN24 |
+                SB_FLAG_MAX24)
+        w.put_32(int(sb))
+        w.put_16(len(offs))
+        min_v = int(offs[0])
+        max_v = int(offs[-1])
+        w.put_24(min_v)
+        w.put_24(SUB_TOTAL_BITS - max_v)
+        bo = _BitOut(w)
+        bo.bic_encode_cm(np.asarray(offs[1:-1], np.int64), min_v, max_v)
+        bo.flush()
+        self._stat("sblock_bienc")
 
     def _put_one_run(self, w, n):
         if n == 1:
