@@ -370,3 +370,141 @@ class SparseVectorScanner:
 
 
 scanner = SparseVectorScanner()
+
+
+# ---------------------------------------------------------------------------
+# RSC and float scanner fronts (reference scanner works across all SV
+# families — rsc via address decompression, float via the IEEE field split,
+# src/bmsparsevec_algo.h find_gt_horizontal float variants)
+# ---------------------------------------------------------------------------
+def _rsc_expand(rsc, bv_compressed: BitVector) -> BitVector:
+    """Map compressed-domain hit positions to logical positions through the
+    RSC NULL index (rank decompression)."""
+    null_bv = rsc.get_null_bvector()
+    pos = bv_compressed.indices()
+    if pos.size == 0:
+        return BitVector(C.ID_MAX48)
+    null_bv.build_rs_index()
+    rs = null_bv._rs_index()
+    logical = rs.select_batch(np.asarray(pos + 1, np.int64))
+    return BitVector.from_indices(np.asarray(logical, np.int64),
+                                  C.ID_MAX48)
+
+
+class RSCScannerMixin:
+    def find_eq_rsc(self, rsc, value) -> BitVector:
+        """find_eq on a rank-select-compressed vector: search the dense
+        payload, then rank-decompress the hits."""
+        rsc._flush()
+        hits = self.find_eq(rsc.dense, value)
+        return _rsc_expand(rsc, hits)
+
+    def find_gt_rsc(self, rsc, value) -> BitVector:
+        rsc._flush()
+        return _rsc_expand(rsc, self.find_gt(rsc.dense, value))
+
+    def find_lt_rsc(self, rsc, value) -> BitVector:
+        rsc._flush()
+        return _rsc_expand(rsc, self.find_lt(rsc.dense, value))
+
+
+class FloatScannerMixin:
+    def _float_parts(self, fv, value):
+        u = int(np.asarray([value], fv.dtype).view(fv._uint)[0])
+        sign = u >> (fv._eb + fv._mb)
+        exp = (u >> fv._mb) & ((1 << fv._eb) - 1)
+        mant = u & ((1 << fv._mb) - 1)
+        if exp == 0 and mant == 0:
+            sign = 0                     # -0.0 compares equal to +0.0
+        return sign, exp, mant
+
+    def find_eq_float(self, fv, value) -> BitVector:
+        """Equality on a float sparse vector: AND of the exponent/mantissa
+        slice matches with the sign plane constraint."""
+        sign, exp, mant = self._float_parts(fv, value)
+        hits = self.find_eq(fv.exponent, exp)
+        hits.bit_and(self.find_eq(fv.mantissa, mant))
+        if exp == 0 and mant == 0:
+            pass                         # +-0.0 are numerically equal
+        elif sign:
+            hits.bit_and(fv.sign)
+        else:
+            hits.bit_sub(fv.sign)
+        if fv.nullable and fv.null_plane is not None:
+            hits.bit_and(fv.null_plane)
+        return hits
+
+    def find_gt_float(self, fv, value) -> BitVector:
+        """x > value over IEEE floats via the sign/exp/mantissa split:
+        lexicographic (exp, mantissa) comparison per sign class, with the
+        order REVERSED for negatives."""
+        fv_assigned = (fv.null_plane if fv.nullable and fv.null_plane
+                       is not None else None)
+
+        def universe():
+            uni = BitVector(C.ID_MAX48)
+            if fv._size:
+                uni.set_range(0, fv._size - 1)
+            if fv_assigned is not None:
+                uni.bit_and(fv_assigned)
+            return uni
+
+        uni = universe()
+        sign, exp, mant = self._float_parts(fv, value)
+        # -0.0 stored elements compare as zero: move them to the
+        # non-negative class so the sign split is numerically consistent
+        zeros_neg = self.find_eq(fv.exponent, 0)
+        zeros_neg.bit_and(self.find_eq(fv.mantissa, 0))
+        zeros_neg.bit_and(fv.sign)
+        pos = uni.copy()
+        pos.bit_sub(fv.sign)                 # x >= +0.0
+        pos.bit_or(zeros_neg & uni)          # ... plus -0.0
+        neg = uni.copy()
+        neg.bit_and(fv.sign)
+        neg.bit_sub(zeros_neg)               # strictly negative
+
+        def magnitude_gt(uni_part, or_eq=False):
+            """elements (within uni_part) whose (exp, mantissa) compare
+            lexicographically greater than the query's (or equal too)."""
+            e_gt, e_eq = self._cmp_unsigned(fv.exponent.planes, uni_part,
+                                            exp, fv._eb)
+            m_gt, m_eq = self._cmp_unsigned(fv.mantissa.planes,
+                                            e_eq, mant, fv._mb)
+            out = e_gt
+            out.bit_or(m_gt)
+            if or_eq:
+                out.bit_or(m_eq)
+            out.bit_and(uni_part)
+            return out
+
+        if sign == 0:
+            # value >= 0: positives with |x| > |v|, no negatives
+            return magnitude_gt(pos)
+        # value < 0: all non-negatives qualify, plus negatives with
+        # SMALLER magnitude: |x| < |v|  <=>  not (|x| >= |v|)
+        ge = magnitude_gt(neg, or_eq=True)
+        out = pos
+        less_mag = neg.copy()
+        less_mag.bit_sub(ge)
+        out.bit_or(less_mag)
+        return out
+
+    def find_lt_float(self, fv, value) -> BitVector:
+        """x < value = assigned and not (x > value) and not (x == value)."""
+        gt = self.find_gt_float(fv, value)
+        eq = self.find_eq_float(fv, value)
+        uni = BitVector(C.ID_MAX48)
+        if fv._size:
+            uni.set_range(0, fv._size - 1)
+        if fv.nullable and fv.null_plane is not None:
+            uni.bit_and(fv.null_plane)
+        uni.bit_sub(gt)
+        uni.bit_sub(eq)
+        return uni
+
+
+for _name in ("find_eq_rsc", "find_gt_rsc", "find_lt_rsc"):
+    setattr(SparseVectorScanner, _name, getattr(RSCScannerMixin, _name))
+for _name in ("_float_parts", "find_eq_float", "find_gt_float",
+              "find_lt_float"):
+    setattr(SparseVectorScanner, _name, getattr(FloatScannerMixin, _name))

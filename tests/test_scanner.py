@@ -144,3 +144,36 @@ def test_pipeline_counts_with_full_blocks(rng):
     got = scanner.pipeline_find_eq(sv, queries, counts_only=True)
     want = [int((vals == q).sum()) for q in queries]
     assert got == want
+
+
+def test_float_and_rsc_scanner(rng):
+    """Scanner fronts for the float and RSC families (reference scanner
+    float variants / rsc search)."""
+    from bitmagic_tpu.sv.float_vector import FloatSparseVector
+    from bitmagic_tpu.sv.rsc_vector import RSCSparseVector
+    from bitmagic_tpu.sv.scanner import scanner
+
+    fvals = np.round(rng.standard_normal(4000) * 50).astype(np.float32)
+    fvals[::7] = 2.5
+    fv = FloatSparseVector.from_array(fvals)
+    np.testing.assert_array_equal(
+        scanner.find_eq_float(fv, 2.5).indices(),
+        np.flatnonzero(fvals == 2.5))
+    for q in (-3.0, 0.0, 2.5, 17.0):
+        got = scanner.find_gt_float(fv, q).indices()
+        np.testing.assert_array_equal(got, np.flatnonzero(fvals > q),
+                                      err_msg=f"gt {q}")
+        got = scanner.find_lt_float(fv, q).indices()
+        np.testing.assert_array_equal(got, np.flatnonzero(fvals < q),
+                                      err_msg=f"lt {q}")
+
+    n = 50_000
+    vals = rng.integers(0, 64, n).astype(np.uint32)
+    nn = rng.random(n) > 0.6
+    arr = vals.copy(); arr[~nn] = 0
+    sv = SparseVector.from_array(arr, nullable=True, null_mask=~nn)
+    rsc = RSCSparseVector.from_sparse_vector(sv)
+    got = scanner.find_eq_rsc(rsc, 7).indices()
+    np.testing.assert_array_equal(got, np.flatnonzero(nn & (vals == 7)))
+    got = scanner.find_gt_rsc(rsc, 60).indices()
+    np.testing.assert_array_equal(got, np.flatnonzero(nn & (vals > 60)))
