@@ -210,6 +210,24 @@ def bench_scan(rng):
     return n_elem / t
 
 
+def bench_scan_pipeline(rng):
+    """Library-path bulk search: scanner.pipeline_find_eq counts a whole
+    value batch in ONE device call (reference scanner pipeline)."""
+    from bitmagic_tpu.sv.sparse_vector import SparseVector
+    from bitmagic_tpu.sv.scanner import scanner
+    vals = rng.integers(0, 1 << 16, 2_000_000).astype(np.uint32)
+    sv = SparseVector.from_array(vals, nullable=True)
+    queries = list(rng.integers(0, 1 << 16, 128))
+    scanner.pipeline_find_eq(sv, queries, counts_only=True)      # warm
+    t0 = time.perf_counter()
+    scanner.pipeline_find_eq(sv, queries, counts_only=True)
+    dt = time.perf_counter() - t0
+    rate = len(queries) * len(vals) / dt
+    log(f"[4b scan-pipeline] {len(queries)} find_eq counts over "
+        f"{len(vals)/1e6:.0f}M elems: {dt*1e3:.1f} ms -> "
+        f"{rate/1e9:.1f} Gsearch-elem/s")
+
+
 # ---------------------------------------------------------------- config 5
 def bench_serialization(rng):
     from bitmagic_tpu import BitVector
@@ -254,6 +272,7 @@ def main():
         bench_rank_select(rng)
         bench_aggregator(rng)
         bench_scan(rng)
+        bench_scan_pipeline(rng)
         bench_serialization(rng)
     except Exception as e:          # detail benches must not kill the headline
         log("detail bench failed:", repr(e))
