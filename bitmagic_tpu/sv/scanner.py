@@ -301,72 +301,24 @@ class SparseVectorScanner:
             out.append(bv.count() if counts_only else bv)
         return out
 
-    @staticmethod
-    def _pipeline_counts(sv, values, arena, pos_of):
-        """Counts-only bulk path: ONE device call evaluates every search
-        (ops.pallas_kernels.pipeline_counts — lax.map of the fused
-        slice-select reduce over a dense plane stack).  Returns a list of
-        ints, or None when the dense stack cannot be built."""
-        import jax.numpy as jnp
+    def prepare_pipeline(self, sv: SparseVector):
+        """Build a reusable bulk-search pipeline over sv (the reference
+        pipeline object with its shared block cache, bmaggregator.h:197):
+        the dense plane stack is gathered ONCE and every ``counts(values)``
+        batch afterwards is a single device call."""
+        from ..agg.arena import OperandArena
+        sv._flush()
+        plane_ids = [s for s, p in enumerate(sv.planes) if p is not None]
+        operands = [sv.planes[s] for s in plane_ids]
+        if sv.nullable:
+            operands.append(sv.null_plane)
+        arena = OperandArena(operands)
+        pos_of = {s: k for k, s in enumerate(plane_ids)}
+        return _PreparedPipeline(self, sv, arena, pos_of)
 
-        from ..ops.pallas_kernels import pipeline_counts
-
-        K = len(arena.vectors)
-        nb_union = np.unique(np.concatenate(
-            [v._struct.nb for v in arena.vectors] or
-            [np.zeros(0, np.int64)]))
-        if nb_union.size == 0:
-            return None                     # no payload: per-value fallback
-        # dense [K, nb_u, 2048] stack: arena rows + synthetic zero/one rows
-        pool = arena.pool
-        zero_row = pool.shape[0]
-        ones_row = pool.shape[0] + 1
-        aug = jnp.concatenate([
-            pool if pool.shape[0] else
-            jnp.zeros((0, C.SET_BLOCK_SIZE), jnp.uint32),
-            jnp.zeros((1, C.SET_BLOCK_SIZE), jnp.uint32),
-            jnp.full((1, C.SET_BLOCK_SIZE), 0xFFFFFFFF, jnp.uint32),
-        ], axis=0)
-        slot_tab = np.empty((K, nb_union.size), np.int64)
-        for k in range(K):
-            s = arena.slot_row(k, nb_union, full_as=ones_row)
-            slot_tab[k] = np.where(s < 0, zero_row, s)
-        planes = jnp.take(aug, jnp.asarray(slot_tab.reshape(-1)),
-                          axis=0).reshape(K, nb_union.size,
-                                          C.SET_BLOCK_SIZE)
-
-        sels = np.zeros((len(values), K), np.int32)
-        fallback = {}
-        for i, v in enumerate(values):
-            u = int(np.asarray(sv.s2u(np.asarray([v], sv.dtype)))[0])
-            if u == 0:
-                fallback[i] = v
-                continue
-            impossible = False
-            for s in range(sv.n_slices):
-                if (u >> s) & 1:
-                    if s not in pos_of:
-                        impossible = True
-                        break
-                    sels[i, pos_of[s]] = 1
-                elif s in pos_of:
-                    sels[i, pos_of[s]] = -1
-            if impossible:
-                sels[i] = 0
-                fallback[i] = None          # known-zero count
-                continue
-            if sv.nullable:
-                sels[i, K - 1] = 1
-        counts = np.asarray(pipeline_counts(planes, jnp.asarray(sels)))
-        out = []
-        for i, v in enumerate(values):
-            if i in fallback:
-                fv = fallback[i]
-                out.append(0 if fv is None else scanner.find_eq(sv, fv)
-                           .count())
-            else:
-                out.append(int(counts[i]))
-        return out
+    def _pipeline_counts(self, sv, values, arena, pos_of):
+        prep = _PreparedPipeline(self, sv, arena, pos_of)
+        return prep.counts(values) if prep.ok else None
 
 
 scanner = SparseVectorScanner()
@@ -508,3 +460,78 @@ for _name in ("find_eq_rsc", "find_gt_rsc", "find_lt_rsc"):
 for _name in ("_float_parts", "find_eq_float", "find_gt_float",
               "find_lt_float"):
     setattr(SparseVectorScanner, _name, getattr(FloatScannerMixin, _name))
+
+
+class _PreparedPipeline:
+    """Reusable bulk-search state: dense [K, nb_u, 2048] plane stack plus
+    the slice -> operand mapping (scanner.prepare_pipeline)."""
+
+    def __init__(self, sc, sv, arena, pos_of):
+        import jax.numpy as jnp
+        self.sc = sc
+        self.sv = sv
+        self.pos_of = pos_of
+        self.K = len(arena.vectors)
+        self.ok = False
+        nb_union = np.unique(np.concatenate(
+            [v._struct.nb for v in arena.vectors] or
+            [np.zeros(0, np.int64)]))
+        if nb_union.size == 0:
+            return
+        pool = arena.pool
+        zero_row = pool.shape[0]
+        ones_row = pool.shape[0] + 1
+        aug = jnp.concatenate([
+            pool if pool.shape[0] else
+            jnp.zeros((0, C.SET_BLOCK_SIZE), jnp.uint32),
+            jnp.zeros((1, C.SET_BLOCK_SIZE), jnp.uint32),
+            jnp.full((1, C.SET_BLOCK_SIZE), 0xFFFFFFFF, jnp.uint32),
+        ], axis=0)
+        slot_tab = np.empty((self.K, nb_union.size), np.int64)
+        for k in range(self.K):
+            s = arena.slot_row(k, nb_union, full_as=ones_row)
+            slot_tab[k] = np.where(s < 0, zero_row, s)
+        self.planes = jnp.take(
+            aug, jnp.asarray(slot_tab.reshape(-1)),
+            axis=0).reshape(self.K, nb_union.size, C.SET_BLOCK_SIZE)
+        self.ok = True
+
+    def counts(self, values) -> list:
+        """Hit counts per value — ONE device call for the whole batch."""
+        import jax.numpy as jnp
+
+        from ..ops.pallas_kernels import pipeline_counts
+        sv, K, pos_of = self.sv, self.K, self.pos_of
+        sels = np.zeros((len(values), K), np.int32)
+        fallback = {}
+        us = np.asarray(sv.s2u(np.asarray(values, sv.dtype)), np.uint64)
+        for i, u64 in enumerate(us):
+            u = int(u64)
+            if u == 0:
+                fallback[i] = values[i]
+                continue
+            impossible = False
+            for s in range(sv.n_slices):
+                if (u >> s) & 1:
+                    if s not in pos_of:
+                        impossible = True
+                        break
+                    sels[i, pos_of[s]] = 1
+                elif s in pos_of:
+                    sels[i, pos_of[s]] = -1
+            if impossible:
+                sels[i] = 0
+                fallback[i] = None          # known-zero count
+                continue
+            if sv.nullable:
+                sels[i, K - 1] = 1
+        cts = np.asarray(pipeline_counts(self.planes, jnp.asarray(sels)))
+        out = []
+        for i in range(len(values)):
+            if i in fallback:
+                fv = fallback[i]
+                out.append(0 if fv is None else
+                           self.sc.find_eq(sv, fv).count())
+            else:
+                out.append(int(cts[i]))
+        return out

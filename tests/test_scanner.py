@@ -177,3 +177,18 @@ def test_float_and_rsc_scanner(rng):
     np.testing.assert_array_equal(got, np.flatnonzero(nn & (vals == 7)))
     got = scanner.find_gt_rsc(rsc, 60).indices()
     np.testing.assert_array_equal(got, np.flatnonzero(nn & (vals > 60)))
+
+
+def test_prepared_pipeline_reuse(rng):
+    """prepare_pipeline builds the plane stack once; repeated batches
+    agree with per-value find_eq."""
+    from bitmagic_tpu.sv.scanner import scanner
+    vals = rng.integers(0, 1 << 10, 30_000).astype(np.uint32)
+    sv = SparseVector.from_array(vals, nullable=True)
+    prep = scanner.prepare_pipeline(sv)
+    assert prep.ok
+    for _ in range(2):
+        qs = list(rng.integers(0, 1 << 10, 16))
+        got = prep.counts(qs)
+        want = [int(scanner.find_eq(sv, q).count()) for q in qs]
+        assert got == want
