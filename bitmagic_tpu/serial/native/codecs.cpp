@@ -521,6 +521,7 @@ int bmt1_payload(int code, const uint8_t* p, int64_t plen, uint32_t* w,
     case BMT1_ARR16_INV: {
         if (plen < 4) return -1;
         uint32_t n = rd32(p);
+        if (n > 65536 || 4 + 2ull * n > (uint64_t)plen) return -1;
         const uint8_t* q = p + 4;
         for (uint32_t i = 0; i < n; ++i) {
             uint16_t pos;
@@ -535,6 +536,7 @@ int bmt1_payload(int code, const uint8_t* p, int64_t plen, uint32_t* w,
     case BMT1_ARR_BIC_INV: {
         if (plen < 4) return -1;
         uint32_t n = rd32(p);
+        if (n > 65536) return -1;
         int64_t pos = 0; uint64_t acc = 0; int32_t nb = 0;
         if (n) {
             int rc = bmref_bic_decode_cm(p + 4, plen - 4, &pos, &acc, &nb,
@@ -550,18 +552,25 @@ int bmt1_payload(int code, const uint8_t* p, int64_t plen, uint32_t* w,
     case BMT1_GAP_GAMMA: {
         if (plen < 1) return -1;
         int first = p[0];
-        // MSB-first gamma stream: first value = run count, then run lens
+        // MSB-first gamma stream: first value = run count, then run lens.
+        // All reads and run ends are bounds-checked: corrupted payloads
+        // must fail, not write past the block or read past the payload.
         BitR rd{p + 1, 0};
+        const uint64_t max_bits = (uint64_t)(plen - 1) * 8;
         int nz = 0;
-        while (rd.get_bit() == 0) ++nz;
+        while (rd.bitpos < max_bits && rd.get_bit() == 0) ++nz;
+        if (nz > 17 || rd.bitpos + nz > max_bits) return -1;
         uint64_t n_runs = nz ? ((1ull << nz) | rd.get(nz)) : 1;
+        if (n_runs > 65536) return -1;
         int64_t prev = -1;
         int val = first;
         for (uint64_t i = 0; i < n_runs; ++i) {
             int z = 0;
-            while (rd.get_bit() == 0) ++z;
+            while (rd.bitpos < max_bits && rd.get_bit() == 0) ++z;
+            if (z > 17 || rd.bitpos + z > max_bits) return -1;
             uint64_t run = z ? ((1ull << z) | rd.get(z)) : 1;
             int64_t end = prev + (int64_t)run;
+            if (end > 65535) return -1;
             if (val)
                 for (int64_t b = prev + 1; b <= end; ++b)
                     set_bit_blk(w, (uint32_t)b);
@@ -574,6 +583,7 @@ int bmt1_payload(int code, const uint8_t* p, int64_t plen, uint32_t* w,
         if (plen < 5) return -1;
         int first = p[0];
         uint32_t n = rd32(p + 1);
+        if (n > 65535) return -1;
         int64_t pos = 0; uint64_t acc = 0; int32_t nb = 0;
         if (n) {
             int rc = bmref_bic_decode_cm(p + 5, plen - 5, &pos, &acc, &nb,

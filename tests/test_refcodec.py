@@ -413,3 +413,37 @@ def test_opdeser_accepts_reference_blobs():
     assert od.deserialize(bv.copy(), blob, CC.SET_COUNT_AND) == 100
     out = od.deserialize(bv.copy(), blob, CC.SET_OR)
     assert out.count() == len(ids)
+
+
+def test_corrupted_blobs_raise_cleanly(rng):
+    """Bit-flipped/truncated BLOBs must raise (ValueError/IndexError/etc),
+    never hang or return silently-wrong huge structures."""
+    ids = np.unique(rng.integers(0, 2_000_000, 5_000)).astype(np.int64)
+    bv = BitVector.from_indices(ids, 2_000_000)
+    from bitmagic_tpu.serial import serialize
+    blobs = {"ref": refcodec.ref_serialize(bv, 6),
+             "bmt1": serialize(bv)}
+    for name, blob in blobs.items():
+        for trial in range(30):
+            b = bytearray(blob)
+            kind = trial % 3
+            if kind == 0:                       # truncate
+                b = b[:rng.integers(1, len(b))]
+            elif kind == 1:                     # flip a byte
+                b[rng.integers(0, len(b))] ^= 0xFF
+            else:                               # garbage tail swap
+                i = int(rng.integers(0, len(b) - 8))
+                b[i:i + 8] = rng.integers(0, 256, 8, dtype=np.uint8) \
+                    .tobytes()
+            try:
+                if name == "ref":
+                    out = refcodec.ref_deserialize(bytes(b))
+                else:
+                    from bitmagic_tpu.serial import deserialize
+                    out = deserialize(bytes(b))
+                # decoding may still succeed (flip in a payload): the
+                # result must at least be a vector, not garbage state
+                out.count()
+            except (ValueError, IndexError, KeyError, OverflowError,
+                    ZeroDivisionError):
+                pass
