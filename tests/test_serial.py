@@ -189,3 +189,24 @@ def test_xor_group_unrelated_vectors(rng):
     back = deserialize_group(serialize_group(vectors))
     for got, want in zip(back, vectors):
         assert got.equal(want)
+
+
+def test_xor_group_full_reference_blocks(rng):
+    """XOR patches must reconstruct correctly when the reference block is
+    FULL (all-ones) or absent."""
+    from bitmagic_tpu.serial.xor_group import (deserialize_group,
+                                               serialize_group)
+    size = 8 * BITS_PER_BLOCK
+    base = BitVector(size)
+    base.set_range(0, 3 * BITS_PER_BLOCK - 1)      # FULL blocks
+    base.set_many(rng.integers(4 * BITS_PER_BLOCK, size, 2000))
+    base.optimize()
+    # near-complement of a FULL region: XOR vs base is sparse
+    v2 = BitVector(size)
+    v2.set_range(0, 3 * BITS_PER_BLOCK - 1)
+    v2.clear_many(rng.integers(0, 3 * BITS_PER_BLOCK, 500))
+    v2.set_many(rng.integers(4 * BITS_PER_BLOCK, size, 100))
+    vectors = [base, v2]
+    back = deserialize_group(serialize_group(vectors, gain=0.9))
+    for got, want in zip(back, vectors):
+        assert got.equal(want)
