@@ -535,3 +535,127 @@ class _PreparedPipeline:
             else:
                 out.append(int(cts[i]))
         return out
+
+
+class _PreparedStrPipeline:
+    """Bulk string-equality pipeline: one dense stack over the union of all
+    octet planes; counts(strings) is ONE device call
+    (reference find_eq_str pipeline, src/bmsparsevec_algo.h:653)."""
+
+    def __init__(self, sc, ssv):
+        from ..agg.arena import OperandArena
+        self.sc = sc
+        self.ssv = ssv
+        for o in ssv.octets:
+            o._flush()
+        self.slots = []                  # (octet k, bit b) per operand
+        operands = []
+        for k in range(ssv.max_str_size):
+            for b, p in enumerate(ssv.octets[k].planes):
+                if p is not None:
+                    self.slots.append((k, b))
+                    operands.append(p)
+        self.null_idx = None
+        if ssv.nullable and ssv.null_plane is not None:
+            self.null_idx = len(operands)
+            operands.append(ssv.null_plane)
+        arena = OperandArena(operands)
+        self._stack = _build_dense_stack(arena)
+        self.K = len(operands)
+        self.pos_of = {kb: i for i, kb in enumerate(self.slots)}
+
+    @property
+    def ok(self):
+        return self._stack is not None
+
+    def counts(self, strings) -> list:
+        import jax.numpy as jnp
+
+        from ..ops.pallas_kernels import pipeline_counts
+        ssv, K = self.ssv, self.K
+        sels = np.zeros((len(strings), K), np.int32)
+        fallback = {}
+        for i, s in enumerate(strings):
+            img = ssv.remap_value(s)
+            if img is None:
+                fallback[i] = None       # unmappable -> 0 hits
+                continue
+            if not img.any():
+                fallback[i] = s          # empty string: slow path
+                continue
+            impossible = False
+            for k in range(ssv.max_str_size):
+                code = int(img[k])
+                n_b = ssv.octets[k].n_slices
+                for b in range(n_b):
+                    idx = self.pos_of.get((k, b))
+                    if (code >> b) & 1:
+                        if idx is None:
+                            impossible = True
+                            break
+                        sels[i, idx] = 1
+                    elif idx is not None:
+                        sels[i, idx] = -1
+                if impossible:
+                    break
+            if impossible:
+                sels[i] = 0
+                fallback[i] = None
+                continue
+            if self.null_idx is not None:
+                sels[i, self.null_idx] = 1
+        cts = np.asarray(pipeline_counts(self._stack, jnp.asarray(sels)))
+        out = []
+        for i, s in enumerate(strings):
+            if i in fallback:
+                fv = fallback[i]
+                out.append(0 if fv is None else
+                           self.sc.find_eq_str(ssv, fv).count())
+            else:
+                out.append(int(cts[i]))
+        return out
+
+
+def _build_dense_stack(arena):
+    """[K, nb_union, 2048] dense operand stack (zero/one synthetic rows for
+    absent/FULL blocks), or None when there is no payload."""
+    import jax.numpy as jnp
+    K = len(arena.vectors)
+    nb_union = np.unique(np.concatenate(
+        [v._struct.nb for v in arena.vectors] or [np.zeros(0, np.int64)]))
+    if nb_union.size == 0:
+        return None
+    pool = arena.pool
+    zero_row = pool.shape[0]
+    ones_row = pool.shape[0] + 1
+    aug = jnp.concatenate([
+        pool if pool.shape[0] else
+        jnp.zeros((0, C.SET_BLOCK_SIZE), jnp.uint32),
+        jnp.zeros((1, C.SET_BLOCK_SIZE), jnp.uint32),
+        jnp.full((1, C.SET_BLOCK_SIZE), 0xFFFFFFFF, jnp.uint32),
+    ], axis=0)
+    slot_tab = np.empty((K, nb_union.size), np.int64)
+    for k in range(K):
+        s = arena.slot_row(k, nb_union, full_as=ones_row)
+        slot_tab[k] = np.where(s < 0, zero_row, s)
+    return jnp.take(aug, jnp.asarray(slot_tab.reshape(-1)),
+                    axis=0).reshape(K, nb_union.size, C.SET_BLOCK_SIZE)
+
+
+def _prepare_pipeline_str(self, ssv):
+    return _PreparedStrPipeline(self, ssv)
+
+
+def _pipeline_find_eq_str(self, ssv, strings, counts_only=True):
+    """Batch string-equality searches; counts_only=True runs the whole
+    batch as one device call."""
+    if not counts_only:
+        return [self.find_eq_str(ssv, s) for s in strings]
+    prep = _PreparedStrPipeline(self, ssv)
+    if not prep.ok:
+        return [self.find_eq_str(ssv, s).count() for s in strings]
+    return prep.counts(strings)
+
+
+SparseVectorScanner.prepare_pipeline_str = _prepare_pipeline_str
+SparseVectorScanner.pipeline_find_eq_str = _pipeline_find_eq_str

@@ -192,3 +192,22 @@ def test_prepared_pipeline_reuse(rng):
         got = prep.counts(qs)
         want = [int(scanner.find_eq(sv, q).count()) for q in qs]
         assert got == want
+
+
+def test_str_pipeline_counts(rng):
+    """Bulk string-equality counts: one device call per batch, matching
+    per-string find_eq_str (incl. remapped vectors, empty and unmappable
+    queries)."""
+    from bitmagic_tpu.sv.str_vector import StrSparseVector
+    from bitmagic_tpu.sv.scanner import scanner
+    words = ["chr%d" % rng.integers(1, 9) for _ in range(20_000)]
+    ssv = StrSparseVector.from_strings(words, nullable=True)
+    for remapped in (False, True):
+        if remapped:
+            ssv.remap()
+        queries = ["chr1", "chr5", "chr8", "nope", ""]
+        got = scanner.pipeline_find_eq_str(ssv, queries)
+        want = [int(scanner.find_eq_str(ssv, q).count()) for q in queries]
+        assert got == want, f"remapped={remapped}"
+        prep = scanner.prepare_pipeline_str(ssv)
+        assert prep.counts(queries) == want
