@@ -18,13 +18,18 @@ from . import constants as C
 from .core.bitvector import BitVector
 from .serial.serializer import Deserializer, Serializer
 
+# error codes and numbering follow include/libbm.h:28-40 exactly
 BM_OK = 0
-BM_ERR_BADARG = 1
-BM_ERR_BADALLOC = 2
+BM_ERR_BADALLOC = 1
+BM_ERR_BADARG = 2
 BM_ERR_RANGE = 3
-BM_ERR_DETACHED = 4
-BM_ERR_JVM_NOT_SUPPORTED = 5
-BM_ERR_SERIALFORMAT = 6
+BM_ERR_CPU = 4
+BM_ERR_SERIALFORMAT = 5
+BM_ERR_BAD_VALUE = 6
+BM_ERR_RANK_SELECT_IDX_MISSING = 7
+BM_ERR_DETACHED = 101
+BM_ERR_JVM_NOT_SUPPORTED = 102
+BM_ERR_JVM_OUT_OF_MEMORY = 103
 
 
 def BM_version():
@@ -298,13 +303,20 @@ def BM_simd_version():
 
 
 def BM_error_msg(err):
-    return {BM_OK: "BM-00: all OK",
-            BM_ERR_BADARG: "BM-01: bad arguments",
-            BM_ERR_BADALLOC: "BM-02: memory allocation error",
-            BM_ERR_RANGE: "BM-03: incorrect range or index",
-            BM_ERR_DETACHED: "BM-04: JNI call error",
-            BM_ERR_JVM_NOT_SUPPORTED: "BM-05: JNI unsupported",
-            BM_ERR_SERIALFORMAT: "BM-06: serialization format error",
+    # messages mirror include/libbm.h:46-60
+    return {BM_OK: "BM-00: All correct",
+            BM_ERR_BADALLOC: "BM-01: Allocation error",
+            BM_ERR_BADARG: "BM-02: Invalid or missing function argument",
+            BM_ERR_RANGE: "BM-03: Incorrect range or index",
+            BM_ERR_CPU:
+                "BM-04: Incorrect CPU vectorization (SIMD) version",
+            BM_ERR_SERIALFORMAT: "BM-05: Serialization format error",
+            BM_ERR_BAD_VALUE: "BM-06: Bad value",
+            BM_ERR_RANK_SELECT_IDX_MISSING:
+                "BM-07: Rank-Select index not constructed, call sync() first",
+            BM_ERR_DETACHED: "BM-101: Current thread no attached to JVM",
+            BM_ERR_JVM_NOT_SUPPORTED: "BM-102: JVM version not supported",
+            BM_ERR_JVM_OUT_OF_MEMORY: "BM-103: Out of memory error",
             }.get(err, "BM-XX: unknown error")
 
 

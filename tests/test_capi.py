@@ -52,6 +52,19 @@ def test_surface_complete():
     assert not missing, missing
 
 
+def test_error_codes_match_libbm():
+    # numbering pinned to lang-maps/libbm/include/libbm.h:28-40
+    assert (capi.BM_OK, capi.BM_ERR_BADALLOC, capi.BM_ERR_BADARG,
+            capi.BM_ERR_RANGE, capi.BM_ERR_CPU, capi.BM_ERR_SERIALFORMAT,
+            capi.BM_ERR_BAD_VALUE,
+            capi.BM_ERR_RANK_SELECT_IDX_MISSING) == tuple(range(8))
+    assert (capi.BM_ERR_DETACHED, capi.BM_ERR_JVM_NOT_SUPPORTED,
+            capi.BM_ERR_JVM_OUT_OF_MEMORY) == (101, 102, 103)
+    assert capi.BM_error_msg(capi.BM_OK) == "BM-00: All correct"
+    assert capi.BM_error_msg(capi.BM_ERR_BAD_VALUE) == "BM-06: Bad value"
+    assert capi.BM_error_msg(9999).startswith("BM-XX")
+
+
 def test_basic_flow():
     err, bv = capi.BM_bvector_construct(1_000_000)
     assert err == BM_OK
