@@ -1637,6 +1637,17 @@ class RefSerializer:
                 est.append((3 + 2 * ibc, "arrbit_inv"))
             if L < 8192:
                 est.append((3 + 2 * (L - 1), "gap"))
+        if level >= 3:
+            # exact costs for the clustered-dense codes (the reference's
+            # find_bit_best_encoding also weighs these via block stats,
+            # src/bmserial.h:2373)
+            nzw = words != 0
+            nz_words = int(np.count_nonzero(nzw))
+            n_runs = 1 + int(np.count_nonzero(np.diff(nzw)))
+            est.append((2 + 2 * n_runs + 4 * nz_words, "bit_0runs"))
+            waves_nz = int(np.count_nonzero(
+                words.reshape(-1, WAVE_WORDS).any(axis=1)))
+            est.append((9 + 4 * WAVE_WORDS * waves_nz, "digest0"))
         if level >= 4 and L < 8192:
             vals = np.asarray(boundaries[:-1], np.int64)
             deltas = np.diff(vals, prepend=-1)
@@ -1650,6 +1661,13 @@ class RefSerializer:
                 est.append((7 + int(ibc * 3.75) // 8, "arr_bienc_inv"))
             if 2 <= L < 8192:
                 est.append((6 + int(L * 3.75) // 8, "gap_bienc"))
+            if 3 <= L < 8192:
+                # v2 stores min AND max (8- or 16-bit each) and BIC-codes one
+                # fewer boundary over a narrower range (src/bmserial.h:1762)
+                min_v = int(boundaries[0])
+                tail = BITS - 1 - int(boundaries[L - 2])
+                hdr = 3 + (1 if min_v < 256 else 2) + (1 if tail < 256 else 2)
+                est.append((hdr + int((L - 3) * 3.75) // 8, "gap_bienc_v2"))
         est.sort()
         tag = est[0][1]
         if tag == "bit":
@@ -1665,6 +1683,12 @@ class RefSerializer:
             payload = self._enc_gap_egamma(start, boundaries)
         elif tag == "gap_bienc":
             payload = self._enc_gap_bienc(start, boundaries)
+        elif tag == "gap_bienc_v2":
+            payload = self._enc_gap_bienc_v2(start, boundaries)
+        elif tag == "bit_0runs":
+            payload = self._enc_bit_0runs(words)
+        elif tag == "digest0":
+            payload = self._enc_digest0(words)
         elif tag == "arr_bienc":
             payload = self._enc_arr_bienc(_positions_from_words(words),
                                           False)
@@ -1679,6 +1703,39 @@ class RefSerializer:
         w = _ByteWriter()
         w.put_8(BLOCK_BIT)
         w.put_u32_words(words)
+        return w.get_bytes()
+
+    @staticmethod
+    def _enc_bit_0runs(words):
+        """set_block_bit_0runs: alternating zero/nonzero word runs; nonzero
+        runs carry raw words (read side: read_0runs_block,
+        src/bmserial.h:4674)."""
+        nzw = np.asarray(words) != 0
+        change = np.flatnonzero(np.diff(nzw.astype(np.int8))) + 1
+        bounds = np.concatenate([[0], change, [len(nzw)]])
+        w = _ByteWriter()
+        w.put_8(BLOCK_BIT_0RUNS)
+        w.put_8(int(nzw[0]))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            w.put_16(int(e - s))
+            if nzw[s]:
+                w.put_u32_words(words[s:e])
+        return w.get_bytes()
+
+    @staticmethod
+    def _enc_digest0(words):
+        """set_block_bit_digest0: u64 wave mask + raw words of the nonzero
+        waves only (read side: read_digest0_block, src/bmserial.h:4634)."""
+        tiles = words.reshape(-1, WAVE_WORDS)
+        nz_waves = np.flatnonzero(tiles.any(axis=1))
+        d0 = 0
+        for i in nz_waves:
+            d0 |= 1 << int(i)
+        w = _ByteWriter()
+        w.put_8(BLOCK_BIT_DIGEST0)
+        w.put_64(d0)
+        for i in nz_waves:
+            w.put_u32_words(tiles[i])
         return w.get_bytes()
 
     @staticmethod
@@ -1726,6 +1783,31 @@ class RefSerializer:
         w.put_16(b0)
         bo = _BitOut(w)
         bo.bic_encode_cm(np.asarray(boundaries[1:-1], np.int64), b0, 65535)
+        bo.flush()
+        return w.get_bytes()
+
+    @staticmethod
+    def _enc_gap_bienc_v2(start, boundaries):
+        """set_block_gap_bienc_v2: head carries 8-bit min/max flags; min and
+        (65535-max) stored 8- or 16-bit; BIC-cm of the middle boundaries in
+        (min, max); max then final 65535 implied (src/bmserial.h:1762)."""
+        L = len(boundaries)                      # incl. final 65535
+        min_v = int(boundaries[0])
+        max_v = int(boundaries[L - 2])
+        tail = BITS - 1 - max_v
+        head = (L << 3) | start
+        if min_v < 256:
+            head |= H2F_MIN_V_8BIT
+        if tail < 256:
+            head |= H2F_MAX_V_8BIT
+        w = _ByteWriter()
+        w.put_8(BLOCK_GAP_BIENC_V2)
+        w.put_16(head)
+        (w.put_8 if min_v < 256 else w.put_16)(min_v)
+        (w.put_8 if tail < 256 else w.put_16)(tail)
+        bo = _BitOut(w)
+        bo.bic_encode_cm(np.asarray(boundaries[1:L - 2], np.int64),
+                         min_v, max_v)
         bo.flush()
         return w.get_bytes()
 

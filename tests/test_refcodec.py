@@ -133,11 +133,46 @@ def test_own_encoder_48bit_address():
     assert blob[0] & refcodec.HM_64_BIT
 
 
+def _dense_code_cases():
+    """Shapes that must win the clustered-dense / v2 codes in the chooser."""
+    rng = np.random.default_rng(11)
+    yield "bit_0runs", np.flatnonzero(rng.random(512 * 32) < 0.5)
+    yield "digest0", np.concatenate(
+        [np.flatnonzero(rng.random(32 * 32) < 0.5) + w * 1024
+         for w in range(0, 64, 4)])
+    starts = np.sort(rng.choice(60_000, 80, replace=False))
+    yield "gap_bienc_v2", np.unique(np.concatenate(
+        [np.arange(s, s + 120) for s in starts]))
+
+
+@pytest.mark.parametrize("name,ids", list(_dense_code_cases()))
+def test_own_encoder_dense_codes(name, ids):
+    bv = BitVector.from_indices(ids.astype(np.int64), 300_000)
+    ser = refcodec.RefSerializer(6)
+    blob = ser.serialize(bv)
+    assert name in ser.compression_stat, ser.compression_stat
+    got = refcodec.ref_deserialize(blob)
+    assert np.array_equal(got.indices(), np.unique(ids))
+    # the clustered-dense codes must beat the 8193-byte raw-bit record
+    assert len(blob) < 4096
+
+
 # ---------------------------------------------------------------------------
 # 3. bridge cross-checks (skipped when the reference tree is absent)
 # ---------------------------------------------------------------------------
 bridge = pytest.mark.skipif(not refformat.available(),
                             reason="reference bridge unavailable")
+
+
+@bridge
+@pytest.mark.parametrize("name,ids", list(_dense_code_cases()))
+def test_reference_reads_dense_codes(name, ids):
+    bv = BitVector.from_indices(ids.astype(np.int64), 300_000)
+    ser = refcodec.RefSerializer(6)
+    blob = ser.serialize(bv)
+    assert name in ser.compression_stat
+    got = refformat.deserialize_reference_blob(blob)
+    assert np.array_equal(got.indices(), np.unique(ids))
 
 
 @bridge
