@@ -673,6 +673,31 @@ def _gap_restore_mins(boundaries_head_arr, min0, min1):
 # ---------------------------------------------------------------------------
 # Decoder
 # ---------------------------------------------------------------------------
+def _bv_block_map(bv):
+    """{nb: uint32[2048] words | _FULL} for every stored block of ``bv``
+    (the bv_ref_vector row view both XOR codecs share)."""
+    bv._flush()
+    nb_arr = bv._struct.nb
+    cls_arr = bv._struct.cls
+    pool = np.asarray(bv._pool) if bv._pool.shape[0] else \
+        np.zeros((0, WORDS), np.uint32)
+    slots = bv._struct.slots()
+    out = {}
+    for k in range(len(nb_arr)):
+        if cls_arr[k] == C.CLS_FULL:
+            out[int(nb_arr[k])] = _FULL
+        else:
+            out[int(nb_arr[k])] = pool[slots[k]]
+    return out
+
+
+def _wave_popcounts(words):
+    """Per-wave (64 x 1024-bit) popcounts of a dense block."""
+    return np.unpackbits(
+        np.ascontiguousarray(words).view(np.uint8)).reshape(
+            BITS // (WAVE_WORDS * 32), -1).sum(axis=1)
+
+
 class RefDeserializer:
     """Standalone decoder for reference-format BLOBs.
 
@@ -696,19 +721,7 @@ class RefDeserializer:
         key = id(bv)
         cached = self._ref_cache.get(key)
         if cached is None:
-            bv._flush()
-            nb_arr = bv._struct.nb
-            cls_arr = bv._struct.cls
-            pool = np.asarray(bv._pool) if bv._pool.shape[0] else \
-                np.zeros((0, WORDS), np.uint32)
-            slots = bv._struct.slots()
-            cached = {}
-            for k in range(len(nb_arr)):
-                if cls_arr[k] == C.CLS_FULL:
-                    cached[int(nb_arr[k])] = _FULL
-                else:
-                    cached[int(nb_arr[k])] = pool[slots[k]]
-            self._ref_cache[key] = cached
+            cached = self._ref_cache[key] = _bv_block_map(bv)
         return cached.get(int(nb))
 
     # -----------------------------------------------------------------
@@ -1465,11 +1478,16 @@ class RefSerializer:
     0 raw, 1-3 +arrays/GAP, 4 +gamma, 5-6 +BIC.
     """
 
-    def __init__(self, level: int = 6):
+    def __init__(self, level: int = 6, ref_vectors=None):
         if not (0 <= level <= 6):
             raise ValueError("level must be 0..6")
         self.level = level
         self.compression_stat = {}
+        # XOR similarity filter (bm::serializer::set_ref_vectors,
+        # src/bmserial.h + src/bmxor.h): (row_id, BitVector) pairs; row ids
+        # must match the ids the decode side registers in ITS collection.
+        self.ref_vectors = list(ref_vectors or [])
+        self._ref_maps = None
 
     def serialize(self, bv) -> bytes:
         bv._flush()
@@ -1483,6 +1501,8 @@ class RefSerializer:
         header = HM_RESIZE
         if is64:
             header |= HM_64_BIT
+        if self.ref_vectors:
+            header |= HM_HXOR
         w.put_8(header)
         w.put_8(1)                                # ByteOrder::LittleEndian
         for g in DEFAULT_GLEVELS:
@@ -1556,7 +1576,7 @@ class RefSerializer:
                 continue
             if bc == BITS:
                 self._put_one_run(w, 1)
-            else:
+            elif not self._try_xor(w, nb, pool[s], bc):
                 self._encode_block(w, pool[s], bc)
             cur = nb + 1
             k += 1
@@ -1614,18 +1634,96 @@ class RefSerializer:
             w.put_8(BLOCK_64ONE); w.put_64(n)
 
     def _encode_block(self, w, words, bc):
+        tag = self._block_estimate(words, bc)[1]
+        w.parts += self._block_payload(tag, words, bc)
+        self._stat(tag)
+
+    # -- XOR similarity filter ---------------------------------------------
+    def _ref_block(self, row_id, nb):
+        if self._ref_maps is None:
+            self._ref_maps = {int(r): _bv_block_map(bv)
+                              for r, bv in self.ref_vectors}
+        return self._ref_maps[int(row_id)].get(int(nb))
+
+    def _try_xor(self, w, nb, words, bc):
+        """Emit a ref_eq / xor_ref record when a reference-collection block
+        makes the target cheaper (bm::xor_scanner::search_best_xor_mask,
+        src/bmxor.h:819: per-wave gain selection -> digest mask).  Returns
+        True when an XOR record replaced the plain encoding."""
+        if not self.ref_vectors or self.level < 5:
+            return False
+        plain_cost = self._block_estimate(words, bc)[0]
+        best = None                      # (cost, row_id, d64 or None=eq, res)
+        for row_id, _bv in self.ref_vectors:
+            ref = self._ref_block(row_id, nb)
+            if ref is None:
+                continue
+            refw = np.full(WORDS, 0xFFFFFFFF, np.uint32) \
+                if ref is _FULL else ref
+            if np.array_equal(refw, words):
+                if best is None or 5 < best[0]:
+                    best = (5, int(row_id), None, None)
+                continue
+            xw = words ^ refw
+            pt = _wave_popcounts(words)
+            px = _wave_popcounts(xw)
+            gain = px < pt
+            if not gain.any():
+                continue
+            t2 = words.reshape(-1, WAVE_WORDS)
+            x2 = xw.reshape(-1, WAVE_WORDS)
+            res = np.where(gain[:, None], x2, t2).reshape(-1)
+            bc_res = int(px[gain].sum() + pt[~gain].sum())
+            if bc_res == 0:
+                # keep the stream's residual record non-empty: leave the
+                # heaviest matched wave unmasked so it carries target bits
+                iw = int(np.argmax(np.where(gain, pt, -1)))
+                gain = gain.copy()
+                gain[iw] = False
+                res = np.where(gain[:, None], x2, t2).reshape(-1)
+                bc_res = int(pt[iw])
+            d64 = 0
+            for i in np.flatnonzero(gain):
+                d64 |= 1 << int(i)
+            row_bytes = 1 if row_id < 256 else (2 if row_id < 65536 else 4)
+            um = d64 == 0xFFFFFFFFFFFFFFFF
+            hdr = 1 + row_bytes + (0 if um else 8)
+            cost = hdr + self._block_estimate(res, bc_res)[0]
+            if best is None or cost < best[0]:
+                best = (cost, int(row_id), d64, (res, bc_res))
+        if best is None or best[0] >= plain_cost:
+            return False
+        cost, row_id, d64, res = best
+        if d64 is None:                              # set_block_ref_eq
+            w.put_8(BLOCK_REF_EQ)
+            w.put_32(row_id)
+            self._stat("ref_eq")
+            return True
+        um = d64 == 0xFFFFFFFFFFFFFFFF
+        if row_id < 256:
+            w.put_8(BLOCK_XOR_REF8_UM if um else BLOCK_XOR_REF8)
+            w.put_8(row_id)
+        elif row_id < 65536:
+            w.put_8(BLOCK_XOR_REF16_UM if um else BLOCK_XOR_REF16)
+            w.put_16(row_id)
+        else:
+            w.put_8(BLOCK_XOR_REF32_UM if um else BLOCK_XOR_REF32)
+            w.put_32(row_id)
+        if not um:
+            w.put_64(d64)
+        self._stat("xor_ref")
+        res_words, bc_res = res
+        self._encode_block(w, res_words, bc_res)
+        return True
+
+    def _block_estimate(self, words, bc):
+        """(estimated bytes, tag) of the best block record — the analog of
+        the reference's find_bit_best_encoding cost model
+        (src/bmserial.h:2373; BIC cost uses the same bie_bits_per_int
+        ~3.75 heuristic as src/bmserial.h:139-152)."""
         level = self.level
         if bc == 1:
-            pos = int(_positions_from_words(words)[0])
-            w.put_8(BLOCK_BIT_1BIT)
-            w.put_16(pos)
-            self._stat("bit_1bit")
-            return
-
-        # Size-estimate chooser (the reference's find_bit_best_encoding is
-        # also a cost model, src/bmserial.h:2373; BIC cost uses the same
-        # bie_bits_per_int ~3.75 heuristic as src/bmserial.h:139-152).
-        # Only the winning candidate is actually encoded.
+            return 3, "bit_1bit"
         ibc = BITS - bc
         start, boundaries = _gap_boundaries_from_words(words)
         L = len(boundaries)
@@ -1669,34 +1767,39 @@ class RefSerializer:
                 hdr = 3 + (1 if min_v < 256 else 2) + (1 if tail < 256 else 2)
                 est.append((hdr + int((L - 3) * 3.75) // 8, "gap_bienc_v2"))
         est.sort()
-        tag = est[0][1]
+        return est[0]
+
+    def _block_payload(self, tag, words, bc):
+        if tag == "bit_1bit":
+            pos = int(_positions_from_words(words)[0])
+            w = _ByteWriter()
+            w.put_8(BLOCK_BIT_1BIT)
+            w.put_16(pos)
+            return w.get_bytes()
+        start, boundaries = _gap_boundaries_from_words(words)
         if tag == "bit":
-            payload = self._enc_raw(words)
-        elif tag == "arrbit":
-            payload = self._enc_arrbit(_positions_from_words(words), False)
-        elif tag == "arrbit_inv":
-            payload = self._enc_arrbit(
+            return self._enc_raw(words)
+        if tag == "arrbit":
+            return self._enc_arrbit(_positions_from_words(words), False)
+        if tag == "arrbit_inv":
+            return self._enc_arrbit(
                 _positions_from_words(words, invert=True), True)
-        elif tag == "gap":
-            payload = self._enc_gap(start, boundaries)
-        elif tag == "gap_egamma":
-            payload = self._enc_gap_egamma(start, boundaries)
-        elif tag == "gap_bienc":
-            payload = self._enc_gap_bienc(start, boundaries)
-        elif tag == "gap_bienc_v2":
-            payload = self._enc_gap_bienc_v2(start, boundaries)
-        elif tag == "bit_0runs":
-            payload = self._enc_bit_0runs(words)
-        elif tag == "digest0":
-            payload = self._enc_digest0(words)
-        elif tag == "arr_bienc":
-            payload = self._enc_arr_bienc(_positions_from_words(words),
-                                          False)
-        else:
-            payload = self._enc_arr_bienc(
-                _positions_from_words(words, invert=True), True)
-        w.parts += payload
-        self._stat(tag)
+        if tag == "gap":
+            return self._enc_gap(start, boundaries)
+        if tag == "gap_egamma":
+            return self._enc_gap_egamma(start, boundaries)
+        if tag == "gap_bienc":
+            return self._enc_gap_bienc(start, boundaries)
+        if tag == "gap_bienc_v2":
+            return self._enc_gap_bienc_v2(start, boundaries)
+        if tag == "bit_0runs":
+            return self._enc_bit_0runs(words)
+        if tag == "digest0":
+            return self._enc_digest0(words)
+        if tag == "arr_bienc":
+            return self._enc_arr_bienc(_positions_from_words(words), False)
+        return self._enc_arr_bienc(
+            _positions_from_words(words, invert=True), True)
 
     @staticmethod
     def _enc_raw(words):

@@ -164,6 +164,75 @@ bridge = pytest.mark.skipif(not refformat.available(),
                             reason="reference bridge unavailable")
 
 
+def _xor_pair(rng, size):
+    """(target_ids, ref_ids): target = ref with per-block perturbations,
+    plus one ref-disjoint dense wave (forces a masked xor_ref)."""
+    ref_ids = np.unique(rng.integers(0, size, 120_000))
+    tgt = set(int(i) for i in ref_ids)
+    for b in range(8, 16):
+        for i in rng.integers(b * 65536, (b + 1) * 65536, 25):
+            tgt.symmetric_difference_update([int(i)])
+    # block 20: give the REF a dense wave the target lacks — XORing that
+    # wave would inflate the residual, so the digest must mask it out
+    base = 20 * 65536
+    ref_extra = np.arange(base + 40 * 1024, base + 41 * 1024)
+    ref_ids = np.union1d(ref_ids, ref_extra)
+    tgt.difference_update(int(i) for i in ref_extra)
+    return np.asarray(sorted(tgt), np.int64), ref_ids.astype(np.int64)
+
+
+def test_own_encoder_xor_refs():
+    rng = np.random.default_rng(21)
+    size = 3_000_000
+    tgt_ids, ref_ids = _xor_pair(rng, size)
+    bv_t = BitVector.from_indices(tgt_ids, size)
+    bv_r = BitVector.from_indices(ref_ids, size)
+    plain = refcodec.ref_serialize(bv_t, 6)
+    ser = refcodec.RefSerializer(6, ref_vectors=[(0, bv_r)])
+    blob = ser.serialize(bv_t)
+    assert ser.compression_stat.get("ref_eq"), ser.compression_stat
+    assert ser.compression_stat.get("xor_ref"), ser.compression_stat
+    assert len(blob) < len(plain) // 10
+    de = refcodec.RefDeserializer(ref_vectors=[(0, bv_r)])
+    assert de.deserialize(blob).equal(bv_t)
+    # decoding without the collection must fail loudly, not corrupt
+    with pytest.raises(ValueError):
+        refcodec.ref_deserialize(blob)
+
+
+def test_own_encoder_xor_two_refs():
+    rng = np.random.default_rng(22)
+    size = 2_000_000
+    ref_ids = np.unique(rng.integers(0, size, 60_000))
+    ref2_ids = np.unique(rng.integers(0, size, 60_000))
+    # target mixes blocks equal to ref (id 0) and to ref2 (id 2)
+    tgt = [i for i in ref_ids if (int(i) >> 16) % 2 == 0]
+    tgt += [i for i in ref2_ids if (int(i) >> 16) % 2 == 1]
+    tgt_ids = np.unique(np.asarray(tgt, np.int64))
+    bv_t = BitVector.from_indices(tgt_ids, size)
+    refs = [(0, BitVector.from_indices(ref_ids.astype(np.int64), size)),
+            (2, BitVector.from_indices(ref2_ids.astype(np.int64), size))]
+    ser = refcodec.RefSerializer(6, ref_vectors=refs)
+    blob = ser.serialize(bv_t)
+    assert ser.compression_stat.get("ref_eq", 0) >= 2
+    de = refcodec.RefDeserializer(ref_vectors=refs)
+    assert de.deserialize(blob).equal(bv_t)
+
+
+@bridge
+def test_reference_reads_our_xor_blobs():
+    rng = np.random.default_rng(23)
+    size = 3_000_000
+    tgt_ids, ref_ids = _xor_pair(rng, size)
+    bv_t = BitVector.from_indices(tgt_ids, size)
+    bv_r = BitVector.from_indices(ref_ids, size)
+    ser = refcodec.RefSerializer(6, ref_vectors=[(0, bv_r)])
+    blob = ser.serialize(bv_t)
+    assert ser.compression_stat.get("xor_ref")
+    got = refformat.deserialize_reference_blob_xor(blob, ref_ids, size)
+    assert np.array_equal(np.asarray(got, np.int64), tgt_ids)
+
+
 @bridge
 @pytest.mark.parametrize("name,ids", list(_dense_code_cases()))
 def test_reference_reads_dense_codes(name, ids):
