@@ -26,8 +26,10 @@ Row layout of a sparse_vector<Val> (src/bmbmatrix.h:485-496): rows
 the last row (index = stored value slices).
 
 Reader handles 'BM' and 'BC'; writer emits reference-readable 'BM'/'BC'
-BLOBs (no XOR filter — the reference reads both).  Validated against the
-reference's own sparse_vector_serializer via the native bridge.
+BLOBs, by default with the cross-plane XOR reference filter (plane i may
+reference planes j > i, matching the decoders' descending decode order).
+Validated against the reference's own sparse_vector_serializer via the
+native bridge.
 """
 
 from __future__ import annotations
@@ -37,7 +39,7 @@ import numpy as np
 from .. import constants as C
 from ..core.bitvector import BitVector
 from .refcodec import (RefDeserializer, RefSerializer, _BitIn, _BitOut,
-                       _ByteReader, _ByteWriter)
+                       _ByteReader, _ByteWriter, _bv_block_map)
 
 _HDR_SIZE = 33
 
@@ -187,7 +189,8 @@ def _clamped(bv: BitVector, size: int) -> BitVector:
 
 def _serialize_matrix(rows: dict[int, BitVector], n_rows: int, size: int,
                       kind: str, level: int, clamp: int | None = None,
-                      remap_section: bytes | None = None) -> bytes:
+                      remap_section: bytes | None = None,
+                      xor_refs: bool = False) -> bytes:
     ser = RefSerializer(level)
     w = _ByteWriter()
     w.put_8(ord("B"))
@@ -202,13 +205,25 @@ def _serialize_matrix(rows: dict[int, BitVector], n_rows: int, size: int,
     w.put_32(0)                                 # reserved
     assert len(w.parts) == _HDR_SIZE
 
+    clamped = {i: _clamped(rows[i], clamp or size) for i in sorted(rows)
+               if rows[i] is not None and rows[i].any()}
+    # cross-plane XOR filter: the deserializer (ours and the reference's)
+    # decodes planes in DESCENDING row order building up the reference
+    # collection, so plane i may only reference planes j > i
+    maps = {i: _bv_block_map(bv) for i, bv in clamped.items()} \
+        if (xor_refs and level >= 5) else None
+
     offsets = {}
-    for i in sorted(rows):
-        bv = rows[i]
-        if bv is None or not bv.any():
-            continue
+    for i in sorted(clamped):
+        if maps is not None:
+            higher = [j for j in clamped if j > i]
+            ser_i = RefSerializer(
+                level, ref_vectors=[(j, clamped[j]) for j in higher])
+            ser_i._ref_maps = {j: maps[j] for j in higher}
+        else:
+            ser_i = ser
         offsets[i] = len(w.parts)
-        w.parts += ser.serialize(_clamped(bv, clamp or size))
+        w.parts += ser_i.serialize(clamped[i])
 
     if remap_section is not None:      # str vectors: after the last plane
         w.parts += remap_section
@@ -227,7 +242,7 @@ def _serialize_matrix(rows: dict[int, BitVector], n_rows: int, size: int,
     return bytes(blob)
 
 
-def serialize_sv_blob(sv, level: int = 6) -> bytes:
+def serialize_sv_blob(sv, level: int = 6, xor_refs: bool = True) -> bytes:
     """SparseVector -> reference-format 'BM' BLOB (reference-readable).
 
     The NULL row must land at index 8*sizeof(Val) for the reference to
@@ -252,10 +267,11 @@ def serialize_sv_blob(sv, level: int = 6) -> bytes:
         # reference vectors always mark assigned positions in the NULL row
         rows[ref_val] = BitVector.from_indices(
             np.arange(sv.size, dtype=np.int64), sv.size)
-    return _serialize_matrix(rows, ref_val + 1, sv.size, "M", level)
+    return _serialize_matrix(rows, ref_val + 1, sv.size, "M", level,
+                             xor_refs=xor_refs)
 
 
-def serialize_rsc_blob(rsc, level: int = 6) -> bytes:
+def serialize_rsc_blob(rsc, level: int = 6, xor_refs: bool = True) -> bytes:
     """RSCSparseVector -> reference-format 'BC' BLOB."""
     rsc._flush()
     null_bv = rsc.get_null_bvector()
@@ -278,7 +294,7 @@ def serialize_rsc_blob(rsc, level: int = 6) -> bytes:
     # value rows live in the rank-compressed domain, the NULL row in the
     # logical domain — clamp all rows by the logical size
     return _serialize_matrix(rows, ref_val + 1, len(idx), "C", level,
-                             clamp=int(rsc.size))
+                             clamp=int(rsc.size), xor_refs=xor_refs)
 
 
 # ---------------------------------------------------------------------------
@@ -371,8 +387,8 @@ def deserialize_str_blob(data):
     return ssv
 
 
-def serialize_str_blob(ssv, level: int = 6, template_max_str: int = 32) \
-        -> bytes:
+def serialize_str_blob(ssv, level: int = 6, template_max_str: int = 32,
+                       xor_refs: bool = True) -> bytes:
     """StrSparseVector -> reference-format BLOB (reference-readable;
     remap matrix stored in CSR form when the vector is remapped).
 
@@ -430,7 +446,7 @@ def serialize_str_blob(ssv, level: int = 6, template_max_str: int = 32) \
         w.put_8(ord("N"))
     remap_section = w.get_bytes()
     return _serialize_matrix(rows, 8 * max_str + 1, size, "M", level,
-                             remap_section=remap_section)
+                             remap_section=remap_section, xor_refs=xor_refs)
 
 
 def _read_planes_with_offsets(data, hdr):

@@ -105,6 +105,29 @@ def test_reference_reads_our_sv_blob():
     assert np.array_equal(rv[nn], vals[nn])
 
 
+def test_sv_xor_planes_shrink_and_roundtrip():
+    rng = np.random.default_rng(14)
+    # few distinct magnitudes -> strongly correlated bit-slices
+    vals = (rng.integers(0, 4, 200_000).astype(np.uint32) * 0x0F0F0F0) | 1
+    sv = SparseVector.from_array(vals, nullable=True)
+    plain = ref_sv.serialize_sv_blob(sv, xor_refs=False)
+    xored = ref_sv.serialize_sv_blob(sv, xor_refs=True)
+    assert len(xored) < len(plain) // 2
+    back = ref_sv.deserialize_sv_blob(xored)
+    assert np.array_equal(back.to_numpy()[:len(vals)], vals)
+
+
+@bridge
+def test_reference_reads_our_xor_sv_blob():
+    rng = np.random.default_rng(15)
+    vals = (rng.integers(0, 4, 120_000).astype(np.uint32) * 0x0F0F0F0) | 1
+    sv = SparseVector.from_array(vals, nullable=True)
+    blob = ref_sv.serialize_sv_blob(sv, xor_refs=True)
+    rv, rm = refformat.deserialize_reference_sv(blob)
+    assert np.array_equal(np.asarray(rv, np.uint32)[:len(vals)], vals)
+    assert rm[:len(vals)].all()
+
+
 @bridge
 def test_reference_reads_our_rsc_blob():
     rng = np.random.default_rng(10)
