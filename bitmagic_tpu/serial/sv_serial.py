@@ -147,24 +147,38 @@ class SparseVectorSerializer:
 
 
 class SparseVectorDeserializer:
-    """bm::sparse_vector_deserializer equivalent."""
+    """bm::sparse_vector_deserializer equivalent (full and range decode,
+    deserialize_range analog of src/bmsparsevec_serial.h:341)."""
 
     def deserialize(self, data: bytes):
+        return self._dispatch(data, None)
+
+    def deserialize_range(self, data: bytes, lo: int, hi: int):
+        """Materialize only elements in [lo, hi]; per-plane BLOB records
+        outside the range are skipped, not decoded (the per-record block
+        lengths serve as bookmarks).  Elements outside the range read as
+        unassigned/zero; the logical size is preserved."""
+        if hi < lo:
+            raise ValueError("empty range")
+        return self._dispatch(data, (int(lo), int(hi)))
+
+    def _dispatch(self, data, range_):
         dec = ByteDecoder(data)
         if dec.get_bytes(4) != MAGIC_SV:
             raise ValueError("bad magic")
         ctype = dec.get_8()
         if ctype == 0:
-            return self._get_sv(dec)
+            return self._get_sv(dec, range_)
         if ctype == 1:
-            return self._get_rsc(dec)
+            return self._get_rsc(dec) if range_ is None else \
+                self._get_rsc_range(dec, *range_)
         if ctype == 2:
-            return self._get_str(dec)
+            return self._get_str(dec, range_)
         if ctype == 3:
-            return self._get_float(dec)
+            return self._get_float(dec, range_)
         raise ValueError(f"unknown container type {ctype}")
 
-    def _get_planes(self, dec, n_slices):
+    def _get_planes(self, dec, n_slices, range_=None):
         present = dec.get_64()
         planes = [None] * n_slices
         deser = Deserializer()
@@ -175,24 +189,26 @@ class SparseVectorDeserializer:
             slice_id = dec.get_8()
             ref = dec.get_8()
             blob_len = dec.get_32()
-            bv = deser.deserialize(dec.get_bytes(blob_len))
+            bv = deser.deserialize(dec.get_bytes(blob_len), range_=range_)
             raw.append((slice_id, ref, bv))
         resolved: dict[int, BitVector] = {}
         for slice_id, ref, bv in raw:       # refs always point backwards
             if ref != NO_XOR:
+                # both sides restricted to the same range: XOR still undoes
+                # the cross-plane filter inside it
                 bv = bv ^ resolved[ref]
             resolved[slice_id] = bv
             planes[slice_id] = bv
         return planes
 
-    def _get_sv(self, dec) -> SparseVector:
+    def _get_sv(self, dec, range_=None) -> SparseVector:
         dtype = _DTYPES[dec.get_8()]
         nullable = bool(dec.get_8())
         size = dec.get_64()
         n_slices = dec.get_16()
         sv = SparseVector(dtype, nullable=nullable)
-        sv.planes = self._get_planes(dec, n_slices)
-        null = self._get_optional(dec)
+        sv.planes = self._get_planes(dec, n_slices, range_)
+        null = self._get_optional(dec, range_)
         if nullable:
             sv.null_plane = null or BitVector(C.ID_MAX48)
         sv._size = size
@@ -213,7 +229,62 @@ class SparseVectorDeserializer:
         rsc.sync()
         return rsc
 
-    def _get_str(self, dec) -> StrSparseVector:
+    def _get_rsc_range(self, dec, lo, hi) -> RSCSparseVector:
+        """RSC range decode: the NULL row lives in the logical domain but
+        value rows live in the rank-compressed domain, so the NULL row is
+        decoded first (its BLOB records are length-prefixed, letting the
+        plane section be skipped over) to translate [lo, hi] into a rank
+        range for the value planes (reference: deserialize_range of
+        rsc_sparse_vector, src/bmsparsevec_serial.h)."""
+        dtype = _DTYPES[dec.get_8()]
+        dec.get_8()
+        size = dec.get_64()
+        n_slices = dec.get_16()
+        # collect the raw plane records without decoding
+        present = dec.get_64()
+        raw = []
+        for s in range(n_slices):
+            if not (present >> s) & 1:
+                continue
+            slice_id = dec.get_8()
+            ref = dec.get_8()
+            blob_len = dec.get_32()
+            raw.append((slice_id, ref, dec.get_bytes(blob_len)))
+        null_bv = self._get_optional(dec) or BitVector(C.ID_MAX48)
+        hi = min(hi, max(size - 1, 0))
+        k = null_bv.count_range(lo, hi) if hi >= lo else 0
+        rsc = RSCSparseVector(dtype)
+        rsc._size = size
+        if k == 0:
+            return rsc
+        rank_lo = null_bv.count_range(0, lo - 1) if lo else 0
+        rank_range = (rank_lo, rank_lo + k - 1)
+        deser = Deserializer()
+        planes = [None] * n_slices
+        resolved: dict[int, BitVector] = {}
+        for slice_id, ref, blob in raw:
+            bv = deser.deserialize(blob, range_=rank_range)
+            if ref != NO_XOR:
+                bv = bv ^ resolved[ref]
+            resolved[slice_id] = bv
+            planes[slice_id] = bv
+        dense = SparseVector(dtype)
+        dense.planes = planes
+        dense._size = rank_lo + k
+        vals = dense.gather(np.arange(rank_lo, rank_lo + k, dtype=np.int64))
+        clip = BitVector(null_bv.size)
+        clip.copy_range(null_bv, lo, hi)
+        pos = clip.indices()
+        arr = np.zeros(int(pos[-1]) + 1, dtype)
+        arr[pos] = np.asarray(vals, dtype)
+        mask = np.ones(int(pos[-1]) + 1, bool)
+        mask[pos] = False
+        sv = SparseVector.from_array(arr, nullable=True, null_mask=mask)
+        out = RSCSparseVector.from_sparse_vector(sv)
+        out._size = size
+        return out
+
+    def _get_str(self, dec, range_=None) -> StrSparseVector:
         max_str = dec.get_8()
         nullable = bool(dec.get_8())
         remap = bool(dec.get_8())
@@ -227,36 +298,38 @@ class SparseVectorDeserializer:
         for k in range(max_str):
             n_slices = dec.get_16()
             ssv.octets[k] = SparseVector(np.uint8)
-            ssv.octets[k].planes = self._get_planes(dec, n_slices)
+            ssv.octets[k].planes = self._get_planes(dec, n_slices, range_)
             ssv.octets[k]._size = size
         if nullable:
-            ssv.null_plane = self._get_optional(dec) or BitVector(C.ID_MAX48)
+            ssv.null_plane = self._get_optional(dec, range_) \
+                or BitVector(C.ID_MAX48)
         else:
             self._get_optional(dec)
         ssv._size = size
         return ssv
 
-    def _get_float(self, dec) -> FloatSparseVector:
+    def _get_float(self, dec, range_=None) -> FloatSparseVector:
         dtype = np.float32 if dec.get_8() == 0 else np.float64
         nullable = bool(dec.get_8())
         size = dec.get_64()
         fv = FloatSparseVector(dtype, nullable=nullable)
-        fv.sign = self._get_optional(dec) or BitVector(C.ID_MAX48)
+        fv.sign = self._get_optional(dec, range_) or BitVector(C.ID_MAX48)
         for name in ("exponent", "mantissa"):
             n_slices = dec.get_16()
             part = getattr(fv, name)
-            part.planes = self._get_planes(dec, n_slices)
+            part.planes = self._get_planes(dec, n_slices, range_)
             part._size = size
         if nullable:
-            fv.null_plane = self._get_optional(dec) or BitVector(C.ID_MAX48)
+            fv.null_plane = self._get_optional(dec, range_) \
+                or BitVector(C.ID_MAX48)
         fv._size = size
         return fv
 
-    def _get_optional(self, dec):
+    def _get_optional(self, dec, range_=None):
         if dec.get_8() == 0:
             return None
         n = dec.get_32()
-        return Deserializer().deserialize(dec.get_bytes(n))
+        return Deserializer().deserialize(dec.get_bytes(n), range_=range_)
 
 
 # one-shot helpers (reference sparse_vector_serialize/deserialize,

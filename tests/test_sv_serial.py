@@ -118,3 +118,62 @@ def test_compressed_collection_roundtrip():
     assert back[42] == b"beta" * 50
     assert back[9_000_000] == b""
     assert 10 in back and 11 not in back
+
+
+# ---------------------------------------------------------------------------
+# range deserialization (reference deserialize_range, svsample08 /
+# strsvsample05 / rscsample02)
+# ---------------------------------------------------------------------------
+def test_sv_range_deserialize(rng):
+    from bitmagic_tpu.serial.sv_serial import SparseVectorDeserializer
+    n = 300_000
+    vals = rng.integers(0, 1 << 24, n).astype(np.uint32)
+    mask = rng.random(n) < 0.3
+    arr = vals.copy()
+    arr[mask] = 0
+    sv = SparseVector.from_array(arr, nullable=True, null_mask=mask)
+    blob = sparse_vector_serialize(sv)
+    lo, hi = 140_000, 160_000
+    de = SparseVectorDeserializer()
+    part = de.deserialize_range(blob, lo, hi)
+    assert part._size == sv._size
+    a = part.to_numpy()
+    assert np.array_equal(a[lo:hi + 1], arr[lo:hi + 1])
+    assert not a[:lo].any() and not a[hi + 1:n].any()
+    with pytest.raises(ValueError):
+        de.deserialize_range(blob, 10, 5)
+
+
+def test_rsc_range_deserialize(rng):
+    from bitmagic_tpu.serial.sv_serial import SparseVectorDeserializer
+    n = 200_000
+    vals = rng.integers(1, 1 << 20, n).astype(np.uint32)
+    mask = rng.random(n) < 0.6                      # mostly NULL
+    arr = vals.copy()
+    arr[mask] = 0
+    sv = SparseVector.from_array(arr, nullable=True, null_mask=mask)
+    rsc = RSCSparseVector.from_sparse_vector(sv)
+    blob = sparse_vector_serialize(rsc)
+    lo, hi = 77_000, 99_000
+    part = SparseVectorDeserializer().deserialize_range(blob, lo, hi)
+    idx = np.arange(lo, hi + 1)
+    got = part.gather(idx)
+    want = arr[lo:hi + 1].copy()
+    assert np.array_equal(np.asarray(got, np.uint32), want)
+    # everything outside the range is unassigned
+    assert part.get_null_bvector().count() == int((~mask[lo:hi + 1]).sum())
+
+
+def test_str_and_float_range_deserialize(rng):
+    from bitmagic_tpu.serial.sv_serial import SparseVectorDeserializer
+    de = SparseVectorDeserializer()
+    strs = [f"k{int(x):05d}" for x in rng.integers(0, 99999, 20_000)]
+    ssv = StrSparseVector.from_strings(strs)
+    sblob = sparse_vector_serialize(ssv)
+    part = de.deserialize_range(sblob, 500, 600)
+    assert part.gather(np.arange(500, 601)) == strs[500:601]
+
+    fvals = rng.normal(size=40_000).astype(np.float32)
+    fv = FloatSparseVector.from_array(fvals)
+    fpart = de.deserialize_range(sparse_vector_serialize(fv), 2000, 2100)
+    assert np.array_equal(fpart.to_numpy()[2000:2101], fvals[2000:2101])
