@@ -428,6 +428,31 @@ class BitVector:
             total += _count_range_rows(rows, nbs, lo, hi)
         return total
 
+    def any_range(self, lo, hi) -> bool:
+        """True if any bit is set in [lo, hi] (reference src/bm.h
+        any_range / bit_block_any_range src/bmfunc.h:6735).  Block classes
+        short-circuit: a touched FULL block answers without device work."""
+        self._flush()
+        lo, hi = int(lo), int(hi)
+        hi = min(hi, self._size - 1)
+        if hi < lo:
+            return False
+        b_lo, b_hi = lo >> C.SET_BLOCK_SHIFT, hi >> C.SET_BLOCK_SHIFT
+        inside = (self._struct.nb >= b_lo) & (self._struct.nb <= b_hi)
+        if (inside & (self._struct.cls == C.CLS_FULL)).any():
+            return True
+        if not (inside & (self._struct.cls == C.CLS_BIT)).any():
+            return False
+        return self.count_range(lo, hi) > 0
+
+    def is_all_one_range(self, lo, hi) -> bool:
+        """True if every bit of [lo, hi] is set (reference src/bm.h
+        is_all_one_range / src/bmfunc.h:6049)."""
+        lo, hi = int(lo), int(hi)
+        if hi < lo or hi >= self._size:
+            return False
+        return self.count_range(lo, hi) == hi - lo + 1
+
     def count_to(self, i) -> int:
         """rank: popcount of [0, i] (reference src/bm.h:1420)."""
         return self.count_range(0, i)

@@ -2,6 +2,9 @@
 import os as _os
 import sys as _sys
 _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+if _os.environ.get("BMTPU_PLATFORM"):        # e.g. BMTPU_PLATFORM=cpu
+    import jax as _jax
+    _jax.config.update("jax_platforms", _os.environ["BMTPU_PLATFORM"])
 import numpy as np
 import bitmagic_tpu as bm
 

@@ -298,3 +298,22 @@ def test_48bit_addressing():
     assert bv.test(big - 1)
     assert not bv.test(big - 2)
     assert bv.count_range(big - BITS_PER_BLOCK, big - 1) == 2
+
+
+def test_any_range_and_is_all_one_range(rng):
+    bv = BitVector(10_000_000)
+    bv.set_range(100_000, 200_000)          # FULL + partial blocks
+    bv.set(5_000_000)
+    assert bv.any_range(0, 99_999) is False
+    assert bv.any_range(0, 100_000) is True
+    assert bv.any_range(150_000, 150_000) is True
+    assert bv.any_range(200_001, 4_999_999) is False
+    assert bv.any_range(4_999_999, 5_000_001) is True
+    assert bv.any_range(5_000_001, 9_999_999) is False
+    assert bv.is_all_one_range(100_000, 200_000) is True
+    assert bv.is_all_one_range(100_000, 200_001) is False
+    assert bv.is_all_one_range(99_999, 200_000) is False
+    assert bv.is_all_one_range(131_072, 196_607) is True   # pure FULL blocks
+    # degenerate / out-of-range
+    assert bv.any_range(50, 10) is False
+    assert bv.is_all_one_range(9_999_999, 10_000_005) is False

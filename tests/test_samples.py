@@ -1,0 +1,25 @@
+"""Every sample under samples/ must run clean (the reference treats its
+75 sample programs as living documentation AND smoke tests; same policy
+here).  Samples honor BMTPU_PLATFORM=cpu so the suite does not need a
+TPU; sample 07 builds its own virtual mesh."""
+import glob
+import os
+import subprocess
+import sys
+
+import pytest
+
+SAMPLES = sorted(glob.glob(
+    os.path.join(os.path.dirname(__file__), "..", "samples", "*.py")))
+
+
+@pytest.mark.parametrize("path", SAMPLES,
+                         ids=[os.path.basename(p) for p in SAMPLES])
+def test_sample_runs(path):
+    env = dict(os.environ,
+               BMTPU_PLATFORM="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    res = subprocess.run([sys.executable, path], env=env,
+                         capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert res.stdout.strip(), "sample produced no output"
