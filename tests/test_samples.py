@@ -23,3 +23,17 @@ def test_sample_runs(path):
                          capture_output=True, text=True, timeout=600)
     assert res.returncode == 0, res.stderr[-2000:]
     assert res.stdout.strip(), "sample produced no output"
+
+
+TOOLS = [os.path.join(os.path.dirname(__file__), "..", "tools", t)
+         for t in ("svutil.py", "range_idx.py", "lnkutil.py")]
+
+
+@pytest.mark.parametrize("path", TOOLS,
+                         ids=[os.path.basename(p) for p in TOOLS])
+def test_tool_demo_runs(path):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    res = subprocess.run([sys.executable, path, "--demo"], env=env,
+                         capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert res.stdout.strip()
