@@ -25,15 +25,17 @@ def test_sample_runs(path):
     assert res.stdout.strip(), "sample produced no output"
 
 
-TOOLS = [os.path.join(os.path.dirname(__file__), "..", "tools", t)
-         for t in ("svutil.py", "range_idx.py", "lnkutil.py")]
+TOOLS = {"svutil.py": ["--demo"], "range_idx.py": ["--demo"],
+         "lnkutil.py": ["--demo"],
+         "bench_tpch.py": ["--customers", "20000", "--nations", "20",
+                           "--json"]}
 
 
-@pytest.mark.parametrize("path", TOOLS,
-                         ids=[os.path.basename(p) for p in TOOLS])
-def test_tool_demo_runs(path):
+@pytest.mark.parametrize("name", sorted(TOOLS))
+def test_tool_demo_runs(name):
+    path = os.path.join(os.path.dirname(__file__), "..", "tools", name)
     env = dict(os.environ, JAX_PLATFORMS="cpu")
-    res = subprocess.run([sys.executable, path, "--demo"], env=env,
+    res = subprocess.run([sys.executable, path] + TOOLS[name], env=env,
                          capture_output=True, text=True, timeout=600)
     assert res.returncode == 0, res.stderr[-2000:]
     assert res.stdout.strip()
