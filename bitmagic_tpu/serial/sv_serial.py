@@ -160,25 +160,49 @@ class SparseVectorDeserializer:
         unassigned/zero; the logical size is preserved."""
         if hi < lo:
             raise ValueError("empty range")
-        return self._dispatch(data, (int(lo), int(hi)))
+        return self._dispatch(data, ("range", (int(lo), int(hi))))
 
-    def _dispatch(self, data, range_):
+    def deserialize_gather(self, data: bytes, ids):
+        """Selective (gather) deserialization: materialize only the blocks
+        containing the requested element ids (reference gather deserialize,
+        src/bmsparsevec_serial.h / strsvsample05).  Other elements read as
+        unassigned/zero."""
+        ids = np.unique(np.asarray(ids, np.int64))
+        if ids.size == 0:
+            raise ValueError("empty id list")
+        want = frozenset((ids >> C.SET_BLOCK_SHIFT).tolist())
+        return self._dispatch(data, ("blocks", want, ids))
+
+    def _dispatch(self, data, sel):
         dec = ByteDecoder(data)
         if dec.get_bytes(4) != MAGIC_SV:
             raise ValueError("bad magic")
         ctype = dec.get_8()
         if ctype == 0:
-            return self._get_sv(dec, range_)
+            return self._get_sv(dec, sel)
         if ctype == 1:
-            return self._get_rsc(dec) if range_ is None else \
-                self._get_rsc_range(dec, *range_)
+            if sel is None:
+                return self._get_rsc(dec)
+            return self._get_rsc_sel(dec, sel)
         if ctype == 2:
-            return self._get_str(dec, range_)
+            return self._get_str(dec, sel)
         if ctype == 3:
-            return self._get_float(dec, range_)
+            return self._get_float(dec, sel)
         raise ValueError(f"unknown container type {ctype}")
 
-    def _get_planes(self, dec, n_slices, range_=None):
+    @staticmethod
+    def _decode_sel(deser, blob, sel):
+        """Decode a plane BLOB under a selection: full, bit range, or an
+        explicit block-id set (payloads of unselected blocks skipped)."""
+        if sel is None:
+            return deser.deserialize(blob)
+        if sel[0] == "range":
+            return deser.deserialize(blob, range_=sel[1])
+        from .opdeser import _materialize_subset, _stream_blocks
+        _, size, _ = next(_stream_blocks(blob))
+        return _materialize_subset(blob, sel[1], size)
+
+    def _get_planes(self, dec, n_slices, sel=None):
         present = dec.get_64()
         planes = [None] * n_slices
         deser = Deserializer()
@@ -189,7 +213,7 @@ class SparseVectorDeserializer:
             slice_id = dec.get_8()
             ref = dec.get_8()
             blob_len = dec.get_32()
-            bv = deser.deserialize(dec.get_bytes(blob_len), range_=range_)
+            bv = self._decode_sel(deser, dec.get_bytes(blob_len), sel)
             raw.append((slice_id, ref, bv))
         resolved: dict[int, BitVector] = {}
         for slice_id, ref, bv in raw:       # refs always point backwards
@@ -201,14 +225,14 @@ class SparseVectorDeserializer:
             planes[slice_id] = bv
         return planes
 
-    def _get_sv(self, dec, range_=None) -> SparseVector:
+    def _get_sv(self, dec, sel=None) -> SparseVector:
         dtype = _DTYPES[dec.get_8()]
         nullable = bool(dec.get_8())
         size = dec.get_64()
         n_slices = dec.get_16()
         sv = SparseVector(dtype, nullable=nullable)
-        sv.planes = self._get_planes(dec, n_slices, range_)
-        null = self._get_optional(dec, range_)
+        sv.planes = self._get_planes(dec, n_slices, sel)
+        null = self._get_optional(dec, sel)
         if nullable:
             sv.null_plane = null or BitVector(C.ID_MAX48)
         sv._size = size
@@ -229,13 +253,14 @@ class SparseVectorDeserializer:
         rsc.sync()
         return rsc
 
-    def _get_rsc_range(self, dec, lo, hi) -> RSCSparseVector:
-        """RSC range decode: the NULL row lives in the logical domain but
-        value rows live in the rank-compressed domain, so the NULL row is
-        decoded first (its BLOB records are length-prefixed, letting the
-        plane section be skipped over) to translate [lo, hi] into a rank
-        range for the value planes (reference: deserialize_range of
-        rsc_sparse_vector, src/bmsparsevec_serial.h)."""
+    def _get_rsc_sel(self, dec, sel) -> RSCSparseVector:
+        """RSC range/gather decode: the NULL row lives in the logical
+        domain but value rows live in the rank-compressed domain, so the
+        NULL row is decoded first (its BLOB records are length-prefixed,
+        letting the plane section be skipped over) to translate the
+        selection into the value planes' rank domain (reference:
+        deserialize_range/gather of rsc_sparse_vector,
+        src/bmsparsevec_serial.h)."""
         dtype = _DTYPES[dec.get_8()]
         dec.get_8()
         size = dec.get_64()
@@ -251,30 +276,50 @@ class SparseVectorDeserializer:
             blob_len = dec.get_32()
             raw.append((slice_id, ref, dec.get_bytes(blob_len)))
         null_bv = self._get_optional(dec) or BitVector(C.ID_MAX48)
-        hi = min(hi, max(size - 1, 0))
-        k = null_bv.count_range(lo, hi) if hi >= lo else 0
         rsc = RSCSparseVector(dtype)
         rsc._size = size
-        if k == 0:
-            return rsc
-        rank_lo = null_bv.count_range(0, lo - 1) if lo else 0
-        rank_range = (rank_lo, rank_lo + k - 1)
+
+        clip = BitVector(null_bv.size)
+        if sel[0] == "range":
+            lo, hi = sel[1]
+            hi = min(hi, max(size - 1, 0))
+            if hi < lo:
+                return rsc
+            clip.copy_range(null_bv, lo, hi)
+            rank_lo = null_bv.count_range(0, lo - 1) if lo else 0
+            k = clip.count()
+            if k == 0:
+                return rsc
+            rank_sel = ("range", (rank_lo, rank_lo + k - 1))
+        else:
+            ids = sel[2][sel[2] < size]
+            hit = np.asarray(null_bv.get_bits(ids), bool)
+            pos_ids = ids[hit]
+            if pos_ids.size == 0:
+                return rsc
+            clip.set_many(pos_ids)
+            rs = null_bv.build_rs_index()
+            ranks = np.asarray(rs.rank_batch(pos_ids), np.int64) - 1
+            rank_lo = int(ranks[0])
+            rank_sel = ("blocks",
+                        frozenset((ranks >> C.SET_BLOCK_SHIFT).tolist()))
+
         deser = Deserializer()
         planes = [None] * n_slices
         resolved: dict[int, BitVector] = {}
         for slice_id, ref, blob in raw:
-            bv = deser.deserialize(blob, range_=rank_range)
+            bv = self._decode_sel(deser, blob, rank_sel)
             if ref != NO_XOR:
                 bv = bv ^ resolved[ref]
             resolved[slice_id] = bv
             planes[slice_id] = bv
         dense = SparseVector(dtype)
         dense.planes = planes
-        dense._size = rank_lo + k
-        vals = dense.gather(np.arange(rank_lo, rank_lo + k, dtype=np.int64))
-        clip = BitVector(null_bv.size)
-        clip.copy_range(null_bv, lo, hi)
         pos = clip.indices()
+        if sel[0] == "range":
+            ranks = np.arange(rank_lo, rank_lo + len(pos), dtype=np.int64)
+        dense._size = int(ranks[-1]) + 1
+        vals = dense.gather(ranks)
         arr = np.zeros(int(pos[-1]) + 1, dtype)
         arr[pos] = np.asarray(vals, dtype)
         mask = np.ones(int(pos[-1]) + 1, bool)
@@ -284,7 +329,7 @@ class SparseVectorDeserializer:
         out._size = size
         return out
 
-    def _get_str(self, dec, range_=None) -> StrSparseVector:
+    def _get_str(self, dec, sel=None) -> StrSparseVector:
         max_str = dec.get_8()
         nullable = bool(dec.get_8())
         remap = bool(dec.get_8())
@@ -298,38 +343,38 @@ class SparseVectorDeserializer:
         for k in range(max_str):
             n_slices = dec.get_16()
             ssv.octets[k] = SparseVector(np.uint8)
-            ssv.octets[k].planes = self._get_planes(dec, n_slices, range_)
+            ssv.octets[k].planes = self._get_planes(dec, n_slices, sel)
             ssv.octets[k]._size = size
         if nullable:
-            ssv.null_plane = self._get_optional(dec, range_) \
+            ssv.null_plane = self._get_optional(dec, sel) \
                 or BitVector(C.ID_MAX48)
         else:
             self._get_optional(dec)
         ssv._size = size
         return ssv
 
-    def _get_float(self, dec, range_=None) -> FloatSparseVector:
+    def _get_float(self, dec, sel=None) -> FloatSparseVector:
         dtype = np.float32 if dec.get_8() == 0 else np.float64
         nullable = bool(dec.get_8())
         size = dec.get_64()
         fv = FloatSparseVector(dtype, nullable=nullable)
-        fv.sign = self._get_optional(dec, range_) or BitVector(C.ID_MAX48)
+        fv.sign = self._get_optional(dec, sel) or BitVector(C.ID_MAX48)
         for name in ("exponent", "mantissa"):
             n_slices = dec.get_16()
             part = getattr(fv, name)
-            part.planes = self._get_planes(dec, n_slices, range_)
+            part.planes = self._get_planes(dec, n_slices, sel)
             part._size = size
         if nullable:
-            fv.null_plane = self._get_optional(dec, range_) \
+            fv.null_plane = self._get_optional(dec, sel) \
                 or BitVector(C.ID_MAX48)
         fv._size = size
         return fv
 
-    def _get_optional(self, dec, range_=None):
+    def _get_optional(self, dec, sel=None):
         if dec.get_8() == 0:
             return None
         n = dec.get_32()
-        return Deserializer().deserialize(dec.get_bytes(n), range_=range_)
+        return self._decode_sel(Deserializer(), dec.get_bytes(n), sel)
 
 
 # one-shot helpers (reference sparse_vector_serialize/deserialize,

@@ -177,3 +177,37 @@ def test_str_and_float_range_deserialize(rng):
     fv = FloatSparseVector.from_array(fvals)
     fpart = de.deserialize_range(sparse_vector_serialize(fv), 2000, 2100)
     assert np.array_equal(fpart.to_numpy()[2000:2101], fvals[2000:2101])
+
+
+def test_gather_deserialize_all_families(rng):
+    from bitmagic_tpu.serial.sv_serial import SparseVectorDeserializer
+    de = SparseVectorDeserializer()
+    n = 300_000
+    arr = rng.integers(0, 1 << 22, n).astype(np.uint32)
+    mask = rng.random(n) < 0.4
+    arr[mask] = 0
+    sv = SparseVector.from_array(arr, nullable=True, null_mask=mask)
+    blob = sparse_vector_serialize(sv)
+    ids = np.sort(rng.choice(n, 200, replace=False))
+    part = de.deserialize_gather(blob, ids)
+    assert np.array_equal(part.to_numpy()[ids], arr[ids])
+
+    rsc = RSCSparseVector.from_sparse_vector(sv)
+    rpart = de.deserialize_gather(sparse_vector_serialize(rsc), ids)
+    assert np.array_equal(np.asarray(rpart.gather(ids), np.uint32),
+                          arr[ids])
+
+    strs = [f"s{int(x):06d}" for x in rng.integers(0, 999999, 20_000)]
+    ssv = StrSparseVector.from_strings(strs)
+    sids = np.sort(rng.choice(20_000, 30, replace=False))
+    spart = de.deserialize_gather(sparse_vector_serialize(ssv), sids)
+    assert spart.gather(sids) == [strs[i] for i in sids]
+
+    fv = FloatSparseVector.from_array(
+        rng.normal(size=40_000).astype(np.float32))
+    fids = np.sort(rng.choice(40_000, 30, replace=False))
+    fpart = de.deserialize_gather(sparse_vector_serialize(fv), fids)
+    assert np.array_equal(fpart.to_numpy()[fids], fv.to_numpy()[fids])
+
+    with pytest.raises(ValueError):
+        de.deserialize_gather(blob, [])
