@@ -211,20 +211,25 @@ def bench_scan(rng):
 
 
 def bench_scan_pipeline(rng):
-    """Library-path bulk search: scanner.pipeline_find_eq counts a whole
-    value batch in ONE device call (reference scanner pipeline)."""
+    """Library-path bulk search: a prepared scanner pipeline counts whole
+    value batches, one Pallas sweep per batch with the value batch resident
+    in VMEM (arena read ONCE per batch, not once per value)."""
     from bitmagic_tpu.sv.sparse_vector import SparseVector
     from bitmagic_tpu.sv.scanner import scanner
-    vals = rng.integers(0, 1 << 16, 2_000_000).astype(np.uint32)
+    n = 16_000_000
+    vals = rng.integers(0, 1 << 20, n).astype(np.uint32)
     sv = SparseVector.from_array(vals, nullable=True)
-    queries = list(rng.integers(0, 1 << 16, 128))
-    scanner.pipeline_find_eq(sv, queries, counts_only=True)      # warm
-    t0 = time.perf_counter()
-    scanner.pipeline_find_eq(sv, queries, counts_only=True)
-    dt = time.perf_counter() - t0
-    rate = len(queries) * len(vals) / dt
+    prep = scanner.prepare_pipeline(sv)
+    queries = list(rng.integers(1, 1 << 20, 256))
+    prep.counts(queries)                                         # warm
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        prep.counts(queries)
+        dt = min(dt, time.perf_counter() - t0)
+    rate = len(queries) * n / dt
     log(f"[4b scan-pipeline] {len(queries)} find_eq counts over "
-        f"{len(vals)/1e6:.0f}M elems: {dt*1e3:.1f} ms -> "
+        f"{n/1e6:.0f}M elems: {dt*1e3:.1f} ms -> "
         f"{rate/1e9:.1f} Gsearch-elem/s")
 
 

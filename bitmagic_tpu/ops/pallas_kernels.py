@@ -332,16 +332,61 @@ def scan_eq_pallas(n_planes, planes, value):
 # ---------------------------------------------------------------------------
 # batched scanner pipeline: counts for MANY values in one device call
 # (reference scanner/aggregator pipeline, src/bmsparsevec_algo.h:653).
-# A Pallas value-sweep over VMEM-resident tiles was tried and hit a Mosaic
-# scalar-path serialization (~70x slower than the HBM bound); the XLA
-# formulation below — lax.map over values of a fused slice-select reduce —
-# runs each search at full HBM rate with zero per-search dispatch overhead.
+#
+# Key: the VALUE batch is a resident VMEM *vector* dimension — each grid
+# step loads one column of plane blocks ONCE and applies it to every value
+# (arena read ONCE total), all as [V, …] vector ops.  An earlier variant
+# that walked values as scalar items hit a Mosaic scalar-path
+# serialization; keeping V vectorized avoids it.  HBM traffic drops from
+# V x arena (the lax.map fallback below) to 1 x arena.
 # ---------------------------------------------------------------------------
+_PIPE_COLS = 2          # block columns per grid step (VMEM budget bound)
+_PIPE_VTILE = 128       # value rows per kernel call
+
+
+def _pipeline_counts_body(S, V, cols):
+    def kernel(sel_ref, planes_ref, out_ref):
+        acc = jnp.full((V, cols, 16, 128), 0xFFFFFFFF, U32)
+        for s in range(S):
+            p = planes_ref[s][None]                  # [1, cols, 16, 128]
+            selv = sel_ref[:, s][:, None, None, None]
+            acc = jnp.where(selv == 1, acc & p,
+                            jnp.where(selv == -1, acc & ~p, acc))
+        counts = jnp.sum(
+            jax.lax.population_count(acc).astype(jnp.int32), axis=(1, 2))
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+        out_ref[...] += counts
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _pipeline_counts_call(S, nb_pad, planes, selectors):
+    cols = _PIPE_COLS
+    V = selectors.shape[0]
+    planes4 = planes.reshape(S, nb_pad, 16, 128)
+    lanes = pl.pallas_call(
+        _pipeline_counts_body(S, V, cols),
+        grid=(nb_pad // cols,),
+        in_specs=[
+            pl.BlockSpec((V, S), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, cols, 16, 128), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((V, 128), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((V, 128), jnp.int32),
+        interpret=_interpret(),
+    )(selectors, planes4)
+    return jnp.sum(lanes, axis=1)
+
+
 @jax.jit
-def pipeline_counts(planes, selectors):
-    """planes: uint32[S, n_blocks, 2048] (plane arena); selectors:
-    int32[V, S] with 1=AND, -1=AND-NOT, 0=skip per (value, slice).
-    Returns int32[V] hit counts per value."""
+def _pipeline_counts_map(planes, selectors):
+    """XLA fallback: lax.map over values (V x arena HBM traffic)."""
     S = planes.shape[0]
 
     def one(selv):
@@ -356,3 +401,32 @@ def pipeline_counts(planes, selectors):
         return jnp.sum(jax.lax.population_count(acc).astype(jnp.int64))
 
     return jax.lax.map(one, selectors)
+
+
+def pipeline_counts(planes, selectors):
+    """planes: uint32[S, n_blocks, 2048] (plane arena); selectors:
+    int32[V, S] with 1=AND, -1=AND-NOT, 0=skip per (value, slice).
+    Returns int32/int64[V] hit counts per value."""
+    if not config.pallas_enabled():
+        return _pipeline_counts_map(planes, selectors)
+    S, nb, _ = planes.shape
+    V = selectors.shape[0]
+    cols = _PIPE_COLS
+    nb_pad = ((nb + cols - 1) // cols) * cols
+    if nb_pad != nb:
+        # zero-pad the block axis: every selector row has >= 1 AND plane,
+        # so a zero block contributes 0 hits
+        planes = jnp.concatenate(
+            [planes, jnp.zeros((S, nb_pad - nb, C.SET_BLOCK_SIZE), U32)],
+            axis=1)
+    out = []
+    for v0 in range(0, V, _PIPE_VTILE):
+        sel = selectors[v0:v0 + _PIPE_VTILE]
+        vp = ((sel.shape[0] + 7) // 8) * 8
+        if vp != sel.shape[0]:
+            sel = jnp.concatenate(
+                [sel, jnp.zeros((vp - sel.shape[0], S), sel.dtype)], axis=0)
+        out.append(_pipeline_counts_call(S, nb_pad, planes,
+                                         sel)[:min(_PIPE_VTILE,
+                                                   V - v0)])
+    return jnp.concatenate(out) if len(out) > 1 else out[0]

@@ -67,8 +67,13 @@ def _read_header(r: _ByteReader):
                 digest_offset=digest_offset, matr_ver=matr_ver)
 
 
-def _read_planes(data, hdr):
-    """Decode all non-empty rows -> dict row -> BitVector."""
+def _read_planes(data, hdr, range_=None, null_row=-1, rank_domain=False):
+    """Decode all non-empty rows -> dict row -> BitVector.
+
+    With ``range_=(lo, hi)`` only that element range is materialized per
+    row (the NULL row always decodes fully so rank translation and
+    assignment masks stay exact); ``rank_domain=True`` (RSC) converts the
+    logical range to the value rows' rank domain via the NULL row."""
     if not hdr["digest_offset"]:
         raise ValueError("legacy sparse-vector BLOB without digest offset")
     de = RefDeserializer()
@@ -98,16 +103,29 @@ def _read_planes(data, hdr):
     rows: dict[int, BitVector] = {}
     buf = bytes(data)
     refs = []
+    row_range = range_ if (range_ is not None and not rank_domain) else None
     for i in sorted(nonempty, reverse=True):   # backward: NULL row first
         de = RefDeserializer(ref_vectors=refs)
-        bv = de.deserialize(buf[offsets[i]:])
+        if row_range is None or i == null_row:
+            bv = de.deserialize(buf[offsets[i]:])
+        else:
+            bv = de.deserialize_range(buf[offsets[i]:], *row_range)
+        if i == null_row and range_ is not None and rank_domain:
+            # RSC: value rows live in the rank-compressed domain — convert
+            # the logical range through the (fully decoded) NULL row
+            lo, hi = range_
+            k = bv.count_range(lo, hi)
+            rank_lo = bv.count_range(0, lo - 1) if lo else 0
+            row_range = (rank_lo, max(rank_lo + k - 1, rank_lo))
         rows[i] = bv
         refs.append((i, bv))
     return rows
 
 
-def deserialize_sv_blob(data, dtype=np.uint32):
-    """Reference sparse-vector BLOB -> SparseVector."""
+def deserialize_sv_blob(data, dtype=np.uint32, range_=None):
+    """Reference sparse-vector BLOB -> SparseVector.  With
+    ``range_=(lo, hi)`` only that element range of the value rows is
+    materialized (the reference's deserialize_range)."""
     from ..sv.sparse_vector import SparseVector
     r = _ByteReader(data)
     hdr = _read_header(r)
@@ -115,13 +133,13 @@ def deserialize_sv_blob(data, dtype=np.uint32):
         return SparseVector(dtype, nullable=True)
     if hdr["kind"] == "C":
         raise ValueError("RSC BLOB: use deserialize_rsc_blob")
-    rows = _read_planes(data, hdr)
-    sv = SparseVector(dtype, nullable=True)
     # the NULL row sits at index = stored value slices (8*sizeof(Val));
     # it is present only when the row count includes it
     # (load_null_plane, src/bmsparsevec_serial.h)
     ref_val = 8 * np.dtype(dtype).itemsize
     null_row = ref_val if hdr["planes"] == ref_val + 1 else -1
+    rows = _read_planes(data, hdr, range_=range_, null_row=null_row)
+    sv = SparseVector(dtype, nullable=True)
     sv._size = hdr["size"]
     got_null = False
     for i, bv in rows.items():
@@ -140,8 +158,10 @@ def deserialize_sv_blob(data, dtype=np.uint32):
     return sv
 
 
-def deserialize_rsc_blob(data, dtype=np.uint32):
-    """Reference rsc_sparse_vector BLOB ('BC') -> RSCSparseVector."""
+def deserialize_rsc_blob(data, dtype=np.uint32, range_=None):
+    """Reference rsc_sparse_vector BLOB ('BC') -> RSCSparseVector.  With
+    ``range_=(lo, hi)`` value rows are range-decoded in the rank domain
+    through the NULL row (the reference's deserialize_range)."""
     from ..sv.rsc_vector import RSCSparseVector
     from ..sv.sparse_vector import SparseVector
     r = _ByteReader(data)
@@ -151,9 +171,10 @@ def deserialize_rsc_blob(data, dtype=np.uint32):
         return rsc
     if hdr["kind"] != "C":
         raise ValueError("not an RSC BLOB")
-    rows = _read_planes(data, hdr)
     ref_val = 8 * np.dtype(dtype).itemsize
     null_row = ref_val if hdr["planes"] == ref_val + 1 else -1
+    rows = _read_planes(data, hdr, range_=range_, null_row=null_row,
+                        rank_domain=True)
     dense = SparseVector(dtype, nullable=False)
     dense._size = hdr["size"]
     null_bv = None
@@ -165,6 +186,23 @@ def deserialize_rsc_blob(data, dtype=np.uint32):
     # rows hold values at rank-compressed positions; expand via the index
     if null_bv is None:
         return rsc
+    if range_ is not None:
+        lo, hi = range_
+        rank_lo = null_bv.count_range(0, lo - 1) if lo else 0
+        clip = BitVector(null_bv.size)
+        clip.copy_range(null_bv, lo, hi)
+        idx = clip.indices()
+        if idx.size == 0:
+            return rsc
+        vals = dense.gather(np.arange(rank_lo, rank_lo + len(idx),
+                                      dtype=np.int64))
+        n = int(idx[-1]) + 1
+        arr = np.zeros(n, dtype)
+        arr[idx] = vals
+        mask = np.ones(n, bool)
+        mask[idx] = False
+        sv = SparseVector.from_array(arr, nullable=True, null_mask=mask)
+        return RSCSparseVector.from_sparse_vector(sv)
     idx = null_bv.indices()
     vals = dense.gather(np.arange(len(idx), dtype=np.int64))
     n = int(idx[-1]) + 1 if len(idx) else 0

@@ -224,3 +224,27 @@ def test_float_bridge_both_directions():
     back = refformat.deserialize_reference_float(
         ref_sv.serialize_float_blob(fv))
     assert np.array_equal(back, vals)
+
+
+def test_sv_blob_range_decode():
+    rng = np.random.default_rng(31)
+    n = 250_000
+    vals = rng.integers(0, 1 << 20, n).astype(np.uint32)
+    mask = rng.random(n) < 0.4
+    arr = vals.copy()
+    arr[mask] = 0
+    sv = SparseVector.from_array(arr, nullable=True, null_mask=mask)
+    blob = ref_sv.serialize_sv_blob(sv)
+    lo, hi = 100_000, 140_000
+    part = ref_sv.deserialize_sv_blob(blob, range_=(lo, hi))
+    a = part.to_numpy()
+    assert np.array_equal(a[lo:hi + 1], arr[lo:hi + 1])
+    assert not a[:lo].any() and not a[hi + 1:n].any()
+
+    from bitmagic_tpu.sv import RSCSparseVector
+    rsc = RSCSparseVector.from_sparse_vector(sv)
+    rblob = ref_sv.serialize_rsc_blob(rsc)
+    rpart = ref_sv.deserialize_rsc_blob(rblob, range_=(lo, hi))
+    idx = np.arange(lo, hi + 1)
+    assert np.array_equal(np.asarray(rpart.gather(idx), np.uint32),
+                          arr[lo:hi + 1])
