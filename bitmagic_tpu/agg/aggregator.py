@@ -263,14 +263,21 @@ class Aggregator:
         """Run a batch of (and_group, sub_group) AND-SUB searches.
 
         Returns a list of per-request results: BitVectors (make_results) and/
-        or counts (compute_counts).  Device-side gathers over the shared
-        slice pools are deduplicated by XLA across requests."""
+        or counts (compute_counts).  Counts-only batches run as ONE fused
+        Pallas sweep with the request batch resident in VMEM (the operand
+        arena streams from HBM once for the whole batch — the reference
+        pipeline's shared block cache, src/bmaggregator.h:197, as a kernel);
+        result-producing batches fall back to per-request combines with
+        XLA-deduplicated gathers."""
+        norm = [(req if isinstance(req, tuple) else (req, ()))
+                for req in requests]
+        if (options.compute_counts and not options.make_results
+                and len(norm) > 1 and all(len(a) for a, _ in norm)):
+            counts = self._pipeline_counts_fused(norm)
+            if counts is not None:
+                return [{"count": int(c)} for c in counts]
         out = []
-        for req in requests:
-            if isinstance(req, tuple):
-                and_g, sub_g = req
-            else:
-                and_g, sub_g = req, ()
+        for and_g, sub_g in norm:
             bv = self.combine_and_sub(and_g, sub_g)
             entry = {}
             if options.make_results:
@@ -279,6 +286,50 @@ class Aggregator:
                 entry["count"] = bv.count()
             out.append(entry)
         return out
+
+    def _pipeline_counts_fused(self, norm):
+        """Counts for a request batch in one device call, or None when the
+        fused path does not apply (no Pallas, empty universe)."""
+        from ..config import config
+        from ..ops.pallas_kernels import pipeline_counts
+        if not config.pallas_enabled():
+            return None
+        from .arena import OperandArena
+        operands = []
+        index_of = {}
+        for and_g, sub_g in norm:
+            for v in (*and_g, *sub_g):
+                if id(v) not in index_of:
+                    index_of[id(v)] = len(operands)
+                    operands.append(v)
+        arena = OperandArena(operands)
+        nb_union = np.unique(np.concatenate(
+            [v._struct.nb for v in operands] or [np.zeros(0, np.int64)]))
+        if nb_union.size == 0:
+            return None
+        pool = arena.pool
+        zero_row = int(pool.shape[0])
+        ones_row = zero_row + 1
+        aug = jnp.concatenate([
+            pool if pool.shape[0] else
+            jnp.zeros((0, C.SET_BLOCK_SIZE), jnp.uint32),
+            jnp.zeros((1, C.SET_BLOCK_SIZE), jnp.uint32),
+            jnp.full((1, C.SET_BLOCK_SIZE), 0xFFFFFFFF, jnp.uint32),
+        ], axis=0)
+        slot_tab = np.empty((len(operands), nb_union.size), np.int64)
+        for k in range(len(operands)):
+            s = arena.slot_row(k, nb_union, full_as=ones_row)
+            slot_tab[k] = np.where(s < 0, zero_row, s)
+        planes = jnp.take(
+            aug, jnp.asarray(slot_tab.reshape(-1)),
+            axis=0).reshape(len(operands), nb_union.size, C.SET_BLOCK_SIZE)
+        sels = np.zeros((len(norm), len(operands)), np.int32)
+        for i, (and_g, sub_g) in enumerate(norm):
+            for v in and_g:
+                sels[i, index_of[id(v)]] = 1
+            for v in sub_g:
+                sels[i, index_of[id(v)]] = -1
+        return np.asarray(pipeline_counts(planes, jnp.asarray(sels)))
 
 
 def _assemble(nb, full_mask, kern_nb, pool, size):

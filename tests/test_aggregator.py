@@ -127,3 +127,22 @@ def test_many_vectors(rng):
     for g in gs:
         want &= g.bits
     np.testing.assert_array_equal(res.indices(), np.flatnonzero(want))
+
+
+def test_pipeline_counts_fused_matches_loop(rng):
+    from bitmagic_tpu.agg.aggregator import AggOptions, Aggregator
+    size = 3_000_000
+    vecs = [BitVector.from_indices(
+        np.unique(rng.integers(0, size, 5000)), size) for _ in range(12)]
+    reqs = []
+    for _ in range(9):
+        k = rng.integers(1, 4)
+        and_g = [vecs[i] for i in rng.choice(12, k, replace=False)]
+        sub_g = [vecs[i] for i in rng.choice(12, rng.integers(0, 3),
+                                             replace=False)]
+        reqs.append((and_g, list(sub_g)))
+    agg = Aggregator()
+    fused = agg.pipeline(reqs, AggOptions(compute_counts=True,
+                                          make_results=False))
+    loop = [agg.combine_and_sub(a, s).count() for a, s in reqs]
+    assert [e["count"] for e in fused] == loop
