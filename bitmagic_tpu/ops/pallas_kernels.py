@@ -395,9 +395,9 @@ def _pipeline_counts_map(planes, selectors):
             acc = jnp.where(selv[s] == 1, acc & p, acc)
             acc = jnp.where(selv[s] == -1, acc & ~p, acc)
             return acc
-        acc = jax.lax.fori_loop(
-            0, S, body,
-            jnp.full(planes.shape[1:], 0xFFFFFFFF, U32))
+        # all-ones init derived from planes so the carry keeps the same
+        # varying axes under shard_map (a plain constant would not)
+        acc = jax.lax.fori_loop(0, S, body, planes[0] | ~planes[0])
         return jnp.sum(jax.lax.population_count(acc).astype(jnp.int64))
 
     return jax.lax.map(one, selectors)

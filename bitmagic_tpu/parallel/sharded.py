@@ -206,6 +206,26 @@ def sharded_and_sub(and_vs, sub_vs) -> ShardedBitVector:
     return ShardedBitVector(pool, max(v.size for v in and_vs), mesh)
 
 
+def pipeline_counts_program(mesh):
+    """Sharded bulk-search pipeline: planes uint32[S, nblk, 2048] sharded on
+    the block axis, selectors int32[V, S] replicated -> int32[V] global hit
+    counts.  Per shard the VMEM-batch Pallas sweep runs on the local block
+    columns; one psum combines the partial counts (the scanner pipeline at
+    mesh scale — scan-throughput scaling with a whole query batch per
+    pass)."""
+    from ..ops.pallas_kernels import pipeline_counts
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(None, BLOCK_AXIS, None), P(None, None)),
+        out_specs=P(None))
+    def counts(local_planes, sels):
+        c = pipeline_counts(local_planes, sels).astype(jnp.int32)
+        return jax.lax.psum(c, BLOCK_AXIS)
+
+    return counts
+
+
 def scan_throughput_program(mesh, n_planes: int, n_blocks_per_shard: int):
     """Build the jitted sharded scan used by the scaling benchmark: a
     bit-sliced equality scan (AND-SUB over n_planes sharded planes) plus the

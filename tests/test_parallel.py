@@ -115,3 +115,32 @@ def test_sharded_select_matches_host():
     want = ids[ranks - 1]
     np.testing.assert_array_equal(got, want)
     assert sbv.select(1) == ids[0]
+
+
+def test_sharded_pipeline_counts(mesh):
+    import jax.numpy as jnp
+    from bitmagic_tpu.parallel.sharded import pipeline_counts_program
+    rng = np.random.default_rng(3)
+    S, nblk = 6, 16                       # 16 blocks over 8 shards
+    planes_np = rng.integers(0, 1 << 32, (S, nblk, 2048),
+                             dtype=np.uint64).astype(np.uint32)
+    sels_np = rng.integers(-1, 2, (24, S)).astype(np.int32)
+    # every request needs >= 1 AND operand (kernel contract)
+    sels_np[:, 0] = 1
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from bitmagic_tpu.parallel.mesh import BLOCK_AXIS
+    counts = pipeline_counts_program(mesh)
+    planes = jax.device_put(
+        planes_np, NamedSharding(mesh, P(None, BLOCK_AXIS, None)))
+    got = np.asarray(counts(planes, jnp.asarray(sels_np)))
+    # golden: dense AND-SUB per request
+    want = []
+    for sel in sels_np:
+        acc = np.full((nblk, 2048), 0xFFFFFFFF, np.uint32)
+        for s in range(S):
+            if sel[s] == 1:
+                acc &= planes_np[s]
+            elif sel[s] == -1:
+                acc &= ~planes_np[s]
+        want.append(int(np.unpackbits(acc.view(np.uint8)).sum()))
+    assert got.tolist() == want
