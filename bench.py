@@ -169,13 +169,15 @@ def bench_aggregator(rng):
         rng.integers(0, 2**32, (K, nblk, WORDS), dtype=np.uint64).astype(np.uint32))
 
     def and_sub_200(salt, stack):
-        def body(i, acc):
-            return acc & stack[i]
-        acc = jax.lax.fori_loop(1, K // 2, body, stack[0] ^ salt.astype(jnp.uint32))
-
-        def body2(i, acc):
-            return acc & ~stack[i]
-        acc = jax.lax.fori_loop(K // 2, K, body2, acc)
+        # unrolled like the library's _agg_kernel; EVERY operand is salted
+        # or XLA reassociates the AND chain and hoists it out of the
+        # timing loop (fori_loop variant measured 473 GB/s, 1.26x low)
+        s = salt.astype(jnp.uint32)
+        acc = stack[0] ^ s
+        for i in range(1, K // 2):
+            acc = acc & (stack[i] ^ s)
+        for i in range(K // 2, K):
+            acc = acc & ~(stack[i] ^ s)
         return jnp.sum(jax.lax.population_count(acc), dtype=jnp.uint32)
 
     t = timeit(and_sub_200, stack, iters=5)
