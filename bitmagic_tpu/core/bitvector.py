@@ -305,6 +305,35 @@ class BitVector:
     def reset(self):
         return self.clear()
 
+    def clear_range(self, lo, hi):
+        """Clear inclusive bit range (reference clear_range,
+        src/bm.h:1222)."""
+        return self.set_range(lo, hi, False)
+
+    def flip(self, i=None):
+        """flip(i): invert one bit; flip(): invert the whole vector —
+        the reference's two overloads (src/bm.h:1188, :1845)."""
+        return self.invert() if i is None else self.flip_bit(i)
+
+    def get_first(self) -> int:
+        """First set bit, or 0 when empty (reference get_first,
+        src/bm.h; pair with any() to disambiguate bit 0)."""
+        return max(self.find(0), 0)
+
+    def get_next(self, prev) -> int:
+        """Next set bit strictly after ``prev``, or 0 if none
+        (reference get_next, src/bm.h)."""
+        return max(self.find(int(prev) + 1), 0)
+
+    def extract_next(self, prev) -> int:
+        """get_next() that also CLEARS the found bit (reference
+        extract_next, src/bm.h)."""
+        nxt = self.find(int(prev) + 1)
+        if nxt >= 0:
+            self.set(nxt, False)
+            return nxt
+        return 0
+
     def invert(self):
         """Flip all bits in [0, size) (reference src/bm.h:1837)."""
         self._check_writable()
@@ -796,7 +825,7 @@ class BitVector:
     # ------------------------------------------------------------------
     # optimization / stats / freeze
     # ------------------------------------------------------------------
-    def optimize(self, opt_mode: int = C.OPT_COMPRESS):
+    def optimize(self, opt_mode: int = C.OPT_COMPRESS, _nb_range=None):
         """Reclassify blocks: free zero blocks, collapse full blocks, and
         (at opt_compress) classify GAP-compressable blocks exactly as the
         reference does (optimize, src/bm.h:1942; optimize_bit_block
@@ -818,6 +847,11 @@ class BitVector:
             to_full = is_bit & (cnt_all == C.BITS_PER_BLOCK)
         else:
             to_full = np.zeros_like(drop)
+        if _nb_range is not None:
+            in_range = ((self._struct.nb >= _nb_range[0])
+                        & (self._struct.nb <= _nb_range[1]))
+            drop &= in_range
+            to_full &= in_range
         if drop.any() or to_full.any():
             # Pool rows must be selected with the OLD slot mapping (rows are
             # 1:1 with the old CLS_BIT entries); reclassify to FULL only
@@ -843,6 +877,13 @@ class BitVector:
                 "level": gap_level[rows],
             }
         return self
+
+    def optimize_range(self, lo, hi, opt_mode: int = C.OPT_COMPRESS):
+        """optimize() restricted to blocks intersecting [lo, hi]
+        (reference optimize_range, src/bm.h:1956)."""
+        return self.optimize(opt_mode,
+                             _nb_range=(int(lo) >> C.SET_BLOCK_SHIFT,
+                                        int(hi) >> C.SET_BLOCK_SHIFT))
 
     def set_new_blocks_strat(self, strategy: int) -> int:
         """BM_BIT / BM_GAP preference for new blocks (reference

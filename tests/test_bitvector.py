@@ -317,3 +317,33 @@ def test_any_range_and_is_all_one_range(rng):
     # degenerate / out-of-range
     assert bv.any_range(50, 10) is False
     assert bv.is_all_one_range(9_999_999, 10_000_005) is False
+
+
+def test_reference_api_aliases(rng):
+    bv = BitVector(1_000_000)
+    bv.set_range(100, 200)
+    bv.clear_range(150, 160)
+    assert bv.count() == 101 - 11
+    assert bv.get_first() == 100
+    assert bv.get_next(149) == 161
+    assert bv.extract_next(199) == 200
+    assert bv.test(200) is False or not bv.test(200)
+    bv.flip(100)
+    assert not bv.test(100)
+    inv = bv.copy()
+    inv.flip()
+    assert inv.count() == 1_000_000 - bv.count()
+    # optimize_range only reclassifies blocks inside the range
+    w = BitVector(10_000_000)
+    w.set_range(0, 131_071)              # blocks 0-1 become full-bit content
+    x = BitVector(10_000_000)
+    x.set(5_000_000)
+    w |= x
+    w -= x                               # op leaves a zero-content BIT block
+    w.optimize_range(0, 131_071)
+    st = w.calc_stat()
+    assert st["full_blocks"] == 2
+    # the zero block at 5M was outside the range: still present as BIT
+    assert st["bit_blocks"] == 1
+    w.optimize()
+    assert w.calc_stat()["bit_blocks"] == 0
