@@ -208,3 +208,29 @@ class RSCSparseVector:
         """All logical positions assigned?"""
         self._flush()
         return self.count() == self._size
+
+    # -- reference-name conveniences (src/bmsparsevec_compr.h) ----------
+    def load_from(self, sv: SparseVector):
+        """Rebuild from a plain (nullable) sparse vector (reference
+        load_from, src/bmsparsevec_compr.h)."""
+        other = RSCSparseVector.from_sparse_vector(sv)
+        self.__dict__.update(other.__dict__)
+        return self
+
+    def construct_rs_index(self):
+        return self.sync()
+
+    def is_sync(self) -> bool:
+        return self.in_sync()
+
+    def empty(self) -> bool:
+        return self._size == 0
+
+    def effective_size(self) -> int:
+        return self._size
+
+    def is_compressed(self) -> bool:
+        return True
+
+    def is_str(self) -> bool:
+        return False

@@ -398,6 +398,79 @@ class SparseVector:
 
     keep = filter
 
+    def insert(self, i, v):
+        """Insert value at i, shifting elements right (reference
+        sparse_vector insert, src/bmsparsevec.h).  Each bit-slice plane
+        insert-shifts on device; the NULL plane marks i assigned."""
+        self._flush()
+        i = int(i)
+        for s, p in enumerate(self.planes):
+            if p is not None:
+                p.insert(i, False)
+        if self.nullable and self.null_plane is not None:
+            self.null_plane.insert(i, False)
+        self._size += 1
+        self.set(i, v)
+        return self
+
+    def erase(self, i):
+        """Erase element i, shifting elements left (reference erase,
+        src/bmsparsevec.h)."""
+        self._flush()
+        i = int(i)
+        for p in self.planes:
+            if p is not None:
+                p.erase(i)
+        if self.nullable and self.null_plane is not None:
+            self.null_plane.erase(i)
+        if self._size:
+            self._size -= 1
+        return self
+
+    def copy_range(self, other: "SparseVector", lo, hi):
+        """Copy [lo, hi] from another vector of the same dtype, clearing
+        everything else (reference copy_range, src/bmsparsevec.h)."""
+        other._flush()
+        self._flush()
+        if other.dtype != self.dtype:
+            raise ValueError("dtype mismatch")
+        lo, hi = int(lo), int(hi)
+        self.planes = [None] * len(self.planes)
+        for s, p in enumerate(other.planes[:len(self.planes)]):
+            if p is not None:
+                bv = BitVector(p.size)
+                bv.copy_range(p, lo, hi)
+                self.planes[s] = bv
+        if self.nullable:
+            src_null = other.null_plane
+            if src_null is None:
+                src_null = BitVector(C.ID_MAX48)
+                if other._size:
+                    src_null.set_range(0, other._size - 1)
+            bv = BitVector(src_null.size)
+            bv.copy_range(src_null, lo, hi)
+            self.null_plane = bv
+        self._size = other._size
+        return self
+
+    def at(self, i):
+        """Bounds-checked access (reference at, src/bmsparsevec.h)."""
+        if not (0 <= int(i) < self._size):
+            raise IndexError(i)
+        return self.get(i)
+
+    def empty(self) -> bool:
+        return self._size == 0
+
+    def effective_size(self) -> int:
+        return self._size
+
+    def is_compressed(self) -> bool:
+        return False
+
+    def is_str(self) -> bool:
+        return False
+
     def clear_range(self, lo, hi, set_null: bool = True):
         self._flush()
         for p in self.planes:
@@ -414,6 +487,8 @@ class SparseVector:
             self.null_plane = BitVector(C.ID_MAX48)
         self._size = 0
         return self
+
+    clear_all = clear       # reference alias (src/bmsparsevec.h)
 
     # ------------------------------------------------------------------
     def optimize(self):

@@ -282,5 +282,67 @@ class StrSparseVector:
     def equal(self, other: "StrSparseVector") -> bool:
         return self.to_list() == other.to_list()
 
+    # -- reference-name conveniences (src/bmstrsparsevec.h) -------------
+    assign = None           # bound after class body (== set)
+
+    def insert(self, i, s):
+        """Insert a string at i, shifting elements right (reference
+        insert, src/bmstrsparsevec.h) — per-octet plane insert-shifts."""
+        i = int(i)
+        for k in range(self.max_str_size):
+            self.octets[k].insert(i, 0)
+        if self.nullable and self.null_plane is not None:
+            self.null_plane.insert(i, False)
+        self._size += 1
+        self.set(i, s)
+        return self
+
+    def erase(self, i):
+        """Erase element i, shifting elements left (reference erase)."""
+        i = int(i)
+        for k in range(self.max_str_size):
+            self.octets[k].erase(i)
+        if self.nullable and self.null_plane is not None:
+            self.null_plane.erase(i)
+        if self._size:
+            self._size -= 1
+        return self
+
+    def common_prefix_length(self, i, j) -> int:
+        """Length of the common prefix of elements i and j (reference
+        common_prefix_length, src/bmstrsparsevec.h)."""
+        a, b = self.get(int(i)) or "", self.get(int(j)) or ""
+        n = 0
+        for ca, cb in zip(a, b):
+            if ca != cb:
+                break
+            n += 1
+        return n
+
+    def decode(self, lo: int, n: int) -> list:
+        """n strings starting at lo (reference decode)."""
+        import numpy as _np
+        return self.gather(_np.arange(int(lo), int(lo) + int(n)))
+
+    def decode_substr(self, lo: int, n: int, frm: int, to: int) -> list:
+        import numpy as _np
+        return self.gather_substr(
+            _np.arange(int(lo), int(lo) + int(n)), frm, to)
+
+    def empty(self) -> bool:
+        return self._size == 0
+
+    def effective_max_str(self) -> int:
+        return self.max_str_size
+
+    def is_str(self) -> bool:
+        return True
+
+    def is_compressed(self) -> bool:
+        return False
+
     def __iter__(self):
         return iter(self.to_list())
+
+
+StrSparseVector.assign = StrSparseVector.set    # reference alias

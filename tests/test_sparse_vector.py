@@ -130,3 +130,58 @@ def test_resize_equal_stat(rng):
     st = sv.calc_stat()
     assert st["planes"] >= 1
     assert sv.effective_slices() <= 10
+
+
+def test_sv_insert_erase_copy_range(rng):
+    vals = rng.integers(0, 1 << 16, 1000).astype(np.uint32)
+    sv = SparseVector.from_array(vals, nullable=True)
+    sv.insert(500, 77777)
+    ref = np.insert(vals, 500, 77777)
+    assert np.array_equal(sv.to_numpy()[:len(ref)], ref)
+    assert len(sv) == 1001
+    sv.erase(500)
+    assert np.array_equal(sv.to_numpy()[:len(vals)], vals)
+    assert len(sv) == 1000
+    # copy_range
+    dst = SparseVector(np.uint32, nullable=True)
+    dst.copy_range(sv, 100, 199)
+    a = dst.to_numpy()
+    assert np.array_equal(a[100:200], vals[100:200])
+    assert not a[:100].any() and not a[200:1000].any()
+    # reference-name helpers
+    assert sv.at(0) == vals[0]
+    with pytest.raises(IndexError):
+        sv.at(5000)
+    assert not sv.empty() and sv.effective_size() == 1000
+    assert not sv.is_compressed() and not sv.is_str()
+
+
+def test_str_insert_erase_prefix(rng):
+    from bitmagic_tpu.sv import StrSparseVector
+    strs = [f"w{int(x):04d}" for x in rng.integers(0, 9999, 200)]
+    ssv = StrSparseVector.from_strings(strs)
+    ssv.insert(50, "hello")
+    assert ssv.get(50) == "hello" and ssv.get(51) == strs[50]
+    ssv.erase(50)
+    assert ssv.get(50) == strs[50] and len(ssv) == 200
+    ssv.assign(0, "abcXY")
+    ssv.set(1, "abcDE")
+    assert ssv.common_prefix_length(0, 1) == 3
+    assert ssv.decode(10, 3) == strs[10:13]
+    assert ssv.is_str() and not ssv.is_compressed()
+
+
+def test_rsc_reference_aliases(rng):
+    from bitmagic_tpu.sv import RSCSparseVector
+    vals = rng.integers(1, 1 << 16, 500).astype(np.uint32)
+    mask = rng.random(500) < 0.5
+    arr = vals.copy()
+    arr[mask] = 0
+    sv = SparseVector.from_array(arr, nullable=True, null_mask=mask)
+    rsc = RSCSparseVector(np.uint32)
+    rsc.load_from(sv)
+    rsc.construct_rs_index()
+    assert rsc.is_sync()
+    assert rsc.is_compressed() and not rsc.is_str()
+    i = int(np.flatnonzero(~mask)[0])
+    assert int(rsc.get(i)) == int(vals[i])
