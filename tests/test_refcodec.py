@@ -551,3 +551,25 @@ def test_corrupted_blobs_raise_cleanly(rng):
             except (ValueError, IndexError, KeyError, OverflowError,
                     ZeroDivisionError):
                 pass
+
+
+def test_xor_refs_48bit_addresses():
+    rng = np.random.default_rng(48)
+    size = 1 << 40
+    base = (1 << 39) + 12345
+    ref_ids = np.unique(base + rng.integers(0, 4 << 16, 30_000)).astype(
+        np.int64)
+    tgt = set(int(i) for i in ref_ids)
+    for i in rng.choice(ref_ids, 40, replace=False):
+        tgt.discard(int(i))
+    tgt_ids = np.asarray(sorted(tgt), np.int64)
+    bv_t = BitVector.from_indices(tgt_ids, size)
+    bv_r = BitVector.from_indices(ref_ids, size)
+    ser = refcodec.RefSerializer(6, ref_vectors=[(3, bv_r)])
+    blob = ser.serialize(bv_t)
+    assert blob[0] & refcodec.HM_64_BIT
+    assert ser.compression_stat.get("xor_ref") or \
+        ser.compression_stat.get("ref_eq")
+    de = refcodec.RefDeserializer(ref_vectors=[(3, bv_r)])
+    got = de.deserialize(blob)
+    assert np.array_equal(got.indices(), tgt_ids)
