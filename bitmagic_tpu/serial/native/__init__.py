@@ -134,18 +134,19 @@ def bmt1_decode(blob: bytes, rec_offset: int):
     lib = load()
     if lib is None:
         return None
-    buf = np.frombuffer(bytes(blob), np.uint8)
+    # +8 zero bytes: BitR's fast path reads one 64-bit word past the cursor
+    buf = np.frombuffer(bytes(blob) + b"\0" * 8, np.uint8)
     bp = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
     n_rec = ctypes.c_int64(0)
     n_rows = ctypes.c_int64(0)
-    if lib.bm_bmt1_scan(bp, buf.size, rec_offset, ctypes.byref(n_rec),
+    if lib.bm_bmt1_scan(bp, buf.size - 8, rec_offset, ctypes.byref(n_rec),
                         ctypes.byref(n_rows)) != 0:
         return None
     nbs = np.empty(max(n_rec.value, 1), np.int64)
     cls = np.empty(max(n_rec.value, 1), np.uint8)
     words = np.empty((max(n_rows.value, 1), 2048), np.uint32)
     rc = lib.bm_bmt1_decode(
-        bp, buf.size, rec_offset,
+        bp, buf.size - 8, rec_offset,
         nbs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         cls.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
@@ -193,7 +194,8 @@ def bic_encode_bytes(arr: np.ndarray, lo: int, hi: int) -> bytes:
 
 def bic_decode_bytes(data: bytes, n: int, lo: int, hi: int) -> np.ndarray:
     lib = load()
-    buf = np.frombuffer(data, np.uint8)
+    # +8 zero bytes: BitR's fast path reads one 64-bit word past the cursor
+    buf = np.frombuffer(bytes(data) + b"\0" * 8, np.uint8)
     out = np.zeros(n, np.int64)
     lib.bm_bic_decode(
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), 0, int(n),
@@ -214,7 +216,7 @@ def gamma_encode_bytes(arr: np.ndarray) -> bytes:
 
 def gamma_decode_bytes(data: bytes, n: int) -> np.ndarray:
     lib = load()
-    buf = np.frombuffer(data, np.uint8)
+    buf = np.frombuffer(bytes(data) + b"\0" * 8, np.uint8)
     out = np.zeros(n, np.uint64)
     lib.bm_gamma_decode(
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), 0, int(n),

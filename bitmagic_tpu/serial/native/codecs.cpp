@@ -42,25 +42,25 @@ struct BitW {
     }
 };
 
+// MSB-first reader.  CONTRACT: callers must guarantee 8 readable bytes
+// past the last meaningful byte (the Python wrappers pad every buffer) —
+// the fast path does one unaligned big-endian 64-bit load per read.
 struct BitR {
     const uint8_t* buf;
     uint64_t bitpos;
 
     inline uint64_t get(int n) {
-        uint64_t v = 0;
-        while (n > 0) {
-            uint64_t bi = bitpos >> 3;
+        if (n <= 0) return 0;
+        if (n <= 57) {
+            uint64_t w;
+            std::memcpy(&w, buf + (bitpos >> 3), 8);
+            w = __builtin_bswap64(w);
             int off = static_cast<int>(bitpos & 7);
-            int avail = 8 - off;
-            int take = n < avail ? n : avail;
-            uint8_t cur = buf[bi];
-            uint8_t chunk =
-                static_cast<uint8_t>((cur >> (avail - take)) & ((1u << take) - 1));
-            v = (v << take) | chunk;
-            bitpos += take;
-            n -= take;
+            bitpos += n;
+            return (w << off) >> (64 - n);
         }
-        return v;
+        uint64_t hi = get(n - 32);
+        return (hi << 32) | get(32);
     }
     inline int get_bit() {
         uint64_t bi = bitpos >> 3;
@@ -92,10 +92,19 @@ inline int64_t mb_decode(BitR& rd, int64_t lo, int64_t hi) {
     if (r <= 1) return lo;
     int b = bit_length_u64(static_cast<uint64_t>(r - 1));
     int64_t extra = (1ll << b) - r;
-    int64_t v = (b > 1) ? static_cast<int64_t>(rd.get(b - 1)) : 0;
-    if (v < extra) return lo + v;
-    v = (v << 1) | rd.get_bit();
-    return lo + v - extra;
+    // peek the full b-bit window once (b <= 49 for 48-bit id spaces),
+    // then advance by b-1 or b — one load instead of two reads
+    uint64_t w;
+    std::memcpy(&w, rd.buf + (rd.bitpos >> 3), 8);
+    w = __builtin_bswap64(w);
+    uint64_t bits = (w << (rd.bitpos & 7)) >> (64 - b);
+    int64_t v = static_cast<int64_t>(bits >> 1);
+    if (v < extra) {
+        rd.bitpos += b - 1;
+        return lo + v;
+    }
+    rd.bitpos += b;
+    return lo + static_cast<int64_t>(bits) - extra;
 }
 
 struct Frame { int64_t i0, i1, lo, hi; };
@@ -110,8 +119,9 @@ uint64_t bm_bic_encode(const int64_t* arr, int64_t n, int64_t lo, int64_t hi,
                        uint8_t* out) {
     BitW w{out};
     // explicit stack identical in traversal order to the Python encoder
-    // (push right, then left; pop = left first)
-    Frame* stack = new Frame[2 * (n + 2) + 8];
+    // (push right, then left; pop = left first).  DFS depth is bounded by
+    // ~2*log2(n): empty subranges are never pushed.
+    Frame stack[192];
     int64_t sp = 0;
     stack[sp++] = {0, n, lo, hi};
     while (sp) {
@@ -123,12 +133,11 @@ uint64_t bm_bic_encode(const int64_t* arr, int64_t n, int64_t lo, int64_t hi,
         int64_t nleft = mid - f.i0;
         int64_t nright = f.i1 - mid - 1;
         mb_encode(w, x, f.lo + nleft, f.hi - nright);
-        stack[sp++] = {mid + 1, f.i1, x + 1, f.hi};
-        stack[sp++] = {f.i0, mid, f.lo, x - 1};
+        if (mid + 1 < f.i1) stack[sp++] = {mid + 1, f.i1, x + 1, f.hi};
+        if (f.i0 < mid) stack[sp++] = {f.i0, mid, f.lo, x - 1};
     }
     uint64_t bits = w.bit_length();
     w.flush();
-    delete[] stack;
     return bits;
 }
 
@@ -136,7 +145,7 @@ uint64_t bm_bic_encode(const int64_t* arr, int64_t n, int64_t lo, int64_t hi,
 uint64_t bm_bic_decode(const uint8_t* data, uint64_t bit_offset, int64_t n,
                        int64_t lo, int64_t hi, int64_t* out) {
     BitR rd{data, bit_offset};
-    Frame* stack = new Frame[2 * (n + 2) + 8];
+    Frame stack[192];
     int64_t sp = 0;
     stack[sp++] = {0, n, lo, hi};
     while (sp) {
@@ -148,10 +157,9 @@ uint64_t bm_bic_decode(const uint8_t* data, uint64_t bit_offset, int64_t n,
         int64_t nright = f.i1 - mid - 1;
         int64_t x = mb_decode(rd, f.lo + nleft, f.hi - nright);
         out[mid] = x;
-        stack[sp++] = {mid + 1, f.i1, x + 1, f.hi};
-        stack[sp++] = {f.i0, mid, f.lo, x - 1};
+        if (mid + 1 < f.i1) stack[sp++] = {mid + 1, f.i1, x + 1, f.hi};
+        if (f.i0 < mid) stack[sp++] = {f.i0, mid, f.lo, x - 1};
     }
-    delete[] stack;
     return rd.bitpos;
 }
 
@@ -302,7 +310,7 @@ int bmref_bic_decode_cm(const uint8_t* buf, int64_t len, int64_t* pos,
     uint64_t a = *acc;
     int nb = *nbits;
     int ok = 1;
-    auto get_bits = [&](int n) -> int64_t {
+    auto refill_to = [&](int n) {
         while (nb < n) {
             if (p + 4 > len) { ok = 0; nb += 32; continue; }
             uint32_t w;
@@ -311,13 +319,8 @@ int bmref_bic_decode_cm(const uint8_t* buf, int64_t len, int64_t* pos,
             a |= static_cast<uint64_t>(w) << nb;
             nb += 32;
         }
-        int64_t v = (int64_t)(a & ((n >= 32) ? 0xFFFFFFFFull
-                                             : ((1ull << n) - 1)));
-        a >>= n;
-        nb -= n;
-        return v;
     };
-    RFrame* stack = new RFrame[2 * 40 + 4];   // depth <= log2(sz)+1 per side
+    RFrame stack[88];                  // depth <= log2(sz)+1 per side
     int sp = 0;
     stack[sp++] = {0, sz, lo, hi};
     while (sp) {
@@ -332,9 +335,24 @@ int bmref_bic_decode_cm(const uint8_t* buf, int64_t len, int64_t* pos,
                 int64_t half_r = range >> 1;
                 int64_t lo1 = half_r - half_c - ((range + 1) & 1);
                 int64_t hi1 = half_r + half_c + 1;
-                val = get_bits(logv);
-                if (val <= lo1 || val >= hi1)
-                    val += get_bits(1) << logv;
+                // peek value + continuation bit from one accumulator state
+                // (logv <= 32 in every stream we parse: u16/u24/u32 ranges;
+                // a pull only happens with nb <= 32, so the 64-bit
+                // accumulator cannot overflow).  The continuation refill is
+                // lazy: demanding it eagerly would overrun streams that end
+                // exactly on the value's last bit.
+                refill_to(logv);
+                val = (int64_t)(a & ((1ull << logv) - 1));
+                if (val <= lo1 || val >= hi1) {
+                    if (nb < logv + 1)
+                        refill_to(logv + 1);
+                    val += (int64_t)((a >> logv) & 1) << logv;
+                    a >>= logv + 1;
+                    nb -= logv + 1;
+                } else {
+                    a >>= logv;
+                    nb -= logv;
+                }
             }
             int64_t mid = f.sz >> 1;
             val += f.lo + mid;
@@ -344,10 +362,9 @@ int bmref_bic_decode_cm(const uint8_t* buf, int64_t len, int64_t* pos,
             stack[sp++] = {f.base + mid + 1, f.sz - mid - 1, val + 1, f.hi};
             f = {f.base, mid, f.lo, val - 1};
         }
-        if (!ok) { delete[] stack; return -1; }
+        if (!ok) return -1;
     }
     *pos = p; *acc = a; *nbits = nb;
-    delete[] stack;
     return 0;
 }
 
