@@ -215,6 +215,7 @@ def pipeline_counts_program(mesh):
     pass)."""
     from ..ops.pallas_kernels import pipeline_counts
 
+    @jax.jit
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(None, BLOCK_AXIS, None), P(None, None)),

@@ -39,6 +39,7 @@ from jax.sharding import Mesh  # noqa: E402
 
 from bitmagic_tpu.parallel.mesh import BLOCK_AXIS  # noqa: E402
 from bitmagic_tpu.parallel.sharded import (ShardedBitVector,  # noqa: E402
+                                           pipeline_counts_program,
                                            scan_throughput_program)
 
 
@@ -78,8 +79,19 @@ def main():
         sel = sbv.select_batch([1, len(ids)])
         assert sel[0] == ids[0] and sel[1] == ids[-1]
 
+        # sharded bulk-search pipeline (per-shard sweep + psum)
+        sels = np.zeros((16, n_planes), np.int32)
+        sels[:, 0] = 1
+        sels[:, 1:4] = rng.integers(-1, 2, (16, 3))
+        prog = pipeline_counts_program(mesh)
+        jax.block_until_ready(prog(planes, jnp.asarray(sels)))   # compile
+        t0 = time.perf_counter()
+        jax.block_until_ready(prog(planes, jnp.asarray(sels)))
+        dtp = time.perf_counter() - t0
+
         print(f"mesh={n}: scan {elems/1e6:.0f}M elems in {dt*1e3:.1f} ms "
-              f"(weak scaling), count/psum + shard-prefix select OK")
+              f"(weak scaling), 16-query pipeline {dtp*1e3:.1f} ms, "
+              f"count/psum + shard-prefix select OK")
 
 
 if __name__ == "__main__":
