@@ -2,7 +2,8 @@ from .setops import (COUNT_A, COUNT_AND, COUNT_B, COUNT_OR, COUNT_SUB_AB,
                      COUNT_SUB_BA, COUNT_XOR, any_and, any_or, any_sub,
                      any_xor, count_and, count_or, count_sub, count_xor,
                      distance_operation, similarity_batch)
-from .traversal import (for_each_bit, for_each_bit_range, rank_range_split,
+from .traversal import (for_each_bit, for_each_bit_range,
+                        visit_each_bit_range, rank_range_split,
                         visit_each_bit)
 from .rank_compress import compress, compress_by_source, decompress
 from .intervals import (find_interval_end, find_interval_start,
@@ -15,7 +16,7 @@ __all__ = [
     "COUNT_SUB_BA", "COUNT_XOR", "any_and", "any_or", "any_sub", "any_xor",
     "count_and", "count_or", "count_sub", "count_xor", "distance_operation",
     "similarity_batch", "for_each_bit", "for_each_bit_range",
-    "rank_range_split", "visit_each_bit", "compress", "compress_by_source",
+    "rank_range_split", "visit_each_bit", "visit_each_bit_range", "compress", "compress_by_source",
     "decompress", "find_interval_end", "find_interval_start",
     "interval_enumerator", "intervals", "is_interval", "kleene",
     "random_subset",

@@ -76,3 +76,15 @@ def or_kleene_inplace(v1, k1, v2, k2):
     v1.swap(value)
     k1.swap(known)
     return v1, k1
+
+
+def and_values_kleene(a: int, b: int) -> int:
+    """Kleene AND on scalar values -1/0/1 = false/unknown/true (reference
+    and_values_kleene, src/bm3vl.h:271)."""
+    return min(int(a), int(b))
+
+
+def or_values_kleene(a: int, b: int) -> int:
+    """Kleene OR on scalar values (reference or_values_kleene,
+    src/bm3vl.h:311)."""
+    return max(int(a), int(b))

@@ -35,6 +35,11 @@ def visit_each_bit(bv: BitVector, fn):
     for_each_bit(bv, fn)
 
 
+def visit_each_bit_range(bv: BitVector, lo, hi, fn):
+    """Callback-style visit of [lo, hi] (src/bmalgo.h:354)."""
+    for_each_bit_range(bv, lo, hi, fn)
+
+
 def rank_range_split(bv: BitVector, rank_per_part: int) -> list:
     """Split [0, size) into consecutive ranges each holding approximately
     ``rank_per_part`` set bits (reference rank_range_split,

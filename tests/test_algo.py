@@ -153,3 +153,20 @@ def test_random_subset(rng):
     sub2 = algo.random_subset(bv, 10**9, seed=7)
     assert sub2.equal(bv)                  # n >= total -> whole set
     assert algo.random_subset(bv, 0).none()
+
+
+def test_kleene_value_tables_and_visit_range(rng):
+    from bitmagic_tpu.algo.kleene import and_values_kleene, or_values_kleene
+    from bitmagic_tpu.algo.traversal import visit_each_bit_range
+    for a in (-1, 0, 1):
+        for b in (-1, 0, 1):
+            wa = -1 if (a == -1 or b == -1) else \
+                (1 if (a == 1 and b == 1) else 0)
+            wo = 1 if (a == 1 or b == 1) else \
+                (-1 if (a == -1 and b == -1) else 0)
+            assert and_values_kleene(a, b) == wa
+            assert or_values_kleene(a, b) == wo
+    bv = BitVector.from_indices([5, 50, 500, 5000], 10_000)
+    seen = []
+    visit_each_bit_range(bv, 10, 600, seen.append)
+    assert seen == [50, 500]
