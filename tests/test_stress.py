@@ -27,7 +27,7 @@ def test_stress_random_ops(seed):
     g = GoldenBitSet(SIZE)
     others = []
     for step in range(N_STEPS):
-        op = rng.integers(0, 10)
+        op = rng.integers(0, 13)
         if op == 0:       # bulk set
             ids = random_indices(rng, SIZE, 0.01)
             bv.set_many(ids); g.bits[ids] = True
@@ -65,12 +65,28 @@ def test_stress_random_ops(seed):
             else:
                 bv.shift_left()
                 nb_ = np.zeros(SIZE, bool); nb_[:-1] = g.bits[1:]; g.bits = nb_
-        else:             # rank/select spot checks
+        elif op == 9:     # rank/select spot checks
             if g.count():
                 i = int(rng.integers(0, SIZE))
                 assert bv.count_to(i) == g.count_to(i)
                 r = int(rng.integers(1, g.count() + 1))
                 assert bv.select(r) == g.select(r)
+        elif op == 10:    # clear_range + single-bit flip
+            lo = int(rng.integers(0, SIZE)); hi = int(rng.integers(lo, SIZE))
+            bv.clear_range(lo, hi); g.set_range(lo, hi, False)
+            i = int(rng.integers(0, SIZE))
+            bv.flip(i); g.set(i, not g.bits[i])
+        elif op == 11:    # REFERENCE-format round-trip mid-stream
+            from bitmagic_tpu.serial import refcodec
+            level = int(rng.integers(0, 7))
+            bv = refcodec.ref_deserialize(refcodec.ref_serialize(bv, level))
+            bv.resize(SIZE)
+        else:             # range predicates vs golden
+            lo = int(rng.integers(0, SIZE)); hi = int(rng.integers(lo, SIZE))
+            assert bv.any_range(lo, hi) == bool(g.bits[lo:hi + 1].any())
+            assert bv.is_all_one_range(lo, hi) == bool(
+                g.bits[lo:hi + 1].all())
+            assert bv.count_range(lo, hi) == int(g.bits[lo:hi + 1].sum())
         if step % 10 == 9:
             check(bv, g, step)
     check(bv, g, "final")
