@@ -39,3 +39,16 @@ def test_tool_demo_runs(name):
                          capture_output=True, text=True, timeout=600)
     assert res.returncode == 0, res.stderr[-2000:]
     assert res.stdout.strip()
+
+
+def test_multihost_check_two_processes():
+    """Cross-process (DCN-analog) collectives: 2 jax.distributed processes
+    over Gloo run the sharded scan / pipeline / popcount programs."""
+    path = os.path.join(os.path.dirname(__file__), "..", "tools",
+                        "multihost_check.py")
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    res = subprocess.run([sys.executable, path, "2"], env=env,
+                         capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "multihost OK" in res.stdout

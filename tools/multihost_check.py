@@ -1,0 +1,105 @@
+"""Multi-HOST (multi-process) scaling validation.
+
+The virtual-mesh checks (tools/scaling_check.py) validate sharding inside
+one process; this harness validates the CROSS-HOST path: N separate
+processes, each owning 4 local CPU devices, joined through
+jax.distributed into one global mesh.  Collectives cross process
+boundaries over Gloo/TCP — the DCN analog available in this environment
+(real multi-host TPU is not reachable; see BASELINE.md).  The programs
+under test are the library's own: the sharded scan, the bulk-search
+pipeline, and the global popcount reduction.
+
+Run:  python tools/multihost_check.py [n_processes]
+"""
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+PORT = 9917
+
+
+def worker(pid: int, n_proc: int):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=4")
+    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{PORT}",
+                               num_processes=n_proc, process_id=pid)
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import multihost_utils
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    sys.path.insert(0, os.path.join(HERE, ".."))
+    from bitmagic_tpu.parallel.mesh import BLOCK_AXIS
+    from bitmagic_tpu.parallel.sharded import (pipeline_counts_program,
+                                               scan_throughput_program)
+
+    n_global = jax.device_count()
+    n_local = jax.local_device_count()
+    mesh = Mesh(np.asarray(jax.devices()), (BLOCK_AXIS,))
+    n_planes, blocks_per_dev = 16, 2
+    nblk = blocks_per_dev * n_global
+
+    # identical seed everywhere: every process KNOWS the global content, so
+    # each can verify the collective results independently
+    rng = np.random.default_rng(7)
+    planes_global = rng.integers(0, 2**32, (n_planes, nblk, 2048),
+                                 dtype=np.uint64).astype(np.uint32)
+    lo = pid * n_local * blocks_per_dev
+    hi = lo + n_local * blocks_per_dev
+    planes = multihost_utils.host_local_array_to_global_array(
+        planes_global[:, lo:hi], mesh, P(None, BLOCK_AXIS, None))
+
+    # 1. global popcount (psum over ICI+DCN)
+    total = jax.jit(lambda p: jnp.sum(jax.lax.population_count(p[0]),
+                                      dtype=jnp.int64), out_shardings=None)(
+        planes)
+    want = int(np.unpackbits(planes_global[0].view(np.uint8)).sum())
+    assert int(total) == want, (int(total), want)
+
+    # 2. sharded scan (fused AND-SUB + global count)
+    scan, _ = scan_throughput_program(mesh, n_planes, blocks_per_dev *
+                                      (n_global // max(n_global, 1)))
+    t0 = time.perf_counter()
+    hits = scan(planes, jnp.uint32(123))
+    hits.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    # 3. bulk-search pipeline (per-shard sweep + psum)
+    sels = np.zeros((8, n_planes), np.int32)
+    sels[:, 0] = 1
+    sels[:, 1] = [-1, 0, 1, -1, 0, 1, -1, 0]
+    counts = np.asarray(pipeline_counts_program(mesh)(planes,
+                                                      jnp.asarray(sels)))
+    acc = planes_global[0].copy()
+    acc &= ~planes_global[1]
+    want0 = int(np.unpackbits(acc.view(np.uint8)).sum())
+    assert int(counts[0]) == want0, (int(counts[0]), want0)
+
+    if pid == 0:
+        print(f"multihost OK: {n_proc} processes x {n_local} devices = "
+              f"{n_global} global; popcount/psum, scan ({dt * 1e3:.1f} ms), "
+              f"8-query pipeline all verified cross-host", flush=True)
+
+
+def main():
+    if len(sys.argv) >= 3 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]), int(sys.argv[3]))
+        return 0
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--worker", str(i),
+         str(n)], env=env) for i in range(n)]
+    rc = 0
+    for p in procs:
+        rc |= p.wait()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
