@@ -294,7 +294,7 @@ class Aggregator:
         from ..ops.pallas_kernels import pipeline_counts
         if not config.pallas_enabled():
             return None
-        from .arena import OperandArena
+        from .arena import OperandArena, build_dense_stack
         operands = []
         index_of = {}
         for and_g, sub_g in norm:
@@ -302,34 +302,24 @@ class Aggregator:
                 if id(v) not in index_of:
                     index_of[id(v)] = len(operands)
                     operands.append(v)
-        arena = OperandArena(operands)
-        nb_union = np.unique(np.concatenate(
-            [v._struct.nb for v in operands] or [np.zeros(0, np.int64)]))
-        if nb_union.size == 0:
+        planes = build_dense_stack(OperandArena(operands))
+        if planes is None:
             return None
-        pool = arena.pool
-        zero_row = int(pool.shape[0])
-        ones_row = zero_row + 1
-        aug = jnp.concatenate([
-            pool if pool.shape[0] else
-            jnp.zeros((0, C.SET_BLOCK_SIZE), jnp.uint32),
-            jnp.zeros((1, C.SET_BLOCK_SIZE), jnp.uint32),
-            jnp.full((1, C.SET_BLOCK_SIZE), 0xFFFFFFFF, jnp.uint32),
-        ], axis=0)
-        slot_tab = np.empty((len(operands), nb_union.size), np.int64)
-        for k in range(len(operands)):
-            s = arena.slot_row(k, nb_union, full_as=ones_row)
-            slot_tab[k] = np.where(s < 0, zero_row, s)
-        planes = jnp.take(
-            aug, jnp.asarray(slot_tab.reshape(-1)),
-            axis=0).reshape(len(operands), nb_union.size, C.SET_BLOCK_SIZE)
         sels = np.zeros((len(norm), len(operands)), np.int32)
+        forced_zero = np.zeros(len(norm), bool)
         for i, (and_g, sub_g) in enumerate(norm):
             for v in and_g:
                 sels[i, index_of[id(v)]] = 1
             for v in sub_g:
-                sels[i, index_of[id(v)]] = -1
-        return np.asarray(pipeline_counts(planes, jnp.asarray(sels)))
+                k = index_of[id(v)]
+                if sels[i, k] == 1:
+                    # same vector ANDed and subtracted: x & ~x == 0 —
+                    # the selector can hold only one role per operand
+                    forced_zero[i] = True
+                sels[i, k] = -1
+        counts = np.array(pipeline_counts(planes, jnp.asarray(sels)))
+        counts[forced_zero] = 0
+        return counts
 
 
 def _assemble(nb, full_mask, kern_nb, pool, size):

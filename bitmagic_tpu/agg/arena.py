@@ -54,3 +54,30 @@ class OperandArena:
 
     def slots_matrix(self, indices, blocklist) -> np.ndarray:
         return np.stack([self.slot_row(i, blocklist, -1) for i in indices])
+
+
+def build_dense_stack(arena: OperandArena):
+    """[K, nb_union, 2048] dense operand stack over the union of all block
+    ids, with synthetic zero/ones rows standing in for absent/FULL blocks
+    — the shared input layout of the batched pipeline kernels.  Returns
+    None when no operand holds any payload."""
+    K = len(arena.vectors)
+    nb_union = np.unique(np.concatenate(
+        [v._struct.nb for v in arena.vectors] or [np.zeros(0, np.int64)]))
+    if nb_union.size == 0:
+        return None
+    pool = arena.pool
+    zero_row = int(pool.shape[0])
+    ones_row = zero_row + 1
+    aug = jnp.concatenate([
+        pool if pool.shape[0] else
+        jnp.zeros((0, C.SET_BLOCK_SIZE), jnp.uint32),
+        jnp.zeros((1, C.SET_BLOCK_SIZE), jnp.uint32),
+        jnp.full((1, C.SET_BLOCK_SIZE), 0xFFFFFFFF, jnp.uint32),
+    ], axis=0)
+    slot_tab = np.empty((K, nb_union.size), np.int64)
+    for k in range(K):
+        s = arena.slot_row(k, nb_union, full_as=ones_row)
+        slot_tab[k] = np.where(s < 0, zero_row, s)
+    return jnp.take(aug, jnp.asarray(slot_tab.reshape(-1)),
+                    axis=0).reshape(K, nb_union.size, C.SET_BLOCK_SIZE)

@@ -258,6 +258,7 @@ def _serialize_matrix(rows: dict[int, BitVector], n_rows: int, size: int,
             ser_i = RefSerializer(
                 level, ref_vectors=[(j, clamped[j]) for j in higher])
             ser_i._ref_maps = {j: maps[j] for j in higher}
+            ser_i._ref_maps_injected = True
         else:
             ser_i = ser
         offsets[i] = len(w.parts)

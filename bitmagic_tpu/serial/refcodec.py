@@ -1488,9 +1488,15 @@ class RefSerializer:
         # must match the ids the decode side registers in ITS collection.
         self.ref_vectors = list(ref_vectors or [])
         self._ref_maps = None
+        self._ref_maps_injected = False   # set by callers pre-seeding maps
 
     def serialize(self, bv) -> bytes:
         bv._flush()
+        if not self._ref_maps_injected:
+            # re-snapshot the reference collection: a cached map would emit
+            # XOR records against stale blocks if a ref vector was mutated
+            # between serialize() calls
+            self._ref_maps = None
         from ..ops import blockops
         w = _ByteWriter()
         size = int(bv.size)
@@ -1576,8 +1582,10 @@ class RefSerializer:
                 continue
             if bc == BITS:
                 self._put_one_run(w, 1)
-            elif not self._try_xor(w, nb, pool[s], bc):
-                self._encode_block(w, pool[s], bc)
+            else:
+                est = self._block_estimate(pool[s], bc)
+                if not self._try_xor(w, nb, pool[s], bc, est):
+                    self._encode_block(w, pool[s], bc, est)
             cur = nb + 1
             k += 1
         w.put_8(BLOCK_END)
@@ -1633,9 +1641,11 @@ class RefSerializer:
         else:
             w.put_8(BLOCK_64ONE); w.put_64(n)
 
-    def _encode_block(self, w, words, bc):
-        tag = self._block_estimate(words, bc)[1]
-        w.parts += self._block_payload(tag, words, bc)
+    def _encode_block(self, w, words, bc, est=None):
+        if est is None:
+            est = self._block_estimate(words, bc)
+        _, tag, start, boundaries = est
+        w.parts += self._block_payload(tag, words, bc, start, boundaries)
         self._stat(tag)
 
     # -- XOR similarity filter ---------------------------------------------
@@ -1645,14 +1655,17 @@ class RefSerializer:
                               for r, bv in self.ref_vectors}
         return self._ref_maps[int(row_id)].get(int(nb))
 
-    def _try_xor(self, w, nb, words, bc):
+    def _try_xor(self, w, nb, words, bc, est=None):
         """Emit a ref_eq / xor_ref record when a reference-collection block
         makes the target cheaper (bm::xor_scanner::search_best_xor_mask,
         src/bmxor.h:819: per-wave gain selection -> digest mask).  Returns
         True when an XOR record replaced the plain encoding."""
         if not self.ref_vectors or self.level < 5:
             return False
-        plain_cost = self._block_estimate(words, bc)[0]
+        if est is None:
+            est = self._block_estimate(words, bc)
+        plain_cost = est[0]
+        pt = None                        # target wave popcounts, computed once
         best = None                      # (cost, row_id, d64 or None=eq, res)
         for row_id, _bv in self.ref_vectors:
             ref = self._ref_block(row_id, nb)
@@ -1665,7 +1678,8 @@ class RefSerializer:
                     best = (5, int(row_id), None, None)
                 continue
             xw = words ^ refw
-            pt = _wave_popcounts(words)
+            if pt is None:
+                pt = _wave_popcounts(words)
             px = _wave_popcounts(xw)
             gain = px < pt
             if not gain.any():
@@ -1723,7 +1737,7 @@ class RefSerializer:
         ~3.75 heuristic as src/bmserial.h:139-152)."""
         level = self.level
         if bc == 1:
-            return 3, "bit_1bit"
+            return 3, "bit_1bit", 0, None
         ibc = BITS - bc
         start, boundaries = _gap_boundaries_from_words(words)
         L = len(boundaries)
@@ -1767,16 +1781,17 @@ class RefSerializer:
                 hdr = 3 + (1 if min_v < 256 else 2) + (1 if tail < 256 else 2)
                 est.append((hdr + int((L - 3) * 3.75) // 8, "gap_bienc_v2"))
         est.sort()
-        return est[0]
+        return est[0] + (start, boundaries)
 
-    def _block_payload(self, tag, words, bc):
+    def _block_payload(self, tag, words, bc, start=None, boundaries=None):
         if tag == "bit_1bit":
             pos = int(_positions_from_words(words)[0])
             w = _ByteWriter()
             w.put_8(BLOCK_BIT_1BIT)
             w.put_16(pos)
             return w.get_bytes()
-        start, boundaries = _gap_boundaries_from_words(words)
+        if boundaries is None and tag.startswith("gap"):
+            start, boundaries = _gap_boundaries_from_words(words)
         if tag == "bit":
             return self._enc_raw(words)
         if tag == "arrbit":

@@ -467,34 +467,13 @@ class _PreparedPipeline:
     the slice -> operand mapping (scanner.prepare_pipeline)."""
 
     def __init__(self, sc, sv, arena, pos_of):
-        import jax.numpy as jnp
+        from ..agg.arena import build_dense_stack
         self.sc = sc
         self.sv = sv
         self.pos_of = pos_of
         self.K = len(arena.vectors)
-        self.ok = False
-        nb_union = np.unique(np.concatenate(
-            [v._struct.nb for v in arena.vectors] or
-            [np.zeros(0, np.int64)]))
-        if nb_union.size == 0:
-            return
-        pool = arena.pool
-        zero_row = pool.shape[0]
-        ones_row = pool.shape[0] + 1
-        aug = jnp.concatenate([
-            pool if pool.shape[0] else
-            jnp.zeros((0, C.SET_BLOCK_SIZE), jnp.uint32),
-            jnp.zeros((1, C.SET_BLOCK_SIZE), jnp.uint32),
-            jnp.full((1, C.SET_BLOCK_SIZE), 0xFFFFFFFF, jnp.uint32),
-        ], axis=0)
-        slot_tab = np.empty((self.K, nb_union.size), np.int64)
-        for k in range(self.K):
-            s = arena.slot_row(k, nb_union, full_as=ones_row)
-            slot_tab[k] = np.where(s < 0, zero_row, s)
-        self.planes = jnp.take(
-            aug, jnp.asarray(slot_tab.reshape(-1)),
-            axis=0).reshape(self.K, nb_union.size, C.SET_BLOCK_SIZE)
-        self.ok = True
+        self.planes = build_dense_stack(arena)
+        self.ok = self.planes is not None
 
     def counts(self, values) -> list:
         """Hit counts per value — ONE device call for the whole batch."""
@@ -617,29 +596,9 @@ class _PreparedStrPipeline:
 
 
 def _build_dense_stack(arena):
-    """[K, nb_union, 2048] dense operand stack (zero/one synthetic rows for
-    absent/FULL blocks), or None when there is no payload."""
-    import jax.numpy as jnp
-    K = len(arena.vectors)
-    nb_union = np.unique(np.concatenate(
-        [v._struct.nb for v in arena.vectors] or [np.zeros(0, np.int64)]))
-    if nb_union.size == 0:
-        return None
-    pool = arena.pool
-    zero_row = pool.shape[0]
-    ones_row = pool.shape[0] + 1
-    aug = jnp.concatenate([
-        pool if pool.shape[0] else
-        jnp.zeros((0, C.SET_BLOCK_SIZE), jnp.uint32),
-        jnp.zeros((1, C.SET_BLOCK_SIZE), jnp.uint32),
-        jnp.full((1, C.SET_BLOCK_SIZE), 0xFFFFFFFF, jnp.uint32),
-    ], axis=0)
-    slot_tab = np.empty((K, nb_union.size), np.int64)
-    for k in range(K):
-        s = arena.slot_row(k, nb_union, full_as=ones_row)
-        slot_tab[k] = np.where(s < 0, zero_row, s)
-    return jnp.take(aug, jnp.asarray(slot_tab.reshape(-1)),
-                    axis=0).reshape(K, nb_union.size, C.SET_BLOCK_SIZE)
+    """Shared dense-stack layout (see agg.arena.build_dense_stack)."""
+    from ..agg.arena import build_dense_stack
+    return build_dense_stack(arena)
 
 
 def _prepare_pipeline_str(self, ssv):

@@ -131,6 +131,7 @@ def test_many_vectors(rng):
 
 def test_pipeline_counts_fused_matches_loop(rng):
     from bitmagic_tpu.agg.aggregator import AggOptions, Aggregator
+    from bitmagic_tpu.config import config
     size = 3_000_000
     vecs = [BitVector.from_indices(
         np.unique(rng.integers(0, size, 5000)), size) for _ in range(12)]
@@ -141,8 +142,18 @@ def test_pipeline_counts_fused_matches_loop(rng):
         sub_g = [vecs[i] for i in rng.choice(12, rng.integers(0, 3),
                                              replace=False)]
         reqs.append((and_g, list(sub_g)))
+    # same vector ANDed and subtracted: the fused selector can hold only
+    # one role per operand; the result must still be the correct 0
+    reqs.append(([vecs[0], vecs[1]], [vecs[0]]))
     agg = Aggregator()
-    fused = agg.pipeline(reqs, AggOptions(compute_counts=True,
-                                          make_results=False))
+    # force the FUSED path (interpret-mode kernel) — on the CPU test mesh
+    # pallas is off by default, which would silently test loop-vs-loop
+    config.use_pallas = True
+    try:
+        fused = agg.pipeline(reqs, AggOptions(compute_counts=True,
+                                              make_results=False))
+    finally:
+        config.use_pallas = None
     loop = [agg.combine_and_sub(a, s).count() for a, s in reqs]
     assert [e["count"] for e in fused] == loop
+    assert fused[-1]["count"] == 0

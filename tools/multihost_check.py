@@ -61,8 +61,7 @@ def worker(pid: int, n_proc: int):
     assert int(total) == want, (int(total), want)
 
     # 2. sharded scan (fused AND-SUB + global count)
-    scan, _ = scan_throughput_program(mesh, n_planes, blocks_per_dev *
-                                      (n_global // max(n_global, 1)))
+    scan, _ = scan_throughput_program(mesh, n_planes, blocks_per_dev)
     t0 = time.perf_counter()
     hits = scan(planes, jnp.uint32(123))
     hits.block_until_ready()
