@@ -56,7 +56,11 @@ def _in_wave_descent(words, rem):
     1024-bit wave.  The word cumsum runs as a [Q,32]@[32,32] MXU matmul
     (exact in f32: values <= 65536 < 2^24) and the word pick as masked
     sums — both avoid the row-wise scan/gather ops that serialize on the
-    VPU (3x measured vs cumsum + take_along_axis)."""
+    VPU (3x measured vs cumsum + take_along_axis).  A fused Pallas tile
+    kernel for this stage was tried and measured SLOWER (22.8 vs 19 ms
+    per 1M queries end-to-end): the wave gather outside dominates and the
+    per-tile [1024,32]@[32,32] MXU dot under-utilizes — keep the XLA
+    formulation."""
     iota, tri = _wave_consts()
     pc = jax.lax.population_count(words).astype(_I32)
     cum = jnp.dot(pc.astype(jnp.float32), tri,
