@@ -16,6 +16,9 @@ import sys
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+if os.environ.get("BMTPU_PLATFORM"):        # e.g. BMTPU_PLATFORM=cpu
+    import jax as _jax
+    _jax.config.update("jax_platforms", os.environ["BMTPU_PLATFORM"])
 import bitmagic_tpu as bm  # noqa: E402
 from bitmagic_tpu.serial import (ref_serialize, ref_deserialize,
                                  serialize_sv_blob, deserialize_sv_blob,
