@@ -31,7 +31,7 @@ import numpy as np
 
 from .. import constants as C
 from ..core.bitvector import BitVector
-from ..core.blocks import Structure, gather_operand
+from ..core.blocks import Structure, gather_operand, operand_args
 
 _I64 = np.int64
 
@@ -63,16 +63,17 @@ def _or_blocklist(structs):
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def _agg_kernel(n_and, n_sub, *args):
-    """args = [pool, slot, full] * (n_and + n_sub) aligned on the same block
-    work-list.  Computes AND(and rows) & ~OR(sub rows) in one fused pass."""
-    ops = [args[i * 3:i * 3 + 3] for i in range(n_and + n_sub)]
+    """args = [pool, slot, full, aux, aux_slot] * (n_and + n_sub) aligned on
+    the same block work-list.  Computes AND(and rows) & ~OR(sub rows) in one
+    fused pass."""
+    ops = [args[i * 5:i * 5 + 5] for i in range(n_and + n_sub)]
     acc = None
-    for pool, slot, full in ops[:n_and]:
-        rows = gather_operand(pool, slot, full)
+    for op in ops[:n_and]:
+        rows = gather_operand(*op)
         acc = rows if acc is None else (acc & rows)
     sub = None
-    for pool, slot, full in ops[n_and:]:
-        rows = gather_operand(pool, slot, full)
+    for op in ops[n_and:]:
+        rows = gather_operand(*op)
         sub = rows if sub is None else (sub | rows)
     if acc is None:                  # pure OR aggregation passed via sub
         return sub
@@ -84,8 +85,7 @@ def _agg_kernel(n_and, n_sub, *args):
 def _operand_args(vectors, blocklist):
     args = []
     for v in vectors:
-        st, slot = v._struct.lookup(blocklist)
-        args.extend([v._pool, jnp.asarray(slot), jnp.asarray(st == 1)])
+        args.extend(operand_args(v, blocklist))
     return args
 
 

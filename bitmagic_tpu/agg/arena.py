@@ -32,13 +32,23 @@ class OperandArena:
             v._flush()
         self.vectors = list(vectors)
         pools = [v._pool for v in self.vectors if v._pool.shape[0]]
-        self.pool = (jnp.concatenate(pools, axis=0) if pools
-                     else blockops.zero_pool(0))
         self.row_offset = []
         off = 0
         for v in self.vectors:
             self.row_offset.append(off)
             off += int(v._pool.shape[0])
+        # GAP blocks expand into extra arena rows (non-mutating: the owning
+        # vectors keep their succinct host residency)
+        self.gap_offset = []
+        gap_parts = []
+        for v in self.vectors:
+            self.gap_offset.append(off)
+            if v._gaps is not None and v._gaps.n_blocks:
+                gap_parts.append(jnp.asarray(v._gaps.to_dense()))
+                off += v._gaps.n_blocks
+        parts = pools + gap_parts
+        self.pool = (jnp.concatenate(parts, axis=0) if parts
+                     else blockops.zero_pool(0))
 
     def slot_row(self, vector_index: int, blocklist: np.ndarray,
                  full_as: int) -> np.ndarray:
@@ -48,6 +58,7 @@ class OperandArena:
         v = self.vectors[vector_index]
         st, slot = v._struct.lookup(blocklist)
         out = np.where(st == 2, slot + self.row_offset[vector_index], -1)
+        out = np.where(st == 3, slot + self.gap_offset[vector_index], out)
         if full_as >= 0:
             out = np.where(st == 1, full_as, out)
         return out.astype(np.int32)

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import constants as C
-from ..core.blocks import gather_operand
+from ..core.blocks import gather_operand, operand_args
 from ..core.bitvector import BitVector
 
 _I32 = jnp.int32
@@ -37,12 +37,13 @@ _METRICS = (COUNT_AND, COUNT_XOR, COUNT_OR, COUNT_SUB_AB, COUNT_SUB_BA,
 
 
 @functools.partial(jax.jit, static_argnums=0)
-def _metric_kernel(metrics, pa, a_slot, a_full, pb, b_slot, b_full):
+def _metric_kernel(metrics, pa, a_slot, a_full, a_aux, a_aux_slot,
+                   pb, b_slot, b_full, b_aux, b_aux_slot):
     """One fused pass computing all requested popcount metrics over aligned
     operand rows (the TPU analog of combine_count_operation_with_block,
     src/bmalgo_impl.h:406)."""
-    a = gather_operand(pa, a_slot, a_full)
-    b = gather_operand(pb, b_slot, b_full)
+    a = gather_operand(pa, a_slot, a_full, a_aux, a_aux_slot)
+    b = gather_operand(pb, b_slot, b_full, b_aux, b_aux_slot)
     # per-block int32 partials; the (possibly >2^31) total is host math
     pc = lambda x: jnp.sum(jax.lax.population_count(x).astype(_I32), axis=-1)
     out = []
@@ -80,7 +81,8 @@ def distance_operation(a: BitVector, b: BitVector, metrics) -> dict:
     cand = np.union1d(a._struct.nb, b._struct.nb)
     st_a, _ = a._struct.lookup(cand)
     st_b, _ = b._struct.lookup(cand)
-    sym = (st_a != 2) & (st_b != 2)      # neither side is a BIT row
+    # symbolic blocks: both sides ZERO or FULL (BIT and GAP rows need data)
+    sym = (st_a <= 1) & (st_b <= 1)
     sym_counts = {m: 0 for m in metrics}
     n_ff = int(((st_a == 1) & (st_b == 1) & sym).sum())
     n_fz = int(((st_a == 1) & (st_b == 0) & sym).sum())
@@ -100,12 +102,9 @@ def distance_operation(a: BitVector, b: BitVector, metrics) -> dict:
     # kernel part: rows where at least one side is a BIT row
     kern = ~sym
     if kern.any():
-        st_a2, sl_a2 = a._struct.lookup(cand[kern])
-        st_b2, sl_b2 = b._struct.lookup(cand[kern])
         per_block = np.asarray(_metric_kernel(
             tuple(metrics),
-            a._pool, jnp.asarray(sl_a2.astype(np.int32)), jnp.asarray(st_a2 == 1),
-            b._pool, jnp.asarray(sl_b2.astype(np.int32)), jnp.asarray(st_b2 == 1)))
+            *operand_args(a, cand[kern]), *operand_args(b, cand[kern])))
         vals = per_block.astype(np.int64).sum(axis=1)
     else:
         vals = np.zeros(len(metrics), np.int64)

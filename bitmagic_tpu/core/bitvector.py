@@ -30,15 +30,18 @@ import numpy as np
 from .. import constants as C
 from ..config import config
 from ..ops import blockops
-from .blocks import Structure, gather_operand, plan_binary
+from .blocks import (Structure, expand_gap_operand, gather_operand,
+                     operand_args, plan_binary)
+from .gapstore import GapStore
 
 _I64 = np.int64
 
 
 @functools.partial(jax.jit, static_argnums=0)
-def _binary_kernel(op, pa, a_slot, a_full, pb, b_slot, b_full):
-    ka = gather_operand(pa, a_slot, a_full)
-    kb = gather_operand(pb, b_slot, b_full)
+def _binary_kernel(op, pa, a_slot, a_full, a_aux, a_aux_slot,
+                   pb, b_slot, b_full, b_aux, b_aux_slot):
+    ka = gather_operand(pa, a_slot, a_full, a_aux, a_aux_slot)
+    kb = gather_operand(pb, b_slot, b_full, b_aux, b_aux_slot)
     return blockops.logical_op(op, ka, kb)
 
 
@@ -57,10 +60,10 @@ class BitVector:
         self._size = int(size)
         self._struct = Structure.empty()
         self._pool = blockops.zero_pool(0)
+        self._gaps = None         # GapStore for CLS_GAP entries (nb order)
         self._staged: dict[int, bool] = {}
         self._ro = False
         self._rs = None           # cached RSIndex
-        self._gap_stat = None     # optimize() GAP classification cache
         self._glevel = tuple(config.gap_levels)
         self.strategy = strategy
 
@@ -68,15 +71,15 @@ class BitVector:
     # construction
     # ------------------------------------------------------------------
     @classmethod
-    def _from_parts(cls, struct: Structure, pool, size: int):
+    def _from_parts(cls, struct: Structure, pool, size: int, gaps=None):
         bv = cls.__new__(cls)
         bv._size = int(size)
         bv._struct = struct
         bv._pool = pool
+        bv._gaps = gaps
         bv._staged = {}
         bv._ro = False
         bv._rs = None
-        bv._gap_stat = None
         bv._glevel = tuple(config.gap_levels)
         bv.strategy = C.BM_BIT
         return bv
@@ -118,7 +121,7 @@ class BitVector:
         self._flush()
         return BitVector._from_parts(
             Structure(self._struct.nb.copy(), self._struct.cls.copy()),
-            self._pool, self._size)
+            self._pool, self._size, self._gaps)
 
     # ------------------------------------------------------------------
     # size management (reference resize src/bm.h:1306)
@@ -157,6 +160,10 @@ class BitVector:
             if self._struct.cls[pos] == C.CLS_FULL:
                 # demote FULL tail block to masked BIT
                 self._materialize_block(pos)
+            elif self._struct.cls[pos] == C.CLS_GAP:
+                sel = np.zeros(len(self._struct.nb), bool)
+                sel[pos] = True
+                self._deoptimize_gaps(sel)
             slot = int(self._struct.slots()[pos])
             row = self._pool[slot] & jnp.asarray(m)
             self._pool = self._pool.at[slot].set(row)
@@ -168,6 +175,10 @@ class BitVector:
         rows = slots[bit_keep]
         self._pool = (jnp.take(self._pool, jnp.asarray(rows), axis=0)
                       if rows.size else blockops.zero_pool(0))
+        if self._gaps is not None:
+            gkeep = self._struct.gslots()[
+                keep_mask & (self._struct.cls == C.CLS_GAP)]
+            self._gaps = self._gaps.subset(gkeep) if gkeep.size else None
         self._struct = Structure(self._struct.nb[keep_mask].copy(),
                                  self._struct.cls[keep_mask].copy())
 
@@ -183,6 +194,80 @@ class BitVector:
         self._struct.cls[pos] = C.CLS_BIT
 
     # ------------------------------------------------------------------
+    # GAP residency helpers
+    # ------------------------------------------------------------------
+    def _gap_bc(self) -> np.ndarray:
+        """Set-bit count per GAP block (store order)."""
+        return (self._gaps.popcounts() if self._gaps is not None
+                else np.zeros(0, _I64))
+
+    def _deoptimize_gaps(self, sel=None):
+        """Convert GAP blocks back to dense pool rows in place — content
+        preserved, succinct residency dropped (deoptimize_block analog,
+        src/bmblocks.h:1574).  ``sel``: bool mask over metadata entries to
+        restrict conversion (None = all GAP blocks).  Representation-only,
+        so it is allowed on frozen vectors."""
+        if self._gaps is None:
+            return
+        is_gap = self._struct.cls == C.CLS_GAP
+        conv = is_gap if sel is None else (is_gap & sel)
+        if not conv.any():
+            return
+        gslots = self._struct.gslots()
+        rows_np = self._gaps.to_dense(gslots[conv])
+        # interleave: new pool order follows nb order of BIT + converted GAP
+        new_bit = (self._struct.cls == C.CLS_BIT) | conv
+        src = np.empty(int(new_bit.sum()), _I64)
+        old_slots = self._struct.slots()
+        n_pool = int(self._pool.shape[0])
+        was_bit = (self._struct.cls == C.CLS_BIT)[new_bit]
+        src[was_bit] = old_slots[self._struct.cls == C.CLS_BIT]
+        conv_order = np.argsort(np.argsort(gslots[conv]))
+        src[~was_bit] = n_pool + conv_order
+        combined = (jnp.concatenate([self._pool, jnp.asarray(rows_np)], axis=0)
+                    if n_pool else jnp.asarray(rows_np))
+        self._pool = jnp.take(combined, jnp.asarray(src), axis=0)
+        keep_gap = is_gap & ~conv
+        self._gaps = (self._gaps.subset(gslots[keep_gap])
+                      if keep_gap.any() else None)
+        new_cls = self._struct.cls.copy()
+        new_cls[conv] = C.CLS_BIT
+        self._struct = Structure(self._struct.nb, new_cls)
+        self._rs = None
+
+    def _block_words_host(self, k: int) -> np.ndarray:
+        """Dense uint32[2048] content of metadata entry k (host copy)."""
+        cls_k = self._struct.cls[k]
+        if cls_k == C.CLS_FULL:
+            return np.full(C.SET_BLOCK_SIZE, 0xFFFFFFFF, np.uint32)
+        if cls_k == C.CLS_GAP:
+            return self._gaps.to_dense(
+                np.asarray([self._struct.gslots()[k]]))[0]
+        return np.asarray(self._pool[int(self._struct.slots()[k])])
+
+    def _dense_snapshot(self):
+        """(nb, cls in {FULL, BIT}, words[n_bit_rows, 2048] host array in nb
+        order) — transient dense view for serializers; GAP blocks expand
+        host-side, the stored representation is untouched."""
+        self._flush()
+        struct = self._struct
+        if self._gaps is None:
+            words = (np.asarray(self._pool) if self._pool.shape[0]
+                     else np.zeros((0, C.SET_BLOCK_SIZE), np.uint32))
+            return struct.nb, struct.cls, words
+        cls2 = np.where(struct.cls == C.CLS_GAP, C.CLS_BIT,
+                        struct.cls).astype(np.uint8)
+        nrows = int((cls2 == C.CLS_BIT).sum())
+        words = np.zeros((nrows, C.SET_BLOCK_SIZE), np.uint32)
+        dst = np.cumsum(cls2 == C.CLS_BIT) - 1
+        bitm = struct.cls == C.CLS_BIT
+        gapm = struct.cls == C.CLS_GAP
+        if bitm.any():
+            words[dst[bitm]] = np.asarray(self._pool)[struct.slots()[bitm]]
+        words[dst[gapm]] = self._gaps.to_dense()
+        return struct.nb, cls2, words
+
+    # ------------------------------------------------------------------
     # single-bit mutation (staged; reference set_bit src/bm.h:1074)
     # ------------------------------------------------------------------
     def _check_writable(self):
@@ -191,7 +276,6 @@ class BitVector:
 
     def _dirty(self):
         self._rs = None
-        self._gap_stat = None
 
     def set(self, i, val: bool = True):
         self._check_writable()
@@ -299,6 +383,7 @@ class BitVector:
         self._staged = {}
         self._struct = Structure.empty()
         self._pool = blockops.zero_pool(0)
+        self._gaps = None
         self._dirty()
         return self
 
@@ -338,6 +423,7 @@ class BitVector:
         """Flip all bits in [0, size) (reference src/bm.h:1837)."""
         self._check_writable()
         self._flush()
+        self._deoptimize_gaps()
         nblk = C.blocks_for_bits(self._size)
         if nblk > (1 << 26):
             raise MemoryError("invert() on an address space this large would "
@@ -368,7 +454,8 @@ class BitVector:
         return self
 
     def swap(self, other: "BitVector"):
-        for attr in ("_size", "_struct", "_pool", "_staged", "_ro", "_rs"):
+        for attr in ("_size", "_struct", "_pool", "_gaps", "_staged",
+                     "_ro", "_rs"):
             a, b = getattr(self, attr), getattr(other, attr)
             setattr(self, attr, b)
             setattr(other, attr, a)
@@ -408,11 +495,17 @@ class BitVector:
             flat = slot[bitq] * C.SET_BLOCK_SIZE + ((ids[bitq] & C.SET_BLOCK_MASK) >> 5)
             words = np.asarray(jnp.take(self._pool.reshape(-1), jnp.asarray(flat)))
             out[bitq] = (words >> (ids[bitq] & 31).astype(np.uint32)) & 1
+        gapq = st == 3
+        if gapq.any():
+            out[gapq] = self._gaps.test_bits(slot[gapq],
+                                             ids[gapq] & C.SET_BLOCK_MASK)
         return out
 
     def any(self) -> bool:
         self._flush()
         if (self._struct.cls == C.CLS_FULL).any():
+            return True
+        if self._gaps is not None and (self._gap_bc() > 0).any():
             return True
         if self._pool.shape[0] == 0:
             return False
@@ -428,6 +521,7 @@ class BitVector:
         """Global popcount (reference src/bm.h:1320)."""
         self._flush()
         full = int((self._struct.cls == C.CLS_FULL).sum()) * C.BITS_PER_BLOCK
+        full += int(self._gap_bc().sum())     # GAP blocks answer on host
         if self._pool.shape[0] == 0:
             return full
         # per-block counts are int32 on device; the 64-bit total is host math
@@ -448,6 +542,14 @@ class BitVector:
         for nb in self._struct.nb[inside & (self._struct.cls == C.CLS_FULL)]:
             base = int(nb) << C.SET_BLOCK_SHIFT
             total += min(hi, base + C.BITS_PER_BLOCK - 1) - max(lo, base) + 1
+        # GAP blocks: host run arithmetic (gap_bit_count_range analog)
+        gapm = inside & (self._struct.cls == C.CLS_GAP)
+        if gapm.any():
+            gsl = self._struct.gslots()[gapm]
+            base = self._struct.nb[gapm].astype(_I64) * C.BITS_PER_BLOCK
+            lo_rel = np.clip(lo - base, 0, C.BITS_PER_BLOCK - 1)
+            hi_rel = np.clip(hi - base, -1, C.BITS_PER_BLOCK - 1)
+            total += int(self._gaps.count_range(gsl, lo_rel, hi_rel).sum())
         # BIT blocks: fused mask+popcount kernel over the touched rows
         bitm = inside & (self._struct.cls == C.CLS_BIT)
         if bitm.any():
@@ -470,7 +572,8 @@ class BitVector:
         inside = (self._struct.nb >= b_lo) & (self._struct.nb <= b_hi)
         if (inside & (self._struct.cls == C.CLS_FULL)).any():
             return True
-        if not (inside & (self._struct.cls == C.CLS_BIT)).any():
+        if not (inside & ((self._struct.cls == C.CLS_BIT)
+                          | (self._struct.cls == C.CLS_GAP))).any():
             return False
         return self.count_range(lo, hi) > 0
 
@@ -511,6 +614,7 @@ class BitVector:
         nbs = self._struct.nb[cand]
         clss = self._struct.cls[cand]
         slots = self._struct.slots()[cand]
+        gslots = self._struct.gslots()[cand]
         # first candidate block that can contain a bit >= frm
         firsts = np.full(nbs.size, -1, _I64)
         bit_rows = clss == C.CLS_BIT
@@ -520,6 +624,12 @@ class BitVector:
             tmp = np.where(ff < C.BITS_PER_BLOCK,
                            (nbs[bit_rows] << C.SET_BLOCK_SHIFT) + ff, -1)
             firsts[bit_rows] = tmp
+        gap_rows = clss == C.CLS_GAP
+        if gap_rows.any():
+            gf = self._gaps.find_in_block(gslots[gap_rows],
+                                          np.zeros(int(gap_rows.sum()), _I64))
+            firsts[gap_rows] = np.where(
+                gf >= 0, (nbs[gap_rows] << C.SET_BLOCK_SHIFT) + gf, -1)
         firsts[clss == C.CLS_FULL] = nbs[clss == C.CLS_FULL] << C.SET_BLOCK_SHIFT
         # handle the partial first block: bits before frm don't count
         for k in range(nbs.size):
@@ -532,8 +642,12 @@ class BitVector:
                 # search within this block from frm
                 if clss[k] == C.CLS_FULL:
                     return frm
-                row = np.asarray(self._pool[int(slots[k])])
-                r = _find_in_row_np(row, frm & C.SET_BLOCK_MASK)
+                if clss[k] == C.CLS_GAP:
+                    r = int(self._gaps.find_in_block(
+                        [gslots[k]], [frm & C.SET_BLOCK_MASK])[0])
+                else:
+                    row = np.asarray(self._pool[int(slots[k])])
+                    r = _find_in_row_np(row, frm & C.SET_BLOCK_MASK)
                 if r >= 0:
                     return (int(nbs[k]) << C.SET_BLOCK_SHIFT) + r
         return -1
@@ -549,6 +663,7 @@ class BitVector:
         nbs = self._struct.nb[cand]
         clss = self._struct.cls[cand]
         slots = self._struct.slots()[cand]
+        gslots = self._struct.gslots()[cand]
         lasts = np.full(nbs.size, -1, _I64)
         bit_rows = clss == C.CLS_BIT
         if bit_rows.any():
@@ -556,6 +671,16 @@ class BitVector:
             fl = np.asarray(blockops.find_last_in_blocks(rows))
             lasts[bit_rows] = np.where(
                 fl >= 0, (nbs[bit_rows] << C.SET_BLOCK_SHIFT) + fl, -1)
+        gap_rows = clss == C.CLS_GAP
+        if gap_rows.any():
+            g = gslots[gap_rows]
+            bc = self._gaps.popcounts()[g]
+            gl = np.full(g.size, -1, _I64)
+            nz = bc > 0
+            if nz.any():
+                gl[nz] = self._gaps.select_in_block(g[nz], bc[nz])
+            lasts[gap_rows] = np.where(
+                gl >= 0, (nbs[gap_rows] << C.SET_BLOCK_SHIFT) + gl, -1)
         fm = clss == C.CLS_FULL
         lasts[fm] = (nbs[fm] << C.SET_BLOCK_SHIFT) + C.BITS_PER_BLOCK - 1
         for k in range(nbs.size - 1, -1, -1):
@@ -567,8 +692,15 @@ class BitVector:
             if nbs[k] == b1:
                 if clss[k] == C.CLS_FULL:
                     return hi
-                row = np.asarray(self._pool[int(slots[k])])
-                r = _find_rev_in_row_np(row, hi & C.SET_BLOCK_MASK)
+                if clss[k] == C.CLS_GAP:
+                    g = gslots[k]
+                    rk = int(self._gaps.rank_in_block(
+                        [g], [hi & C.SET_BLOCK_MASK])[0])
+                    r = (int(self._gaps.select_in_block([g], [rk])[0])
+                         if rk > 0 else -1)
+                else:
+                    row = np.asarray(self._pool[int(slots[k])])
+                    r = _find_rev_in_row_np(row, hi & C.SET_BLOCK_MASK)
                 if r >= 0:
                     return (int(nbs[k]) << C.SET_BLOCK_SHIFT) + r
         return -1
@@ -592,6 +724,7 @@ class BitVector:
     def _adopt(self, res: "BitVector"):
         self._struct = res._struct
         self._pool = res._pool
+        self._gaps = res._gaps
         self._dirty()
 
     def _ior(self, other):
@@ -778,6 +911,12 @@ class BitVector:
         for nb in self._struct.nb[fm]:
             base = int(nb) << C.SET_BLOCK_SHIFT
             out.append(np.arange(base, base + C.BITS_PER_BLOCK, dtype=_I64))
+        if self._gaps is not None:
+            gm = self._struct.cls == C.CLS_GAP
+            gpos = self._gaps.indices_concat(
+                self._struct.nb[gm].astype(_I64) << C.SET_BLOCK_SHIFT)
+            if gpos.size:
+                out.append(gpos)
         if self._pool.shape[0]:
             w = np.ascontiguousarray(np.asarray(self._pool))
             bases = (self._struct.nb[self._struct.cls == C.CLS_BIT]
@@ -820,6 +959,9 @@ class BitVector:
             rows = np.asarray(self._pool)
             nbs = self._struct.nb[self._struct.cls == C.CLS_BIT]
             words[nbs] = rows
+        if self._gaps is not None:
+            gnbs = self._struct.nb[self._struct.cls == C.CLS_GAP]
+            words[gnbs] = self._gaps.to_dense()
         return words
 
     # ------------------------------------------------------------------
@@ -827,13 +969,32 @@ class BitVector:
     # ------------------------------------------------------------------
     def optimize(self, opt_mode: int = C.OPT_COMPRESS, _nb_range=None):
         """Reclassify blocks: free zero blocks, collapse full blocks, and
-        (at opt_compress) classify GAP-compressable blocks exactly as the
-        reference does (optimize, src/bm.h:1942; optimize_bit_block
-        src/bmblocks.h:1414).  The device keeps GAP-classified blocks
-        dense (SURVEY.md §7 decision 3) — the classification drives
-        calc_stat() and the serialized formats."""
+        (at opt_compress) move GAP-compressable dense blocks into the
+        host-resident succinct GAP store — classified exactly as the
+        reference (optimize, src/bm.h:1942; optimize_bit_block
+        src/bmblocks.h:1414; storage set_gap_block src/bmblocks.h:1245).
+        GAP blocks cost run-boundary words on the host and NOTHING in
+        device HBM; ops expand touched blocks transiently."""
         self._check_writable()
         self._flush()
+
+        def _in_range_mask():
+            if _nb_range is None:
+                return np.ones(len(self._struct.nb), bool)
+            return ((self._struct.nb >= _nb_range[0])
+                    & (self._struct.nb <= _nb_range[1]))
+
+        from . import gaps
+        # existing GAP blocks that no longer fit the level table (e.g. after
+        # set_gap_levels) expand back to dense before reclassification
+        if self._gaps is not None:
+            lvl = gaps.gap_calc_level_arr(self._gaps.gap_lens(), self._glevel)
+            bad = lvl < 0
+            if bad.any():
+                gsl = self._struct.gslots()
+                sel = (self._struct.cls == C.CLS_GAP) & _in_range_mask()
+                sel[sel] &= bad[gsl[sel]]
+                self._deoptimize_gaps(sel)
         if self._pool.shape[0] == 0:
             self._dirty()
             return self
@@ -847,11 +1008,8 @@ class BitVector:
             to_full = is_bit & (cnt_all == C.BITS_PER_BLOCK)
         else:
             to_full = np.zeros_like(drop)
-        if _nb_range is not None:
-            in_range = ((self._struct.nb >= _nb_range[0])
-                        & (self._struct.nb <= _nb_range[1]))
-            drop &= in_range
-            to_full &= in_range
+        drop &= _in_range_mask()
+        to_full &= _in_range_mask()
         if drop.any() or to_full.any():
             # Pool rows must be selected with the OLD slot mapping (rows are
             # 1:1 with the old CLS_BIT entries); reclassify to FULL only
@@ -862,20 +1020,45 @@ class BitVector:
                           if row_keep.size else blockops.zero_pool(0))
             new_cls = self._struct.cls.copy()
             new_cls[to_full] = C.CLS_FULL
+            gap_keep = keep & (self._struct.cls == C.CLS_GAP)
+            if self._gaps is not None and not gap_keep[
+                    self._struct.cls == C.CLS_GAP].all():
+                self._gaps = self._gaps.subset(
+                    self._struct.gslots()[gap_keep])
             self._struct = Structure(self._struct.nb[keep].copy(),
                                      new_cls[keep].copy())
         self._dirty()
         if opt_mode >= C.OPT_COMPRESS and self._pool.shape[0]:
-            from . import gaps
             bc = np.asarray(blockops.block_counts(self._pool))
             gc = np.asarray(blockops.gap_counts(self._pool))
             gap_mask, gap_len, gap_level = gaps.classify_blocks(
                 bc, gc, self._glevel)
-            rows = self._struct.slots()[self._struct.cls == C.CLS_BIT]
-            self._gap_stat = {
-                "mask": gap_mask[rows], "len": gap_len[rows],
-                "level": gap_level[rows],
-            }
+            is_bit = self._struct.cls == C.CLS_BIT
+            conv = is_bit.copy()
+            conv[is_bit] = gap_mask[self._struct.slots()[is_bit]]
+            conv &= _in_range_mask()
+            if conv.any():
+                conv_rows = self._struct.slots()[conv]
+                new_store = GapStore.from_dense(
+                    np.asarray(self._pool)[conv_rows])
+                keep_rows = self._struct.slots()[is_bit & ~conv]
+                self._pool = (jnp.take(self._pool, jnp.asarray(keep_rows),
+                                       axis=0)
+                              if keep_rows.size else blockops.zero_pool(0))
+                old_store = self._gaps
+                n_old = old_store.n_blocks if old_store is not None else 0
+                old_gslots = self._struct.gslots()
+                new_cls = self._struct.cls.copy()
+                new_cls[conv] = C.CLS_GAP
+                # merge stores in final nb order: old blocks keep their
+                # index, converted blocks follow at n_old + rank-in-conv
+                src = np.full(len(new_cls), -1, _I64)
+                was_gap = self._struct.cls == C.CLS_GAP
+                src[was_gap] = old_gslots[was_gap]
+                src[conv] = n_old + np.cumsum(conv)[conv] - 1
+                merged = GapStore.concat(old_store, new_store)
+                self._gaps = merged.subset(src[new_cls == C.CLS_GAP])
+                self._struct = Structure(self._struct.nb, new_cls)
         return self
 
     def optimize_range(self, lo, hi, opt_mode: int = C.OPT_COMPRESS):
@@ -902,7 +1085,6 @@ class BitVector:
         if len(tbl) != 4:
             raise ValueError("gap level table must have 4 entries")
         self._glevel = tbl
-        self._gap_stat = None
         return self
 
     def get_gap_levels(self) -> tuple:
@@ -914,12 +1096,11 @@ class BitVector:
         improve_gap_levels src/bmfunc.h:10170)."""
         self._check_writable()
         from . import gaps
-        if self._gap_stat is None:
+        if self._gaps is None:
             self.optimize()
-        st = self._gap_stat
-        if st is None or not st["mask"].any():
+        if self._gaps is None or self._gaps.n_blocks == 0:
             return self
-        lengths = st["len"][st["mask"]]
+        lengths = self._gaps.gap_lens()
         improved, new_tbl = gaps.improve_gap_levels(lengths, self._glevel)
         if improved:
             self.set_gap_levels(new_tbl)
@@ -928,27 +1109,27 @@ class BitVector:
 
     def calc_stat(self) -> dict:
         """Block/memory statistics shaped like the reference bv_statistics
-        (src/bmfunc.h:56; calc_stat src/bm.h:1904).  GAP numbers follow the
-        optimize() classification: a GAP-classified block is counted and
-        cost-modelled as a GAP buffer (capacity by level table) even though
-        the device keeps it dense."""
+        (src/bmfunc.h:56; calc_stat src/bm.h:1904).  GAP blocks are
+        host-resident run buffers; their memory cost follows the reference's
+        capacity-by-level model (gap buffer of glevel[level] words)."""
         self._flush()
-        n_bit_rows = int((self._struct.cls == C.CLS_BIT).sum())
+        from . import gaps
+        n_bit = int((self._struct.cls == C.CLS_BIT).sum())
         n_full = int((self._struct.cls == C.CLS_FULL).sum())
-        st = self._gap_stat
         gaps_by_level = [0, 0, 0, 0]
         gap_mem = gap_cap_overhead = gap_serial = 0
         n_gap = 0
-        if st is not None and st["mask"].any():
-            m = st["mask"]
-            n_gap = int(m.sum())
-            for lv, ln in zip(st["level"][m], st["len"][m]):
-                gaps_by_level[int(lv)] += 1
-                cap = self._glevel[int(lv)]
+        if self._gaps is not None and self._gaps.n_blocks:
+            lens = self._gaps.gap_lens()
+            levels = gaps.gap_calc_level_arr(lens, self._glevel)
+            n_gap = int(lens.size)
+            for lv, ln in zip(levels, lens):
+                lv = max(int(lv), 0)
+                gaps_by_level[lv] += 1
+                cap = self._glevel[lv]
                 gap_mem += cap * 2
                 gap_cap_overhead += (cap - int(ln)) * 2
                 gap_serial += int(ln) * 2 + 3
-        n_bit = n_bit_rows - n_gap
         mem = (self._pool.shape[0] * C.SET_BLOCK_SIZE * 4
                + self._struct.nb.nbytes + self._struct.cls.nbytes)
         max_ser = n_bit * (C.SET_BLOCK_SIZE * 4 + 16) + gap_serial + 64
@@ -957,7 +1138,7 @@ class BitVector:
             "gap_blocks": n_gap,
             "full_blocks": n_full,
             "zero_blocks": C.blocks_for_bits(self._size)
-            - n_bit_rows - n_full,
+            - n_bit - n_gap - n_full,
             "gaps_by_level": gaps_by_level,
             "gap_levels": list(self._glevel),
             "gap_cap_overhead": gap_cap_overhead,
@@ -1113,10 +1294,14 @@ def _binary(a: BitVector, b: BitVector, op: str) -> BitVector:
     b._flush()
     plan = plan_binary(op, a._struct, b._struct)
     if plan.a_slot.size:
+        a_aux, a_aux_slot = expand_gap_operand(a._gaps, plan.a_gap)
+        b_aux, b_aux_slot = expand_gap_operand(b._gaps, plan.b_gap)
         pool = _binary_kernel(
             op,
             a._pool, jnp.asarray(plan.a_slot), jnp.asarray(plan.a_full),
-            b._pool, jnp.asarray(plan.b_slot), jnp.asarray(plan.b_full))
+            jnp.asarray(a_aux), jnp.asarray(a_aux_slot),
+            b._pool, jnp.asarray(plan.b_slot), jnp.asarray(plan.b_full),
+            jnp.asarray(b_aux), jnp.asarray(b_aux_slot))
     else:
         pool = blockops.zero_pool(0)
     res = BitVector._from_parts(Structure(plan.nb, plan.cls), pool,
@@ -1155,12 +1340,8 @@ def _count_range_rows(rows, nbs_np, lo, hi):
 
 def _materialize_dense(bv: BitVector, first_blk: int, last_blk: int):
     """Dense pool covering [first_blk, last_blk] inclusive."""
-    n = last_blk - first_blk + 1
     all_nb = np.arange(first_blk, last_blk + 1, dtype=_I64)
-    st, slot = bv._struct.lookup(all_nb)
-    full = st == 1
-    rows = gather_operand(bv._pool, jnp.asarray(np.where(st == 2, slot, -1)),
-                          jnp.asarray(full))
+    rows = gather_operand(*operand_args(bv, all_nb))
     return rows, all_nb
 
 

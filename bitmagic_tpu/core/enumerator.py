@@ -40,6 +40,9 @@ class Enumerator:
         base = nb << C.SET_BLOCK_SHIFT
         if st.cls[k] == C.CLS_FULL:
             self._buf = np.arange(base, base + C.BITS_PER_BLOCK, dtype=_I64)
+        elif st.cls[k] == C.CLS_GAP:
+            g = self._bv._gaps.subset(np.asarray([st.gslots()[k]]))
+            self._buf = g.indices_concat(np.asarray([base], _I64))
         else:
             slot = int(st.slots()[k])
             row = np.asarray(self._bv._pool[slot])

@@ -1,0 +1,256 @@
+"""Host-resident D-GAP block store: the succinct in-memory representation.
+
+The reference keeps sparse blocks as D-GAP buffers (uint16 run boundaries,
+src/bmfunc.h gap_* family; storage src/bmblocks.h:1245 set_gap_block) so a
+mostly-empty 2^32-bit vector costs KBs, not MBs.  The TPU design keeps GAP
+content OFF the device: HBM holds only dense BIT rows, while CLS_GAP blocks
+live here as one concatenated run-boundary table on the host.  Device ops
+expand touched GAP blocks to transient dense rows (the batched analog of
+gap_convert_to_bitset, src/bmfunc.h:5223); queries (test/rank/select/count)
+answer directly from the runs with segmented searchsorted — the vectorized
+analog of gap_bfind / gap_test (src/bmfunc.h:1835,1943).
+
+Layout (all blocks concatenated, in the owner's CLS_GAP nb order):
+
+  ends : int64[total]  inclusive last bit index of each run; per block the
+                       values are strictly increasing and end with 65535
+  offs : int64[m+1]    run-range of block k is ends[offs[k]:offs[k+1]]
+  first: uint8[m]      bit value of run 0 (runs alternate)
+
+The run count of block k equals the reference GC stat (bit_block_calc_change)
+and the GAP buffer word length is n_runs+1 (head word + boundaries), matching
+core/gaps.py classification conventions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import constants as C
+
+_I64 = np.int64
+_BPB = C.BITS_PER_BLOCK          # 65536
+
+
+class GapStore:
+    """Immutable batch of D-GAP blocks (rebuild on structural change)."""
+
+    __slots__ = ("ends", "offs", "first", "_run_block", "_cum1", "_bc")
+
+    def __init__(self, ends, offs, first):
+        self.ends = np.asarray(ends, _I64)
+        self.offs = np.asarray(offs, _I64)
+        self.first = np.asarray(first, np.uint8)
+        self._run_block = None
+        self._cum1 = None
+        self._bc = None
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def empty(cls) -> "GapStore":
+        return cls(np.zeros(0, _I64), np.zeros(1, _I64), np.zeros(0, np.uint8))
+
+    @property
+    def n_blocks(self) -> int:
+        return len(self.first)
+
+    def memory_bytes(self) -> int:
+        return self.ends.nbytes + self.offs.nbytes + self.first.nbytes
+
+    # ------------------------------------------------------------------
+    # derived tables (lazy)
+    # ------------------------------------------------------------------
+    def run_block(self) -> np.ndarray:
+        """int64[total]: owning block index of each run."""
+        if self._run_block is None:
+            counts = np.diff(self.offs)
+            self._run_block = np.repeat(
+                np.arange(self.n_blocks, dtype=_I64), counts)
+        return self._run_block
+
+    def _ones_cum(self) -> np.ndarray:
+        """int64[total]: within-block inclusive count of 1-bits through the
+        end of each run."""
+        if self._cum1 is None:
+            rb = self.run_block()
+            prev = np.empty_like(self.ends)
+            if self.ends.size:
+                prev[1:] = self.ends[:-1]
+                prev[self.offs[:-1]] = -1
+            run_len = self.ends - prev
+            local = np.arange(self.ends.size, dtype=_I64) - self.offs[rb]
+            val = (self.first[rb].astype(_I64) ^ (local & 1))
+            cum = np.cumsum(run_len * val)
+            base = np.zeros(self.n_blocks, _I64)
+            if self.n_blocks:
+                base[1:] = cum[self.offs[1:-1] - 1]
+            self._cum1 = cum - base[rb]
+        return self._cum1
+
+    def popcounts(self) -> np.ndarray:
+        """int64[m]: set-bit count per block."""
+        if self._bc is None:
+            if self.n_blocks == 0:
+                self._bc = np.zeros(0, _I64)
+            else:
+                self._bc = self._ones_cum()[self.offs[1:] - 1]
+        return self._bc
+
+    def n_runs(self) -> np.ndarray:
+        return np.diff(self.offs)
+
+    def gap_lens(self) -> np.ndarray:
+        """GAP buffer word count per block (GC+1 convention, core/gaps.py)."""
+        return self.n_runs() + 1
+
+    # ------------------------------------------------------------------
+    # conversion
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_dense(cls, words: np.ndarray) -> "GapStore":
+        """Build from dense uint32[n, 2048] rows (bit_block_to_gap analog,
+        src/bmfunc.h:5533), vectorized over the whole batch."""
+        words = np.ascontiguousarray(words, np.uint32)
+        n = words.shape[0]
+        if n == 0:
+            return cls.empty()
+        bits = np.unpackbits(
+            words.view(np.uint8), bitorder="little").reshape(n, _BPB)
+        d = bits[:, 1:] != bits[:, :-1]
+        rows, pos = np.nonzero(d)
+        counts = np.bincount(rows, minlength=n)
+        offs = np.zeros(n + 1, _I64)
+        np.cumsum(counts + 1, out=offs[1:])
+        ends = np.empty(int(offs[-1]), _I64)
+        # boundary runs: each change position is the last index of a run
+        idx = np.arange(rows.size, dtype=_I64) + offs[rows] - \
+            np.cumsum(counts)[rows] + counts[rows]
+        ends[idx] = pos
+        ends[offs[1:] - 1] = _BPB - 1
+        return cls(ends, offs, bits[:, 0].copy())
+
+    def to_dense(self, sel=None) -> np.ndarray:
+        """uint32[k, 2048] dense rows for the selected blocks (all when sel
+        is None) — batched gap_convert_to_bitset (src/bmfunc.h:5223)."""
+        sub = self if sel is None else self.subset(sel)
+        k = sub.n_blocks
+        if k == 0:
+            return np.zeros((0, C.SET_BLOCK_SIZE), np.uint32)
+        toggles = np.zeros((k, _BPB), np.uint8)
+        rb = sub.run_block()
+        # value toggles at the bit AFTER each run end (and at 0 if first=1)
+        starts = sub.ends + 1
+        inside = starts < _BPB
+        np.bitwise_xor.at(toggles, (rb[inside], starts[inside]), 1)
+        toggles[:, 0] ^= sub.first
+        bits = np.bitwise_xor.accumulate(toggles, axis=1)
+        return np.packbits(bits, axis=1, bitorder="little").view(np.uint32)
+
+    @classmethod
+    def concat(cls, a: "GapStore | None", b: "GapStore | None") -> "GapStore":
+        """Store holding a's blocks (indices 0..) then b's."""
+        if a is None or a.n_blocks == 0:
+            return b if b is not None else cls.empty()
+        if b is None or b.n_blocks == 0:
+            return a
+        return cls(np.concatenate([a.ends, b.ends]),
+                   np.concatenate([a.offs, a.offs[-1] + b.offs[1:]]),
+                   np.concatenate([a.first, b.first]))
+
+    def subset(self, sel) -> "GapStore":
+        """New store holding blocks sel (index array or bool mask)."""
+        sel = np.asarray(sel)
+        if sel.dtype == bool:
+            sel = np.flatnonzero(sel)
+        sel = sel.astype(_I64)
+        counts = np.diff(self.offs)[sel]
+        offs = np.zeros(sel.size + 1, _I64)
+        np.cumsum(counts, out=offs[1:])
+        take = (np.arange(int(offs[-1]), dtype=_I64)
+                - np.repeat(offs[:-1], counts)
+                + np.repeat(self.offs[sel], counts))
+        return GapStore(self.ends[take], offs, self.first[sel])
+
+    # ------------------------------------------------------------------
+    # queries (all batched; blk = store-local block indices)
+    # ------------------------------------------------------------------
+    def _find_runs(self, blk, nbit):
+        """Global run index containing in-block bit nbit, per query."""
+        key = self.run_block() * _BPB + self.ends
+        q = np.asarray(blk, _I64) * _BPB + np.asarray(nbit, _I64)
+        return np.searchsorted(key, q, side="left")
+
+    def test_bits(self, blk, nbit) -> np.ndarray:
+        """bool[n]: bit value (gap_test analog, src/bmfunc.h:1943)."""
+        blk = np.asarray(blk, _I64)
+        r = self._find_runs(blk, nbit)
+        local = r - self.offs[blk]
+        return ((self.first[blk].astype(_I64) ^ (local & 1)) == 1)
+
+    def rank_in_block(self, blk, nbit) -> np.ndarray:
+        """int64[n]: count of 1-bits in [0, nbit] within each block.
+        nbit = -1 yields 0."""
+        blk = np.asarray(blk, _I64)
+        nbit = np.asarray(nbit, _I64)
+        out = np.zeros(blk.shape, _I64)
+        ok = nbit >= 0
+        if not ok.any():
+            return out
+        b, nb_ = blk[ok], np.minimum(nbit[ok], _BPB - 1)
+        r = self._find_runs(b, nb_)
+        cum = self._ones_cum()
+        local = r - self.offs[b]
+        val = (self.first[b].astype(_I64) ^ (local & 1))
+        prev_end = np.where(local > 0, self.ends[np.maximum(r - 1, 0)], -1)
+        ones_before = np.where(local > 0, cum[np.maximum(r - 1, 0)], 0)
+        out[ok] = ones_before + (nb_ - prev_end) * val
+        return out
+
+    def count_range(self, blk, lo, hi) -> np.ndarray:
+        """int64[n]: ones in [lo, hi] per query (gap_bit_count_range)."""
+        lo = np.asarray(lo, _I64)
+        return self.rank_in_block(blk, hi) - self.rank_in_block(blk, lo - 1)
+
+    def select_in_block(self, blk, rank) -> np.ndarray:
+        """int64[n]: in-block position of the rank-th (1-based) set bit.
+        Caller guarantees 1 <= rank <= popcount(blk)."""
+        blk = np.asarray(blk, _I64)
+        rank = np.asarray(rank, _I64)
+        cum = self._ones_cum()
+        # per-block keys: cum is non-decreasing within a block, <= 65536
+        key = self.run_block() * (_BPB + 1) + cum
+        q = blk * (_BPB + 1) + rank
+        r = np.searchsorted(key, q, side="left")
+        return self.ends[r] - (cum[r] - rank)
+
+    def find_in_block(self, blk, from_bit) -> np.ndarray:
+        """int64[n]: first set bit >= from_bit within each block, or -1."""
+        blk = np.asarray(blk, _I64)
+        before = self.rank_in_block(blk, np.asarray(from_bit, _I64) - 1)
+        bc = self.popcounts()[blk]
+        out = np.full(blk.shape, -1, _I64)
+        ok = before < bc
+        if ok.any():
+            out[ok] = self.select_in_block(blk[ok], before[ok] + 1)
+        return out
+
+    def indices_concat(self, bases) -> np.ndarray:
+        """All set-bit positions across all blocks, offset by the per-block
+        int64 ``bases``, in ascending order (bases must be ascending)."""
+        if self.n_blocks == 0:
+            return np.zeros(0, _I64)
+        rb = self.run_block()
+        prev = np.empty_like(self.ends)
+        prev[1:] = self.ends[:-1]
+        prev[self.offs[:-1]] = -1
+        local = np.arange(self.ends.size, dtype=_I64) - self.offs[rb]
+        is_one = (self.first[rb].astype(_I64) ^ (local & 1)) == 1
+        starts = (prev + 1 + np.asarray(bases, _I64)[rb])[is_one]
+        lens = (self.ends - prev)[is_one]
+        total = int(lens.sum())
+        if total == 0:
+            return np.zeros(0, _I64)
+        base_rep = np.repeat(starts, lens)
+        cum_excl = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        return base_rep + np.arange(total, dtype=_I64) - \
+            np.repeat(cum_excl, lens)

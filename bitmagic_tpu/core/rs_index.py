@@ -36,11 +36,12 @@ _I64 = np.int64
 class RSIndex:
     """Rank/select index over one BitVector snapshot."""
 
-    def __init__(self, nb, cls, cum, pool, size):
+    def __init__(self, nb, cls, cum, pool, size, gaps=None):
         self.nb = nb                   # int64[n_alloc]
         self.cls = cls                 # uint8[n_alloc]
         self.cum = cum                 # int64[n_alloc] inclusive prefix
         self.pool = pool               # device uint32[r, 2048]
+        self.gaps = gaps               # host GapStore (CLS_GAP blocks)
         # global wave popcount prefix (the rs3 sub-count analog, 256 B/row,
         # flattened so select is one searchsorted over a small table)
         self.gwc = (global_wave_prefix(pool) if pool.shape[0]
@@ -51,6 +52,9 @@ class RSIndex:
         is_bit = cls == C.CLS_BIT
         s = np.cumsum(is_bit) - 1
         self.slots = np.where(is_bit, s, -1).astype(_I64)
+        is_gap = cls == C.CLS_GAP
+        g = np.cumsum(is_gap) - 1
+        self.gslots = np.where(is_gap, g, -1).astype(_I64)
 
     # ------------------------------------------------------------------
     @classmethod
@@ -64,8 +68,12 @@ class RSIndex:
         if pool.shape[0]:
             bc = np.asarray(blockops.block_counts(pool)).astype(_I64)
             counts[is_bit] = bc[struct.slots()[is_bit]]
+        is_gap = struct.cls == C.CLS_GAP
+        if bv._gaps is not None and is_gap.any():
+            counts[is_gap] = bv._gaps.popcounts()[struct.gslots()[is_gap]]
         cum = np.cumsum(counts)
-        return cls_(struct.nb.copy(), struct.cls.copy(), cum, pool, bv.size)
+        return cls_(struct.nb.copy(), struct.cls.copy(), cum, pool, bv.size,
+                    bv._gaps)
 
     def _gwc_host(self):
         if self._gwc_cache is None:
@@ -92,6 +100,12 @@ class RSIndex:
         # FULL block containing i: add in-block offset + 1
         fullm = hit & (cls_at == C.CLS_FULL)
         out[fullm] += (ids[fullm] & C.SET_BLOCK_MASK) + 1
+        # GAP block containing i: host run arithmetic (gap_bfind analog)
+        gapm = hit & (cls_at == C.CLS_GAP)
+        if gapm.any():
+            g = self.gslots[pos_c[gapm]]
+            out[gapm] += self.gaps.rank_in_block(
+                g, ids[gapm] & C.SET_BLOCK_MASK)
         # BIT block containing i: device partial popcount
         bitm = hit & (cls_at == C.CLS_BIT)
         if bitm.any():
@@ -120,7 +134,12 @@ class RSIndex:
         res = np.empty(r.shape, _I64)
         fullm = self.cls[entry] == C.CLS_FULL
         res[fullm] = blk_base[fullm] + rem[fullm] - 1
-        bitm = ~fullm
+        gapm = self.cls[entry] == C.CLS_GAP
+        if gapm.any():
+            g = self.gslots[entry[gapm]]
+            res[gapm] = blk_base[gapm] + self.gaps.select_in_block(
+                g, rem[gapm].astype(_I64))
+        bitm = ~fullm & ~gapm
         if bitm.any():
             slots = self.slots[entry[bitm]].astype(np.int64)
             # translate the in-block rank into the pool's global rank space

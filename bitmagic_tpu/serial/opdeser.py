@@ -132,13 +132,12 @@ class OperationDeserializer:
 
     @staticmethod
     def _count_and_host(bv: BitVector, data: bytes) -> int:
-        nb_a = bv._struct.nb
-        cls_a = bv._struct.cls
-        slots_a = bv._struct.slots()
+        # dense snapshot: GAP-resident blocks expand transiently
+        nb_a, cls_a, pool = bv._dense_snapshot()
+        slots_a = np.where(cls_a == C.CLS_BIT,
+                           np.cumsum(cls_a == C.CLS_BIT) - 1, -1)
         amap = {int(nb_a[k]): (cls_a[k], slots_a[k])
                 for k in range(len(nb_a))}
-        pool = (np.asarray(bv._pool) if bv._pool.shape[0]
-                else np.zeros((0, C.SET_BLOCK_SIZE), np.uint32))
         total = 0
         for nb, code, payload in _stream_blocks(data, want=set(amap)):
             if nb == "header" or (payload is None and code != CODE_FULL):

@@ -675,13 +675,11 @@ def _gap_restore_mins(boundaries_head_arr, min0, min1):
 # ---------------------------------------------------------------------------
 def _bv_block_map(bv):
     """{nb: uint32[2048] words | _FULL} for every stored block of ``bv``
-    (the bv_ref_vector row view both XOR codecs share)."""
-    bv._flush()
-    nb_arr = bv._struct.nb
-    cls_arr = bv._struct.cls
-    pool = np.asarray(bv._pool) if bv._pool.shape[0] else \
-        np.zeros((0, WORDS), np.uint32)
-    slots = bv._struct.slots()
+    (the bv_ref_vector row view both XOR codecs share).  GAP-resident
+    blocks expand transiently via the dense snapshot."""
+    nb_arr, cls_arr, pool = bv._dense_snapshot()
+    slots = np.where(cls_arr == C.CLS_BIT,
+                     np.cumsum(cls_arr == C.CLS_BIT) - 1, -1)
     out = {}
     for k in range(len(nb_arr)):
         if cls_arr[k] == C.CLS_FULL:
@@ -1517,12 +1515,13 @@ class RefSerializer:
                                              else ID_MAX32))
 
         self.compression_stat = {}
-        if bv._pool.shape[0]:
-            pool = np.asarray(bv._pool)
-            bc_all = np.asarray(blockops.block_counts(bv._pool))
-        else:
-            pool = np.zeros((0, WORDS), np.uint32)
-            bc_all = np.zeros(0, np.int64)
+        # dense snapshot expands GAP-resident blocks transiently; the
+        # emitted bytes do not depend on the in-memory representation
+        from ..core.blocks import Structure
+        nb_s, cls_s, pool = bv._dense_snapshot()
+        struct = Structure(nb_s, cls_s)
+        bc_all = (np.bitwise_count(pool).sum(axis=1, dtype=np.int64)
+                  if pool.shape[0] else np.zeros(0, np.int64))
         slots = struct.slots()
 
         # super-block grouping: a 16M-bit sub-tree whose total popcount is

@@ -22,6 +22,7 @@ encoding (the reference computes them per-block in scalar code).
 
 from __future__ import annotations
 
+import jax.numpy as jnp
 import numpy as np
 
 from .. import constants as C
@@ -109,12 +110,12 @@ class Serializer:
         enc.put_8(1)                       # flags: 64-bit sizes
         enc.put_64(bv.size)
         self.compression_stat = {}
-        struct = bv._struct
+        # transient dense view: GAP blocks expand host-side; bytes are
+        # identical whether a block is GAP- or BIT-resident in memory
+        nb_a, cls_a, words_all = bv._dense_snapshot()
+        struct = Structure(nb_a, cls_a)
         # whole-BLOB fast path: encode every record in one C call
-        res = native.bmt1_encode(
-            np.asarray(bv._pool) if bv._pool.shape[0]
-            else np.zeros((0, C.SET_BLOCK_SIZE), np.uint32),
-            struct.nb, struct.cls, self.level)
+        res = native.bmt1_encode(words_all, nb_a, cls_a, self.level)
         if res is not None:
             records, counts = res
             for code, cnt in enumerate(counts):
@@ -122,13 +123,12 @@ class Serializer:
                     self.compression_stat[_CODE_NAMES.get(code, str(code))] \
                         = int(cnt)
             return enc.get_bytes() + records
-        # batched device stats for every BIT block
-        if bv._pool.shape[0]:
-            words_all = np.asarray(bv._pool)
-            bc_all = np.asarray(blockops.block_counts(bv._pool))
-            gc_all = np.asarray(blockops.gap_counts(bv._pool))
+        # batched stats for every BIT block
+        if words_all.shape[0]:
+            wj = (bv._pool if bv._gaps is None else jnp.asarray(words_all))
+            bc_all = np.asarray(blockops.block_counts(wj))
+            gc_all = np.asarray(blockops.gap_counts(wj))
         else:
-            words_all = np.zeros((0, C.SET_BLOCK_SIZE), np.uint32)
             bc_all = gc_all = np.zeros(0, np.int64)
         slots = struct.slots()
         for k in range(len(struct.nb)):

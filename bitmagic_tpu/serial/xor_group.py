@@ -35,15 +35,15 @@ CODE_XOR_REF = 9
 
 
 def _pool_map(bv):
-    """dict nb -> words (np, dense) for BIT blocks; FULL handled separately."""
-    bv._flush()
+    """dict nb -> words (np, dense) for BIT/GAP blocks; FULL handled
+    separately (GAP rows expand via the dense snapshot)."""
+    nb_a, cls_a, pool = bv._dense_snapshot()
     out = {}
-    if bv._pool.shape[0]:
-        pool = np.asarray(bv._pool)
-        slots = bv._struct.slots()
-        for k in range(len(bv._struct.nb)):
-            if bv._struct.cls[k] == C.CLS_BIT:
-                out[int(bv._struct.nb[k])] = pool[slots[k]]
+    row = 0
+    for k in range(len(nb_a)):
+        if cls_a[k] == C.CLS_BIT:
+            out[int(nb_a[k])] = pool[row]
+            row += 1
     return out
 
 

@@ -322,15 +322,22 @@ class SparseVector:
             self.n_slices, jnp.asarray(word_idx), jnp.asarray(bit_in), *args)
         u = (np.asarray(hi).astype(np.uint64) << np.uint64(32)) \
             | np.asarray(lo).astype(np.uint64)
-        # host-side patch for FULL blocks (rare)
+        # host-side patch for FULL and GAP-resident blocks (rare)
         for s in range(self.n_slices):
             p = self.planes[s]
-            if p is None or not (p._struct.cls == C.CLS_FULL).any():
+            if p is None:
                 continue
-            st, _ = p._struct.lookup(blocks)
+            has_full = (p._struct.cls == C.CLS_FULL).any()
+            if not has_full and p._gaps is None:
+                continue
+            st, slot = p._struct.lookup(blocks)
             fm = st == 1
             if fm.any():
                 u[fm] |= np.uint64(1) << np.uint64(s)
+            gm = st == 3
+            if gm.any():
+                bits = p._gaps.test_bits(slot[gm], ids[gm] & C.SET_BLOCK_MASK)
+                u[gm] |= bits.astype(np.uint64) << np.uint64(s)
         vals = self.u2s(u)
         if self.nullable:
             nm = ~self.null_plane.get_bits(ids)

@@ -34,11 +34,19 @@ def print_stat(bv, blocks: int = 0, out=None):
     counts = (np.asarray(blockops.block_counts(bv._pool))
               if bv._pool.shape[0] else np.zeros(0, np.int64))
     slots = bv._struct.slots()
+    gslots = bv._struct.gslots()
+    gbc = bv._gap_bc()
+    glen = (bv._gaps.gap_lens() if bv._gaps is not None
+            else np.zeros(0, np.int64))
     n = len(bv._struct.nb) if blocks == 0 else min(blocks, len(bv._struct.nb))
     for k in range(n):
         nb = int(bv._struct.nb[k])
         if bv._struct.cls[k] == C.CLS_FULL:
             print(f"block {nb}: FULL", file=out)
+        elif bv._struct.cls[k] == C.CLS_GAP:
+            g = gslots[k]
+            print(f"block {nb}: GAP bc={int(gbc[g])} len={int(glen[g])}",
+                  file=out)
         else:
             print(f"block {nb}: BIT bc={int(counts[slots[k]])}", file=out)
 

@@ -1,0 +1,169 @@
+"""GAP succinct in-memory residency (VERDICT round-1 item 1).
+
+After optimize(), GAP-classified blocks leave the device pool and live as
+host run buffers (core/gapstore.py) — the analog of the reference's D-GAP
+block storage (src/bmblocks.h:1245 set_gap_block).  Content must be
+identical through every API, and sparse vectors must cost runs, not 8 KB
+dense rows.
+"""
+import numpy as np
+import pytest
+
+import bitmagic_tpu as bm
+from bitmagic_tpu import constants as C
+from bitmagic_tpu.algo import setops
+from bitmagic_tpu.agg import Aggregator
+from bitmagic_tpu.serial.serializer import deserialize, serialize
+
+SIZE = 50_000_000
+
+
+def _sparse_ids(rng, n=30_000):
+    return np.unique(rng.integers(0, SIZE, n)).astype(np.int64)
+
+
+@pytest.fixture(scope="module")
+def gap_bv():
+    rng = np.random.default_rng(42)
+    ids = _sparse_ids(rng)
+    bv = bm.BitVector.from_indices(ids, SIZE)
+    bv.optimize()
+    return bv, ids
+
+
+def test_residency_shrinks_device_pool(gap_bv):
+    bv, ids = gap_bv
+    st = bv.calc_stat()
+    assert st["gap_blocks"] > 0
+    # sparse data: nearly every block must be GAP-resident
+    assert st["gap_blocks"] >= 0.9 * (st["gap_blocks"] + st["bit_blocks"])
+    # device HBM cost is only the (few) dense rows
+    assert st["device_memory_used"] <= st["bit_blocks"] * 8192 + 4096 \
+        + 16 * (st["gap_blocks"] + st["bit_blocks"])
+
+
+def test_memory_within_reference_model(gap_bv):
+    """VERDICT done-criterion: memory within ~1.5x of the reference's GAP
+    cost model (gap buffers at level capacity) on sparse data."""
+    bv, ids = gap_bv
+    st = bv.calc_stat()
+    # reference cost: gap blocks at capacity*2 bytes + dense blocks 8KB
+    ref_model = sum(
+        st["gaps_by_level"][lv] * st["gap_levels"][lv] * 2
+        for lv in range(4)) + st["bit_blocks"] * 8192
+    assert st["memory_used"] <= 1.5 * ref_model + (1 << 16)
+
+
+def test_content_identical_through_all_apis(gap_bv):
+    bv, ids = gap_bv
+    np.testing.assert_array_equal(bv.indices(), ids)
+    assert bv.count() == ids.size
+    # point queries
+    rng = np.random.default_rng(0)
+    probe = np.concatenate([ids[:500], rng.integers(0, SIZE, 500)])
+    np.testing.assert_array_equal(bv.get_bits(probe), np.isin(probe, ids))
+    # ranges
+    for lo, hi in [(0, SIZE - 1), (ids[10], ids[-10]),
+                   (int(ids[5]), int(ids[5]))]:
+        want = int(((ids >= lo) & (ids <= hi)).sum())
+        assert bv.count_range(lo, hi) == want
+    # find family
+    assert bv.find(0) == ids[0]
+    assert bv.find(int(ids[7]) + 1) == int(ids[np.searchsorted(ids, ids[7] + 1)])
+    assert bv.find_reverse() == ids[-1]
+
+
+def test_rank_select_on_gap(gap_bv):
+    bv, ids = gap_bv
+    bv.build_rs_index()
+    rng = np.random.default_rng(3)
+    ranks = np.concatenate([[1, ids.size], rng.integers(1, ids.size, 300)])
+    got = bv._rs_index().select_batch(ranks)
+    np.testing.assert_array_equal(got, ids[ranks - 1])
+    qs = ids[rng.integers(0, ids.size, 200)]
+    got_r = bv._rs_index().rank_batch(qs)
+    want_r = np.searchsorted(ids, qs, side="right")
+    np.testing.assert_array_equal(got_r, want_r)
+
+
+def test_binary_ops_preserve_content(gap_bv):
+    bv, ids = gap_bv
+    other = bm.BitVector.from_indices(ids[::3], SIZE)
+    other.optimize()      # both operands GAP-resident
+    np.testing.assert_array_equal((bv & other).indices(), ids[::3])
+    np.testing.assert_array_equal((bv - other).indices(),
+                                  np.setdiff1d(ids, ids[::3]))
+    assert (bv ^ bv).none()
+    u = bv | other
+    assert u == bv
+    assert setops.count_and(bv, other) == ids[::3].size
+    assert setops.count_sub(bv, other) == ids.size - ids[::3].size
+
+
+def test_aggregator_and_arena_on_gap(gap_bv):
+    bv, ids = gap_bv
+    v2 = bm.BitVector.from_indices(ids[::2], SIZE)
+    v2.optimize()
+    v3 = bm.BitVector.from_indices(ids[1::2], SIZE)
+    agg = Aggregator()
+    r = agg.combine_and_sub([bv, v2], [v3])
+    want = np.setdiff1d(ids[::2], ids[1::2])
+    np.testing.assert_array_equal(r.indices(), want)
+    # arena path expands GAP rows without mutating the owners
+    from bitmagic_tpu.agg.arena import OperandArena
+    arena = OperandArena([bv, v2, v3])
+    assert bv._gaps is not None and v2._gaps is not None
+    r2 = agg.combine_and_sub_arena(arena, [0, 1], [2])
+    r2.optimize()
+    np.testing.assert_array_equal(r2.indices(), want)
+
+
+def test_serialize_bytes_representation_independent(gap_bv):
+    bv, ids = gap_bv
+    raw = bm.BitVector.from_indices(ids, SIZE)     # dense-resident twin
+    assert serialize(bv) == serialize(raw)
+    assert deserialize(serialize(bv)) == bv
+
+
+def test_deoptimize_roundtrip(gap_bv):
+    bv, ids = gap_bv
+    twin = bv.copy()
+    assert twin._gaps is not None
+    twin._deoptimize_gaps()
+    assert twin._gaps is None
+    assert (twin._struct.cls == C.CLS_GAP).sum() == 0
+    np.testing.assert_array_equal(twin.indices(), ids)
+    twin.optimize()
+    assert twin._gaps is not None
+    assert twin == bv
+
+
+def test_mutation_on_gap_resident(gap_bv):
+    bv, ids = gap_bv
+    twin = bv.copy()
+    newbit = int(ids[0]) + 1 if int(ids[0]) + 1 not in set(ids[:3]) else 7
+    twin.set(newbit, True)
+    assert twin.test(newbit)
+    assert twin.count() == ids.size + 1
+    twin.set(newbit, False)
+    assert twin == bv
+
+
+def test_set_gap_levels_reexpands():
+    ids = np.arange(0, 1_000_000, 211).astype(np.int64)  # ~311 runs/block
+    bv = bm.BitVector.from_indices(ids, SIZE)
+    bv.optimize()
+    assert bv.calc_stat()["gap_blocks"] > 0
+    # a table too small for these lengths forces blocks back to dense
+    bv.set_gap_levels((8, 16, 32, 64))
+    bv.optimize()
+    assert bv.calc_stat()["gap_blocks"] == 0
+    np.testing.assert_array_equal(bv.indices(), ids)
+
+
+def test_sharded_ingest_from_gap(gap_bv):
+    bv, ids = gap_bv
+    words = bv.to_words()
+    got = np.flatnonzero(
+        np.unpackbits(words.view(np.uint8), bitorder="little"))
+    np.testing.assert_array_equal(got, ids)
