@@ -29,6 +29,14 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def timeit_stats(fn, *args, iters=20, warmup=2, passes=3):
+    """timeit returning (min, median) over ``passes`` slope measurements."""
+    ts = [timeit(fn, *args, iters=iters, warmup=(warmup if i == 0 else 0))
+          for i in range(passes)]
+    ts.sort()
+    return ts[0], ts[len(ts) // 2]
+
+
 def timeit(fn, *args, iters=20, warmup=2):
     """Time fn with the repeat loop INSIDE one jitted program: the remote
     (axon-tunneled) device makes per-call host timing unreliable, so we chain
@@ -80,7 +88,8 @@ def bench_logical(rng):
         ax = a ^ salt.astype(jnp.uint32)
         return jnp.sum(jax.lax.population_count(ax & b), dtype=jnp.uint32)
 
-    t_count = timeit(and_count, a, b, iters=100)
+    t_count, t_count_med = timeit_stats(and_count, a, b, iters=100,
+                                        passes=5)
 
     # materializing AND: carry the full result array through the loop so
     # every iteration writes all 12.6 MB (no DCE/slicing possible); slope
@@ -103,10 +112,12 @@ def bench_logical(rng):
     t_mat = max(t_hi - t_lo, 1e-9) / 400
     gb = 2 * BYTES_PER_POOL / 1e9
     gbps_count = gb / t_count
+    gbps_med = gb / t_count_med
     gbps_mat = (3 * BYTES_PER_POOL / 1e9) / t_mat
-    log(f"[1 bvsetalgebra] AND+count: {t_count*1e3:.3f} ms -> {gbps_count:.1f} GB/s; "
+    log(f"[1 bvsetalgebra] AND+count: {t_count*1e3:.3f} ms -> {gbps_count:.1f} GB/s "
+        f"(median {gbps_med:.1f}); "
         f"AND materialize: {t_mat*1e3:.3f} ms -> {gbps_mat:.1f} GB/s")
-    return gbps_count
+    return gbps_count, gbps_med, gbps_mat
 
 
 def bench_logical_cpu(rng):
@@ -155,11 +166,11 @@ def bench_rank_select(rng):
         pos = select_flat(pool, gwc, ranks + (salt & 1).astype(jnp.int32))
         return jnp.sum(pos.astype(jnp.uint32))
 
-    t = timeit(sel, pool, gwc, ranks)
+    t, t_med = timeit_stats(sel, pool, gwc, ranks, passes=5)
     qps = n_q / t
     log(f"[2 rank-select] {n_q} select1 queries (wave descent): "
-        f"{t*1e3:.2f} ms -> {qps/1e6:.1f} Mq/s")
-    return qps
+        f"{t*1e3:.2f} ms -> {qps/1e6:.1f} Mq/s (median {n_q/t_med/1e6:.1f})")
+    return qps, n_q / t_med
 
 
 # ---------------------------------------------------------------- config 3
@@ -180,11 +191,11 @@ def bench_aggregator(rng):
             acc = acc & ~(stack[i] ^ s)
         return jnp.sum(jax.lax.population_count(acc), dtype=jnp.uint32)
 
-    t = timeit(and_sub_200, stack, iters=5)
+    t, t_med = timeit_stats(and_sub_200, stack, iters=5, passes=5)
     gb = K * nblk * WORDS * 4 / 1e9
     log(f"[3 aggregator] fused AND-SUB over {K} vectors ({gb:.2f} GB): "
-        f"{t*1e3:.2f} ms -> {gb/t:.1f} GB/s")
-    return gb / t
+        f"{t*1e3:.2f} ms -> {gb/t:.1f} GB/s (median {gb/t_med:.1f})")
+    return gb / t, gb / t_med
 
 
 # ---------------------------------------------------------------- config 4
@@ -204,12 +215,14 @@ def bench_scan(rng):
             acc = jnp.where(bit, acc & planes[s], acc & ~planes[s])
         return jnp.sum(jax.lax.population_count(acc), dtype=jnp.uint32)
 
-    t = timeit(scan_eq, planes, jnp.uint32(123456789), iters=10)
+    t, t_med = timeit_stats(scan_eq, planes, jnp.uint32(123456789),
+                            iters=10, passes=5)
     n_elem = nblk * WORDS * 32
     log(f"[4 sv-scan] find_eq over {n_elem/1e6:.0f}M u32 elements: "
         f"{t*1e3:.2f} ms -> {n_elem/t/1e9:.2f} Gelem/s "
-        f"({n_planes*nblk*WORDS*4/1e9/t:.1f} GB/s)")
-    return n_elem / t
+        f"({n_planes*nblk*WORDS*4/1e9/t:.1f} GB/s, "
+        f"median {n_elem/t_med/1e9:.2f} Gelem/s)")
+    return n_elem / t, n_elem / t_med
 
 
 def bench_scan_pipeline(rng):
@@ -233,6 +246,7 @@ def bench_scan_pipeline(rng):
     log(f"[4b scan-pipeline] {len(queries)} find_eq counts over "
         f"{n/1e6:.0f}M elems: {dt*1e3:.1f} ms -> "
         f"{rate/1e9:.1f} Gsearch-elem/s")
+    return rate
 
 
 # ---------------------------------------------------------------- config 5
@@ -247,40 +261,89 @@ def bench_serialization(rng):
     bv = BitVector.from_indices(idx, size)
     bv.set_range(2 * C.BITS_PER_BLOCK, 4 * C.BITS_PER_BLOCK - 1)
     bv.optimize()
+    def best(fn, n=9):
+        fn()                                # warm-up: jits + device fetch
+        b = float("inf")
+        r = None
+        for _ in range(n):
+            t0 = time.perf_counter()
+            r = fn()
+            b = min(b, time.perf_counter() - t0)
+        return b, r
     ser = Serializer(6)
-    ser.serialize(bv)                       # warm-up: jits + device fetch
-    t0 = time.perf_counter()
-    blob = ser.serialize(bv)
-    t_ser = time.perf_counter() - t0
-    Deserializer().deserialize(blob)
-    t0 = time.perf_counter()
-    back = Deserializer().deserialize(blob)
-    t_deser = time.perf_counter() - t0
+    _, blob = best(lambda: ser.serialize(bv))
+    t_ser, _ = best(lambda: ser.serialize(bv))
+    t_deser, back = best(lambda: Deserializer().deserialize(blob))
     assert back.equal(bv)
     raw_mb = size / 8 / 1e6
     od = OperationDeserializer()
-    od.deserialize(bv.copy(), blob, C.SET_COUNT_AND)
-    t0 = time.perf_counter()
-    cnt = od.deserialize(bv.copy(), blob, C.SET_COUNT_AND)
-    t_op = time.perf_counter() - t0
+    t_op, cnt = best(
+        lambda: od.deserialize(bv.copy(), blob, C.SET_COUNT_AND))
     log(f"[5 serial] {raw_mb:.1f} MB bitmap -> {len(blob)/1e3:.1f} KB blob "
         f"({raw_mb*1e6/len(blob):.0f}x); ser {raw_mb/t_ser:.1f} MB/s, "
         f"deser {raw_mb/t_deser:.1f} MB/s, count-AND-on-blob {t_op*1e3:.1f} ms "
         f"(= {cnt})")
-    return raw_mb * 1e6 / len(blob)
+    return {"ser_mbps": raw_mb / t_ser, "deser_mbps": raw_mb / t_deser,
+            "count_and_blob_ms": t_op * 1e3,
+            "blob_kb": len(blob) / 1e3}
+
+
+# Reference ground truth on this host: tools/ref_perf.cpp (g++ -O3
+# -march=native against /root/reference headers), measured round 1; see
+# BASELINE.md "Measured ground truth".
+REF = {
+    "1_and_count_gbps": 22.0,
+    "2_select_mqps": 1.70,
+    "3_agg_and_sub_gbps": 142.0,
+    "4_scan_gelems": 6.0,
+    "5_ser_mbps": 319.0,
+    "5_deser_mbps": 1274.0,
+}
 
 
 def main():
     rng = np.random.default_rng(42)
     log(f"devices: {jax.devices()}")
-    gbps = bench_logical(rng)
+    gbps, gbps_med, gbps_mat = bench_logical(rng)
     cpu_gbps = bench_logical_cpu(rng)
+    configs = {
+        "1_and_count": {"value": round(gbps, 1), "median": round(gbps_med, 1),
+                        "unit": "GB/s", "ref": REF["1_and_count_gbps"],
+                        "vs_ref": round(gbps / REF["1_and_count_gbps"], 2)},
+        "1_and_materialize": {"value": round(gbps_mat, 1), "unit": "GB/s"},
+    }
     try:
-        bench_rank_select(rng)
-        bench_aggregator(rng)
-        bench_scan(rng)
-        bench_scan_pipeline(rng)
-        bench_serialization(rng)
+        qps, qps_med = bench_rank_select(rng)
+        configs["2_select1"] = {
+            "value": round(qps / 1e6, 2), "median": round(qps_med / 1e6, 2),
+            "unit": "Mq/s", "ref": REF["2_select_mqps"],
+            "vs_ref": round(qps / 1e6 / REF["2_select_mqps"], 2)}
+        agg, agg_med = bench_aggregator(rng)
+        configs["3_agg_and_sub"] = {
+            "value": round(agg, 1), "median": round(agg_med, 1),
+            "unit": "GB/s", "ref": REF["3_agg_and_sub_gbps"],
+            "vs_ref": round(agg / REF["3_agg_and_sub_gbps"], 2)}
+        sc, sc_med = bench_scan(rng)
+        configs["4_scan_find_eq"] = {
+            "value": round(sc / 1e9, 2), "median": round(sc_med / 1e9, 2),
+            "unit": "Gelem/s", "ref": REF["4_scan_gelems"],
+            "vs_ref": round(sc / 1e9 / REF["4_scan_gelems"], 2)}
+        pipe = bench_scan_pipeline(rng)
+        configs["4b_scan_pipeline"] = {
+            "value": round(pipe / 1e9, 2), "unit": "Gsearch-elem/s"}
+        s5 = bench_serialization(rng)
+        configs["5_serialize"] = {
+            "value": round(s5["ser_mbps"], 1), "unit": "MB/s",
+            "ref": REF["5_ser_mbps"],
+            "vs_ref": round(s5["ser_mbps"] / REF["5_ser_mbps"], 2)}
+        configs["5_deserialize"] = {
+            "value": round(s5["deser_mbps"], 1), "unit": "MB/s",
+            "ref": REF["5_deser_mbps"],
+            "vs_ref": round(s5["deser_mbps"] / REF["5_deser_mbps"], 2)}
+        configs["5_count_and_on_blob"] = {
+            "value": round(s5["count_and_blob_ms"], 2), "unit": "ms"}
+        configs["5_blob_size"] = {
+            "value": round(s5["blob_kb"], 1), "unit": "KB"}
     except Exception as e:          # detail benches must not kill the headline
         log("detail bench failed:", repr(e))
     print(json.dumps({
@@ -288,6 +351,7 @@ def main():
         "value": round(gbps, 2),
         "unit": "GB/s",
         "vs_baseline": round(gbps / cpu_gbps, 2),
+        "configs": configs,
     }))
 
 

@@ -56,6 +56,35 @@ class ReadOnlyError(RuntimeError):
 class BitVector:
     """Block-structured succinct bit-vector (bm::bvector equivalent)."""
 
+    # ------------------------------------------------------------------
+    # pool storage: lazy device residency.  The dense rows live as EITHER a
+    # device array (_pool_dev) or a host numpy mirror (_pool_np) — reading
+    # ._pool uploads on first device use; _pool_host() fetches/caches the
+    # host view.  Deserialization and host codecs then never pay the
+    # host<->device transfer unless a device op actually runs (the tunnel
+    # makes transfers the dominant cost of config-5 round-trips).
+    # ------------------------------------------------------------------
+    @property
+    def _pool(self):
+        if self._pool_dev is None:
+            self._pool_dev = jnp.asarray(self._pool_np)
+        return self._pool_dev
+
+    @_pool.setter
+    def _pool(self, value):
+        if isinstance(value, np.ndarray):
+            self._pool_np = np.ascontiguousarray(value, np.uint32)
+            self._pool_dev = None
+        else:
+            self._pool_dev = value
+            self._pool_np = None
+
+    def _pool_host(self) -> np.ndarray:
+        """Host numpy view of the dense rows (fetched once, then cached)."""
+        if self._pool_np is None:
+            self._pool_np = np.asarray(self._pool_dev)
+        return self._pool_np
+
     def __init__(self, size: int = C.ID_MAX32, strategy: int = C.BM_BIT):
         self._size = int(size)
         self._struct = Structure.empty()
@@ -64,6 +93,7 @@ class BitVector:
         self._staged: dict[int, bool] = {}
         self._ro = False
         self._rs = None           # cached RSIndex
+        self._snap = None         # cached dense snapshot (host)
         self._glevel = tuple(config.gap_levels)
         self.strategy = strategy
 
@@ -80,6 +110,7 @@ class BitVector:
         bv._staged = {}
         bv._ro = False
         bv._rs = None
+        bv._snap = None
         bv._glevel = tuple(config.gap_levels)
         bv.strategy = C.BM_BIT
         return bv
@@ -119,9 +150,13 @@ class BitVector:
 
     def copy(self) -> "BitVector":
         self._flush()
-        return BitVector._from_parts(
+        bv = BitVector._from_parts(
             Structure(self._struct.nb.copy(), self._struct.cls.copy()),
-            self._pool, self._size, self._gaps)
+            blockops.zero_pool(0), self._size, self._gaps)
+        bv._pool_dev = self._pool_dev  # share BOTH residencies as-is
+        bv._pool_np = self._pool_np
+        bv._snap = self._snap          # content-identical; cache carries over
+        return bv
 
     # ------------------------------------------------------------------
     # size management (reference resize src/bm.h:1306)
@@ -219,14 +254,20 @@ class BitVector:
         new_bit = (self._struct.cls == C.CLS_BIT) | conv
         src = np.empty(int(new_bit.sum()), _I64)
         old_slots = self._struct.slots()
-        n_pool = int(self._pool.shape[0])
+        n_pool = int((self._struct.cls == C.CLS_BIT).sum())
         was_bit = (self._struct.cls == C.CLS_BIT)[new_bit]
         src[was_bit] = old_slots[self._struct.cls == C.CLS_BIT]
         conv_order = np.argsort(np.argsort(gslots[conv]))
         src[~was_bit] = n_pool + conv_order
-        combined = (jnp.concatenate([self._pool, jnp.asarray(rows_np)], axis=0)
-                    if n_pool else jnp.asarray(rows_np))
-        self._pool = jnp.take(combined, jnp.asarray(src), axis=0)
+        if self._pool_np is not None:          # stay host-resident
+            combined_np = (np.concatenate([self._pool_np, rows_np], axis=0)
+                           if n_pool else rows_np)
+            self._pool = combined_np[src]
+        else:
+            combined = (jnp.concatenate(
+                [self._pool, jnp.asarray(rows_np)], axis=0)
+                if n_pool else jnp.asarray(rows_np))
+            self._pool = jnp.take(combined, jnp.asarray(src), axis=0)
         keep_gap = is_gap & ~conv
         self._gaps = (self._gaps.subset(gslots[keep_gap])
                       if keep_gap.any() else None)
@@ -248,13 +289,18 @@ class BitVector:
     def _dense_snapshot(self):
         """(nb, cls in {FULL, BIT}, words[n_bit_rows, 2048] host array in nb
         order) — transient dense view for serializers; GAP blocks expand
-        host-side, the stored representation is untouched."""
+        host-side, the stored representation is untouched.  Cached until
+        the next mutation (serializers and BLOB ops re-read it)."""
         self._flush()
+        if self._snap is not None:
+            return self._snap
         struct = self._struct
         if self._gaps is None:
-            words = (np.asarray(self._pool) if self._pool.shape[0]
+            words = (self._pool_host()
+                     if (struct.cls == C.CLS_BIT).any()
                      else np.zeros((0, C.SET_BLOCK_SIZE), np.uint32))
-            return struct.nb, struct.cls, words
+            self._snap = (struct.nb, struct.cls, words)
+            return self._snap
         cls2 = np.where(struct.cls == C.CLS_GAP, C.CLS_BIT,
                         struct.cls).astype(np.uint8)
         nrows = int((cls2 == C.CLS_BIT).sum())
@@ -263,9 +309,10 @@ class BitVector:
         bitm = struct.cls == C.CLS_BIT
         gapm = struct.cls == C.CLS_GAP
         if bitm.any():
-            words[dst[bitm]] = np.asarray(self._pool)[struct.slots()[bitm]]
+            words[dst[bitm]] = self._pool_host()[struct.slots()[bitm]]
         words[dst[gapm]] = self._gaps.to_dense()
-        return struct.nb, cls2, words
+        self._snap = (struct.nb, cls2, words)
+        return self._snap
 
     # ------------------------------------------------------------------
     # single-bit mutation (staged; reference set_bit src/bm.h:1074)
@@ -276,6 +323,7 @@ class BitVector:
 
     def _dirty(self):
         self._rs = None
+        self._snap = None
 
     def set(self, i, val: bool = True):
         self._check_writable()
@@ -454,8 +502,8 @@ class BitVector:
         return self
 
     def swap(self, other: "BitVector"):
-        for attr in ("_size", "_struct", "_pool", "_gaps", "_staged",
-                     "_ro", "_rs"):
+        for attr in ("_size", "_struct", "_pool_dev", "_pool_np", "_gaps",
+                     "_staged", "_ro", "_rs", "_snap"):
             a, b = getattr(self, attr), getattr(other, attr)
             setattr(self, attr, b)
             setattr(other, attr, a)
@@ -493,7 +541,11 @@ class BitVector:
         bitq = st == 2
         if bitq.any():
             flat = slot[bitq] * C.SET_BLOCK_SIZE + ((ids[bitq] & C.SET_BLOCK_MASK) >> 5)
-            words = np.asarray(jnp.take(self._pool.reshape(-1), jnp.asarray(flat)))
+            if self._pool_np is not None:      # host-resident fast path
+                words = self._pool_np.reshape(-1)[flat]
+            else:
+                words = np.asarray(jnp.take(self._pool.reshape(-1),
+                                            jnp.asarray(flat)))
             out[bitq] = (words >> (ids[bitq] & 31).astype(np.uint32)) & 1
         gapq = st == 3
         if gapq.any():
@@ -507,8 +559,10 @@ class BitVector:
             return True
         if self._gaps is not None and (self._gap_bc() > 0).any():
             return True
-        if self._pool.shape[0] == 0:
+        if not (self._struct.cls == C.CLS_BIT).any():
             return False
+        if self._pool_np is not None:          # host-resident: no upload
+            return bool(self._pool_np.any())
         return bool(jnp.any(self._pool != 0))
 
     def none(self) -> bool:
@@ -522,8 +576,11 @@ class BitVector:
         self._flush()
         full = int((self._struct.cls == C.CLS_FULL).sum()) * C.BITS_PER_BLOCK
         full += int(self._gap_bc().sum())     # GAP blocks answer on host
-        if self._pool.shape[0] == 0:
+        if not (self._struct.cls == C.CLS_BIT).any():
             return full
+        if self._pool_np is not None:          # host-resident: no upload
+            return full + int(np.bitwise_count(self._pool_np).sum(
+                dtype=np.int64))
         # per-block counts are int32 on device; the 64-bit total is host math
         per_block = np.asarray(blockops.block_counts(self._pool))
         return full + int(per_block.astype(np.int64).sum())
@@ -917,8 +974,8 @@ class BitVector:
                 self._struct.nb[gm].astype(_I64) << C.SET_BLOCK_SHIFT)
             if gpos.size:
                 out.append(gpos)
-        if self._pool.shape[0]:
-            w = np.ascontiguousarray(np.asarray(self._pool))
+        if (self._struct.cls == C.CLS_BIT).any():
+            w = np.ascontiguousarray(self._pool_host())
             bases = (self._struct.nb[self._struct.cls == C.CLS_BIT]
                      << C.SET_BLOCK_SHIFT)
             pos = _pool_positions_native(w, bases)
@@ -955,8 +1012,8 @@ class BitVector:
         fm = self._struct.cls == C.CLS_FULL
         for nb in self._struct.nb[fm]:
             words[int(nb)] = 0xFFFFFFFF
-        if self._pool.shape[0]:
-            rows = np.asarray(self._pool)
+        if (self._struct.cls == C.CLS_BIT).any():
+            rows = self._pool_host()
             nbs = self._struct.nb[self._struct.cls == C.CLS_BIT]
             words[nbs] = rows
         if self._gaps is not None:
@@ -995,10 +1052,12 @@ class BitVector:
                 sel = (self._struct.cls == C.CLS_GAP) & _in_range_mask()
                 sel[sel] &= bad[gsl[sel]]
                 self._deoptimize_gaps(sel)
-        if self._pool.shape[0] == 0:
+        if not (self._struct.cls == C.CLS_BIT).any():
             self._dirty()
             return self
-        counts = np.asarray(blockops.block_counts(self._pool))
+        host = self._pool_np is not None
+        counts = (blockops.block_counts_np(self._pool_np) if host
+                  else np.asarray(blockops.block_counts(self._pool)))
         is_bit = self._struct.cls == C.CLS_BIT
         slots = self._struct.slots()
         cnt_all = np.zeros(len(self._struct.nb), np.int64)
@@ -1016,8 +1075,12 @@ class BitVector:
             # after the rows of newly-FULL blocks are physically removed.
             keep = ~drop
             row_keep = self._struct.slots()[keep & is_bit & ~to_full]
-            self._pool = (jnp.take(self._pool, jnp.asarray(row_keep), axis=0)
-                          if row_keep.size else blockops.zero_pool(0))
+            if host:
+                self._pool = self._pool_np[row_keep]
+            else:
+                self._pool = (jnp.take(self._pool, jnp.asarray(row_keep),
+                                       axis=0)
+                              if row_keep.size else blockops.zero_pool(0))
             new_cls = self._struct.cls.copy()
             new_cls[to_full] = C.CLS_FULL
             gap_keep = keep & (self._struct.cls == C.CLS_GAP)
@@ -1028,9 +1091,14 @@ class BitVector:
             self._struct = Structure(self._struct.nb[keep].copy(),
                                      new_cls[keep].copy())
         self._dirty()
-        if opt_mode >= C.OPT_COMPRESS and self._pool.shape[0]:
-            bc = np.asarray(blockops.block_counts(self._pool))
-            gc = np.asarray(blockops.gap_counts(self._pool))
+        if opt_mode >= C.OPT_COMPRESS and (self._struct.cls
+                                           == C.CLS_BIT).any():
+            if host:
+                bc = blockops.block_counts_np(self._pool_np)
+                gc = blockops.gap_counts_np(self._pool_np)
+            else:
+                bc = np.asarray(blockops.block_counts(self._pool))
+                gc = np.asarray(blockops.gap_counts(self._pool))
             gap_mask, gap_len, gap_level = gaps.classify_blocks(
                 bc, gc, self._glevel)
             is_bit = self._struct.cls == C.CLS_BIT
@@ -1040,11 +1108,15 @@ class BitVector:
             if conv.any():
                 conv_rows = self._struct.slots()[conv]
                 new_store = GapStore.from_dense(
-                    np.asarray(self._pool)[conv_rows])
+                    self._pool_host()[conv_rows])
                 keep_rows = self._struct.slots()[is_bit & ~conv]
-                self._pool = (jnp.take(self._pool, jnp.asarray(keep_rows),
-                                       axis=0)
-                              if keep_rows.size else blockops.zero_pool(0))
+                if host:
+                    self._pool = self._pool_np[keep_rows]
+                else:
+                    self._pool = (jnp.take(self._pool,
+                                           jnp.asarray(keep_rows), axis=0)
+                                  if keep_rows.size
+                                  else blockops.zero_pool(0))
                 old_store = self._gaps
                 n_old = old_store.n_blocks if old_store is not None else 0
                 old_gslots = self._struct.gslots()
@@ -1130,7 +1202,7 @@ class BitVector:
                 gap_mem += cap * 2
                 gap_cap_overhead += (cap - int(ln)) * 2
                 gap_serial += int(ln) * 2 + 3
-        mem = (self._pool.shape[0] * C.SET_BLOCK_SIZE * 4
+        mem = (n_bit * C.SET_BLOCK_SIZE * 4
                + self._struct.nb.nbytes + self._struct.cls.nbytes)
         max_ser = n_bit * (C.SET_BLOCK_SIZE * 4 + 16) + gap_serial + 64
         return {
@@ -1199,7 +1271,7 @@ class BitVector:
 
     def __repr__(self):
         return (f"BitVector(size={self._size}, blocks={len(self._struct.nb)}, "
-                f"rows={self._pool.shape[0]})")
+                f"rows={int((self._struct.cls == C.CLS_BIT).sum())})")
 
 
 # ---------------------------------------------------------------------------

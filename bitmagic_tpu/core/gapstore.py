@@ -35,7 +35,8 @@ _BPB = C.BITS_PER_BLOCK          # 65536
 class GapStore:
     """Immutable batch of D-GAP blocks (rebuild on structural change)."""
 
-    __slots__ = ("ends", "offs", "first", "_run_block", "_cum1", "_bc")
+    __slots__ = ("ends", "offs", "first", "_run_block", "_cum1", "_bc",
+                 "_dense")
 
     def __init__(self, ends, offs, first):
         self.ends = np.asarray(ends, _I64)
@@ -44,6 +45,7 @@ class GapStore:
         self._run_block = None
         self._cum1 = None
         self._bc = None
+        self._dense = None        # cached full expansion (store is immutable)
 
     # ------------------------------------------------------------------
     @classmethod
@@ -131,11 +133,23 @@ class GapStore:
 
     def to_dense(self, sel=None) -> np.ndarray:
         """uint32[k, 2048] dense rows for the selected blocks (all when sel
-        is None) — batched gap_convert_to_bitset (src/bmfunc.h:5223)."""
+        is None) — batched gap_convert_to_bitset (src/bmfunc.h:5223).
+        Native word-level span fills when available; numpy fallback.  The
+        full expansion is cached (stores are immutable)."""
+        if sel is not None and self._dense is not None:
+            return self._dense[np.asarray(sel)]
         sub = self if sel is None else self.subset(sel)
         k = sub.n_blocks
         if k == 0:
             return np.zeros((0, C.SET_BLOCK_SIZE), np.uint32)
+        from ..serial import native
+        rows = native.gaps_to_dense(sub.ends, sub.offs, sub.first)
+        if rows is not None:
+            if sel is None and k <= 1024:
+                # cache small expansions only: pinning a large dense image
+                # would defeat the succinct residency this store provides
+                self._dense = rows
+            return rows
         toggles = np.zeros((k, _BPB), np.uint8)
         rb = sub.run_block()
         # value toggles at the bit AFTER each run end (and at 0 if first=1)

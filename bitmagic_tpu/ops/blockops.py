@@ -111,6 +111,23 @@ def gap_counts(pool):
     return cnt + 1
 
 
+def block_counts_np(words: np.ndarray) -> np.ndarray:
+    """Host mirror of block_counts (for host-resident pools: no upload)."""
+    return np.bitwise_count(words).sum(axis=1, dtype=np.int64)
+
+
+def gap_counts_np(words: np.ndarray) -> np.ndarray:
+    """Host mirror of gap_counts (bit_block_calc_change on numpy)."""
+    flat = words.reshape(words.shape[0], -1)
+    shifted = (flat >> np.uint32(1)) | (
+        np.roll(flat, -1, axis=1) << np.uint32(31))
+    x = flat ^ shifted
+    cnt = np.bitwise_count(x).sum(axis=1, dtype=np.int64)
+    last_top = (flat[:, -1] >> np.uint32(31)).astype(np.int64)
+    first_bot = (flat[:, 0] & np.uint32(1)).astype(np.int64)
+    return cnt - (last_top ^ first_bot) + 1
+
+
 # ---------------------------------------------------------------------------
 # logical families (reference src/bmfunc.h:7606-9291).  Plain jnp — XLA fuses
 # the op with any consumer reduction (digest / popcount) into one pass.

@@ -93,6 +93,18 @@ def load():
         lib.bmref_gamma_encode.restype = ctypes.c_int
         lib.bmref_gamma_encode.argtypes = [
             u32p, ctypes.c_int64, u64p, i32p, u8p, ctypes.c_int64, i64p]
+        lib.bm_gaps_to_dense.restype = ctypes.c_int
+        lib.bm_gaps_to_dense.argtypes = [i64p, i64p,
+                                         ctypes.POINTER(ctypes.c_uint8),
+                                         ctypes.c_int64, u32p]
+        lib.bm_bmt1_stream_op.restype = ctypes.c_int
+        lib.bm_bmt1_stream_op.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int,
+            i64p, ctypes.POINTER(ctypes.c_uint8), i64p, u32p,
+            ctypes.c_int64,
+            i64p, ctypes.POINTER(ctypes.c_uint8), u32p,
+            i64p, i64p, i64p]
         _lib = lib
         AVAILABLE = True
         return lib
@@ -179,6 +191,78 @@ def bmt1_encode(words: np.ndarray, nbs: np.ndarray, cls: np.ndarray,
     if n < 0:
         return None
     return out[:n].tobytes(), counts
+
+
+def gaps_to_dense(ends: np.ndarray, offs: np.ndarray, first: np.ndarray):
+    """Expand the concatenated D-GAP store layout into dense uint32 rows
+    (word-level span fills in C), or None when unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    ends = np.ascontiguousarray(ends, np.int64)
+    offs = np.ascontiguousarray(offs, np.int64)
+    first = np.ascontiguousarray(first, np.uint8)
+    m = first.size
+    out = np.zeros((max(m, 1), 2048), np.uint32)
+    lib.bm_gaps_to_dense(
+        ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        first.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        m, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    return out[:m]
+
+
+# op codes for bmt1_stream_op (match codecs.cpp)
+OP_AND, OP_OR, OP_XOR, OP_SUB_AB, OP_SUB_BA = 0, 1, 2, 3, 4
+
+
+def bmt1_stream_op(blob: bytes, rec_offset: int, op: int, count_mode: bool,
+                   t_nbs: np.ndarray, t_cls: np.ndarray,
+                   t_words: np.ndarray):
+    """Streamed set-op of a BMT1 BLOB against a target snapshot (O(1 block)
+    scratch in C).  Returns count (count_mode) or (nbs, cls, words) of the
+    per-record results; None when the native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(bytes(blob) + b"\0" * 8, np.uint8)
+    bp = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    n_rec = ctypes.c_int64(0)
+    n_rows = ctypes.c_int64(0)
+    if lib.bm_bmt1_scan(bp, buf.size - 8, rec_offset, ctypes.byref(n_rec),
+                        ctypes.byref(n_rows)) != 0:
+        return None
+    t_nbs = np.ascontiguousarray(t_nbs, np.int64)
+    t_cls = np.ascontiguousarray(t_cls, np.uint8)
+    t_words = np.ascontiguousarray(t_words, np.uint32)
+    t_slot = np.where(t_cls == 2, np.cumsum(t_cls == 2) - 1, -1).astype(
+        np.int64)
+    cap = max(int(n_rec.value), 1)
+    out_nbs = np.full(cap, -1, np.int64)
+    out_cls = np.zeros(cap, np.uint8)
+    out_words = np.zeros((1 if count_mode else cap, 2048), np.uint32)
+    o_nrec = ctypes.c_int64(0)
+    o_nrows = ctypes.c_int64(0)
+    cnt = ctypes.c_int64(0)
+    rc = lib.bm_bmt1_stream_op(
+        bp, buf.size - 8, rec_offset, int(op), int(bool(count_mode)),
+        t_nbs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        t_cls.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        t_slot.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        t_words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        t_nbs.size,
+        out_nbs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out_cls.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out_words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.byref(o_nrec), ctypes.byref(o_nrows), ctypes.byref(cnt))
+    if rc != 0:
+        return None
+    if count_mode:
+        return int(cnt.value)
+    m = out_nbs[:o_nrec.value] >= 0
+    nbs = out_nbs[:o_nrec.value][m]
+    cls = out_cls[:o_nrec.value][m]
+    return nbs, cls, out_words[:o_nrows.value]
 
 
 def bic_encode_bytes(arr: np.ndarray, lo: int, hi: int) -> bytes:

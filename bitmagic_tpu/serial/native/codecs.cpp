@@ -527,6 +527,76 @@ inline void fill_runs(uint32_t* w, int first_val, const int64_t* bounds,
 }
 
 // decode one BMT1 payload into a zeroed 2048-word row; returns 0/-1
+
+// Fused variant of bmref_bic_decode_cm: sets decoded values directly as
+// bits of a 2048-word block (bic_decode_u16_bitset analog, src/encoding.h)
+// — skips the intermediate int64 position array on the BMT1 hot path.
+static int bic_decode_cm_bitset(const uint8_t* buf, int64_t len,
+                                int64_t sz, int64_t lo, int64_t hi,
+                                uint32_t* w) {
+    int64_t p = 0;
+    uint64_t a = 0;
+    int nb = 0;
+    int ok = 1;
+    auto refill_to = [&](int n) {
+        while (nb < n) {
+            if (p + 4 > len) { ok = 0; nb += 32; continue; }
+            uint32_t x;
+            memcpy(&x, buf + p, 4);
+            p += 4;
+            a |= static_cast<uint64_t>(x) << nb;
+            nb += 32;
+        }
+    };
+    RFrame stack[88];
+    int sp = 0;
+    stack[sp++] = {0, sz, lo, hi};
+    while (sp) {
+        RFrame f = stack[--sp];
+        while (f.sz) {
+            int64_t range = f.hi - f.lo - f.sz + 1;
+            int64_t val = range;
+            if (range) {
+                int logv = bit_length_u64((uint64_t)(range + 1)) - 1;
+                int64_t c = (1ll << (logv + 1)) - range - 1;
+                int64_t half_c = c >> 1;
+                int64_t half_r = range >> 1;
+                int64_t lo1 = half_r - half_c - ((range + 1) & 1);
+                int64_t hi1 = half_r + half_c + 1;
+                refill_to(logv);
+                val = (int64_t)(a & ((1ull << logv) - 1));
+                if (nb > logv) {
+                    // branchless continuation-bit path: the extra bit is
+                    // already in the accumulator, so the (data-dependent,
+                    // poorly predicted) range test costs no branch
+                    int64_t need = (int64_t)(val <= lo1) | (int64_t)(val >= hi1);
+                    val += ((int64_t)((a >> logv) & 1) << logv) & (-need);
+                    int sh = logv + (int)need;
+                    a >>= sh;
+                    nb -= sh;
+                } else if (val <= lo1 || val >= hi1) {
+                    if (nb < logv + 1)
+                        refill_to(logv + 1);
+                    val += (int64_t)((a >> logv) & 1) << logv;
+                    a >>= logv + 1;
+                    nb -= logv + 1;
+                } else {
+                    a >>= logv;
+                    nb -= logv;
+                }
+            }
+            int64_t mid = f.sz >> 1;
+            val += f.lo + mid;
+            w[(uint32_t)val >> 5] |= 1u << (val & 31);
+            if (f.sz <= 1) break;
+            stack[sp++] = {f.base + mid + 1, f.sz - mid - 1, val + 1, f.hi};
+            f = {f.base, mid, f.lo, val - 1};
+        }
+        if (!ok) return -1;
+    }
+    return 0;
+}
+
 int bmt1_payload(int code, const uint8_t* p, int64_t plen, uint32_t* w,
                  int64_t* scratch) {
     switch (code) {
@@ -554,14 +624,8 @@ int bmt1_payload(int code, const uint8_t* p, int64_t plen, uint32_t* w,
         if (plen < 4) return -1;
         uint32_t n = rd32(p);
         if (n > 65536) return -1;
-        int64_t pos = 0; uint64_t acc = 0; int32_t nb = 0;
-        if (n) {
-            int rc = bmref_bic_decode_cm(p + 4, plen - 4, &pos, &acc, &nb,
-                                         n, 0, 65535, scratch);
-            if (rc) return -1;
-        }
-        for (uint32_t i = 0; i < n; ++i)
-            set_bit_blk(w, (uint32_t)scratch[i]);
+        if (n && bic_decode_cm_bitset(p + 4, plen - 4, n, 0, 65535, w))
+            return -1;
         if (code == BMT1_ARR_BIC_INV)
             for (int k = 0; k < 2048; ++k) w[k] = ~w[k];
         return 0;
@@ -857,6 +921,190 @@ int bmref_gamma_encode(const uint32_t* arr, int64_t n,
     }
     *acc = w.acc; *nbits = w.nbits; *written = w.pos;
     return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// GAP-store expansion + streamed BLOB set-ops (operation_deserializer core).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// set bits [a, b] inclusive within a 2048-word block (word-level fill)
+inline void fill_span_blk(uint32_t* w, int64_t a, int64_t b) {
+    int64_t wa = a >> 5, wb = b >> 5;
+    uint32_t ma = ~0u << (a & 31);
+    uint32_t mb = ((b & 31) == 31) ? ~0u : ((1u << ((b & 31) + 1)) - 1u);
+    if (wa == wb) { w[wa] |= ma & mb; return; }
+    w[wa] |= ma;
+    w[wb] |= mb;
+    if (wb > wa + 1) memset(w + wa + 1, 0xFF, (size_t)(wb - wa - 1) * 4);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Expand m D-GAP blocks (concatenated run-end layout of core/gapstore.py)
+// into dense 2048-word rows.  ends: inclusive run ends per block (ascending,
+// final 65535); offs[m+1]; first[m] = value of run 0.  out must be zeroed
+// (m * 2048 words).  Returns 0.
+int bm_gaps_to_dense(const int64_t* ends, const int64_t* offs,
+                     const uint8_t* first, int64_t m, uint32_t* out) {
+    for (int64_t k = 0; k < m; ++k) {
+        uint32_t* w = out + k * 2048;
+        int64_t prev = -1;
+        int val = first[k];
+        for (int64_t r = offs[k]; r < offs[k + 1]; ++r) {
+            int64_t e = ends[r];
+            if (val && e >= prev + 1)
+                fill_span_blk(w, prev + 1, e);
+            prev = e;
+            val ^= 1;
+        }
+    }
+    return 0;
+}
+
+// Streamed set-op between a target bvector snapshot and a BMT1 BLOB —
+// bm::operation_deserializer core (src/bmserial.h:1006): block records are
+// processed one at a time with O(1 block) scratch; payloads that cannot
+// affect the result are skipped without decoding (record lengths play the
+// reference's bookmark role).
+//
+// op: 0 AND, 1 OR, 2 XOR, 3 SUB_AB (t & ~blob), 4 SUB_BA (blob & ~t).
+// count_mode: 1 -> only *count_out is produced (sum of per-block result
+// popcounts over blob records), no rows are written.
+// Target snapshot: t_nbs sorted; t_cls 1=FULL 2=row; t_slot row index into
+// t_words for cls==2.
+// Result (count_mode=0): per-record outputs in blob order; out_cls 1=FULL,
+// 2=row (row appended to out_words).  Blocks of the target that the BLOB
+// does not mention are NOT emitted here — the caller merges them per op.
+// Returns 0, or -1 on malformed input.
+int bm_bmt1_stream_op(const uint8_t* blob, int64_t len, int64_t off,
+                      int op, int count_mode,
+                      const int64_t* t_nbs, const uint8_t* t_cls,
+                      const int64_t* t_slot, const uint32_t* t_words,
+                      int64_t nt,
+                      int64_t* out_nbs, uint8_t* out_cls,
+                      uint32_t* out_words,
+                      int64_t* out_nrec, int64_t* out_nrows,
+                      int64_t* count_out) {
+    int64_t pos = off, nrec = 0, nrows = 0;
+    int64_t count = 0;
+    int64_t* scratch = new int64_t[65537];
+    uint32_t* bw = new uint32_t[2048];
+    while (pos + 11 <= len) {
+        uint64_t nb = rd48(blob + pos);
+        uint8_t code = blob[pos + 6];
+        uint32_t plen = rd32(blob + pos + 7);
+        pos += 11;
+        if (code == BMT1_END && nb == BMT1_END_NB) {
+            delete[] scratch; delete[] bw;
+            if (out_nrec) *out_nrec = nrec;
+            if (out_nrows) *out_nrows = nrows;
+            if (count_out) *count_out = count;
+            return 0;
+        }
+        if (pos + plen > len) { delete[] scratch; delete[] bw; return -1; }
+        // locate target block state: 0 absent, 1 FULL, 2 row
+        int tstate = 0;
+        const uint32_t* tw = nullptr;
+        {
+            int64_t lo = 0, hi = nt;
+            while (lo < hi) {
+                int64_t mid = (lo + hi) >> 1;
+                if ((uint64_t)t_nbs[mid] < nb) lo = mid + 1; else hi = mid;
+            }
+            if (lo < nt && (uint64_t)t_nbs[lo] == nb) {
+                tstate = t_cls[lo];
+                if (tstate == 2) tw = t_words + t_slot[lo] * 2048;
+            }
+        }
+        int rec_full = (code == BMT1_FULL);
+        // payload-skip fast paths (no decode, no output / symbolic output)
+        bool skip = false;
+        int emit_full = 0;            // 1 -> emit FULL (or count 65536)
+        switch (op) {
+        case 0:  // AND
+            if (tstate == 0) skip = true;
+            else if (tstate == 1 && rec_full) emit_full = 1;
+            break;
+        case 1:  // OR
+            if (tstate == 1 || rec_full) emit_full = 1;
+            break;
+        case 2:  // XOR
+            if (rec_full && tstate == 0) emit_full = 1;
+            else if (rec_full && tstate == 1) skip = true;   // -> zero
+            break;
+        case 3:  // SUB_AB: t & ~blob
+            if (tstate == 0 || rec_full) skip = true;        // -> zero/absent
+            break;
+        case 4:  // SUB_BA: blob & ~t
+            if (tstate == 1) skip = true;                    // -> zero
+            else if (rec_full && tstate == 0) emit_full = 1;
+            break;
+        }
+        if (skip) { pos += plen; ++nrec; continue; }
+        if (emit_full) {
+            if (count_mode) count += 65536;
+            else {
+                out_nbs[nrec] = (int64_t)nb;
+                out_cls[nrec] = 1;
+            }
+            pos += plen; ++nrec; continue;
+        }
+        // decode the record payload (dense) unless the record is FULL
+        const uint32_t* bp;
+        if (rec_full) {
+            bp = nullptr;             // virtual all-ones
+        } else {
+            memset(bw, 0, 8192);
+            if (bmt1_payload(code, blob + pos, plen, bw, scratch)) {
+                delete[] scratch; delete[] bw; return -1;
+            }
+            bp = bw;
+        }
+        // combine into the output row (or popcount); 64-bit strides with
+        // the op switch hoisted out of the word loop
+        uint32_t* ow = count_mode ? bw : out_words + nrows * 2048;
+        uint64_t pc = 0;
+        {
+            uint64_t tb[2], bb[2];
+            const uint64_t ones2[2] = {~0ull, ~0ull};
+            const uint64_t zero2[2] = {0, 0};
+            for (int k = 0; k < 2048; k += 4) {
+                if (bp) memcpy(bb, bp + k, 16); else memcpy(bb, ones2, 16);
+                if (tstate == 2) memcpy(tb, tw + k, 16);
+                else memcpy(tb, tstate == 1 ? ones2 : zero2, 16);
+                uint64_t r0, r1;
+                switch (op) {
+                case 0: r0 = tb[0] & bb[0]; r1 = tb[1] & bb[1]; break;
+                case 1: r0 = tb[0] | bb[0]; r1 = tb[1] | bb[1]; break;
+                case 2: r0 = tb[0] ^ bb[0]; r1 = tb[1] ^ bb[1]; break;
+                case 3: r0 = tb[0] & ~bb[0]; r1 = tb[1] & ~bb[1]; break;
+                default: r0 = bb[0] & ~tb[0]; r1 = bb[1] & ~tb[1]; break;
+                }
+                if (count_mode) {
+                    pc += __builtin_popcountll(r0) + __builtin_popcountll(r1);
+                } else {
+                    memcpy(ow + k, &r0, 8);
+                    memcpy(ow + k + 2, &r1, 8);
+                }
+            }
+        }
+        if (count_mode) count += (int64_t)pc;
+        else {
+            out_nbs[nrec] = (int64_t)nb;
+            out_cls[nrec] = 2;
+            ++nrows;
+        }
+        pos += plen;
+        ++nrec;
+    }
+    delete[] scratch; delete[] bw;
+    return -1;
 }
 
 }  // extern "C"

@@ -1,10 +1,20 @@
 """Set algebra directly against serialized BLOBs.
 
-Equivalent of `bm::operation_deserializer` (src/bmserial.h:1006): apply
-AND/OR/XOR/SUB/COUNT_* between a live BitVector and a compressed BLOB without
-fully materializing the BLOB — block records are streamed; for AND the target
-structure prunes which payloads are even decoded (the record-length skipping
-plays the role of the reference's bookmarks)."""
+Equivalent of `bm::operation_deserializer` (src/bmserial.h:1006) driven by
+`serial_stream_iterator` (:847): AND/OR/XOR/SUB and every COUNT_* op apply
+between a live BitVector and a compressed BMT1 BLOB **block-record by
+block-record** — the BLOB is never materialized into a BitVector.  The C
+engine (codecs.cpp bm_bmt1_stream_op) keeps O(1 block) scratch and skips
+payload decodes that cannot affect the result (AND against an absent target
+block, OR under a FULL target, SUB_BA under a FULL target...), with the
+per-record length fields playing the reference's bookmark role.  A pure-
+Python streamed fallback with the same record-at-a-time semantics covers
+environments without the native library.
+
+Reference-format BLOBs take the refcodec decode path (block-sequential with
+its own skip logic) and then apply; cross-format results are bit-identical
+to the materialized path (tests enforce).
+"""
 
 from __future__ import annotations
 
@@ -12,9 +22,11 @@ import numpy as np
 
 from .. import constants as C
 from ..core.bitvector import BitVector
+from ..core.blocks import Structure
 from .encoding import ByteDecoder
 from .serializer import (CODE_END, CODE_FULL, Deserializer, MAGIC,
                          _decode_payload)
+from . import native
 
 
 def _stream_blocks(data: bytes, want=None):
@@ -39,8 +51,107 @@ def _stream_blocks(data: bytes, want=None):
         yield (nb, code, dec.get_bytes(plen))
 
 
+_REC_OFFSET = 13          # MAGIC(4) + flags(1) + size u64
+
+
+def _blob_size(data: bytes) -> int:
+    dec = ByteDecoder(data)
+    if dec.get_bytes(4) != MAGIC:
+        raise ValueError("bad magic")
+    dec.get_8()
+    return dec.get_64()
+
+
+def _stream_op_py(data, op, t_nbs, t_cls, t_words, count_mode):
+    """Pure-Python record-at-a-time engine with bm_bmt1_stream_op semantics
+    (one decoded block live at a time)."""
+    nbs_out, cls_out, rows_out = [], [], []
+    count = 0
+    ones = np.full(C.SET_BLOCK_SIZE, 0xFFFFFFFF, np.uint32)
+    zeros = np.zeros(C.SET_BLOCK_SIZE, np.uint32)
+    slot = np.where(t_cls == 2, np.cumsum(t_cls == 2) - 1, -1)
+    for nb, code, payload in _stream_blocks(data, want=None):
+        if nb == "header":
+            continue
+        pos = np.searchsorted(t_nbs, nb)
+        tstate = 0
+        tw = None
+        if pos < t_nbs.size and t_nbs[pos] == nb:
+            tstate = int(t_cls[pos])
+            if tstate == 2:
+                tw = t_words[slot[pos]]
+        rec_full = code == CODE_FULL
+        skip = emit_full = False
+        if op == native.OP_AND:
+            skip = tstate == 0
+            emit_full = tstate == 1 and rec_full
+        elif op == native.OP_OR:
+            emit_full = tstate == 1 or rec_full
+        elif op == native.OP_XOR:
+            emit_full = rec_full and tstate == 0
+            skip = rec_full and tstate == 1
+        elif op == native.OP_SUB_AB:
+            skip = tstate == 0 or rec_full
+        else:                                   # OP_SUB_BA
+            skip = tstate == 1
+            emit_full = rec_full and tstate == 0
+        if skip:
+            continue
+        if emit_full:
+            if count_mode:
+                count += C.BITS_PER_BLOCK
+            else:
+                nbs_out.append(nb)
+                cls_out.append(C.CLS_FULL)
+            continue
+        b = ones if rec_full else _decode_payload(code, payload)
+        t = tw if tstate == 2 else (ones if tstate == 1 else zeros)
+        if op == native.OP_AND:
+            r = t & b
+        elif op == native.OP_OR:
+            r = t | b
+        elif op == native.OP_XOR:
+            r = t ^ b
+        elif op == native.OP_SUB_AB:
+            r = t & ~b
+        else:
+            r = b & ~t
+        if count_mode:
+            count += int(np.bitwise_count(r).sum())
+        else:
+            nbs_out.append(nb)
+            cls_out.append(C.CLS_BIT)
+            rows_out.append(r)
+    if count_mode:
+        return count
+    rows = (np.stack(rows_out) if rows_out
+            else np.zeros((0, C.SET_BLOCK_SIZE), np.uint32))
+    return (np.asarray(nbs_out, np.int64), np.asarray(cls_out, np.uint8),
+            rows)
+
+
+def _blob_nbs(data: bytes) -> np.ndarray:
+    """Block ids mentioned by the BLOB (headers only — no payload decode)."""
+    out = [nb for nb, _, _ in _stream_blocks(data, want=set())
+           if nb != "header"]
+    return np.asarray(out, np.int64)
+
+
+_SET_TO_OPC = {
+    C.SET_AND: native.OP_AND, C.SET_OR: native.OP_OR,
+    C.SET_XOR: native.OP_XOR, C.SET_SUB: native.OP_SUB_AB,
+}
+_COUNT_TO_OPC = {
+    C.SET_COUNT_AND: native.OP_AND, C.SET_COUNT_OR: native.OP_OR,
+    C.SET_COUNT_XOR: native.OP_XOR, C.SET_COUNT_SUB_AB: native.OP_SUB_AB,
+    C.SET_COUNT_SUB_BA: native.OP_SUB_BA,
+}
+# ops where target blocks untouched by the BLOB survive / contribute
+_PASS_THROUGH = {native.OP_OR, native.OP_XOR, native.OP_SUB_AB}
+
+
 class OperationDeserializer:
-    """bm::operation_deserializer equivalent."""
+    """bm::operation_deserializer equivalent (streamed, no materialize)."""
 
     def deserialize(self, bv: BitVector, data: bytes, op: int):
         """Apply ``op`` (constants.SET_*) between bv (in place) and the BLOB;
@@ -51,20 +162,59 @@ class OperationDeserializer:
             from .refcodec import ref_deserialize
             other = ref_deserialize(data)
             return self._apply_decoded(bv, other, op)
-        if op in (C.SET_AND, C.SET_OR, C.SET_XOR, C.SET_SUB, C.SET_ASSIGN):
-            other = Deserializer().deserialize(data)
-            if op == C.SET_AND:
-                bv.bit_and(other)
-            elif op == C.SET_OR:
-                bv.bit_or(other)
-            elif op == C.SET_XOR:
-                bv.bit_xor(other)
-            elif op == C.SET_SUB:
-                bv.bit_sub(other)
-            else:
-                bv.swap(other)
+        if op == C.SET_ASSIGN:
+            bv.swap(Deserializer().deserialize(data))
             return bv
+        if op in _SET_TO_OPC:
+            return self._stream_apply(bv, data, _SET_TO_OPC[op])
         return self._count_op(bv, data, op)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _run_stream(bv, data, opc, count_mode):
+        nb_a, cls_a, pool = bv._dense_snapshot()
+        res = native.bmt1_stream_op(data, _REC_OFFSET, opc, count_mode,
+                                    nb_a, cls_a, pool)
+        if res is None:
+            res = _stream_op_py(data, opc, nb_a, cls_a, pool, count_mode)
+        return nb_a, cls_a, pool, res
+
+    def _stream_apply(self, bv, data, opc):
+        bv._check_writable()
+        nb_a, cls_a, pool, res = self._run_stream(bv, data, opc, False)
+        out_nbs, out_cls, out_rows = res
+        if opc in _PASS_THROUGH and nb_a.size:
+            keep = ~np.isin(nb_a, _blob_nbs(data))
+            if keep.any():
+                slot = np.where(cls_a == 2, np.cumsum(cls_a == 2) - 1, -1)
+                pt_nbs = nb_a[keep]
+                pt_cls = cls_a[keep]
+                pt_rows = pool[slot[keep & (cls_a == 2)]]
+                # merge sorted: record results + untouched target blocks
+                all_nbs = np.concatenate([out_nbs, pt_nbs])
+                all_cls = np.concatenate([out_cls, pt_cls])
+                order = np.argsort(all_nbs, kind="stable")
+                # row index per entry: records first, then pass-through
+                row_src = np.full(all_nbs.size, -1, np.int64)
+                nrec_rows = int((out_cls == C.CLS_BIT).sum())
+                row_src[: out_nbs.size][out_cls == C.CLS_BIT] = \
+                    np.arange(nrec_rows)
+                row_src[out_nbs.size:][pt_cls == C.CLS_BIT] = \
+                    nrec_rows + np.arange(int((pt_cls == C.CLS_BIT).sum()))
+                all_rows = (np.concatenate([out_rows, pt_rows])
+                            if (out_rows.shape[0] + pt_rows.shape[0])
+                            else out_rows)
+                out_nbs = all_nbs[order]
+                out_cls = all_cls[order]
+                sel = row_src[order]
+                out_rows = all_rows[sel[sel >= 0]]
+        blob_sz = _blob_size(data)
+        bv._struct = Structure(out_nbs.copy(), out_cls.copy())
+        bv._pool = out_rows
+        bv._gaps = None
+        bv._size = max(bv._size, blob_sz)
+        bv._dirty()
+        return bv
 
     def _apply_decoded(self, bv: BitVector, other: BitVector, op: int):
         from ..algo import setops
@@ -95,75 +245,39 @@ class OperationDeserializer:
         return setops.distance_operation(bv, other, [metric])[metric]
 
     def _count_op(self, bv: BitVector, data: bytes, op: int) -> int:
-        from ..algo import setops
         bv._flush()
-        if op == C.SET_COUNT_B or op == C.SET_COUNT:
-            # count of the BLOB itself: stream, no full materialize
-            total = 0
-            for nb, code, payload in _stream_blocks(data):
-                if nb == "header":
-                    continue
-                if code == CODE_FULL:
-                    total += C.BITS_PER_BLOCK
-                elif payload is not None:
-                    words = _decode_payload(code, payload)
-                    total += int(np.unpackbits(
-                        words.view(np.uint8), bitorder="little").sum())
-            return total
+        if op in (C.SET_COUNT_B, C.SET_COUNT):
+            # count of the BLOB alone: stream against an empty target
+            empty = np.zeros(0, np.int64)
+            res = native.bmt1_stream_op(
+                data, _REC_OFFSET, native.OP_OR, True, empty,
+                np.zeros(0, np.uint8),
+                np.zeros((0, C.SET_BLOCK_SIZE), np.uint32))
+            if res is None:
+                res = _stream_op_py(
+                    data, native.OP_OR, empty, np.zeros(0, np.uint8),
+                    np.zeros((0, C.SET_BLOCK_SIZE), np.uint32), True)
+            return int(res)
         if op == C.SET_COUNT_A:
             return bv.count()
-        metric = {
-            C.SET_COUNT_AND: setops.COUNT_AND,
-            C.SET_COUNT_OR: setops.COUNT_OR,
-            C.SET_COUNT_XOR: setops.COUNT_XOR,
-            C.SET_COUNT_SUB_AB: setops.COUNT_SUB_AB,
-            C.SET_COUNT_SUB_BA: setops.COUNT_SUB_BA,
-        }.get(op)
-        if metric is None:
+        if op not in _COUNT_TO_OPC:
             raise ValueError(f"unsupported op {op}")
-        # AND-like counts only need blocks present in bv; stream-skip others.
-        # The whole count runs on the host (numpy popcount): BLOB ops are
-        # latency-bound, and a host pass beats device round-trips until the
-        # working set is orders of magnitude larger than typical BLOBs.
-        if op == C.SET_COUNT_AND:
-            return self._count_and_host(bv, data)
-        other = Deserializer().deserialize(data)
-        return setops.distance_operation(bv, other, [metric])[metric]
-
-    @staticmethod
-    def _count_and_host(bv: BitVector, data: bytes) -> int:
-        # dense snapshot: GAP-resident blocks expand transiently
-        nb_a, cls_a, pool = bv._dense_snapshot()
-        slots_a = np.where(cls_a == C.CLS_BIT,
-                           np.cumsum(cls_a == C.CLS_BIT) - 1, -1)
-        amap = {int(nb_a[k]): (cls_a[k], slots_a[k])
-                for k in range(len(nb_a))}
-        total = 0
-        for nb, code, payload in _stream_blocks(data, want=set(amap)):
-            if nb == "header" or (payload is None and code != CODE_FULL):
-                continue
-            ent = amap.get(nb)
-            if ent is None:
-                continue
-            cls, slot = ent
-            if code == CODE_FULL:
-                if cls == C.CLS_FULL:
-                    total += C.BITS_PER_BLOCK
-                else:
-                    total += int(np.bitwise_count(pool[slot]).sum())
-                continue
-            words = _decode_payload(code, payload)
-            if cls == C.CLS_FULL:
-                total += int(np.bitwise_count(words).sum())
-            else:
-                total += int(np.bitwise_count(pool[slot] & words).sum())
+        opc = _COUNT_TO_OPC[op]
+        nb_a, cls_a, pool, res = self._run_stream(bv, data, opc, True)
+        total = int(res)
+        if opc in _PASS_THROUGH and nb_a.size:
+            # target blocks the BLOB does not mention contribute themselves
+            keep = ~np.isin(nb_a, _blob_nbs(data))
+            if keep.any():
+                total += int((cls_a[keep] == 1).sum()) * C.BITS_PER_BLOCK
+                slot = np.where(cls_a == 2, np.cumsum(cls_a == 2) - 1, -1)
+                rows = pool[slot[keep & (cls_a == 2)]]
+                if rows.shape[0]:
+                    total += int(np.bitwise_count(rows).sum(dtype=np.int64))
         return total
 
 
 def _materialize_subset(data, want, size):
-    import jax.numpy as jnp
-    from ..core.blocks import Structure
-    from ..ops import blockops
     nbs, clss, rows = [], [], []
     for nb, code, payload in _stream_blocks(data, want=want):
         if nb == "header" or payload is None and code != CODE_FULL:
@@ -174,7 +288,8 @@ def _materialize_subset(data, want, size):
             continue
         nbs.append(nb); clss.append(C.CLS_BIT)
         rows.append(_decode_payload(code, payload))
-    pool = (jnp.asarray(np.stack(rows)) if rows else blockops.zero_pool(0))
+    pool = (np.stack(rows) if rows
+            else np.zeros((0, C.SET_BLOCK_SIZE), np.uint32))
     return BitVector._from_parts(
         Structure(np.asarray(nbs, np.int64), np.asarray(clss, np.uint8)),
         pool, size)

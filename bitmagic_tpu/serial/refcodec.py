@@ -1048,9 +1048,8 @@ class RefDeserializer:
             if not w.any():
                 continue
             nbs.append(nb); clss.append(C.CLS_BIT); rows.append(w)
-        import jax.numpy as jnp
-        pool = (jnp.asarray(np.stack(rows)) if rows
-                else blockops.zero_pool(0))
+        pool = (np.stack(rows) if rows
+                else np.zeros((0, WORDS), np.uint32))
         struct = Structure(np.asarray(nbs, np.int64),
                            np.asarray(clss, np.uint8))
         return BitVector._from_parts(struct, pool, size)

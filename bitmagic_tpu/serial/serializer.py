@@ -251,12 +251,10 @@ class Deserializer:
             res = native.bmt1_decode(data, dec.pos)
             if res is not None:
                 nbs_a, cls_a, words = res
-                import jax.numpy as jnp
-                pool = (jnp.asarray(words) if words.shape[0]
-                        else blockops.zero_pool(0))
-                # drop rows the encoder never emits as zero; classes map 1:1
-                struct = Structure(nbs_a.copy(), cls_a.copy())
-                return BitVector._from_parts(struct, pool, size)
+                # host-resident pool: the device upload is deferred to the
+                # first device op (lazy residency, BitVector._pool)
+                struct = Structure(nbs_a, cls_a)
+                return BitVector._from_parts(struct, words, size)
         lo_blk, hi_blk = 0, (1 << 48)
         if range_ is not None:
             lo_blk = int(range_[0]) >> C.SET_BLOCK_SHIFT
@@ -280,8 +278,8 @@ class Deserializer:
             nbs.append(nb)
             clss.append(C.CLS_BIT)
             rows.append(words)
-        import jax.numpy as jnp
-        pool = (jnp.asarray(np.stack(rows)) if rows else blockops.zero_pool(0))
+        pool = (np.stack(rows) if rows
+                else np.zeros((0, C.SET_BLOCK_SIZE), np.uint32))
         struct = Structure(np.asarray(nbs, np.int64),
                            np.asarray(clss, np.uint8))
         bv = BitVector._from_parts(struct, pool, size)
