@@ -38,6 +38,7 @@ class ShardedBitVector:
         self.pool = pool          # uint32[n_blocks_padded, 2048], sharded
         self.size = int(size)
         self.mesh = mesh
+        self._rs = None           # cached ShardedRSIndex
 
     # ------------------------------------------------------------------
     @classmethod
@@ -103,9 +104,21 @@ class ShardedBitVector:
     def count_range(self, lo: int, hi: int) -> int:
         return blockops.count_range_pool(self.pool, lo, hi)
 
+    def build_rs_index(self) -> "ShardedRSIndex":
+        """Build (once) and cache the persistent sharded rank/select index
+        (shard-local wave prefixes + replicated shard totals)."""
+        if self._rs is None:
+            self._rs = ShardedRSIndex(self)
+        return self._rs
+
     def rank(self, i: int) -> int:
-        """popcount[0, i] — inter-shard exclusive prefix handled by XLA's
-        partitioner over the masked reduction."""
+        """popcount[0, i] via the persistent index (one build, then O(1)
+        per query — no pool scans)."""
+        return self.build_rs_index().rank(i)
+
+    def rank_scan(self, i: int) -> int:
+        """Index-free rank: masked reduction over the whole pool (kept for
+        cross-checking the index path)."""
         return self.count_range(0, i)
 
     def block_counts(self):
@@ -121,7 +134,11 @@ class ShardedBitVector:
         all-gathers the tiny per-shard totals, claims the queries whose
         global rank falls inside it, answers them with the local wave
         descent (ops/select.py), and the answers combine with one psum —
-        communication is O(n_shards + n_queries), never block data."""
+        communication is O(n_shards + n_queries), never block data.
+        Uses the persistent ShardedRSIndex when built (no per-call wave
+        prefix recomputation)."""
+        if self._rs is not None:
+            return self._rs.select_batch(ranks)
         mesh = self.mesh
         n_shards = mesh.devices.size
         blocks_per_shard = self.pool.shape[0] // n_shards
@@ -167,26 +184,341 @@ def _digest_jit(pool):
 
 
 # ---------------------------------------------------------------------------
+# persistent sharded rank/select index (the rs_index at mesh scale,
+# src/bmrs.h:28-40: shard-local wave prefixes built ONCE + a tiny replicated
+# super-index of shard totals)
+# ---------------------------------------------------------------------------
+class ShardedRSIndex:
+    """Rank/select acceleration over one ShardedBitVector snapshot.
+
+    Build cost: one sharded pass computing each shard's inclusive wave
+    popcount prefix (resident on its shard) + an n_shards-entry totals
+    fetch.  Queries afterwards are O(batch): no per-call pool scans
+    (reference rs_index super-block counts, src/bmrs.h:28-40)."""
+
+    def __init__(self, sbv: "ShardedBitVector"):
+        self.sbv = sbv
+        self.mesh = sbv.mesh
+        n_shards = self.mesh.devices.size
+        self.n_shards = n_shards
+        self.blocks_per_shard = sbv.pool.shape[0] // n_shards
+        # [n_shards, local_waves] inclusive prefix, sharded on axis 0
+        self.gwc = _gwc_prog(self.mesh)(sbv.pool)
+        totals = np.asarray(self.gwc[:, -1]).astype(np.int64)
+        self.shard_totals = totals
+        self.before = np.concatenate(
+            [[0], np.cumsum(totals)[:-1]]).astype(np.int32)
+        self.total = int(totals.sum())
+
+    def select_batch(self, ranks) -> np.ndarray:
+        """Batched select1; -1 for out-of-range ranks."""
+        ranks = np.asarray(ranks, np.int64)
+        out = np.full(ranks.shape, -1, np.int64)
+        ok = (ranks >= 1) & (ranks <= self.total)
+        if not ok.any():
+            return out
+        rk = jnp.asarray(ranks[ok].astype(np.int32))
+        pos = _rs_select_prog(self.mesh, self.n_shards,
+                              self.blocks_per_shard)(
+            self.sbv.pool, self.gwc, rk,
+            jnp.asarray(self.before.reshape(self.n_shards, 1)))
+        out[ok] = np.asarray(pos, np.int64)
+        return out
+
+    def select(self, rank: int) -> int:
+        return int(self.select_batch([rank])[0])
+
+    def rank_batch(self, ids) -> np.ndarray:
+        """rank(i) = popcount[0, i] per query (count_to semantics)."""
+        ids = np.asarray(ids, np.int64)
+        out = np.zeros(ids.shape, np.int64)
+        ok = ids >= 0
+        if not ok.any():
+            return out
+        q = jnp.asarray(np.minimum(ids[ok], self.sbv.pool.shape[0]
+                                   * C.BITS_PER_BLOCK - 1).astype(np.int64))
+        r = _rs_rank_prog(self.mesh, self.n_shards, self.blocks_per_shard)(
+            self.sbv.pool, self.gwc, q)
+        out[ok] = np.asarray(r, np.int64)
+        return out
+
+    def rank(self, i: int) -> int:
+        return int(self.rank_batch([i])[0])
+
+    def count(self) -> int:
+        return self.total
+
+
+@functools.lru_cache(maxsize=16)
+def _gwc_prog(mesh):
+    from ..ops.select import global_wave_prefix
+
+    def _local(local):
+        return global_wave_prefix(local)[None]
+
+    return jax.jit(shard_map(
+        _local, mesh=mesh,
+        in_specs=P(BLOCK_AXIS, None), out_specs=P(BLOCK_AXIS, None)))
+
+
+@functools.lru_cache(maxsize=16)
+def _rs_select_prog(mesh, n_shards, blocks_per_shard):
+    from ..ops.select import select_flat
+
+    def _sel(local, gwc_l, rk, before_l):
+        gwc = gwc_l[0]
+        total = gwc[-1]
+        sid = jax.lax.axis_index(BLOCK_AXIS)
+        local_rank = rk - before_l[0, 0]
+        mine = (local_rank >= 1) & (local_rank <= total)
+        safe = jnp.clip(local_rank, 1, jnp.maximum(total, 1))
+        pos = select_flat(local, gwc, safe.astype(jnp.int32))
+        base = sid.astype(jnp.int64) * blocks_per_shard * C.BITS_PER_BLOCK
+        out = jnp.where(mine, base + pos.astype(jnp.int64), 0)
+        return jax.lax.psum(out, BLOCK_AXIS)
+
+    return jax.jit(shard_map(
+        _sel, mesh=mesh,
+        in_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS, None), P(),
+                  P(BLOCK_AXIS, None)),
+        out_specs=P()))
+
+
+@functools.lru_cache(maxsize=16)
+def _rs_rank_prog(mesh, n_shards, blocks_per_shard):
+    span = blocks_per_shard * C.BITS_PER_BLOCK
+
+    def _rank(local, gwc_l, ids):
+        gwc = gwc_l[0]
+        sid = jax.lax.axis_index(BLOCK_AXIS)
+        base = sid.astype(jnp.int64) * span
+        rel = ids - base                         # int64 per query
+        total = gwc[-1].astype(jnp.int64)
+        # containing-shard partial: prefix of full waves + masked tail wave
+        rel_c = jnp.clip(rel, 0, span - 1).astype(jnp.int32)
+        wave = rel_c >> 10
+        prev = jnp.where(wave > 0, gwc[jnp.maximum(wave - 1, 0)], 0)
+        flat = local.reshape(-1)                 # [bps * 2048] words
+        widx = (wave * C.WAVE_WORDS)[:, None] + jnp.arange(
+            C.WAVE_WORDS, dtype=jnp.int32)[None, :]
+        words = jnp.take(flat, widx)             # [q, 32]
+        bit_in_wave = rel_c & 1023
+        wword = bit_in_wave >> 5
+        wbit = (bit_in_wave & 31).astype(jnp.uint32)
+        k = jnp.arange(C.WAVE_WORDS, dtype=jnp.int32)[None, :]
+        full = k < wword[:, None]
+        part = jnp.where(wbit == 31, jnp.uint32(0xFFFFFFFF),
+                         (jnp.uint32(1) << (wbit + 1)) - 1)[:, None]
+        mask = jnp.where(full, jnp.uint32(0xFFFFFFFF),
+                         jnp.where(k == wword[:, None], part, jnp.uint32(0)))
+        partial = jnp.sum(
+            jax.lax.population_count(words & mask).astype(jnp.int32),
+            axis=1).astype(jnp.int64) + prev.astype(jnp.int64)
+        contrib = jnp.where(rel < 0, 0,
+                            jnp.where(rel >= span, total, partial))
+        return jax.lax.psum(contrib, BLOCK_AXIS)
+
+    return jax.jit(shard_map(
+        _rank, mesh=mesh,
+        in_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS, None), P()),
+        out_specs=P()))
+
+
+# ---------------------------------------------------------------------------
 # sharded aggregator with digest exchange (communication-avoiding AND)
 # ---------------------------------------------------------------------------
-def sharded_and_many(vectors: list[ShardedBitVector]) -> ShardedBitVector:
-    """AND over a group of sharded vectors in one fused pass; the digest
-    pre-pass mirrors the reference aggregator's digest narrowing
-    (src/bmaggregator.h:1764) — blocks whose combined digest is empty skip
-    the full 8KB AND (XLA keeps everything block-local; zero collectives)."""
+@jax.jit
+def _digest_packed(pool):
+    """8-byte/block wave digest: 64 wave-nonzero flags packed into u32[n, 2]
+    (the exchange currency; reference digest, src/bmfunc.h:1230)."""
+    d = blockops.calc_digest(pool).astype(jnp.uint32)
+    w = jnp.arange(32, dtype=jnp.uint32)
+    lo = jnp.sum(d[:, :32] << w, axis=1, dtype=jnp.uint32)
+    hi = jnp.sum(d[:, 32:] << w, axis=1, dtype=jnp.uint32)
+    return jnp.stack([lo, hi], axis=1)
+
+
+@jax.jit
+def _alive_and(*pools):
+    """Digest pre-pass: AND the per-vector block digests -> bool[nblk]."""
+    acc = None
+    for p in pools:
+        d = _digest_packed(p)
+        acc = d if acc is None else (acc & d)
+    return jnp.any(acc != 0, axis=1)
+
+
+def _survivor_slots(alive: np.ndarray, n_shards: int):
+    """Per-shard survivor row lists padded to the max shard count.
+    Returns (idx int32[n_shards, s_max], valid bool[n_shards, s_max])."""
+    bps = alive.size // n_shards
+    per = alive.reshape(n_shards, bps)
+    counts = per.sum(axis=1)
+    s_max = max(int(counts.max()), 1)
+    idx = np.zeros((n_shards, s_max), np.int32)
+    valid = np.zeros((n_shards, s_max), bool)
+    for s in range(n_shards):
+        rows = np.flatnonzero(per[s]).astype(np.int32)
+        idx[s, : rows.size] = rows
+        valid[s, : rows.size] = True
+    return idx, valid
+
+
+def sharded_and_many(vectors: list["ShardedBitVector"],
+                     digest_narrowing: bool = True) -> "ShardedBitVector":
+    """AND over a group of sharded vectors; the digest pre-pass mirrors the
+    reference aggregator's digest narrowing (src/bmaggregator.h:1764): the
+    8-byte/block digests are ANDed first, the survivor block list is decided
+    on host, and the second phase gathers and ANDs ONLY surviving 8KB rows
+    per shard (dead blocks are written as zeros without being read).
+    ``result.last_narrowing`` reports (survivors, total) blocks."""
     assert vectors
     mesh = vectors[0].mesh
     pools = [v.pool for v in vectors]
+    size = max(v.size for v in vectors)
+    n_shards = mesh.devices.size
+
+    if not digest_narrowing or len(vectors) < 2:
+        @jax.jit
+        def _and_all(*ps):
+            acc = ps[0]
+            for p in ps[1:]:
+                acc = acc & p
+            return acc
+        return ShardedBitVector(_and_all(*pools), size, mesh)
+
+    alive = np.asarray(_alive_and(*pools))        # tiny: 1 flag/block
+    idx, valid = _survivor_slots(alive, n_shards)
+    pool = _and_survivors_prog(mesh, len(pools))(
+        jnp.asarray(idx), jnp.asarray(valid), *pools)
+    sbv = ShardedBitVector(pool, size, mesh)
+    sbv.last_narrowing = (int(alive.sum()), int(alive.size))
+    return sbv
+
+
+@functools.lru_cache(maxsize=64)
+def _and_survivors_prog(mesh, k):
+    def _local(idx_l, valid_l, *pools_l):
+        rows = None
+        for p in pools_l:
+            r = jnp.take(p, idx_l[0], axis=0)
+            rows = r if rows is None else (rows & r)
+        rows = jnp.where(valid_l[0][:, None], rows, jnp.uint32(0))
+        out = jnp.zeros_like(pools_l[0])
+        return out.at[idx_l[0]].set(rows)
+
+    return jax.jit(shard_map(
+        _local, mesh=mesh,
+        in_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS, None))
+        + (P(BLOCK_AXIS, None),) * k,
+        out_specs=P(BLOCK_AXIS, None)))
+
+
+def sharded_and_sub_count(and_vs, sub_vs=(), digest_narrowing=True) -> int:
+    """Global popcount of AND(and_vs) MINUS OR(sub_vs) with digest narrowing:
+    only blocks whose AND-digest survives are read; the count combines with
+    one psum — the aggregator's count mode at mesh scale."""
+    assert and_vs
+    mesh = and_vs[0].mesh
+    n_shards = mesh.devices.size
+    pools = [v.pool for v in and_vs]
+    spools = [v.pool for v in sub_vs]
+    if digest_narrowing:
+        alive = np.asarray(_alive_and(*pools))
+        idx, valid = _survivor_slots(alive, n_shards)
+    else:
+        nblk = pools[0].shape[0]
+        bps = nblk // n_shards
+        idx = np.tile(np.arange(bps, dtype=np.int32), (n_shards, 1))
+        valid = np.ones((n_shards, bps), bool)
+    cnt = _and_sub_count_prog(mesh, len(pools), len(spools))(
+        jnp.asarray(idx), jnp.asarray(valid), *pools, *spools)
+    return int(np.asarray(cnt)[0])
+
+
+@functools.lru_cache(maxsize=64)
+def _and_sub_count_prog(mesh, ka, ks):
+    def _local(idx_l, valid_l, *ps):
+        acc = None
+        for p in ps[:ka]:
+            r = jnp.take(p, idx_l[0], axis=0)
+            acc = r if acc is None else (acc & r)
+        for p in ps[ka:]:
+            acc = acc & ~jnp.take(p, idx_l[0], axis=0)
+        acc = jnp.where(valid_l[0][:, None], acc, jnp.uint32(0))
+        c = jnp.sum(jax.lax.population_count(acc), dtype=jnp.uint32)
+        return jax.lax.psum(c[None], BLOCK_AXIS)
+
+    return jax.jit(shard_map(
+        _local, mesh=mesh,
+        in_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS, None))
+        + (P(BLOCK_AXIS, None),) * (ka + ks),
+        out_specs=P()))
+
+
+# ---------------------------------------------------------------------------
+# distributed vector GROUP: operands sharded over the mesh by VECTOR (each
+# device owns whole vectors); the AND must cross devices.  This is where the
+# digest exchange is a real communication saver (SURVEY.md §2.7): all-gather
+# the 8-byte/block digests over ICI, AND-reduce, and then all-gather ONLY the
+# surviving 8KB blocks instead of every block.
+# ---------------------------------------------------------------------------
+def group_and_exchange(stack, mesh, vec_axis: str = "v",
+                       count_only: bool = False):
+    """AND over a vector group sharded by vector.
+
+    stack: uint32[K, nblk, 2048] sharded P(vec_axis, None, None) — each
+    device holds K/n whole vectors.  Phase 1 reduces locally and exchanges
+    digests (8 B/block) over ICI; phase 2 all-gathers only survivor rows.
+    Returns (result_rows_or_count, survivor_block_ids, traffic) where
+    traffic = (blocks_shipped, blocks_total) — the communication-avoidance
+    proxy asserted by the scaling tests."""
+    nblk = stack.shape[1]
 
     @jax.jit
-    def _and_all(*ps):
-        acc = ps[0]
-        for p in ps[1:]:
-            acc = acc & p
-        return acc
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=P(vec_axis, None, None), out_specs=P(None),
+                       check_vma=False)
+    def _phase1(local_stack):
+        acc = local_stack[0]
+        for i in range(1, local_stack.shape[0]):
+            acc = acc & local_stack[i]
+        d = _digest_packed(acc)                     # u32[nblk, 2] local
+        alld = jax.lax.all_gather(d, vec_axis)      # [n, nblk, 2] over ICI
+        combined = alld[0]
+        for i in range(1, alld.shape[0]):
+            combined = combined & alld[i]
+        return jnp.any(combined != 0, axis=1)[None]  # replicated bool[nblk]
 
-    pool = _and_all(*pools)
-    return ShardedBitVector(pool, max(v.size for v in vectors), mesh)
+    alive = np.asarray(_phase1(stack))[0]
+    surv = np.flatnonzero(alive).astype(np.int32)
+    n_surv = max(int(surv.size), 1)
+    surv_pad = np.zeros(n_surv, np.int32)
+    surv_pad[: surv.size] = surv
+
+    def _phase2_body(local_stack, surv_idx):
+        acc = local_stack[0]
+        for i in range(1, local_stack.shape[0]):
+            acc = acc & local_stack[i]
+        mine = jnp.take(acc, surv_idx, axis=0)       # [S, 2048] local
+        allr = jax.lax.all_gather(mine, vec_axis)    # ship ONLY survivors
+        out = allr[0]
+        for i in range(1, allr.shape[0]):
+            out = out & allr[i]
+        if count_only:
+            return jnp.sum(jax.lax.population_count(out),
+                           dtype=jnp.uint32)[None]
+        return out
+
+    _phase2 = jax.jit(shard_map(
+        _phase2_body, mesh=mesh,
+        in_specs=(P(vec_axis, None, None), P(None)), out_specs=P(None),
+        check_vma=False))
+    res = _phase2(stack, jnp.asarray(surv_pad))
+    if count_only:
+        res = int(np.asarray(res)[0]) if surv.size else 0
+    traffic = (int(surv.size), int(nblk))
+    return res, surv, traffic
 
 
 def sharded_and_sub(and_vs, sub_vs) -> ShardedBitVector:
