@@ -89,6 +89,40 @@ def _operand_args(vectors, blocklist):
     return args
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _agg_any_kernel(n_and, n_sub, *args):
+    """Per-block nonzero flags of AND(and rows) & ~OR(sub rows) — the
+    early-exit probe: int32[n_blocks], no result rows leave the device."""
+    acc = _agg_kernel(n_and, n_sub, *args)
+    return jnp.sum(jax.lax.population_count(acc).astype(jnp.int32),
+                   axis=1)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _shift_and_chain(k, *args):
+    """acc = rows0; acc = shift_up1(acc) & rows_k — whole chain fused.
+    The shift carries bits across words AND blocks by viewing the covering
+    range as one flat bit string (contiguous blocklist required)."""
+    rows = [gather_operand(*args[i * 5:(i + 1) * 5]) for i in range(k)]
+
+    def _shift_up1(acc):
+        flat = acc.reshape(-1)
+        carry = jnp.concatenate(
+            [jnp.zeros(1, jnp.uint32), flat[:-1] >> jnp.uint32(31)])
+        return ((flat << jnp.uint32(1)) | carry).reshape(acc.shape)
+
+    if k == 1:
+        return rows[0]
+    acc0 = rows[0]
+    rest = jnp.stack(rows[1:])
+
+    def body(acc, r):
+        return _shift_up1(acc) & r, None
+
+    acc, _ = jax.lax.scan(body, acc0, rest)
+    return acc
+
+
 @dataclasses.dataclass
 class AggOptions:
     """Run options (reference agg_run_options, src/bmaggregator.h:65):
@@ -205,21 +239,77 @@ class Aggregator:
 
     def find_first_and_sub(self, and_group=None, sub_group=None) -> int:
         """First bit of AND-SUB result, -1 if none (reference
-        find_first_and_sub, src/bmaggregator.h:460)."""
-        return self.combine_and_sub(and_group, sub_group).find()
+        find_first_and_sub with per-block early exit,
+        src/bmaggregator.h:460).  TPU adaptation: ONE fused pass computes
+        per-block any-flags only (no result rows are materialized or
+        fetched); the first hit block alone is then computed and scanned."""
+        if and_group is None:
+            and_group = self._groups[0]
+        if sub_group is None:
+            sub_group = self._groups[1] if and_group is self._groups[0] else ()
+        and_group = list(and_group)
+        sub_group = list(sub_group)
+        if not and_group:
+            return -1
+        sa = _structures(and_group)
+        ss = _structures(sub_group)
+        nb = _and_blocklist(sa)
+        if nb.size == 0:
+            return -1
+        keep = np.ones(nb.size, bool)
+        for s in ss:
+            st, _ = s.lookup(nb)
+            keep &= st != 1
+        nb = nb[keep]
+        if nb.size == 0:
+            return -1
+        args = (_operand_args(and_group, nb) + _operand_args(sub_group, nb))
+        flags = np.asarray(_agg_any_kernel(len(and_group), len(sub_group),
+                                           *args))
+        hit = np.flatnonzero(flags)
+        if hit.size == 0:
+            return -1
+        k = int(hit[0])
+        one = nb[k: k + 1]
+        args1 = (_operand_args(and_group, one)
+                 + _operand_args(sub_group, one))
+        row = np.asarray(_agg_kernel(len(and_group), len(sub_group),
+                                     *args1))[0]
+        bit = int(np.flatnonzero(np.unpackbits(
+            row.view(np.uint8), bitorder="little"))[0])
+        return (int(nb[k]) << C.SET_BLOCK_SHIFT) + bit
 
     def combine_shift_right_and(self, vectors) -> BitVector:
-        """Bitap-style fingerprint combine: acc = v0; acc = (acc >> 1-pos-up)
-        & v[k] for k = 1..N-1 (reference combine_shift_right_and,
-        src/bmaggregator.h:510; used by the DNA-search sample xsample04)."""
+        """Bitap-style fingerprint combine: acc = v0; acc = (acc shifted one
+        position up) & v[k] for k = 1..N-1 (reference
+        combine_shift_right_and, src/bmaggregator.h:510 + the fused per-word
+        shift_r1_and, src/bmfunc.h:6638; DNA-search sample 06/xsample04).
+
+        ONE jitted device pass: operands gather into a dense stack over the
+        contiguous covering block range and a lax.scan carries the shift
+        bit across the whole chain — no per-step host round-trips."""
         vectors = list(vectors)
         if not vectors:
             return BitVector(0)
-        acc = vectors[0].copy()
-        for v in vectors[1:]:
-            acc.shift_right()
-            acc.bit_and(v)
-        return acc
+        for v in vectors:
+            v._flush()
+        size = max(v.size for v in vectors)
+        nbs = [v._struct.nb for v in vectors if len(v._struct.nb)]
+        if not nbs or not len(vectors[0]._struct.nb):
+            return BitVector(size)
+        lo = int(min(x[0] for x in nbs))
+        hi = int(max(x[-1] for x in nbs))
+        hi = min(hi + 1, (size - 1) >> C.SET_BLOCK_SHIFT)  # shift spill
+        blocklist = np.arange(lo, hi + 1, dtype=_I64)
+        args = _operand_args(vectors, blocklist)
+        pool = _shift_and_chain(len(vectors), *args)
+        res = BitVector._from_parts(
+            Structure(blocklist.copy(),
+                      np.full(blocklist.size, C.CLS_BIT, np.uint8)),
+            pool, size)
+        res._drop_trailing(size)
+        res.optimize(C.OPT_FREE_01)
+        return res
 
     # ------------------------------------------------------------------
     # arena path: the Pallas K-way DMA sweep over a combined operand pool
@@ -276,6 +366,11 @@ class Aggregator:
             counts = self._pipeline_counts_fused(norm)
             if counts is not None:
                 return [{"count": int(c)} for c in counts]
+        if (options.make_results and len(norm) > 1
+                and all(len(a) for a, _ in norm)):
+            out = self._pipeline_results_fused(norm, options)
+            if out is not None:
+                return out
         out = []
         for and_g, sub_g in norm:
             bv = self.combine_and_sub(and_g, sub_g)
@@ -284,6 +379,66 @@ class Aggregator:
                 entry["bv"] = bv
             if options.compute_counts:
                 entry["count"] = bv.count()
+            out.append(entry)
+        return out
+
+    # device-memory budget for the fused result-mode output [V, nb, 2048]
+    _PIPE_RESULT_BUDGET_BYTES = 1 << 30
+
+    def _pipeline_results_fused(self, norm, options):
+        """Result-producing pipeline in ONE device pass (reference
+        agg_run_options result mode, src/bmaggregator.h:65-103): the shared
+        operand arena streams once; every request's AND-SUB bitmap comes
+        back as one [V, nb_union, 2048] array whose per-request slices back
+        the result BitVectors without copies.  Returns None when the fused
+        path does not apply (no payload, or output over budget)."""
+        from .arena import OperandArena, build_dense_stack
+        operands = []
+        index_of = {}
+        for and_g, sub_g in norm:
+            for v in (*and_g, *sub_g):
+                if id(v) not in index_of:
+                    index_of[id(v)] = len(operands)
+                    operands.append(v)
+        arena = OperandArena(operands)
+        planes = build_dense_stack(arena)
+        if planes is None:
+            return None
+        nb_union = np.unique(np.concatenate(
+            [v._struct.nb for v in operands]))
+        V = len(norm)
+        if V * nb_union.size * C.SET_BLOCK_SIZE * 4 \
+                > self._PIPE_RESULT_BUDGET_BYTES:
+            return None
+        sels = np.zeros((V, len(operands)), np.int32)
+        forced_zero = np.zeros(V, bool)
+        for i, (and_g, sub_g) in enumerate(norm):
+            for v in and_g:
+                sels[i, index_of[id(v)]] = 1
+            for v in sub_g:
+                k = index_of[id(v)]
+                if sels[i, k] == 1:
+                    forced_zero[i] = True
+                sels[i, k] = -1
+        rows, counts_blk = _pipeline_results_kernel(planes,
+                                                    jnp.asarray(sels))
+        counts = np.asarray(counts_blk).astype(np.int64).sum(axis=1)
+        size = max(v.size for v in operands)
+        out = []
+        cls = np.full(nb_union.size, C.CLS_BIT, np.uint8)
+        for i in range(V):
+            entry = {}
+            if forced_zero[i]:
+                bv = BitVector(size)
+                cnt = 0
+            else:
+                bv = BitVector._from_parts(
+                    Structure(nb_union.copy(), cls.copy()), rows[i], size)
+                cnt = int(counts[i])
+            if options.make_results:
+                entry["bv"] = bv
+            if options.compute_counts:
+                entry["count"] = cnt
             out.append(entry)
         return out
 
@@ -320,6 +475,29 @@ class Aggregator:
         counts = np.array(pipeline_counts(planes, jnp.asarray(sels)))
         counts[forced_zero] = 0
         return counts
+
+
+@jax.jit
+def _pipeline_results_kernel(planes, sels):
+    """planes: uint32[K, nb, 2048]; sels: int32[V, K] (1 AND / -1 AND-NOT /
+    0 skip).  Returns (uint32[V, nb, 2048] result bitmaps, int64[V] counts)
+    — one fused arena pass for the whole request batch."""
+    K = planes.shape[0]
+
+    def per_request(sel):
+        acc = jnp.full(planes.shape[1:], jnp.uint32(0xFFFFFFFF))
+        for k in range(K):
+            m = sel[k]
+            term = jnp.where(m == 1, planes[k],
+                             jnp.where(m == -1, ~planes[k],
+                                       jnp.uint32(0xFFFFFFFF)))
+            acc = acc & term
+        # per-block int32 partials; the (possibly >2^31) total is host math
+        cnt = jnp.sum(jax.lax.population_count(acc).astype(jnp.int32),
+                      axis=1)
+        return acc, cnt
+
+    return jax.vmap(per_request)(sels)
 
 
 def _assemble(nb, full_mask, kern_nb, pool, size):

@@ -1465,14 +1465,34 @@ def _edge_mask_le(bit):
 # ---------------------------------------------------------------------------
 # Encoder (reference-readable subset, v1-generation codes)
 # ---------------------------------------------------------------------------
+
+class _BookmarkState:
+    """Mirror of the reference bookmark_state (src/bmserial.h:441)."""
+
+    __slots__ = ("range", "min_bytes", "bm_type", "ptr", "nb")
+
+    def __init__(self, nb_range):
+        self.range = nb_range
+        self.min_bytes = max(nb_range * 8, 512)
+        self.bm_type = 2 if nb_range < 15 else (1 if nb_range < 255 else 0)
+        self.ptr = None       # byte offset of the skip placeholder
+        self.nb = 0
+
+
 class RefSerializer:
     """Standalone serializer producing reference-format BLOBs.
 
-    Emits v1-generation block codes readable by ANY reference version:
-    zero/one runs, raw bit blocks, bit_1bit, arrbit(_inv), plain GAP,
-    gamma GAP/arrays, BIC v1 arrays (arr_bienc/_inv/_8bh).  Compression
-    levels follow the reference ladder (src/bmserial.h:115-127):
-    0 raw, 1-3 +arrays/GAP, 4 +gamma, 5-6 +BIC.
+    Emits v1/v2-generation block codes readable by ANY reference version:
+    zero/one runs, raw bit blocks, bit_1bit, bit_0runs, digest0,
+    arrbit(_inv), plain GAP, gamma GAP/arrays, BIC arrays and GAP
+    (arr_bienc/_inv/_8bh, gap_bienc/_v2), super-block BIC lists, XOR
+    reference records, and bookmark/sync marks for range-skip
+    deserialization (set_bookmarks, src/bmserial.h:246).  The per-block
+    chooser mirrors find_bit_best_encoding(_l5) cost models
+    (src/bmserial.h:2220,2373) and then competes the near-best candidates
+    by ACTUAL payload size.  Compression levels follow the reference
+    ladder (src/bmserial.h:115-127): 0 raw, 1-3 +arrays/GAP, 4 +gamma,
+    5-6 +BIC.
     """
 
     def __init__(self, level: int = 6, ref_vectors=None):
@@ -1480,12 +1500,21 @@ class RefSerializer:
             raise ValueError("level must be 0..6")
         self.level = level
         self.compression_stat = {}
+        self.sb_bookmarks = False
+        self.bm_interval = 256
         # XOR similarity filter (bm::serializer::set_ref_vectors,
         # src/bmserial.h + src/bmxor.h): (row_id, BitVector) pairs; row ids
         # must match the ids the decode side registers in ITS collection.
         self.ref_vectors = list(ref_vectors or [])
         self._ref_maps = None
         self._ref_maps_injected = False   # set by callers pre-seeding maps
+
+    def set_bookmarks(self, enable: bool, bm_interval: int = 256):
+        """Enable periodic bookmark/sync marks so deserialize_range can
+        skip ahead (reference set_bookmarks, src/bmserial.h:246,1423)."""
+        self.sb_bookmarks = bool(enable)
+        self.bm_interval = max(4, min(512, int(bm_interval)))
+        return self
 
     def serialize(self, bv) -> bytes:
         bv._flush()
@@ -1545,11 +1574,15 @@ class RefSerializer:
                     for i in sel])
                 sblocks[int(sb)] = offs
 
+        bookm = _BookmarkState(self.bm_interval) if self.sb_bookmarks \
+            else None
         cur = 0
         k = 0
         n = len(struct.nb)
         while k < n:
             nb = int(struct.nb[k])
+            if bookm is not None:
+                self._process_bookmark(nb, bookm, w)
             sb = nb >> 8
             if sb in sblocks:
                 gap = nb - cur
@@ -1590,6 +1623,41 @@ class RefSerializer:
         return w.get_bytes()
 
     # ------------------------------------------------------------------
+
+    def _process_bookmark(self, nb, bookm, w):
+        """Emit/back-patch bookmark + sync marks (process_bookmark,
+        src/bmserial.h:3504): the placeholder offset is patched once the
+        next mark point is reached, then a sync mark records the block
+        delta so deserialize_range can jump."""
+        nb_delta = nb - bookm.nb
+        width = {0: 4, 1: 3, 2: 2}[bookm.bm_type]
+        if bookm.ptr is not None and nb_delta >= bookm.range:
+            bytes_delta = len(w.parts) - bookm.ptr
+            if bytes_delta > bookm.min_bytes:
+                d = bytes_delta - width
+                if d < (1 << (8 * width)) - 1:
+                    w.parts[bookm.ptr:bookm.ptr + width] = \
+                        int(d).to_bytes(width, "little")
+                if nb_delta < 0xFF:
+                    w.put_8(NB_SYNC_MARK8); w.put_8(nb_delta)
+                elif nb_delta < 0xFFFF:
+                    w.put_8(NB_SYNC_MARK16); w.put_16(nb_delta)
+                elif nb_delta < 0xFFFFFF:
+                    w.put_8(NB_SYNC_MARK24); w.put_24(nb_delta)
+                elif nb_delta < 0xFFFFFFFF:
+                    w.put_8(NB_SYNC_MARK32); w.put_32(nb_delta)
+                elif nb_delta < (1 << 48) - 1:
+                    w.put_8(NB_SYNC_MARK48); w.put_48(nb_delta)
+                else:
+                    w.put_8(NB_SYNC_MARK64); w.put_64(nb_delta)
+                bookm.ptr = None
+        if bookm.ptr is None:
+            bookm.nb = nb
+            w.put_8({0: NB_BOOKMARK32, 1: NB_BOOKMARK24,
+                     2: NB_BOOKMARK16}[bookm.bm_type])
+            bookm.ptr = len(w.parts)
+            w.parts += b"\x00" * width
+
     def _stat(self, name):
         self.compression_stat[name] = self.compression_stat.get(name, 0) + 1
 
@@ -1642,9 +1710,14 @@ class RefSerializer:
     def _encode_block(self, w, words, bc, est=None):
         if est is None:
             est = self._block_estimate(words, bc)
-        _, tag, start, boundaries = est
-        w.parts += self._block_payload(tag, words, bc, start, boundaries)
-        self._stat(tag)
+        _, tag, start, boundaries, cands = est
+        best_tag, best_payload = tag, None
+        for t in cands:
+            payload = self._block_payload(t, words, bc, start, boundaries)
+            if best_payload is None or len(payload) < len(best_payload):
+                best_tag, best_payload = t, payload
+        w.parts += best_payload
+        self._stat(best_tag)
 
     # -- XOR similarity filter ---------------------------------------------
     def _ref_block(self, row_id, nb):
@@ -1735,10 +1808,19 @@ class RefSerializer:
         ~3.75 heuristic as src/bmserial.h:139-152)."""
         level = self.level
         if bc == 1:
-            return 3, "bit_1bit", 0, None
+            return 3, "bit_1bit", 0, None, ("bit_1bit",)
         ibc = BITS - bc
         start, boundaries = _gap_boundaries_from_words(words)
         L = len(boundaries)
+        # BIC cost knob: 3.75 bits/int below L6; the reference's L6 default
+        # is bie_bits_per_int = 2.2 (src/bmserial.h:546, :2225) which admits
+        # much denser arrays into the interpolative codes
+        bie = 3.75 if level < 6 else 2.2
+        # admission limit: the emitter competes candidates by ACTUAL payload
+        # size, so admitting denser arrays than the reference's own L5
+        # heuristic can only shrink blobs (reference admits them at L6 via
+        # bie_bits_per_int = 2.2, src/bmserial.h:546)
+        bie_limit = int(BITS / 2.2)
         est = [(1 + 4 * WORDS, "bit")]
         if level >= 1:
             if bc < 65536:
@@ -1765,21 +1847,26 @@ class RefSerializer:
                 2 * np.floor(np.log2(np.maximum(deltas, 1))) + 1))
             est.append((3 + (gamma_bits + 31) // 32 * 4, "gap_egamma"))
         if level >= 5:
-            if 2 < bc <= 16384:
-                est.append((7 + int(bc * 3.75) // 8, "arr_bienc"))
-            if 2 < ibc <= 16384:
-                est.append((7 + int(ibc * 3.75) // 8, "arr_bienc_inv"))
+            if 2 < bc <= bie_limit:
+                est.append((7 + int(bc * bie) // 8, "arr_bienc"))
+            if 2 < ibc <= bie_limit:
+                est.append((7 + int(ibc * bie) // 8, "arr_bienc_inv"))
             if 2 <= L < 8192:
-                est.append((6 + int(L * 3.75) // 8, "gap_bienc"))
+                est.append((6 + int(L * bie) // 8, "gap_bienc"))
             if 3 <= L < 8192:
                 # v2 stores min AND max (8- or 16-bit each) and BIC-codes one
                 # fewer boundary over a narrower range (src/bmserial.h:1762)
                 min_v = int(boundaries[0])
                 tail = BITS - 1 - int(boundaries[L - 2])
                 hdr = 3 + (1 if min_v < 256 else 2) + (1 if tail < 256 else 2)
-                est.append((hdr + int((L - 3) * 3.75) // 8, "gap_bienc_v2"))
+                est.append((hdr + int((L - 3) * bie) // 8, "gap_bienc_v2"))
         est.sort()
-        return est[0] + (start, boundaries)
+        # keep the near-best candidates: BIC costs are estimates (bits/int
+        # heuristics, src/bmserial.h:2225); the emitter builds the top few
+        # payloads and keeps the actually-smallest record
+        best = est[0][0]
+        cands = tuple(t for sz, t in est[:4] if sz <= best * 1.35 + 16)
+        return est[0] + (start, boundaries, cands)
 
     def _block_payload(self, tag, words, bc, start=None, boundaries=None):
         if tag == "bit_1bit":

@@ -5,12 +5,13 @@ from .str_vector import StrSparseVector
 from .float_vector import FloatSparseVector
 from .scanner import SparseVectorScanner, scanner
 from .util import (AddressResolver, CompressedBufferCollection,
-                   CompressedCollection)
+                   CompressedCollection, SVAddressResolver)
 from . import algo
 
 __all__ = [
     "BitMatrix", "SparseVector", "RSCSparseVector", "StrSparseVector",
     "FloatSparseVector", "SparseVectorScanner", "scanner",
-    "AddressResolver", "CompressedCollection", "CompressedBufferCollection",
+    "AddressResolver", "SVAddressResolver", "CompressedCollection",
+    "CompressedBufferCollection",
     "algo",
 ]

@@ -112,3 +112,52 @@ class CompressedBufferCollection(CompressedCollection):
 
     def push_back(self, key: int, buf):
         return super().push_back(key, bytes(buf))
+
+
+class SVAddressResolver:
+    """Sparse id -> assigned address via an explicit sparse-vector map
+    (reference sv_addr_resolver, src/bmsparsevec_util.h:169).  Unlike
+    AddressResolver (rank-space), addresses are assigned at set() time in
+    arrival order and remain stable under later insertions of smaller ids —
+    no compaction, just the bit-sliced compression of the address map."""
+
+    def __init__(self):
+        from .sparse_vector import SparseVector
+        self.set_flags = BitVector(C.ID_MAX48)
+        self.addr_sv = SparseVector(dtype=np.uint64)
+        self.max_addr = 0
+
+    def set(self, idx) -> "SVAddressResolver":
+        """Register id; assigns the next address if new (reference :578)."""
+        idx = int(idx)
+        if not self.set_flags.test(idx):
+            self.set_flags.set(idx, True)
+            self.max_addr += 1
+            self.addr_sv.set(idx, self.max_addr)
+        return self
+
+    def resolve(self, idx) -> int:
+        """Assigned address of id, or 0 if absent (reference :566)."""
+        idx = int(idx)
+        if not self.set_flags.test(idx):
+            return 0
+        return int(self.addr_sv.get(idx))
+
+    get = resolve
+
+    def resolve_batch(self, ids) -> np.ndarray:
+        ids = np.asarray(ids, _I64)
+        present = self.set_flags.get_bits(ids)
+        vals = self.addr_sv.gather(ids).astype(_I64)
+        return np.where(present, vals, 0)
+
+    def count(self) -> int:
+        return self.max_addr
+
+    def get_bvector(self) -> BitVector:
+        return self.set_flags
+
+    def optimize(self) -> "SVAddressResolver":
+        self.set_flags.optimize()
+        self.addr_sv.optimize()
+        return self

@@ -157,3 +157,70 @@ def test_pipeline_counts_fused_matches_loop(rng):
     loop = [agg.combine_and_sub(a, s).count() for a, s in reqs]
     assert [e["count"] for e in fused] == loop
     assert fused[-1]["count"] == 0
+
+
+def test_find_first_and_sub_early_exit(rng):
+    """One any-flag pass + single-block compute; no full materialize."""
+    size = 8_000_000
+    a = BitVector.from_indices(np.arange(3_000_000, 3_000_100), size)
+    b = BitVector.from_indices(np.arange(3_000_050, 3_000_300), size)
+    s = BitVector.from_indices([3_000_050, 3_000_051], size)
+    assert agg.find_first_and_sub([a, b], [s]) == 3_000_052
+    assert agg.find_first_and_sub([a], [a]) == -1
+    assert agg.find_first_and_sub([a, BitVector(size)]) == -1
+    # flags-only probe: combine_and_sub must not be called
+    cls = type(agg)
+    called = []
+    orig = cls.combine_and_sub
+    try:
+        cls.combine_and_sub = \
+            lambda *a_, **k_: called.append(1) or orig(*a_, **k_)
+        assert agg.find_first_and_sub([a, b], [s]) == 3_000_052
+    finally:
+        cls.combine_and_sub = orig
+    assert not called
+
+
+def test_shift_right_and_fused_matches_stepwise(rng):
+    """The fused lax.scan chain == the reference per-step semantics,
+    including GAP-resident operands and cross-block carries."""
+    size = 2_000_000
+    vs = []
+    for k in range(7):
+        ids = np.unique(rng.integers(0, size, 20_000)).astype(np.int64)
+        vs.append(BitVector.from_indices(ids, size))
+    vs[1].optimize()
+    got = agg.combine_shift_right_and(vs[:4])
+
+    def stepwise(vectors):
+        acc = vectors[0].copy()
+        for v in vectors[1:]:
+            acc.shift_right()
+            acc.bit_and(v)
+        return acc
+
+    assert got == stepwise(vs[:4])
+    # block-boundary carry
+    x = BitVector.from_indices([65535], size)
+    y = BitVector.from_indices([65536], size)
+    np.testing.assert_array_equal(
+        agg.combine_shift_right_and([x, y]).indices(), [65536])
+
+
+def test_pipeline_results_fused(rng):
+    """Result mode runs as ONE device pass for request batches and matches
+    per-request combines (reference agg_run_options result mode)."""
+    size = 3_000_000
+    vecs = [BitVector.from_indices(
+        np.unique(rng.integers(0, size, 8000)), size) for _ in range(6)]
+    vecs[2].optimize()
+    reqs = [([vecs[0], vecs[1]], [vecs[2]]),
+            ([vecs[2], vecs[3]], []),
+            ([vecs[4]], [vecs[5], vecs[0]]),
+            ([vecs[1]], [vecs[1]])]          # forced zero
+    res = agg.pipeline(reqs, AggOptions(make_results=True,
+                                        compute_counts=True))
+    for (and_g, sub_g), r in zip(reqs, res):
+        want = agg.combine_and_sub(and_g, sub_g)
+        assert r["bv"] == want
+        assert r["count"] == want.count()
