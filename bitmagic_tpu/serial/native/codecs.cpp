@@ -760,6 +760,15 @@ int64_t bm_bmt1_encode(const uint32_t* words, const int64_t* nbs,
             if (L < 16384)
                 consider((L * 30) / 64 + 6, BMT1_GAP_BIC);
         }
+        if (level >= 6) {
+            // L6 admits denser arrays at the reference's 2.2 bits/int
+            // BIC coefficient (src/bmserial.h:546); integer math keeps the
+            // chooser byte-identical with the Python serializer
+            if (bc > 16384 && bc <= 29789)
+                consider((bc * 22) / 80 + 5, BMT1_ARR_BIC);
+            if (ibc > 16384 && ibc <= 29789)
+                consider((ibc * 22) / 80 + 5, BMT1_ARR_BIC_INV);
+        }
 
         put48((uint64_t)nbs[rec]); put8((uint8_t)best_code);
         int64_t len_at = pos;

@@ -184,6 +184,14 @@ class Serializer:
                              CODE_ARR_BIC_INV))
             if gc < C.BITS_PER_BLOCK // 4:
                 cand.append((int(gc * 3.75) // 8 + 6, CODE_GAP_BIC))
+        if level >= 6:
+            # L6 admits denser arrays at the reference's 2.2 bits/int BIC
+            # coefficient (src/bmserial.h:546); integer math matches the
+            # native chooser byte-for-byte
+            if C.BIE_CUT_OFF < bc <= 29789:
+                cand.append((bc * 22 // 80 + 5, CODE_ARR_BIC))
+            if C.BIE_CUT_OFF < inv_bc <= 29789:
+                cand.append((inv_bc * 22 // 80 + 5, CODE_ARR_BIC_INV))
         cand.sort()
         code = cand[0][1]
         return code, self._encode_payload(code, words, bc)
