@@ -1,12 +1,20 @@
 from .mesh import BLOCK_AXIS, block_sharding, make_mesh, replicated
-from .sharded import (ShardedBitVector, scan_throughput_program,
-                      sharded_and_many, sharded_and_sub)
+from .sharded import (ShardedBitVector, ShardedRSIndex,
+                      group_and_exchange, scan_throughput_program,
+                      sharded_and_many, sharded_and_sub,
+                      sharded_and_sub_count)
+from .blobcast import (all_gather_blobs, broadcast_bitvector,
+                       broadcast_bytes, broadcast_sparse_vector,
+                       merge_broadcast_parts)
 from .plan import (TaskBatch, build_optimize_plan, build_sim_matrix_plan,
                    build_sv_serialization_plan, run_task_batch)
 
 __all__ = [
     "BLOCK_AXIS", "block_sharding", "make_mesh", "replicated",
-    "ShardedBitVector", "scan_throughput_program", "sharded_and_many",
-    "sharded_and_sub", "TaskBatch", "build_optimize_plan",
-    "build_sim_matrix_plan", "build_sv_serialization_plan", "run_task_batch",
+    "ShardedBitVector", "ShardedRSIndex", "group_and_exchange",
+    "scan_throughput_program", "sharded_and_many", "sharded_and_sub",
+    "sharded_and_sub_count", "TaskBatch", "build_optimize_plan",
+    "build_sim_matrix_plan", "build_sv_serialization_plan",
+    "run_task_batch", "all_gather_blobs", "broadcast_bitvector",
+    "broadcast_bytes", "broadcast_sparse_vector", "merge_broadcast_parts",
 ]

@@ -11,9 +11,11 @@ per-record length fields playing the reference's bookmark role.  A pure-
 Python streamed fallback with the same record-at-a-time semantics covers
 environments without the native library.
 
-Reference-format BLOBs take the refcodec decode path (block-sequential with
-its own skip logic) and then apply; cross-format results are bit-identical
-to the materialized path (tests enforce).
+Reference-format BLOBs stream the same way: RefDeserializer's sink mode
+delivers finalized blocks in ascending order (the serial_stream_iterator
+analog) into the combining sink — set and count ops never materialize the
+BLOB for either format; results are bit-identical to the materialized
+path (tests enforce).
 """
 
 from __future__ import annotations
@@ -158,10 +160,19 @@ class OperationDeserializer:
         COUNT_* ops return the count without modifying bv.  Accepts both the
         native BMT1 format and reference-format BLOBs (sniffed by magic)."""
         if bytes(data[:4]) != MAGIC:
-            # reference-format BLOB: decode standalone, then apply
-            from .refcodec import ref_deserialize
-            other = ref_deserialize(data)
-            return self._apply_decoded(bv, other, op)
+            # reference-format BLOB: the block-sequential decoder streams
+            # finalized blocks into a combining sink (serial_stream_iterator
+            # mode) — no materialization for set/count ops
+            if op == C.SET_ASSIGN:
+                from .refcodec import ref_deserialize
+                bv.swap(ref_deserialize(data))
+                return bv
+            if op in _SET_TO_OPC:
+                return self._ref_stream_apply(bv, data, _SET_TO_OPC[op])
+            if op in _COUNT_TO_OPC or op in (C.SET_COUNT_B, C.SET_COUNT,
+                                             C.SET_COUNT_A):
+                return self._ref_count_op(bv, data, op)
+            raise ValueError(f"unsupported op {op}")
         if op == C.SET_ASSIGN:
             bv.swap(Deserializer().deserialize(data))
             return bv
@@ -215,6 +226,144 @@ class OperationDeserializer:
         bv._size = max(bv._size, blob_sz)
         bv._dirty()
         return bv
+
+    # ------------------------------------------------------------------
+    # reference-format streaming (RefDeserializer sink mode)
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _combine_one(opc, tstate, tw, b):
+        """Combine one blob block (b: words or None=FULL) with the target
+        state (0 absent / 1 FULL / 2 row tw).  Returns (cls, words):
+        cls 0 zero / 1 FULL / 2 row."""
+        rec_full = b is None
+        if opc == native.OP_AND:
+            if tstate == 0:
+                return 0, None
+            if tstate == 1:
+                return (1, None) if rec_full else (2, b)
+            return (2, tw.copy()) if rec_full else (2, tw & b)
+        if opc == native.OP_OR:
+            if tstate == 1 or rec_full:
+                return 1, None
+            return (2, b) if tstate == 0 else (2, tw | b)
+        if opc == native.OP_XOR:
+            if rec_full:
+                return (0, None) if tstate == 1 else \
+                    ((1, None) if tstate == 0 else (2, ~tw))
+            if tstate == 0:
+                return 2, b
+            if tstate == 1:
+                return 2, ~b
+            return 2, tw ^ b
+        if opc == native.OP_SUB_AB:
+            if tstate == 0 or rec_full:
+                return 0, None
+            if tstate == 1:
+                return 2, ~b
+            return 2, tw & ~b
+        # OP_SUB_BA
+        if tstate == 1:
+            return 0, None
+        if rec_full:
+            return (1, None) if tstate == 0 else (2, ~tw)
+        return (2, b) if tstate == 0 else (2, b & ~tw)
+
+    def _ref_stream(self, bv, data, opc, count_mode):
+        """Run the ref-format decoder in sink mode, combining per block."""
+        from .refcodec import RefDeserializer
+        nb_a, cls_a, pool = bv._dense_snapshot()
+        slot = np.where(cls_a == 2, np.cumsum(cls_a == 2) - 1, -1)
+        out_nbs, out_cls, out_rows = [], [], []
+        seen = []
+        state = {"count": 0}
+
+        def sink(nb, words):
+            pos = np.searchsorted(nb_a, nb)
+            tstate, tw = 0, None
+            if pos < nb_a.size and nb_a[pos] == nb:
+                tstate = int(cls_a[pos])
+                if tstate == 2:
+                    tw = pool[slot[pos]]
+            seen.append(nb)
+            kind, w = self._combine_one(opc, tstate, tw, words)
+            if count_mode:
+                if kind == 1:
+                    state["count"] += C.BITS_PER_BLOCK
+                elif kind == 2:
+                    state["count"] += int(np.bitwise_count(w).sum())
+                return
+            if kind == 1:
+                out_nbs.append(nb)
+                out_cls.append(C.CLS_FULL)
+            elif kind == 2:
+                out_nbs.append(nb)
+                out_cls.append(C.CLS_BIT)
+                out_rows.append(w)
+
+        size = RefDeserializer().deserialize(data, sink=sink)
+        rows = (np.stack(out_rows) if out_rows
+                else np.zeros((0, C.SET_BLOCK_SIZE), np.uint32))
+        res = (np.asarray(out_nbs, np.int64),
+               np.asarray(out_cls, np.uint8), rows)
+        return nb_a, cls_a, pool, np.asarray(seen, np.int64), size, \
+            (state["count"] if count_mode else res)
+
+    def _ref_stream_apply(self, bv, data, opc):
+        bv._check_writable()
+        nb_a, cls_a, pool, seen, size, res = self._ref_stream(
+            bv, data, opc, False)
+        out_nbs, out_cls, out_rows = res
+        if opc in _PASS_THROUGH and nb_a.size:
+            keep = ~np.isin(nb_a, seen)
+            if keep.any():
+                slot = np.where(cls_a == 2, np.cumsum(cls_a == 2) - 1, -1)
+                pt_nbs = nb_a[keep]
+                pt_cls = cls_a[keep]
+                pt_rows = pool[slot[keep & (cls_a == 2)]]
+                all_nbs = np.concatenate([out_nbs, pt_nbs])
+                all_cls = np.concatenate([out_cls, pt_cls])
+                order = np.argsort(all_nbs, kind="stable")
+                row_src = np.full(all_nbs.size, -1, np.int64)
+                nrec = int((out_cls == C.CLS_BIT).sum())
+                row_src[: out_nbs.size][out_cls == C.CLS_BIT] = \
+                    np.arange(nrec)
+                row_src[out_nbs.size:][pt_cls == C.CLS_BIT] = \
+                    nrec + np.arange(int((pt_cls == C.CLS_BIT).sum()))
+                all_rows = np.concatenate([out_rows, pt_rows])
+                out_nbs = all_nbs[order]
+                out_cls = all_cls[order]
+                sel = row_src[order]
+                out_rows = all_rows[sel[sel >= 0]]
+        bv._struct = Structure(np.asarray(out_nbs, np.int64).copy(),
+                               np.asarray(out_cls, np.uint8).copy())
+        bv._pool = out_rows
+        bv._gaps = None
+        bv._size = max(bv._size, size)
+        bv._dirty()
+        return bv
+
+    def _ref_count_op(self, bv, data, op):
+        bv._flush()
+        if op in (C.SET_COUNT_B, C.SET_COUNT):
+            empty = BitVector(1)
+            _, _, _, _, _, cnt = self._ref_stream(empty, data,
+                                                  native.OP_OR, True)
+            return cnt
+        if op == C.SET_COUNT_A:
+            return bv.count()
+        opc = _COUNT_TO_OPC[op]
+        nb_a, cls_a, pool, seen, _, cnt = self._ref_stream(
+            bv, data, opc, True)
+        total = int(cnt)
+        if opc in _PASS_THROUGH and nb_a.size:
+            keep = ~np.isin(nb_a, seen)
+            if keep.any():
+                total += int((cls_a[keep] == 1).sum()) * C.BITS_PER_BLOCK
+                slot = np.where(cls_a == 2, np.cumsum(cls_a == 2) - 1, -1)
+                rows = pool[slot[keep & (cls_a == 2)]]
+                if rows.shape[0]:
+                    total += int(np.bitwise_count(rows).sum(dtype=np.int64))
+        return total
 
     def _apply_decoded(self, bv: BitVector, other: BitVector, op: int):
         from ..algo import setops

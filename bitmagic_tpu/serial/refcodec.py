@@ -723,11 +723,18 @@ class RefDeserializer:
         return cached.get(int(nb))
 
     # -----------------------------------------------------------------
-    def deserialize(self, data: bytes, range_=None):
+    def deserialize(self, data: bytes, range_=None, sink=None):
         """Decode a reference BLOB; with ``range_=(lo, hi)`` only the bit
         range is materialized and bookmark sync marks (set_nb_bookmark*/
         set_nb_sync_mark*, src/bmserial.h:1224-1232) fast-skip whole
-        regions of the stream (deserialize_range equivalent)."""
+        regions of the stream (deserialize_range equivalent).
+
+        With ``sink`` (callable ``sink(nb, words_or_None)``; None = FULL
+        block) the decoder STREAMS: finalized blocks flush to the sink in
+        ascending order as the cursor passes them and the method returns
+        the decoded ``size`` — the serial_stream_iterator mode
+        (src/bmserial.h:847) behind the reference-format
+        operation_deserializer; memory stays O(pending blocks)."""
         from ..core.bitvector import BitVector
         from ..core.blocks import Structure
         from ..ops import blockops
@@ -762,6 +769,15 @@ class RefDeserializer:
             cnt = r.get_32()
             ids = np.asarray([r.get_32() for _ in range(cnt)], np.int64)
             self.bytes_consumed = r.pos
+            if sink is not None:
+                for nb in np.unique(ids >> 16):
+                    inb = ids[(ids >> 16) == nb] & 0xFFFF
+                    w = np.zeros(WORDS, np.uint32)
+                    np.bitwise_or.at(w, inb >> 5,
+                                     np.uint32(1) << (inb & 31).astype(
+                                         np.uint32))
+                    sink(int(nb), w)
+                return max(int(size), 1)
             return BitVector.from_indices(ids, max(size, 1))
 
         if not (header & HM_NO_GAPL):
@@ -771,6 +787,36 @@ class RefDeserializer:
             size = r.get_64() if is64 else r.get_32()
 
         total_blocks = (1 << 32) if is64 else TOTAL_BLOCKS32
+
+        flush_mark = 0        # sink mode: blocks below this are delivered
+
+        def _flush_to(limit):
+            """Deliver finalized blocks (< limit) to the sink, ascending.
+            Tail/range clamping happens at delivery time."""
+            nonlocal flush_mark
+            last_nb_ = (max(int(size), 1) - 1) >> 16
+            tail_bits_ = max(int(size), 1) - (last_nb_ << 16)
+            pend = [k for k in blocks if k < limit and k != x_nb] + \
+                   [k for k in full if k < limit and k != x_nb]
+            for nb in sorted(pend):
+                if nb in full:
+                    full.discard(nb)
+                    if nb > last_nb_ or not (nb_from <= nb <= nb_to):
+                        continue
+                    if nb == last_nb_ and tail_bits_ < BITS:
+                        sink(nb, np.full(WORDS, 0xFFFFFFFF, np.uint32)
+                             & _tail_mask(tail_bits_))
+                    else:
+                        sink(nb, None)
+                    continue
+                w = blocks.pop(nb)
+                if nb > last_nb_ or not (nb_from <= nb <= nb_to):
+                    continue
+                if nb == last_nb_ and tail_bits_ < BITS:
+                    w = w & _tail_mask(tail_bits_)
+                if w.any():
+                    sink(nb, w)
+            flush_mark = limit
 
         # XOR FSM state
         x_row = x_d64 = 0
@@ -833,6 +879,9 @@ class RefDeserializer:
         while nb_i < total_blocks:
             if nb_i > nb_to:
                 break                      # past the requested range
+            if sink is not None and nb_i > flush_mark and \
+                    (len(blocks) + len(full)) > 4:
+                _flush_to(nb_i)
             btype = r.get_8()
             if btype & 0x80:               # 7-bit packed zero run
                 nb_i += btype & 0x7F
@@ -1014,6 +1063,10 @@ class RefDeserializer:
             xor_decode()
 
         self.bytes_consumed = r.pos   # for embedded BLOBs (SV plane streams)
+
+        if sink is not None:
+            _flush_to(1 << 62)
+            return max(int(size), 1)
 
         # assemble BitVector: clamp to size (and to range_, host-side)
         size = max(int(size), 1)

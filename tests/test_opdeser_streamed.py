@@ -119,3 +119,28 @@ def test_streamed_result_sizes(setup):
     t = a.copy()
     OperationDeserializer().deserialize(t, blob, C.SET_OR)
     assert t.size == max(a.size, bref.size)
+
+
+def test_ref_format_streamed(setup, monkeypatch):
+    """Reference-format BLOBs stream through RefDeserializer's sink mode:
+    set and count ops never materialize the BLOB (VERDICT item 5, both
+    formats)."""
+    from bitmagic_tpu.serial import ref_serialize, ref_deserialize
+    import bitmagic_tpu.serial.refcodec as rc
+    a, b, _, _ = setup
+    blob = ref_serialize(b, level=6)
+    bref = ref_deserialize(blob)
+    orig = rc.RefDeserializer.deserialize
+
+    def guard(self, data, range_=None, sink=None):
+        assert sink is not None, "ref-format op materialized the BLOB"
+        return orig(self, data, range_=range_, sink=sink)
+
+    monkeypatch.setattr(rc.RefDeserializer, "deserialize", guard)
+    od = OperationDeserializer()
+    for op, pyop in _SET_OPS:
+        t = a.copy()
+        od.deserialize(t, blob, op)
+        assert t == getattr(a, pyop)(bref), op
+    for op, fn in _COUNT_OPS:
+        assert od.deserialize(a.copy(), blob, op) == fn(a, bref), op

@@ -78,10 +78,31 @@ def worker(pid: int, n_proc: int):
     want0 = int(np.unpackbits(acc.view(np.uint8)).sum())
     assert int(counts[0]) == want0, (int(counts[0]), want0)
 
+    # 4. BLOB broadcast + partition/merge over the process network (DCN
+    #    analog): compressed bytes travel, never dense bitmaps
+    from bitmagic_tpu import BitVector
+    from bitmagic_tpu.parallel.blobcast import (all_gather_blobs,
+                                                broadcast_bitvector,
+                                                merge_broadcast_parts)
+    from bitmagic_tpu.serial.serializer import Serializer
+    size = 4_000_000
+    root_ids = np.unique(rng.integers(0, size, 3000)).astype(np.int64)
+    root_bv = BitVector.from_indices(root_ids, size) if pid == 0 else None
+    got = broadcast_bitvector(root_bv)
+    assert np.array_equal(got.indices(), root_ids), "blob broadcast"
+    # partition-then-merge: each process owns a disjoint range
+    span = size // n_proc
+    my_ids = np.unique(rng.integers(pid * span, (pid + 1) * span,
+                                    1000)).astype(np.int64)
+    my_blob = Serializer(6).serialize(BitVector.from_indices(my_ids, size))
+    merged = merge_broadcast_parts(all_gather_blobs(my_blob))
+    assert merged.count() > 0 and merged.test(int(my_ids[0]))
+
     if pid == 0:
         print(f"multihost OK: {n_proc} processes x {n_local} devices = "
               f"{n_global} global; popcount/psum, scan ({dt * 1e3:.1f} ms), "
-              f"8-query pipeline all verified cross-host", flush=True)
+              f"8-query pipeline, BLOB broadcast + partition/merge all "
+              f"verified cross-host", flush=True)
 
 
 def main():
