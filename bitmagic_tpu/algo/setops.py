@@ -99,15 +99,34 @@ def distance_operation(a: BitVector, b: BitVector, metrics) -> dict:
     }
     for m in metrics:
         sym_counts[m] = table[m]
-    # kernel part: rows where at least one side is a BIT row
+    # run-domain part: pairs where neither side is a dense row compute on
+    # the host from run boundaries (gap_metric_counts — the gap_* count
+    # kernels of src/bmfunc.h:4946+); symbolic FULL/ZERO sides join as
+    # synthetic 1-run blocks
+    vals = np.zeros(len(metrics), np.int64)
     kern = ~sym
+    gap_elig = kern & (st_a != 2) & (st_b != 2)
+    if gap_elig.any():
+        from ..core.gapstore import const_extended, gap_metric_counts
+        ext_a, za, fa = const_extended(a._gaps)
+        ext_b, zb, fb = const_extended(b._gaps)
+        st_ae, sl_ae = a._struct.lookup(cand[gap_elig])
+        st_be, sl_be = b._struct.lookup(cand[gap_elig])
+        sel_a = np.where(st_ae == 3, sl_ae, np.where(st_ae == 1, fa, za))
+        sel_b = np.where(st_be == 3, sl_be, np.where(st_be == 1, fb, zb))
+        mc = gap_metric_counts(ext_a, sel_a, ext_b, sel_b)
+        name = {COUNT_AND: "and_", COUNT_OR: "or_", COUNT_XOR: "xor_",
+                COUNT_SUB_AB: "sub_ab", COUNT_SUB_BA: "sub_ba",
+                COUNT_A: "a_", COUNT_B: "b_"}
+        for i, m in enumerate(metrics):
+            vals[i] += int(mc[name[m]].sum())
+        kern = kern & ~gap_elig
+    # device part: rows where at least one side is a dense BIT row
     if kern.any():
         per_block = np.asarray(_metric_kernel(
             tuple(metrics),
             *operand_args(a, cand[kern]), *operand_args(b, cand[kern])))
-        vals = per_block.astype(np.int64).sum(axis=1)
-    else:
-        vals = np.zeros(len(metrics), np.int64)
+        vals += per_block.astype(np.int64).sum(axis=1)
     return {m: int(v) + sym_counts[m] for m, v in zip(metrics, vals)}
 
 

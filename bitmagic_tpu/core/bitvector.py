@@ -32,7 +32,7 @@ from ..config import config
 from ..ops import blockops
 from .blocks import (Structure, expand_gap_operand, gather_operand,
                      operand_args, plan_binary)
-from .gapstore import GapStore
+from .gapstore import GapStore, gap_binary_op
 
 _I64 = np.int64
 
@@ -1361,24 +1361,119 @@ def _edge_mask(lo_bit: int, hi_bit: int) -> np.ndarray:
     return m
 
 
+# one operand's GAP content passes through (possibly complemented) when the
+# other side is symbolically absorbing: {op: {(state_a, state_b): action}}
+# with states z/f/g and actions copy_a/comp_a/copy_b/comp_b
+_GAP_IDENT = {
+    "and": {("g", "f"): "copy_a", ("f", "g"): "copy_b"},
+    "or": {("g", "z"): "copy_a", ("z", "g"): "copy_b"},
+    "xor": {("g", "z"): "copy_a", ("z", "g"): "copy_b",
+            ("g", "f"): "comp_a", ("f", "g"): "comp_b"},
+    "sub": {("g", "z"): "copy_a", ("f", "g"): "comp_b"},
+}
+# run-count bound above which a gap x gap pair routes to the device kernel
+# (a >4096-run result would cost more than the 8KB dense row)
+_GAP_MERGE_MAX_RUNS = 4096
+
+
 def _binary(a: BitVector, b: BitVector, op: str) -> BitVector:
+    """Binary set-op.  Kernel blocks route three ways: GAP identity
+    (metadata only), GAP x GAP host run-merge (gap_buff_op analog,
+    src/bmfunc.h:3738 — results stay succinct), and the device gather +
+    fused elementwise pass for everything touching dense rows."""
     a._flush()
     b._flush()
     plan = plan_binary(op, a._struct, b._struct)
-    if plan.a_slot.size:
-        a_aux, a_aux_slot = expand_gap_operand(a._gaps, plan.a_gap)
-        b_aux, b_aux_slot = expand_gap_operand(b._gaps, plan.b_gap)
+    nb_all = plan.nb.copy()
+    cls_all = plan.cls.copy()
+    kpos = np.flatnonzero(cls_all == C.CLS_BIT)
+    k = kpos.size
+    size = max(a._size, b._size)
+    if k == 0:
+        return BitVector._from_parts(Structure(nb_all, cls_all),
+                                     blockops.zero_pool(0), size)
+
+    def _state(slot, full, gap):
+        st = np.full(k, "z", dtype="U1")
+        st[slot >= 0] = "b"
+        st[full] = "f"
+        st[gap >= 0] = "g"
+        return st
+
+    st_a = _state(plan.a_slot, plan.a_full, plan.a_gap)
+    st_b = _state(plan.b_slot, plan.b_full, plan.b_gap)
+    ident = np.full(k, "", dtype="U6")
+    for (sa, sb), act in _GAP_IDENT[op].items():
+        ident[(st_a == sa) & (st_b == sb)] = act
+    both_gap = (st_a == "g") & (st_b == "g") & (ident == "")
+    if both_gap.any():
+        lens = (a._gaps.n_runs()[plan.a_gap[both_gap]]
+                + b._gaps.n_runs()[plan.b_gap[both_gap]])
+        small = both_gap.copy()
+        small[both_gap] = lens <= _GAP_MERGE_MAX_RUNS
+    else:
+        small = both_gap
+    dev = (ident == "") & ~small
+
+    # --- device part -------------------------------------------------
+    if dev.any():
+        a_aux, a_aux_slot = expand_gap_operand(a._gaps, plan.a_gap[dev])
+        b_aux, b_aux_slot = expand_gap_operand(b._gaps, plan.b_gap[dev])
         pool = _binary_kernel(
             op,
-            a._pool, jnp.asarray(plan.a_slot), jnp.asarray(plan.a_full),
+            a._pool, jnp.asarray(plan.a_slot[dev]),
+            jnp.asarray(plan.a_full[dev]),
             jnp.asarray(a_aux), jnp.asarray(a_aux_slot),
-            b._pool, jnp.asarray(plan.b_slot), jnp.asarray(plan.b_full),
+            b._pool, jnp.asarray(plan.b_slot[dev]),
+            jnp.asarray(plan.b_full[dev]),
             jnp.asarray(b_aux), jnp.asarray(b_aux_slot))
     else:
         pool = blockops.zero_pool(0)
-    res = BitVector._from_parts(Structure(plan.nb, plan.cls), pool,
-                                max(a._size, b._size))
-    return res
+
+    if not dev.all():
+        # --- gap x gap host merge ------------------------------------
+        drop = np.zeros(len(nb_all), bool)
+        parts = []            # (store, order keys) in concat order
+        part_keys = []
+        if small.any():
+            merged, zm, fm = gap_binary_op(
+                op, a._gaps, plan.a_gap[small], b._gaps, plan.b_gap[small])
+            mpos = kpos[small]
+            cls_all[mpos] = C.CLS_GAP
+            cls_all[mpos[fm]] = C.CLS_FULL
+            drop[mpos[zm]] = True
+            keepm = ~(zm | fm)
+            if keepm.any():
+                parts.append(merged.subset(np.flatnonzero(keepm)))
+                part_keys.append(mpos[keepm])
+        # --- identity pass-through -----------------------------------
+        for act, store, gsl in (("copy_a", a._gaps, plan.a_gap),
+                                ("comp_a", a._gaps, plan.a_gap),
+                                ("copy_b", b._gaps, plan.b_gap),
+                                ("comp_b", b._gaps, plan.b_gap)):
+            m = ident == act
+            if not m.any():
+                continue
+            sub = store.subset(gsl[m])
+            if act.startswith("comp"):
+                sub = sub.complement()
+            parts.append(sub)
+            part_keys.append(kpos[m])
+            cls_all[kpos[m]] = C.CLS_GAP
+        gaps = None
+        if parts:
+            combined = parts[0]
+            for s in parts[1:]:
+                combined = GapStore.concat(combined, s)
+            keys = np.concatenate(part_keys)
+            order = np.argsort(keys, kind="stable")
+            gaps = combined.subset(order)
+        keep = ~drop
+        nb_all = nb_all[keep]
+        cls_all = cls_all[keep]
+        return BitVector._from_parts(Structure(nb_all, cls_all), pool,
+                                     size, gaps)
+    return BitVector._from_parts(Structure(nb_all, cls_all), pool, size)
 
 
 @jax.jit

@@ -248,6 +248,11 @@ class GapStore:
             out[ok] = self.select_in_block(blk[ok], before[ok] + 1)
         return out
 
+    def complement(self) -> "GapStore":
+        """Bitwise NOT of every block: same boundaries, flipped start value
+        (the D-GAP complement trick the reference uses for gapcmpr)."""
+        return GapStore(self.ends, self.offs, self.first ^ 1)
+
     def indices_concat(self, bases) -> np.ndarray:
         """All set-bit positions across all blocks, offset by the per-block
         int64 ``bases``, in ascending order (bases must be ascending)."""
@@ -268,3 +273,124 @@ class GapStore:
         cum_excl = np.concatenate([[0], np.cumsum(lens)[:-1]])
         return base_rep + np.arange(total, dtype=_I64) - \
             np.repeat(cum_excl, lens)
+
+
+def gap_binary_op(op: str, store_a: GapStore, sel_a, store_b: GapStore,
+                  sel_b):
+    """Set-op over aligned GAP block pairs entirely in the run domain —
+    the vectorized analog of the reference's gap_buff_op merge
+    (src/bmfunc.h:3738): no dense expansion, results stay succinct.
+
+    sel_a/sel_b: store-local block indices, aligned (pair k = A[sel_a[k]]
+    op B[sel_b[k]]).  Returns (result GapStore over the K pairs,
+    zero_mask bool[K], full_mask bool[K]): blocks whose result is
+    all-zero/all-one carry no runs in the store (1-run entries) and are
+    flagged for symbolic classification by the caller.
+    """
+    A = store_a.subset(sel_a)
+    B = store_b.subset(sel_b)
+    K = A.n_blocks
+    if K == 0:
+        return GapStore.empty(), np.zeros(0, bool), np.zeros(0, bool)
+    # merged event set per pair: union of both boundary lists (sorted,
+    # deduplicated) via the per-block key trick
+    keyA = A.run_block() * _BPB + A.ends
+    keyB = B.run_block() * _BPB + B.ends
+    keys = np.sort(np.concatenate([keyA, keyB]), kind="stable")
+    dup = np.zeros(keys.size, bool)
+    dup[1:] = keys[1:] == keys[:-1]
+    keys = keys[~dup]
+    blk = keys // _BPB
+    ends = keys % _BPB
+    # run value of each operand over the segment ending at each event
+    val_a = (A.first[blk].astype(_I64)
+             ^ ((np.searchsorted(keyA, keys) - A.offs[blk]) & 1))
+    val_b = (B.first[blk].astype(_I64)
+             ^ ((np.searchsorted(keyB, keys) - B.offs[blk]) & 1))
+    if op == "and":
+        val = val_a & val_b
+    elif op == "or":
+        val = val_a | val_b
+    elif op == "xor":
+        val = val_a ^ val_b
+    elif op == "sub":
+        val = val_a & (1 - val_b)
+    else:
+        raise ValueError(op)
+    # compress: keep an event iff it is the last of its block or its value
+    # differs from the NEXT event's value (same block)
+    last_of_blk = np.ones(keys.size, bool)
+    last_of_blk[:-1] = blk[:-1] != blk[1:]
+    keep = last_of_blk.copy()
+    keep[:-1] |= val[:-1] != val[1:]
+    ends_r = ends[keep]
+    blk_r = blk[keep]
+    counts = np.bincount(blk_r, minlength=K)
+    offs_r = np.zeros(K + 1, _I64)
+    np.cumsum(counts, out=offs_r[1:])
+    # first value of each block = value of its first kept segment
+    first_r = val[keep][offs_r[:-1]].astype(np.uint8)
+    res = GapStore(ends_r, offs_r, first_r)
+    one_run = counts == 1
+    zero_mask = one_run & (first_r == 0)
+    full_mask = one_run & (first_r == 1)
+    return res, zero_mask, full_mask
+
+
+def gap_metric_counts(store_a: GapStore, sel_a, store_b: GapStore, sel_b):
+    """All pairwise popcount metrics over aligned GAP block pairs from ONE
+    merged event sweep (the run-domain analog of the reference's
+    combine_count_operation_with_block, src/bmalgo_impl.h:406).
+
+    Returns a dict of int64[K] arrays: and_, or_, xor_, sub_ab, sub_ba,
+    a_, b_ — per-block popcounts of the respective combinations."""
+    A = store_a.subset(sel_a)
+    B = store_b.subset(sel_b)
+    K = A.n_blocks
+    if K == 0:
+        z = np.zeros(0, _I64)
+        return {k: z for k in ("and_", "or_", "xor_", "sub_ab", "sub_ba",
+                               "a_", "b_")}
+    keyA = A.run_block() * _BPB + A.ends
+    keyB = B.run_block() * _BPB + B.ends
+    keys = np.sort(np.concatenate([keyA, keyB]), kind="stable")
+    dup = np.zeros(keys.size, bool)
+    dup[1:] = keys[1:] == keys[:-1]
+    keys = keys[~dup]
+    blk = keys // _BPB
+    ends = keys % _BPB
+    prev = np.empty_like(ends)
+    prev[1:] = ends[:-1]
+    first_of_blk = np.ones(keys.size, bool)
+    first_of_blk[1:] = blk[1:] != blk[:-1]
+    prev[first_of_blk] = -1
+    seg = ends - prev
+    val_a = (A.first[blk].astype(_I64)
+             ^ ((np.searchsorted(keyA, keys) - A.offs[blk]) & 1))
+    val_b = (B.first[blk].astype(_I64)
+             ^ ((np.searchsorted(keyB, keys) - B.offs[blk]) & 1))
+
+    def tot(cond):
+        return np.bincount(blk, weights=seg * cond,
+                           minlength=K).astype(_I64)
+
+    return {
+        "and_": tot(val_a & val_b),
+        "or_": tot(val_a | val_b),
+        "xor_": tot(val_a ^ val_b),
+        "sub_ab": tot(val_a & (1 - val_b)),
+        "sub_ba": tot(val_b & (1 - val_a)),
+        "a_": tot(val_a),
+        "b_": tot(val_b),
+    }
+
+
+def const_extended(store: "GapStore | None"):
+    """(store', zero_idx, full_idx): the store with two synthetic 1-run
+    blocks appended (all-zero, all-one) so symbolic FULL/ZERO operands can
+    join run-domain sweeps as ordinary blocks."""
+    consts = GapStore(np.asarray([_BPB - 1, _BPB - 1], _I64),
+                      np.asarray([0, 1, 2], _I64),
+                      np.asarray([0, 1], np.uint8))
+    base = store.n_blocks if store is not None else 0
+    return GapStore.concat(store, consts), base, base + 1

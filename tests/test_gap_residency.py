@@ -167,3 +167,68 @@ def test_sharded_ingest_from_gap(gap_bv):
     got = np.flatnonzero(
         np.unpackbits(words.view(np.uint8), bitorder="little"))
     np.testing.assert_array_equal(got, ids)
+
+
+def test_gap_domain_binary_ops(gap_bv):
+    """Sparse x sparse ops run in the run domain (gap_buff_op analog):
+    no device kernel, results stay succinct."""
+    import bitmagic_tpu.core.bitvector as bvmod
+    bv, ids = gap_bv
+    rng = np.random.default_rng(77)
+    ids2 = np.unique(rng.integers(0, SIZE, 25_000)).astype(np.int64)
+    other = bm.BitVector.from_indices(ids2, SIZE)
+    other.optimize()
+    calls = []
+    orig = bvmod._binary_kernel
+    bvmod._binary_kernel = lambda *a, **k: calls.append(1) or orig(*a, **k)
+    try:
+        checks = [((bv & other), np.intersect1d(ids, ids2)),
+                  ((bv | other), np.union1d(ids, ids2)),
+                  ((bv ^ other), np.setxor1d(ids, ids2)),
+                  ((bv - other), np.setdiff1d(ids, ids2))]
+        for r, want in checks:
+            np.testing.assert_array_equal(r.indices(), want)
+            assert (r._struct.cls == C.CLS_BIT).sum() == 0
+    finally:
+        bvmod._binary_kernel = orig
+    assert not calls, "sparse x sparse op touched the device kernel"
+
+
+def test_gap_identity_passthrough(gap_bv):
+    bv, ids = gap_bv
+    full = bm.BitVector(SIZE)
+    full.set_range(0, SIZE - 1)
+    empty = bm.BitVector(SIZE)
+    assert (bv & full) == bv
+    assert (bv | empty) == bv
+    assert (bv - empty) == bv
+    x = bv ^ full                      # complement pass-through
+    assert x.count() == SIZE - ids.size
+    assert not x.get_bits(ids[:100]).any()
+    assert (full - bv).count() == SIZE - ids.size
+
+
+def test_setops_run_domain(gap_bv):
+    """Distance metrics over gap-resident pairs compute in the run domain:
+    no device metric kernel engages."""
+    import bitmagic_tpu.algo.setops as so
+    bv, ids = gap_bv
+    rng = np.random.default_rng(88)
+    ids2 = np.unique(rng.integers(0, SIZE, 20_000)).astype(np.int64)
+    other = bm.BitVector.from_indices(ids2, SIZE)
+    other.optimize()
+    calls = []
+    orig = so._metric_kernel
+    so._metric_kernel = lambda *a, **k: calls.append(1) or orig(*a, **k)
+    try:
+        res = so.distance_operation(bv, other, list(so._METRICS))
+    finally:
+        so._metric_kernel = orig
+    sa, sb = set(ids.tolist()), set(ids2.tolist())
+    assert res["count_and"] == len(sa & sb)
+    assert res["count_or"] == len(sa | sb)
+    assert res["count_xor"] == len(sa ^ sb)
+    assert res["count_sub_ab"] == len(sa - sb)
+    assert res["count_sub_ba"] == len(sb - sa)
+    assert res["count_a"] == len(sa) and res["count_b"] == len(sb)
+    assert not calls
