@@ -173,6 +173,17 @@ class Aggregator:
                 if kern_nb.size else None)
         return _assemble(nb, full_any, kern_nb, pool, size)
 
+    @staticmethod
+    def _all_succinct(vectors, nb) -> bool:
+        """True when no operand holds a dense row on any listed block —
+        the whole group op can fold in the run domain (host) without any
+        expansion."""
+        for v in vectors:
+            st, _ = v._struct.lookup(nb)
+            if (st == 2).any():
+                return False
+        return True
+
     def combine_and(self, vectors=None) -> BitVector:
         """AND(v1..vN) (reference combine_and, src/bmaggregator.h:412)."""
         if vectors is None:
@@ -184,6 +195,17 @@ class Aggregator:
         size = max(v.size for v in vectors)
         if nb.size == 0:
             return BitVector(size)
+        if len(vectors) > 1 and self._all_succinct(vectors, nb):
+            # sparse group: left-fold in the run domain (gap_buff_op
+            # chains); no device pass, result stays succinct
+            acc = vectors[0]
+            for v in vectors[1:]:
+                acc = acc & v
+            if acc is vectors[0]:
+                acc = acc.copy()          # never alias an input
+            if acc.size != size:
+                acc.resize(size)
+            return acc
         full_all = np.ones(nb.size, bool)
         for s in structs:
             st, _ = s.lookup(nb)
@@ -230,6 +252,19 @@ class Aggregator:
             sub_absent &= st == 0
         pure_full = full_all & sub_absent
         kern_nb = nb[~pure_full]
+        if kern_nb.size and self._all_succinct(
+                list(and_group) + list(sub_group), kern_nb):
+            # sparse group: run-domain fold (no expansion, succinct result)
+            acc = and_group[0]
+            for v in and_group[1:]:
+                acc = acc & v
+            for v in sub_group:
+                acc = acc - v
+            if acc is and_group[0]:
+                acc = acc.copy()          # never alias an input
+            if acc.size != size:
+                acc.resize(size)
+            return acc
         pool = None
         if kern_nb.size:
             args = (_operand_args(and_group, kern_nb)

@@ -232,3 +232,36 @@ def test_setops_run_domain(gap_bv):
     assert res["count_sub_ba"] == len(sb - sa)
     assert res["count_a"] == len(sa) and res["count_b"] == len(sb)
     assert not calls
+
+
+def test_aggregator_sparse_group_fold(gap_bv):
+    """Group AND / AND-SUB over all-succinct operands folds in the run
+    domain: no device aggregator kernel, succinct result."""
+    import sys
+    am = sys.modules["bitmagic_tpu.agg.aggregator"]
+    bv, ids = gap_bv
+    rng = np.random.default_rng(99)
+    vs, sets = [bv], [set(ids.tolist())]
+    for _ in range(3):
+        i2 = np.unique(rng.integers(0, SIZE, 15_000)).astype(np.int64)
+        v = bm.BitVector.from_indices(i2, SIZE)
+        v.optimize()
+        vs.append(v)
+        sets.append(set(i2.tolist()))
+    agg = Aggregator()
+    calls = []
+    orig = am._agg_kernel
+    am._agg_kernel = lambda *a, **k: calls.append(1) or orig(*a, **k)
+    try:
+        r = agg.combine_and(vs[:3])
+        assert set(r.indices().tolist()) == (sets[0] & sets[1] & sets[2])
+        r2 = agg.combine_and_sub(vs[:2], vs[2:])
+        assert set(r2.indices().tolist()) == \
+            (sets[0] & sets[1]) - sets[2] - sets[3]
+        assert (r2._struct.cls == C.CLS_BIT).sum() == 0
+    finally:
+        am._agg_kernel = orig
+    assert not calls
+    # aliasing guard: single-operand fold returns a copy
+    r4 = agg.combine_and_sub([vs[0]], [])
+    assert r4 is not vs[0] and r4 == vs[0]
