@@ -138,3 +138,75 @@ def test_all_ones_block():
     assert s.popcounts()[0] == BPB
     np.testing.assert_array_equal(s.to_dense(), row)
     assert s.select_in_block([0], [BPB])[0] == BPB - 1
+
+
+def test_gap_binary_op_fuzz():
+    """Adversarial run structures through the run-domain merge: edge bits,
+    adjacent boundaries, identical blocks, complements, full/zero."""
+    from bitmagic_tpu.core.gapstore import gap_binary_op
+    rng = np.random.default_rng(123)
+    rows_a, rows_b = [], []
+    for k in range(40):
+        for rows in (rows_a, rows_b):
+            bits = np.zeros(BPB, np.uint8)
+            kind = rng.integers(0, 8)
+            if kind == 0:
+                bits[rng.integers(0, BPB, rng.integers(1, 50))] = 1
+            elif kind == 1:
+                for s in rng.integers(0, BPB - 100, 8):
+                    bits[s:s + int(rng.integers(1, 90))] = 1
+            elif kind == 2:
+                bits[:] = 1
+            elif kind == 3:
+                bits[0] = 1
+            elif kind == 4:
+                bits[BPB - 1] = 1
+            elif kind == 5:
+                bits[0] = bits[BPB - 1] = 1
+                bits[::2][: rng.integers(1, 100)] = 1
+            elif kind == 6:
+                bits[: rng.integers(1, BPB)] = 1
+            else:
+                bits[rng.integers(0, BPB):] = 1
+            rows.append(np.packbits(bits, bitorder="little").view(np.uint32))
+    # make some pairs identical and some complementary
+    rows_b[3] = rows_a[3].copy()
+    rows_b[7] = ~rows_a[7]
+    wa, wb = np.stack(rows_a), np.stack(rows_b)
+    A, B = GapStore.from_dense(wa), GapStore.from_dense(wb)
+    sel = np.arange(wa.shape[0])
+    for op, fn in [("and", lambda a, b: a & b), ("or", lambda a, b: a | b),
+                   ("xor", lambda a, b: a ^ b),
+                   ("sub", lambda a, b: a & ~b)]:
+        R, zm, fm = gap_binary_op(op, A, sel, B, sel)
+        np.testing.assert_array_equal(R.to_dense(), fn(wa, wb), err_msg=op)
+        bc = R.popcounts()
+        np.testing.assert_array_equal(zm, bc == 0, err_msg=op)
+        np.testing.assert_array_equal(fm, bc == BPB, err_msg=op)
+
+
+def test_gap_metric_counts_fuzz():
+    from bitmagic_tpu.core.gapstore import gap_metric_counts, const_extended
+    rng = np.random.default_rng(321)
+    rows = []
+    for k in range(20):
+        bits = np.zeros(BPB, np.uint8)
+        bits[rng.integers(0, BPB, rng.integers(1, 300))] = 1
+        if k % 4 == 0:
+            s = int(rng.integers(0, BPB - 9000))
+            bits[s:s + 8000] = 1
+        rows.append(np.packbits(bits, bitorder="little").view(np.uint32))
+    wa = np.stack(rows[:10])
+    wb = np.stack(rows[10:])
+    A, B = GapStore.from_dense(wa), GapStore.from_dense(wb)
+    m = gap_metric_counts(A, np.arange(10), B, np.arange(10))
+    pc = lambda x: np.bitwise_count(x).sum(axis=1)
+    np.testing.assert_array_equal(m["and_"], pc(wa & wb))
+    np.testing.assert_array_equal(m["sub_ba"], pc(wb & ~wa))
+    # const-extended: FULL and ZERO as synthetic blocks
+    ext, z, f = const_extended(A)
+    m2 = gap_metric_counts(ext, np.asarray([0, z, f]),
+                           ext, np.asarray([f, 0, z]))
+    np.testing.assert_array_equal(
+        m2["and_"], [pc(wa[:1])[0], 0, 0])
+    np.testing.assert_array_equal(m2["or_"], [BPB, pc(wa[:1])[0], BPB])

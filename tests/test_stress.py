@@ -171,3 +171,55 @@ def test_stress_48bit_borders(seed):
     from bitmagic_tpu.serial import refcodec
     rblob = refcodec.ref_serialize(bv, 6)
     assert refcodec.ref_deserialize(rblob).equal(bv)
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_stress_gap_residency_walk(seed):
+    """Random walk with aggressive optimize(): gap/dense/identity/run-merge
+    paths interleave freely; content checked against the golden model
+    throughout (round-2 GAP residency + run-domain algebra)."""
+    big = 40 * BITS_PER_BLOCK
+    rng = np.random.default_rng(seed)
+    bv = BitVector(big)
+    g = GoldenBitSet(big)
+    ids = random_indices(rng, big, 0.001)
+    bv.set_many(ids); g.bits[ids] = True
+    bv.optimize()
+    for step in range(25):
+        op = rng.integers(0, 7)
+        if op == 0:       # run-domain logic with an optimized operand
+            idx = random_indices(rng, big, float(rng.choice([0.0005, 0.02])))
+            other = BitVector.from_indices(idx, big)
+            if rng.integers(0, 2):
+                other.optimize()
+            og = GoldenBitSet.from_indices(idx, big)
+            which = rng.integers(0, 4)
+            [bv.bit_and, bv.bit_or, bv.bit_xor, bv.bit_sub][which](other)
+            [g.and_, g.or_, g.xor_, g.sub_][which](og)
+        elif op == 1:     # re-optimize (dense -> gap movement)
+            bv.optimize()
+        elif op == 2:     # range ops (identity pass-through on gap blocks)
+            lo = int(rng.integers(0, big)); hi = int(rng.integers(lo, big))
+            val = bool(rng.integers(0, 2))
+            bv.set_range(lo, hi, val); g.set_range(lo, hi, val)
+        elif op == 3:     # point mutations on gap-resident blocks
+            for i in rng.integers(0, big, 4):
+                v = bool(rng.integers(0, 2))
+                bv.set(int(i), v); g.set(int(i), v)
+        elif op == 4:     # serialization round-trip from gap residency
+            blob = Serializer(int(rng.integers(0, 7))).serialize(bv)
+            bv = Deserializer().deserialize(blob)
+        elif op == 5:     # rank/select through the gap-aware index
+            if g.count():
+                r = int(rng.integers(1, g.count() + 1))
+                assert bv.select(r) == g.select(r)
+                i = int(rng.integers(0, big))
+                assert bv.count_to(i) == g.count_to(i)
+        else:             # queries across representations
+            i = int(rng.integers(0, big))
+            assert bv.test(i) == bool(g.bits[i])
+            lo = int(rng.integers(0, big)); hi = int(rng.integers(lo, big))
+            assert bv.count_range(lo, hi) == int(g.bits[lo:hi + 1].sum())
+        if step % 8 == 7:
+            check(bv, g, step)
+    check(bv, g, "final")
