@@ -62,6 +62,35 @@ class ShardedBitVector:
         bv.optimize()
         return bv
 
+    def reshard(self, mesh) -> "ShardedBitVector":
+        """Repartition onto a different mesh (the block-shard all-to-all:
+        XLA moves only the rows that change owner)."""
+        n_shards = mesh.devices.size
+        nblk = max(C.blocks_for_bits(self.size), 1)
+        nblk_p = pad_rows(nblk, n_shards)
+        pool = self.pool
+        if nblk_p != pool.shape[0]:
+            pool = jnp.concatenate([
+                pool[:min(nblk_p, pool.shape[0])],
+                jnp.zeros((max(nblk_p - pool.shape[0], 0),
+                           C.SET_BLOCK_SIZE), jnp.uint32)], axis=0)
+        pool = jax.device_put(pool, block_sharding(mesh))
+        return ShardedBitVector(pool, self.size, mesh)
+
+    # ------------------------------------------------------------------
+    # checkpoint: compressed BLOB in, compressed BLOB out (the reference's
+    # two-stage memory model, README "succinct in RAM <-> BLOB at rest")
+    # ------------------------------------------------------------------
+    def checkpoint_bytes(self, level: int = 6) -> bytes:
+        """Serialize to a compressed BMT1 BLOB (succinct at rest)."""
+        from ..serial.serializer import Serializer
+        return Serializer(level).serialize(self.to_bitvector())
+
+    @classmethod
+    def from_checkpoint(cls, blob: bytes, mesh=None) -> "ShardedBitVector":
+        from ..serial.serializer import Deserializer
+        return cls.from_bitvector(Deserializer().deserialize(blob), mesh)
+
     # ------------------------------------------------------------------
     # set algebra: block-local, no communication
     # ------------------------------------------------------------------

@@ -144,3 +144,22 @@ def test_sharded_rs_index_repeated_queries_no_rebuild(mesh, monkeypatch):
     for _ in range(3):
         r = int(rng.integers(1, ids.size))
         assert sbv.select_batch([r])[0] == ids[r - 1]
+
+
+def test_reshard_and_checkpoint(mesh):
+    rng = np.random.default_rng(5)
+    ids = np.unique(rng.integers(0, SIZE, 8_000)).astype(np.int64)
+    sbv = ShardedBitVector.from_indices(ids, SIZE, mesh)
+    # repartition 8 -> 4 -> 8 shards
+    m4 = make_mesh(4)
+    r4 = sbv.reshard(m4)
+    assert r4.count() == ids.size
+    r8 = r4.reshard(mesh)
+    assert np.asarray(jnp.array_equal(r8.pool, sbv.pool)).item()
+    # checkpoint round-trip (compressed BLOB at rest)
+    blob = sbv.checkpoint_bytes()
+    back = ShardedBitVector.from_checkpoint(blob, mesh)
+    assert back.count() == ids.size
+    np.testing.assert_array_equal(
+        np.asarray(back.to_bitvector().indices()), ids)
+    assert len(blob) < ids.size * 3          # actually compressed
