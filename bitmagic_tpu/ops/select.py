@@ -85,7 +85,12 @@ def select_flat(pool, gwc, ranks):
     Returns global bit position = pool_row * 65536 + in-block offset.
     (Variant comparison on v5e, 1M queries over a 100M-bit pool:
     flat gather + scan search 2.3 Mq/s; row gather + sort search 18;
-    bucket search + MXU descent 52 Mq/s.)"""
+    bucket search + MXU descent 52-62 Mq/s.  Also measured and REJECTED
+    in round 2: bucket sizes 64/256 and three-level searches (5-8%
+    slower — extra gather latency), and 256-bit sub-wave granularity
+    with 32 B leaf gathers (20-36 ms: the finer prefix makes the bucket
+    compare O(Q x bucket) dominant).  The 128-wave two-level structure
+    is the measured optimum.)"""
     n_waves = gwc.shape[0]
     pad = (-n_waves) % _BUCKET
     gwc_pad = jnp.concatenate(
