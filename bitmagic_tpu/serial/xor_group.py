@@ -145,8 +145,12 @@ def _gap_count(words) -> int:
     return int((np.diff(bits.astype(np.int8)) != 0).sum()) + 1
 
 
-def deserialize_group(data: bytes) -> list[BitVector]:
-    """Inverse of serialize_group."""
+def deserialize_group(data: bytes, sel=None) -> list[BitVector]:
+    """Inverse of serialize_group.  ``sel`` restricts decoding:
+    ("range", (lo, hi)) materializes only that bit range; ("blocks", want)
+    only the listed block ids — XOR references are block-aligned
+    (same-nb against earlier vectors), so a restricted decode of the
+    references resolves every in-selection patch."""
     dec = ByteDecoder(data)
     if dec.get_bytes(4) != GROUP_MAGIC:
         raise ValueError("bad group magic")
@@ -156,14 +160,24 @@ def deserialize_group(data: bytes) -> list[BitVector]:
     for _ in range(n):
         blen = dec.get_32()
         blob = dec.get_bytes(blen)
-        out.append(_deserialize_with_xor(blob, out, deser))
+        out.append(_deserialize_with_xor(blob, out, deser, sel))
     return out
 
 
-def _deserialize_with_xor(blob, group, deser) -> BitVector:
+def _decode_plain(blob, deser, sel):
+    if sel is None:
+        return deser.deserialize(blob)
+    if sel[0] == "range":
+        return deser.deserialize(blob, range_=sel[1])
+    from .opdeser import _materialize_subset, _stream_blocks
+    _, size, _ = next(_stream_blocks(blob))
+    return _materialize_subset(blob, sel[1], size)
+
+
+def _deserialize_with_xor(blob, group, deser, sel=None) -> BitVector:
     """Decode a BMT1 BLOB that may contain CODE_XOR_REF records."""
     if CODE_XOR_REF not in _codes_present(blob):
-        return deser.deserialize(blob)
+        return _decode_plain(blob, deser, sel)
     # split: decode plain records via the native path, patch XOR records
     d = ByteDecoder(blob)
     out = ByteEncoder()
@@ -193,7 +207,15 @@ def _deserialize_with_xor(blob, group, deser) -> BitVector:
         inner_code = pd.get_8()
         prod = _decode_payload(inner_code, payload[5:])
         patches.append((nb, ref_idx, prod))
-    bv = deser.deserialize(out.get_bytes())
+    bv = _decode_plain(out.get_bytes(), deser, sel)
+    if sel is not None:
+        # keep only patches whose block is inside the selection
+        if sel[0] == "range":
+            lo_b, hi_b = sel[1][0] >> C.SET_BLOCK_SHIFT, \
+                sel[1][1] >> C.SET_BLOCK_SHIFT
+            patches = [p for p in patches if lo_b <= p[0] <= hi_b]
+        else:
+            patches = [p for p in patches if p[0] in sel[1]]
     if patches:
         ref_words = {}
         all_pos = []
@@ -216,7 +238,12 @@ def _deserialize_with_xor(blob, group, deser) -> BitVector:
                 all_pos.append(base + pos)
         if all_pos:
             # single bulk scatter: one device pass for all patched blocks
-            bv.set_many(np.concatenate(all_pos))
+            pos = np.concatenate(all_pos)
+            if sel is not None and sel[0] == "range":
+                lo, hi = sel[1]
+                pos = pos[(pos >= lo) & (pos <= hi)]
+            if pos.size:
+                bv.set_many(pos)
     return bv
 
 

@@ -211,3 +211,32 @@ def test_gather_deserialize_all_families(rng):
 
     with pytest.raises(ValueError):
         de.deserialize_gather(blob, [])
+
+
+def test_grouped_planes_compression_and_legacy():
+    """v2 plane sections (block-level XOR groups, actual-size guarded):
+    never larger than no-filter, and clearly smaller when bit-slices
+    genuinely correlate; v1 (non-grouped) blobs still decode."""
+    from bitmagic_tpu.serial.sv_serial import (SparseVectorSerializer,
+                                               sparse_vector_deserialize,
+                                               sparse_vector_serialize)
+    rng = np.random.default_rng(5)
+    n = 1_000_000
+    vals = rng.integers(0, 1 << 10, n).astype(np.uint32)
+    # make plane 10 a near-copy of plane 3: block-level deltas win big
+    bit3 = (vals >> 3) & 1
+    vals |= bit3 << 10
+    flip = rng.integers(0, n, 200)
+    vals[flip] ^= 1 << 10
+    sv = SparseVector.from_array(vals, nullable=True)
+    grouped = sparse_vector_serialize(sv)
+    plain = SparseVectorSerializer(xor_filter=False).serialize(sv)
+    assert len(grouped) < 0.95 * len(plain)       # correlated planes win
+    assert sparse_vector_deserialize(grouped).equal(sv)
+    assert sparse_vector_deserialize(plain).equal(sv)
+    # the guard: on uncorrelated data grouped never exceeds plain
+    vals2 = rng.integers(0, 1 << 16, n).astype(np.uint32)
+    sv2 = SparseVector.from_array(vals2)
+    g2 = sparse_vector_serialize(sv2)
+    p2 = SparseVectorSerializer(xor_filter=False).serialize(sv2)
+    assert len(g2) <= len(p2) + 64
