@@ -18,6 +18,8 @@ from . import constants  # noqa: E402
 from .config import config, simd_version  # noqa: E402
 from .core.bitvector import BitVector  # noqa: E402
 from . import algo, agg, parallel, serial, sv, utils  # noqa: E402
+# one-shot free functions (reference bm::serialize / bm::deserialize)
+from .serial.serializer import deserialize, serialize  # noqa: E402
 
 __version__ = "0.1.0"
 
@@ -26,6 +28,7 @@ __all__ = [
     "config",
     "constants",
     "simd_version",
+    "serialize", "deserialize",
     "algo", "agg", "parallel", "serial", "sv", "utils",
     "__version__",
 ]
