@@ -185,3 +185,37 @@ def test_rsc_reference_aliases(rng):
     assert rsc.is_compressed() and not rsc.is_str()
     i = int(np.flatnonzero(~mask)[0])
     assert int(rsc.get(i)) == int(vals[i])
+
+
+def test_sv_stress_optimize_serialize_scan(rng):
+    """Randomized walk over a succinct vector: optimize (GAP-resident
+    planes), grouped serialization round-trips, scans and point access all
+    interleave; values checked against a plain numpy array."""
+    from bitmagic_tpu.serial.sv_serial import (sparse_vector_deserialize,
+                                               sparse_vector_serialize)
+    from bitmagic_tpu.sv.scanner import scanner
+    n = 300_000
+    vals = np.zeros(n, np.uint32)
+    nz = rng.integers(0, n, 20_000)
+    vals[nz] = rng.integers(1, 500, nz.size)
+    sv = SparseVector.from_array(vals, nullable=True)
+    for step in range(8):
+        op = step % 4
+        if op == 0:
+            sv.optimize()
+        elif op == 1:
+            sv = sparse_vector_deserialize(sparse_vector_serialize(sv))
+        elif op == 2:
+            v = int(rng.integers(1, 500))
+            hits = scanner.find_eq(sv, v)
+            np.testing.assert_array_equal(
+                np.asarray(hits.indices()), np.flatnonzero(vals == v))
+        else:
+            ids = rng.integers(0, n, 200)
+            np.testing.assert_array_equal(sv.gather(ids), vals[ids])
+            i = int(rng.integers(0, n))
+            w = int(rng.integers(0, 500))
+            sv.set(i, w)
+            vals[i] = w
+    np.testing.assert_array_equal(
+        sv.gather(np.arange(0, n, 97)), vals[::97])
