@@ -116,14 +116,49 @@ class BitVector:
         return bv
 
     @classmethod
-    def from_indices(cls, ids, size: int = C.ID_MAX32):
+    def from_indices(cls, ids, size: int = C.ID_MAX32, strategy=None):
         """Bulk build from sorted-or-not bit ids (reference bulk set,
-        src/bm.h:1133 set(ids, n) / combine_or)."""
+        src/bm.h:1133 set(ids, n) / combine_or).  With strategy=BM_GAP the
+        blocks are built DIRECTLY as succinct D-GAP runs on the host — no
+        dense materialization, no device pass (reference
+        check_allocate_block under BM_GAP, src/bmblocks.h:1076; blocks
+        whose run count overflows the top GAP level fall back to dense,
+        like convert_gap2bitset on overflow)."""
         ids = np.unique(np.asarray(ids, _I64))
         if ids.size and (ids[0] < 0 or ids[-1] >= size):
             raise IndexError("bit id out of range")
+        if strategy == C.BM_GAP and ids.size:
+            return cls._from_indices_gap(ids, size)
         struct, pool = _pool_from_ids(ids)
-        return cls._from_parts(struct, pool, size)
+        bv = cls._from_parts(struct, pool, size)
+        if strategy is not None:
+            bv.strategy = strategy
+        return bv
+
+    @classmethod
+    def _from_indices_gap(cls, ids: np.ndarray, size: int) -> "BitVector":
+        from .gapstore import from_positions
+        blocks = _as_blocks(ids)
+        ub, inv = np.unique(blocks, return_inverse=True)
+        store, bc = from_positions(inv.astype(_I64),
+                                   (ids & C.SET_BLOCK_MASK).astype(_I64))
+        from . import gaps
+        glevel = tuple(config.gap_levels)
+        full = bc == C.BITS_PER_BLOCK
+        too_big = (store.gap_lens() > glevel[-1] - 4) & ~full
+        gap_keep = ~full & ~too_big
+        cls_arr = np.full(ub.size, C.CLS_GAP, np.uint8)
+        cls_arr[full] = C.CLS_FULL
+        cls_arr[too_big] = C.CLS_BIT
+        pool = (store.to_dense(np.flatnonzero(too_big))
+                if too_big.any()
+                else np.zeros((0, C.SET_BLOCK_SIZE), np.uint32))
+        gaps_store = (store.subset(np.flatnonzero(gap_keep))
+                      if gap_keep.any() else None)
+        bv = cls._from_parts(Structure(ub.astype(_I64), cls_arr), pool,
+                             size, gaps_store)
+        bv.strategy = C.BM_GAP
+        return bv
 
     @classmethod
     def from_bools(cls, bools, size=None):
@@ -371,33 +406,40 @@ class BitVector:
         ids = np.fromiter(items.keys(), _I64, len(items))
         vals = np.fromiter(items.values(), bool, len(items))
         set_ids, clr_ids = ids[vals], ids[~vals]
+        strat = self.strategy if self.strategy == C.BM_GAP else None
         if set_ids.size:
-            self._ior(BitVector.from_indices(set_ids, self._size))
+            self._ior(BitVector.from_indices(set_ids, self._size,
+                                             strategy=strat))
         if clr_ids.size:
-            self._isub(BitVector.from_indices(clr_ids, self._size))
+            self._isub(BitVector.from_indices(clr_ids, self._size,
+                                              strategy=strat))
 
     # ------------------------------------------------------------------
     # bulk mutation
     # ------------------------------------------------------------------
+    def _bulk_operand(self, ids) -> "BitVector":
+        strat = self.strategy if self.strategy == C.BM_GAP else None
+        return BitVector.from_indices(ids, self._size, strategy=strat)
+
     def set_many(self, ids):
         """Bulk OR of bit ids (reference set(ids,n), src/bm.h:1133)."""
         self._check_writable()
         self._flush()
-        self._ior(BitVector.from_indices(ids, self._size))
+        self._ior(self._bulk_operand(ids))
         return self
 
     def clear_many(self, ids):
         """Bulk clear of bit ids (reference clear(ids,n), src/bm.h:1161)."""
         self._check_writable()
         self._flush()
-        self._isub(BitVector.from_indices(ids, self._size))
+        self._isub(self._bulk_operand(ids))
         return self
 
     def keep(self, ids):
         """Keep only listed bits (reference keep(ids,n), src/bm.h:1147)."""
         self._check_writable()
         self._flush()
-        self._iand(BitVector.from_indices(ids, self._size))
+        self._iand(self._bulk_operand(ids))
         return self
 
     def set_range(self, lo, hi, val: bool = True):
@@ -780,7 +822,8 @@ class BitVector:
     # ------------------------------------------------------------------
     def _adopt(self, res: "BitVector"):
         self._struct = res._struct
-        self._pool = res._pool
+        self._pool_dev = res._pool_dev
+        self._pool_np = res._pool_np
         self._gaps = res._gaps
         self._dirty()
 

@@ -394,3 +394,58 @@ def const_extended(store: "GapStore | None"):
                       np.asarray([0, 1], np.uint8))
     base = store.n_blocks if store is not None else 0
     return GapStore.concat(store, consts), base, base + 1
+
+
+def from_positions(blk: np.ndarray, pos: np.ndarray):
+    """Build a GapStore directly from sorted set-bit coordinates — the
+    BM_GAP allocation strategy (reference check_allocate_block with
+    BM_GAP, src/bmblocks.h:1076): no dense materialization anywhere.
+
+    blk: int64[n] owning STORE-LOCAL block index per bit (ascending);
+    pos: int64[n] in-block position (ascending within each block).
+    Returns (store, bc) where bc[m] are per-block popcounts.
+    """
+    blk = np.asarray(blk, _I64)
+    pos = np.asarray(pos, _I64)
+    m = int(blk[-1]) + 1 if blk.size else 0
+    if m == 0:
+        return GapStore.empty(), np.zeros(0, _I64)
+    # the +1 gap guarantees a break at every block boundary (a run of
+    # consecutive bits never crosses blocks in the D-GAP representation)
+    key = blk * (_BPB + 1) + pos
+    brk = np.ones(key.size, bool)
+    brk[1:] = np.diff(key) > 1
+    seg_start = key[brk]                     # gapped coords of run starts
+    end_mask = np.empty(key.size, bool)
+    end_mask[:-1] = brk[1:]
+    end_mask[-1] = True
+    seg_end = key[end_mask]
+    sblk = seg_start // (_BPB + 1)
+    s_in = seg_start % (_BPB + 1)
+    e_in = seg_end % (_BPB + 1)
+    # events per segment: a 0-run end before it (when it does not start at
+    # bit 0) and the 1-run end; plus a trailing 65535 zero-run end per
+    # block whose last segment stops early
+    ev_blk = [sblk[s_in > 0], sblk]
+    ev_end = [s_in[s_in > 0] - 1, e_in]
+    last_of_blk = np.empty(sblk.size, bool)
+    last_of_blk[:-1] = sblk[:-1] != sblk[1:]
+    last_of_blk[-1] = True
+    tail = last_of_blk & (e_in < _BPB - 1)
+    ev_blk.append(sblk[tail])
+    ev_end.append(np.full(int(tail.sum()), _BPB - 1, _I64))
+    ekey = np.sort(np.concatenate(
+        [b * _BPB + e for b, e in zip(ev_blk, ev_end)]))
+    eb = ekey // _BPB
+    ends = ekey % _BPB
+    counts = np.bincount(eb, minlength=m)
+    offs = np.zeros(m + 1, _I64)
+    np.cumsum(counts, out=offs[1:])
+    first = np.zeros(m, np.uint8)
+    first_seg = np.ones(sblk.size, bool)
+    first_seg[1:] = sblk[1:] != sblk[:-1]
+    starts0 = sblk[first_seg & (s_in == 0)]
+    first[starts0] = 1
+    bc = np.bincount(sblk, weights=(seg_end - seg_start + 1),
+                     minlength=m).astype(_I64)
+    return GapStore(ends, offs, first), bc

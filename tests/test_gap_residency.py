@@ -265,3 +265,42 @@ def test_aggregator_sparse_group_fold(gap_bv):
     # aliasing guard: single-operand fold returns a copy
     r4 = agg.combine_and_sub([vs[0]], [])
     assert r4 is not vs[0] and r4 == vs[0]
+
+
+def test_bm_gap_strategy_direct_build():
+    """BM_GAP strategy builds blocks directly as succinct runs (reference
+    check_allocate_block under BM_GAP): no dense materialization, overflow
+    blocks fall back to dense, bulk mutations stay in the run domain."""
+    import bitmagic_tpu.core.bitvector as bvmod
+    rng = np.random.default_rng(55)
+    ids = np.unique(np.concatenate(
+        [rng.integers(0, SIZE, 25_000),
+         np.arange(1_000_000, 1_000_000 + 2 * C.BITS_PER_BLOCK),
+         rng.integers(3_000_000, 3_200_000, 60_000),   # run-overflow block
+         [0, SIZE - 1]])).astype(np.int64)
+    calls = []
+    orig = bvmod._binary_kernel
+    bvmod._binary_kernel = lambda *a, **k: calls.append(1) or orig(*a, **k)
+    try:
+        bv = bm.BitVector.from_indices(ids, SIZE, strategy=C.BM_GAP)
+    finally:
+        bvmod._binary_kernel = orig
+    assert not calls                       # construction is device-free
+    st = bv.calc_stat()
+    assert st["gap_blocks"] > 0
+    assert bv.get_new_blocks_strat() == C.BM_GAP
+    np.testing.assert_array_equal(np.asarray(bv.indices()), ids)
+    assert bv.count() == ids.size
+    # parity with the dense-built twin
+    twin = bm.BitVector.from_indices(ids, SIZE)
+    assert bv == twin
+    from bitmagic_tpu.serial.serializer import serialize
+    assert serialize(bv) == serialize(twin)
+    # bulk mutations keep the strategy + correctness
+    more = np.unique(rng.integers(0, SIZE, 4_000)).astype(np.int64)
+    bv.set_many(more)
+    want = np.union1d(ids, more)
+    np.testing.assert_array_equal(np.asarray(bv.indices()), want)
+    bv.clear_many(more)
+    np.testing.assert_array_equal(np.asarray(bv.indices()),
+                                  np.setdiff1d(want, more))
