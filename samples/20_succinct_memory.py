@@ -42,8 +42,9 @@ print(f"succinct        : {st_gap['memory_used']:>12,} bytes "
 print(f"compression     : {st_dense['memory_used'] / st_gap['memory_used']:.0f}x "
       "smaller after optimize()")
 
-b = bm.BitVector.from_indices(ids_b, SIZE)
-b.optimize()
+# BM_GAP strategy: built succinct from the start — no dense pass at all
+b = bm.BitVector.from_indices(ids_b, SIZE,
+                              strategy=bm.constants.BM_GAP)
 
 # run-domain set algebra: both operands AND the results stay succinct
 inter = a & b
