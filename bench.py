@@ -107,9 +107,16 @@ def bench_logical(rng):
 
     lo_fn, hi_fn = make_mat(100), make_mat(500)
     np.asarray(lo_fn(a, b)); np.asarray(hi_fn(a, b))
-    t0 = time.perf_counter(); np.asarray(lo_fn(a, b)); t_lo = time.perf_counter() - t0
-    t0 = time.perf_counter(); np.asarray(hi_fn(a, b)); t_hi = time.perf_counter() - t0
-    t_mat = max(t_hi - t_lo, 1e-9) / 400
+    t_lo = t_hi = float("inf")
+    for _ in range(3):            # min-of-3: tunnel RTT jitter can exceed
+        t0 = time.perf_counter()  # the slope and produce absurd rates
+        np.asarray(lo_fn(a, b))
+        t_lo = min(t_lo, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(hi_fn(a, b))
+        t_hi = min(t_hi, time.perf_counter() - t0)
+    # floor: 400 iterations cannot beat 10 TB/s of HBM traffic
+    t_mat = max(t_hi - t_lo, 400 * 3 * BYTES_PER_POOL / 10e12) / 400
     gb = 2 * BYTES_PER_POOL / 1e9
     gbps_count = gb / t_count
     gbps_med = gb / t_count_med
