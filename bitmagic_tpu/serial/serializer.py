@@ -162,41 +162,64 @@ class Serializer:
     # ------------------------------------------------------------------
     def _encode_block(self, words: np.ndarray, bc: int, gc: int):
         """Best-format chooser (find_bit_best_encoding analog,
-        src/bmserial.h:2373): candidate cost model over BC/GC stats."""
+        src/bmserial.h:2373).  The candidate order, cost formulas and
+        strict-< tie-breaking MIRROR codecs.cpp bm_bmt1_encode exactly, so
+        the Python fallback and the native whole-BLOB encoder choose the
+        same code for every block (byte-identical blobs)."""
         level = self.level
-        cand = [(C.SET_BLOCK_SIZE * 4 + 1, CODE_RAW)]
+        best_cost, best_code = C.SET_BLOCK_SIZE * 4 + 1, CODE_RAW
         inv_bc = C.BITS_PER_BLOCK - bc
+
+        def consider(est, code):
+            nonlocal best_cost, best_code
+            if est < best_cost:
+                best_cost, best_code = est, code
+
         if level >= 1:
-            if bc <= C.GAP_WORD_MAX:
-                cand.append((2 * bc, CODE_ARR16))
-            if inv_bc <= C.GAP_WORD_MAX:
-                cand.append((2 * inv_bc, CODE_ARR16_INV))
-        if level >= 4 and gc < C.BITS_PER_BLOCK // 4:
-            # gamma GAP estimate: ~avg 2*log2(run) bits per run
-            cand.append((max(gc, 1) * 2, CODE_GAP_GAMMA))
+            if bc < C.BITS_PER_BLOCK:
+                consider(3 + 2 * bc, CODE_ARR16)
+            if inv_bc < C.BITS_PER_BLOCK:
+                consider(3 + 2 * inv_bc, CODE_ARR16_INV)
+        boundaries = None
+        L = gc
+        if level >= 4 and L < 16384:
+            # exact gamma cost of the run-length list (matches the native
+            # chooser's per-run bit count)
+            r = native.block_gap_boundaries(words)
+            if r is not None:
+                first_val, bounds = r
+            else:
+                bits = np.unpackbits(words.view(np.uint8),
+                                     bitorder="little")
+                change = np.flatnonzero(np.diff(bits.astype(np.int8)) != 0)
+                first_val = int(bits[0])
+                bounds = np.concatenate([change,
+                                         [C.BITS_PER_BLOCK - 1]])
+            boundaries = (int(first_val), np.asarray(bounds, np.int64))
+            runs = np.diff(boundaries[1], prepend=-1)
+            gamma_bits = int(np.sum(
+                2 * np.int64(np.floor(np.log2(runs)) + 1) - 1))
+            nL = int(boundaries[1].size)
+            gamma_bits += 2 * int(nL).bit_length() - 1
+            consider(2 + (gamma_bits + 7) // 8, CODE_GAP_GAMMA)
         if level >= 5:
-            # centered-minimal BIC ~3.75 bits/int (the reference's
-            # bie_bits_per_int cost model, src/bmserial.h:139-152)
-            if bc <= C.BIE_CUT_OFF:
-                cand.append((int(bc * 3.75) // 8 + 5, CODE_ARR_BIC))
-            if inv_bc <= C.BIE_CUT_OFF:
-                cand.append((int(inv_bc * 3.75) // 8 + 5,
-                             CODE_ARR_BIC_INV))
-            if gc < C.BITS_PER_BLOCK // 4:
-                cand.append((int(gc * 3.75) // 8 + 6, CODE_GAP_BIC))
+            if 0 < bc <= C.BIE_CUT_OFF:
+                consider(bc * 30 // 64 + 5, CODE_ARR_BIC)
+            if 0 < inv_bc <= C.BIE_CUT_OFF:
+                consider(inv_bc * 30 // 64 + 5, CODE_ARR_BIC_INV)
+            if L < 16384:
+                consider(L * 30 // 64 + 6, CODE_GAP_BIC)
         if level >= 6:
             # L6 admits denser arrays at the reference's 2.2 bits/int BIC
-            # coefficient (src/bmserial.h:546); integer math matches the
-            # native chooser byte-for-byte
+            # coefficient (src/bmserial.h:546)
             if C.BIE_CUT_OFF < bc <= 29789:
-                cand.append((bc * 22 // 80 + 5, CODE_ARR_BIC))
+                consider(bc * 22 // 80 + 5, CODE_ARR_BIC)
             if C.BIE_CUT_OFF < inv_bc <= 29789:
-                cand.append((inv_bc * 22 // 80 + 5, CODE_ARR_BIC_INV))
-        cand.sort()
-        code = cand[0][1]
-        return code, self._encode_payload(code, words, bc)
+                consider(inv_bc * 22 // 80 + 5, CODE_ARR_BIC_INV)
+        return best_code, self._encode_payload(best_code, words, bc,
+                                               boundaries)
 
-    def _encode_payload(self, code, words, bc):
+    def _encode_payload(self, code, words, bc, boundaries=None):
         if code == CODE_RAW:
             return words.astype("<u4").tobytes()
         if code in (CODE_ARR16, CODE_ARR_BIC, CODE_ARR16_INV,
@@ -210,8 +233,10 @@ class Serializer:
         else:
             # D-GAP runs: boundary positions where the bit value changes;
             # reference GAP buffer stores [last-index-of-run...] u16s
-            r = native.block_gap_boundaries(words)
-            if r is not None:
+            if boundaries is not None:
+                first_val, bounds = boundaries
+                change = bounds[:-1]
+            elif (r := native.block_gap_boundaries(words)) is not None:
                 first_val, bounds = r
                 change = bounds[:-1]
             else:

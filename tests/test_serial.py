@@ -210,3 +210,33 @@ def test_xor_group_full_reference_blocks(rng):
     back = deserialize_group(serialize_group(vectors, gain=0.9))
     for got, want in zip(back, vectors):
         assert got.equal(want)
+
+
+def test_python_native_choosers_byte_identical():
+    """The Python fallback chooser mirrors the native bm_bmt1_encode
+    (same candidate order, cost formulas, strict-< tie-breaking): blobs
+    are byte-identical whichever path runs."""
+    from bitmagic_tpu.serial import native
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(13)
+    size = 10_000_000
+    cases = [
+        np.unique(rng.integers(0, size, 3000)),
+        np.unique(rng.integers(0, 600_000, 200_000)),
+        np.unique(np.concatenate(
+            [np.arange(s, s + int(rng.integers(50, 2000)))
+             for s in rng.integers(0, size - 3000, 80)])),
+    ]
+    orig = native.bmt1_encode
+    for ids in cases:
+        bv = BitVector.from_indices(ids.astype(np.int64), size)
+        bv.set_range(1_000_000, 1_050_000)
+        for lvl in range(7):
+            nat = Serializer(lvl).serialize(bv)
+            native.bmt1_encode = lambda *a, **k: None
+            try:
+                py = Serializer(lvl).serialize(bv)
+            finally:
+                native.bmt1_encode = orig
+            assert nat == py, lvl
