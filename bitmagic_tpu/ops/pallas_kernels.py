@@ -340,18 +340,29 @@ def scan_eq_pallas(n_planes, planes, value):
 # serialization; keeping V vectorized avoids it.  HBM traffic drops from
 # V x arena (the lax.map fallback below) to 1 x arena.
 # ---------------------------------------------------------------------------
-_PIPE_COLS = 2          # block columns per grid step (VMEM budget bound)
-_PIPE_VTILE = 128       # value rows per kernel call
+# per-variant tiling (VMEM budget bound; measured on v5e):
+#   no-skip (2-op body): 2 cols x 128 value rows (fewer kernel calls
+#   wins over the c4-v64 per-call optimum: dispatch RTT dominates)
+#   skip    (3-op body): extra temporaries need the smaller value tile
+_PIPE_TILING = {False: (2, 128), True: (2, 64)}
 
 
-def _pipeline_counts_body(S, V, cols):
+def _pipeline_counts_body(S, V, cols, has_skip):
     def kernel(sel_ref, planes_ref, out_ref):
         acc = jnp.full((V, cols, 16, 128), 0xFFFFFFFF, U32)
         for s in range(S):
             p = planes_ref[s][None]                  # [1, cols, 16, 128]
             selv = sel_ref[:, s][:, None, None, None]
-            acc = jnp.where(selv == 1, acc & p,
-                            jnp.where(selv == -1, acc & ~p, acc))
+            # polarity mask: the select runs at [V,1,1,1] and the
+            # full-size work is XOR+AND (2 ops/plane) — measured ~25%
+            # over the double-where form; the skip variant needs the
+            # extra OR (3 ops/plane)
+            inv = jnp.where(selv == -1, U32(0xFFFFFFFF), U32(0))
+            if has_skip:
+                skip = jnp.where(selv == 0, U32(0xFFFFFFFF), U32(0))
+                acc &= (p ^ inv) | skip
+            else:
+                acc &= p ^ inv
         counts = jnp.sum(
             jax.lax.population_count(acc).astype(jnp.int32), axis=(1, 2))
 
@@ -362,13 +373,13 @@ def _pipeline_counts_body(S, V, cols):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def _pipeline_counts_call(S, nb_pad, planes, selectors):
-    cols = _PIPE_COLS
+@functools.partial(jax.jit, static_argnums=(0, 1, 3))
+def _pipeline_counts_call(S, nb_pad, planes, has_skip, selectors):
+    cols = _PIPE_TILING[has_skip][0]
     V = selectors.shape[0]
     planes4 = planes.reshape(S, nb_pad, 16, 128)
     lanes = pl.pallas_call(
-        _pipeline_counts_body(S, V, cols),
+        _pipeline_counts_body(S, V, cols, has_skip),
         grid=(nb_pad // cols,),
         in_specs=[
             pl.BlockSpec((V, S), lambda i: (0, 0),
@@ -411,7 +422,11 @@ def pipeline_counts(planes, selectors):
         return _pipeline_counts_map(planes, selectors)
     S, nb, _ = planes.shape
     V = selectors.shape[0]
-    cols = _PIPE_COLS
+    try:
+        has_skip = bool((np.asarray(selectors) == 0).any())
+    except Exception:                 # traced selectors: be conservative
+        has_skip = True
+    cols, vtile = _PIPE_TILING[has_skip]
     nb_pad = ((nb + cols - 1) // cols) * cols
     if nb_pad != nb:
         # zero-pad the block axis: every selector row has >= 1 AND plane,
@@ -420,13 +435,12 @@ def pipeline_counts(planes, selectors):
             [planes, jnp.zeros((S, nb_pad - nb, C.SET_BLOCK_SIZE), U32)],
             axis=1)
     out = []
-    for v0 in range(0, V, _PIPE_VTILE):
-        sel = selectors[v0:v0 + _PIPE_VTILE]
+    for v0 in range(0, V, vtile):
+        sel = selectors[v0:v0 + vtile]
         vp = ((sel.shape[0] + 7) // 8) * 8
         if vp != sel.shape[0]:
             sel = jnp.concatenate(
                 [sel, jnp.zeros((vp - sel.shape[0], S), sel.dtype)], axis=0)
-        out.append(_pipeline_counts_call(S, nb_pad, planes,
-                                         sel)[:min(_PIPE_VTILE,
-                                                   V - v0)])
+        out.append(_pipeline_counts_call(S, nb_pad, planes, has_skip,
+                                         sel)[:min(vtile, V - v0)])
     return jnp.concatenate(out) if len(out) > 1 else out[0]
