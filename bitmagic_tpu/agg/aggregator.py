@@ -162,6 +162,15 @@ class Aggregator:
         size = max(v.size for v in vectors)
         if nb.size == 0:
             return BitVector(size)
+        if len(vectors) > 1 and self._all_succinct(vectors, nb):
+            acc = vectors[0]
+            for v in vectors[1:]:
+                acc = acc | v
+            if acc is vectors[0]:
+                acc = acc.copy()          # never alias an input
+            if acc.size != size:
+                acc.resize(size)
+            return acc
         # blocks where any operand is FULL are FULL
         full_any = np.zeros(nb.size, bool)
         for s in structs:

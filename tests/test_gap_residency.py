@@ -304,3 +304,22 @@ def test_bm_gap_strategy_direct_build():
     bv.clear_many(more)
     np.testing.assert_array_equal(np.asarray(bv.indices()),
                                   np.setdiff1d(want, more))
+
+
+def test_combine_or_sparse_fold(gap_bv):
+    import sys
+    am = sys.modules["bitmagic_tpu.agg.aggregator"]
+    bv, ids = gap_bv
+    rng = np.random.default_rng(101)
+    i2 = np.unique(rng.integers(0, SIZE, 12_000)).astype(np.int64)
+    v2 = bm.BitVector.from_indices(i2, SIZE, strategy=C.BM_GAP)
+    calls = []
+    orig = am._agg_kernel
+    am._agg_kernel = lambda *a, **k: calls.append(1) or orig(*a, **k)
+    try:
+        r = Aggregator().combine_or([bv, v2])
+        np.testing.assert_array_equal(np.asarray(r.indices()),
+                                      np.union1d(ids, i2))
+    finally:
+        am._agg_kernel = orig
+    assert not calls
