@@ -340,11 +340,10 @@ def scan_eq_pallas(n_planes, planes, value):
 # serialization; keeping V vectorized avoids it.  HBM traffic drops from
 # V x arena (the lax.map fallback below) to 1 x arena.
 # ---------------------------------------------------------------------------
-# per-variant tiling (VMEM budget bound; measured on v5e):
-#   no-skip (2-op body): 2 cols x 128 value rows (fewer kernel calls
-#   wins over the c4-v64 per-call optimum: dispatch RTT dominates)
-#   skip    (3-op body): extra temporaries need the smaller value tile
-_PIPE_TILING = {False: (2, 128), True: (2, 64)}
+# tiling (VMEM budget bound; measured on v5e): 2 block columns x 128
+# value rows; fewer kernel calls beat larger per-call tiles because
+# dispatch RTT dominates on the tunneled chip
+_PIPE_TILING = {False: (2, 128), True: (2, 128)}
 
 
 def _pipeline_counts_body(S, V, cols, has_skip):
@@ -353,15 +352,17 @@ def _pipeline_counts_body(S, V, cols, has_skip):
         for s in range(S):
             p = planes_ref[s][None]                  # [1, cols, 16, 128]
             selv = sel_ref[:, s][:, None, None, None]
-            # polarity mask: the select runs at [V,1,1,1] and the
-            # full-size work is XOR+AND (2 ops/plane) — measured ~25%
-            # over the double-where form; the skip variant needs the
-            # extra OR (3 ops/plane)
-            inv = jnp.where(selv == -1, U32(0xFFFFFFFF), U32(0))
             if has_skip:
-                skip = jnp.where(selv == 0, U32(0xFFFFFFFF), U32(0))
-                acc &= (p ^ inv) | skip
+                # tri-state select (1/-1/0): double-where form — the
+                # 3-op polarity variant measured slower AND blew the
+                # VMEM budget at this tile
+                acc = jnp.where(selv == 1, acc & p,
+                                jnp.where(selv == -1, acc & ~p, acc))
             else:
+                # polarity mask: the select runs at [V,1,1,1] and the
+                # full-size work is XOR+AND (2 ops/plane) — measured
+                # ~20% over the double-where form on skip-free batches
+                inv = jnp.where(selv == -1, U32(0xFFFFFFFF), U32(0))
                 acc &= p ^ inv
         counts = jnp.sum(
             jax.lax.population_count(acc).astype(jnp.int32), axis=(1, 2))
