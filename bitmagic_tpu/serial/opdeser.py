@@ -152,6 +152,44 @@ _COUNT_TO_OPC = {
 _PASS_THROUGH = {native.OP_OR, native.OP_XOR, native.OP_SUB_AB}
 
 
+def _merge_passthrough(out_nbs, out_cls, out_rows, nb_a, cls_a, pool,
+                       mentioned):
+    """Merge per-record results with target blocks the BLOB never
+    mentioned (which pass through unchanged for OR/XOR/SUB_AB)."""
+    keep = ~np.isin(nb_a, mentioned)
+    if not keep.any():
+        return out_nbs, out_cls, out_rows
+    slot = np.where(cls_a == 2, np.cumsum(cls_a == 2) - 1, -1)
+    pt_nbs = nb_a[keep]
+    pt_cls = cls_a[keep]
+    pt_rows = pool[slot[keep & (cls_a == 2)]]
+    all_nbs = np.concatenate([out_nbs, pt_nbs])
+    all_cls = np.concatenate([out_cls, pt_cls])
+    order = np.argsort(all_nbs, kind="stable")
+    # row index per entry: record rows first, then pass-through rows
+    row_src = np.full(all_nbs.size, -1, np.int64)
+    nrec_rows = int((out_cls == C.CLS_BIT).sum())
+    row_src[: out_nbs.size][out_cls == C.CLS_BIT] = np.arange(nrec_rows)
+    row_src[out_nbs.size:][pt_cls == C.CLS_BIT] = \
+        nrec_rows + np.arange(int((pt_cls == C.CLS_BIT).sum()))
+    all_rows = np.concatenate([out_rows, pt_rows])
+    sel = row_src[order]
+    return all_nbs[order], all_cls[order], all_rows[sel[sel >= 0]]
+
+
+def _passthrough_count(nb_a, cls_a, pool, mentioned):
+    """Popcount contribution of target blocks the BLOB never mentioned."""
+    keep = ~np.isin(nb_a, mentioned)
+    if not keep.any():
+        return 0
+    total = int((cls_a[keep] == 1).sum()) * C.BITS_PER_BLOCK
+    slot = np.where(cls_a == 2, np.cumsum(cls_a == 2) - 1, -1)
+    rows = pool[slot[keep & (cls_a == 2)]]
+    if rows.shape[0]:
+        total += int(np.bitwise_count(rows).sum(dtype=np.int64))
+    return total
+
+
 class OperationDeserializer:
     """bm::operation_deserializer equivalent (streamed, no materialize)."""
 
@@ -195,30 +233,9 @@ class OperationDeserializer:
         nb_a, cls_a, pool, res = self._run_stream(bv, data, opc, False)
         out_nbs, out_cls, out_rows = res
         if opc in _PASS_THROUGH and nb_a.size:
-            keep = ~np.isin(nb_a, _blob_nbs(data))
-            if keep.any():
-                slot = np.where(cls_a == 2, np.cumsum(cls_a == 2) - 1, -1)
-                pt_nbs = nb_a[keep]
-                pt_cls = cls_a[keep]
-                pt_rows = pool[slot[keep & (cls_a == 2)]]
-                # merge sorted: record results + untouched target blocks
-                all_nbs = np.concatenate([out_nbs, pt_nbs])
-                all_cls = np.concatenate([out_cls, pt_cls])
-                order = np.argsort(all_nbs, kind="stable")
-                # row index per entry: records first, then pass-through
-                row_src = np.full(all_nbs.size, -1, np.int64)
-                nrec_rows = int((out_cls == C.CLS_BIT).sum())
-                row_src[: out_nbs.size][out_cls == C.CLS_BIT] = \
-                    np.arange(nrec_rows)
-                row_src[out_nbs.size:][pt_cls == C.CLS_BIT] = \
-                    nrec_rows + np.arange(int((pt_cls == C.CLS_BIT).sum()))
-                all_rows = (np.concatenate([out_rows, pt_rows])
-                            if (out_rows.shape[0] + pt_rows.shape[0])
-                            else out_rows)
-                out_nbs = all_nbs[order]
-                out_cls = all_cls[order]
-                sel = row_src[order]
-                out_rows = all_rows[sel[sel >= 0]]
+            out_nbs, out_cls, out_rows = _merge_passthrough(
+                out_nbs, out_cls, out_rows, nb_a, cls_a, pool,
+                _blob_nbs(data))
         blob_sz = _blob_size(data)
         bv._struct = Structure(out_nbs.copy(), out_cls.copy())
         bv._pool = out_rows
@@ -314,26 +331,10 @@ class OperationDeserializer:
             bv, data, opc, False)
         out_nbs, out_cls, out_rows = res
         if opc in _PASS_THROUGH and nb_a.size:
-            keep = ~np.isin(nb_a, seen)
-            if keep.any():
-                slot = np.where(cls_a == 2, np.cumsum(cls_a == 2) - 1, -1)
-                pt_nbs = nb_a[keep]
-                pt_cls = cls_a[keep]
-                pt_rows = pool[slot[keep & (cls_a == 2)]]
-                all_nbs = np.concatenate([out_nbs, pt_nbs])
-                all_cls = np.concatenate([out_cls, pt_cls])
-                order = np.argsort(all_nbs, kind="stable")
-                row_src = np.full(all_nbs.size, -1, np.int64)
-                nrec = int((out_cls == C.CLS_BIT).sum())
-                row_src[: out_nbs.size][out_cls == C.CLS_BIT] = \
-                    np.arange(nrec)
-                row_src[out_nbs.size:][pt_cls == C.CLS_BIT] = \
-                    nrec + np.arange(int((pt_cls == C.CLS_BIT).sum()))
-                all_rows = np.concatenate([out_rows, pt_rows])
-                out_nbs = all_nbs[order]
-                out_cls = all_cls[order]
-                sel = row_src[order]
-                out_rows = all_rows[sel[sel >= 0]]
+            out_nbs, out_cls, out_rows = _merge_passthrough(
+                np.asarray(out_nbs, np.int64),
+                np.asarray(out_cls, np.uint8), out_rows,
+                nb_a, cls_a, pool, seen)
         bv._struct = Structure(np.asarray(out_nbs, np.int64).copy(),
                                np.asarray(out_cls, np.uint8).copy())
         bv._pool = out_rows
@@ -356,13 +357,7 @@ class OperationDeserializer:
             bv, data, opc, True)
         total = int(cnt)
         if opc in _PASS_THROUGH and nb_a.size:
-            keep = ~np.isin(nb_a, seen)
-            if keep.any():
-                total += int((cls_a[keep] == 1).sum()) * C.BITS_PER_BLOCK
-                slot = np.where(cls_a == 2, np.cumsum(cls_a == 2) - 1, -1)
-                rows = pool[slot[keep & (cls_a == 2)]]
-                if rows.shape[0]:
-                    total += int(np.bitwise_count(rows).sum(dtype=np.int64))
+            total += _passthrough_count(nb_a, cls_a, pool, seen)
         return total
 
     def _apply_decoded(self, bv: BitVector, other: BitVector, op: int):
@@ -416,13 +411,7 @@ class OperationDeserializer:
         total = int(res)
         if opc in _PASS_THROUGH and nb_a.size:
             # target blocks the BLOB does not mention contribute themselves
-            keep = ~np.isin(nb_a, _blob_nbs(data))
-            if keep.any():
-                total += int((cls_a[keep] == 1).sum()) * C.BITS_PER_BLOCK
-                slot = np.where(cls_a == 2, np.cumsum(cls_a == 2) - 1, -1)
-                rows = pool[slot[keep & (cls_a == 2)]]
-                if rows.shape[0]:
-                    total += int(np.bitwise_count(rows).sum(dtype=np.int64))
+            total += _passthrough_count(nb_a, cls_a, pool, _blob_nbs(data))
         return total
 
 
