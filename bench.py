@@ -313,28 +313,32 @@ def main():
     log(f"devices: {jax.devices()}")
     gbps, gbps_med, gbps_mat = bench_logical(rng)
     cpu_gbps = bench_logical_cpu(rng)
+    # PRIMARY values are medians over >=5 slope passes: tunnel RTT jitter
+    # can shrink a two-point slope and inflate a min-side estimate beyond
+    # physics, while the median stays inside the credible band
     configs = {
-        "1_and_count": {"value": round(gbps, 1), "median": round(gbps_med, 1),
+        "1_and_count": {"value": round(gbps_med, 1), "best": round(gbps, 1),
                         "unit": "GB/s", "ref": REF["1_and_count_gbps"],
-                        "vs_ref": round(gbps / REF["1_and_count_gbps"], 2)},
+                        "vs_ref": round(gbps_med
+                                        / REF["1_and_count_gbps"], 2)},
         "1_and_materialize": {"value": round(gbps_mat, 1), "unit": "GB/s"},
     }
     try:
         qps, qps_med = bench_rank_select(rng)
         configs["2_select1"] = {
-            "value": round(qps / 1e6, 2), "median": round(qps_med / 1e6, 2),
+            "value": round(qps_med / 1e6, 2), "best": round(qps / 1e6, 2),
             "unit": "Mq/s", "ref": REF["2_select_mqps"],
-            "vs_ref": round(qps / 1e6 / REF["2_select_mqps"], 2)}
+            "vs_ref": round(qps_med / 1e6 / REF["2_select_mqps"], 2)}
         agg, agg_med = bench_aggregator(rng)
         configs["3_agg_and_sub"] = {
-            "value": round(agg, 1), "median": round(agg_med, 1),
+            "value": round(agg_med, 1), "best": round(agg, 1),
             "unit": "GB/s", "ref": REF["3_agg_and_sub_gbps"],
-            "vs_ref": round(agg / REF["3_agg_and_sub_gbps"], 2)}
+            "vs_ref": round(agg_med / REF["3_agg_and_sub_gbps"], 2)}
         sc, sc_med = bench_scan(rng)
         configs["4_scan_find_eq"] = {
-            "value": round(sc / 1e9, 2), "median": round(sc_med / 1e9, 2),
+            "value": round(sc_med / 1e9, 2), "best": round(sc / 1e9, 2),
             "unit": "Gelem/s", "ref": REF["4_scan_gelems"],
-            "vs_ref": round(sc / 1e9 / REF["4_scan_gelems"], 2)}
+            "vs_ref": round(sc_med / 1e9 / REF["4_scan_gelems"], 2)}
         pipe = bench_scan_pipeline(rng)
         configs["4b_scan_pipeline"] = {
             "value": round(pipe / 1e9, 2), "unit": "Gsearch-elem/s"}
@@ -355,9 +359,9 @@ def main():
         log("detail bench failed:", repr(e))
     print(json.dumps({
         "metric": "bvsetalgebra_and_count_throughput",
-        "value": round(gbps, 2),
+        "value": round(gbps_med, 2),
         "unit": "GB/s",
-        "vs_baseline": round(gbps / cpu_gbps, 2),
+        "vs_baseline": round(gbps_med / cpu_gbps, 2),
         "configs": configs,
     }))
 
