@@ -39,6 +39,9 @@ class ShardedBitVector:
         self.size = int(size)
         self.mesh = mesh
         self._rs = None           # cached ShardedRSIndex
+        # (survivors, total) blocks of the last digest-narrowed op that
+        # produced this vector; None when no narrowing took place
+        self.last_narrowing = None
 
     # ------------------------------------------------------------------
     @classmethod
@@ -231,13 +234,20 @@ class ShardedRSIndex:
         n_shards = self.mesh.devices.size
         self.n_shards = n_shards
         self.blocks_per_shard = sbv.pool.shape[0] // n_shards
+        # shard-LOCAL positions/counts ride the device as int32 (per-pool
+        # 2^31 bound, ops/select.py); everything CROSS-shard — cumulative
+        # prefixes, query ranks, global positions — is combined on host in
+        # int64 so a mesh holding >= 2^31 total set bits never wraps.
+        self.shard_span = self.blocks_per_shard * C.BITS_PER_BLOCK
+        assert self.shard_span <= 2**31, \
+            "per-shard span exceeds the int32 device bound; add shards"
         # [n_shards, local_waves] inclusive prefix, sharded on axis 0
         self.gwc = _gwc_prog(self.mesh)(sbv.pool)
         totals = np.asarray(self.gwc[:, -1]).astype(np.int64)
         self.shard_totals = totals
-        self.before = np.concatenate(
-            [[0], np.cumsum(totals)[:-1]]).astype(np.int32)
-        self.total = int(totals.sum())
+        self.cum = np.cumsum(totals)                 # int64, host only
+        self.before = np.concatenate([[0], self.cum[:-1]])   # int64
+        self.total = int(self.cum[-1]) if n_shards else 0
 
     def select_batch(self, ranks) -> np.ndarray:
         """Batched select1; -1 for out-of-range ranks."""
@@ -246,12 +256,17 @@ class ShardedRSIndex:
         ok = (ranks >= 1) & (ranks <= self.total)
         if not ok.any():
             return out
-        rk = jnp.asarray(ranks[ok].astype(np.int32))
+        rk = ranks[ok]
+        # host int64: which shard answers each query + its local rank
+        tgt = np.searchsorted(self.cum, rk, side="left").astype(np.int32)
+        local_rank = (rk - self.before[tgt]).astype(np.int32)
         pos = _rs_select_prog(self.mesh, self.n_shards,
                               self.blocks_per_shard)(
-            self.sbv.pool, self.gwc, rk,
-            jnp.asarray(self.before.reshape(self.n_shards, 1)))
-        out[ok] = np.asarray(pos, np.int64)
+            self.sbv.pool, self.gwc,
+            jnp.asarray(local_rank), jnp.asarray(tgt))
+        # global position re-assembled on host in int64
+        out[ok] = (tgt.astype(np.int64) * self.shard_span
+                   + np.asarray(pos, np.int64))
         return out
 
     def select(self, rank: int) -> int:
@@ -264,11 +279,15 @@ class ShardedRSIndex:
         ok = ids >= 0
         if not ok.any():
             return out
-        q = jnp.asarray(np.minimum(ids[ok], self.sbv.pool.shape[0]
-                                   * C.BITS_PER_BLOCK - 1).astype(np.int64))
+        q = np.minimum(ids[ok],
+                       self.sbv.pool.shape[0] * C.BITS_PER_BLOCK - 1)
+        # host int64: containing shard + its full-shards-before prefix;
+        # the device computes only the shard-LOCAL partial (int32-safe)
+        tgt = (q // self.shard_span).astype(np.int32)
+        rel = (q - tgt.astype(np.int64) * self.shard_span).astype(np.int32)
         r = _rs_rank_prog(self.mesh, self.n_shards, self.blocks_per_shard)(
-            self.sbv.pool, self.gwc, q)
-        out[ok] = np.asarray(r, np.int64)
+            self.sbv.pool, self.gwc, jnp.asarray(rel), jnp.asarray(tgt))
+        out[ok] = self.before[tgt] + np.asarray(r, np.int64)
         return out
 
     def rank(self, i: int) -> int:
@@ -294,44 +313,40 @@ def _gwc_prog(mesh):
 def _rs_select_prog(mesh, n_shards, blocks_per_shard):
     from ..ops.select import select_flat
 
-    def _sel(local, gwc_l, rk, before_l):
+    def _sel(local, gwc_l, local_rank, tgt):
+        # local_rank int32[q] (valid on shard tgt[q]); answers are
+        # shard-LOCAL bit positions — the int64 global assembly is host-side
         gwc = gwc_l[0]
         total = gwc[-1]
         sid = jax.lax.axis_index(BLOCK_AXIS)
-        local_rank = rk - before_l[0, 0]
-        mine = (local_rank >= 1) & (local_rank <= total)
+        mine = tgt == sid
         safe = jnp.clip(local_rank, 1, jnp.maximum(total, 1))
-        pos = select_flat(local, gwc, safe.astype(jnp.int32))
-        base = sid.astype(jnp.int64) * blocks_per_shard * C.BITS_PER_BLOCK
-        out = jnp.where(mine, base + pos.astype(jnp.int64), 0)
+        pos = select_flat(local, gwc, safe)
+        out = jnp.where(mine, pos, 0).astype(jnp.int32)
         return jax.lax.psum(out, BLOCK_AXIS)
 
     return jax.jit(shard_map(
         _sel, mesh=mesh,
-        in_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS, None), P(),
-                  P(BLOCK_AXIS, None)),
+        in_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS, None), P(), P()),
         out_specs=P()))
 
 
 @functools.lru_cache(maxsize=16)
 def _rs_rank_prog(mesh, n_shards, blocks_per_shard):
-    span = blocks_per_shard * C.BITS_PER_BLOCK
-
-    def _rank(local, gwc_l, ids):
+    def _rank(local, gwc_l, rel, tgt):
+        # rel int32[q] = bit offset inside shard tgt[q]; only the
+        # containing shard contributes its LOCAL partial (int32-safe;
+        # the cross-shard prefix is added on host in int64)
         gwc = gwc_l[0]
         sid = jax.lax.axis_index(BLOCK_AXIS)
-        base = sid.astype(jnp.int64) * span
-        rel = ids - base                         # int64 per query
-        total = gwc[-1].astype(jnp.int64)
         # containing-shard partial: prefix of full waves + masked tail wave
-        rel_c = jnp.clip(rel, 0, span - 1).astype(jnp.int32)
-        wave = rel_c >> 10
+        wave = rel >> 10
         prev = jnp.where(wave > 0, gwc[jnp.maximum(wave - 1, 0)], 0)
         flat = local.reshape(-1)                 # [bps * 2048] words
         widx = (wave * C.WAVE_WORDS)[:, None] + jnp.arange(
             C.WAVE_WORDS, dtype=jnp.int32)[None, :]
         words = jnp.take(flat, widx)             # [q, 32]
-        bit_in_wave = rel_c & 1023
+        bit_in_wave = rel & 1023
         wword = bit_in_wave >> 5
         wbit = (bit_in_wave & 31).astype(jnp.uint32)
         k = jnp.arange(C.WAVE_WORDS, dtype=jnp.int32)[None, :]
@@ -342,14 +357,13 @@ def _rs_rank_prog(mesh, n_shards, blocks_per_shard):
                          jnp.where(k == wword[:, None], part, jnp.uint32(0)))
         partial = jnp.sum(
             jax.lax.population_count(words & mask).astype(jnp.int32),
-            axis=1).astype(jnp.int64) + prev.astype(jnp.int64)
-        contrib = jnp.where(rel < 0, 0,
-                            jnp.where(rel >= span, total, partial))
+            axis=1) + prev
+        contrib = jnp.where(tgt == sid, partial, 0)
         return jax.lax.psum(contrib, BLOCK_AXIS)
 
     return jax.jit(shard_map(
         _rank, mesh=mesh,
-        in_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS, None), P()),
+        in_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS, None), P(), P()),
         out_specs=P()))
 
 
@@ -414,7 +428,10 @@ def sharded_and_many(vectors: list["ShardedBitVector"],
             for p in ps[1:]:
                 acc = acc & p
             return acc
-        return ShardedBitVector(_and_all(*pools), size, mesh)
+        sbv = ShardedBitVector(_and_all(*pools), size, mesh)
+        nblk = pools[0].shape[0]
+        sbv.last_narrowing = (nblk, nblk)      # nothing skipped
+        return sbv
 
     alive = np.asarray(_alive_and(*pools))        # tiny: 1 flag/block
     idx, valid = _survivor_slots(alive, n_shards)
@@ -434,7 +451,11 @@ def _and_survivors_prog(mesh, k):
             rows = r if rows is None else (rows & r)
         rows = jnp.where(valid_l[0][:, None], rows, jnp.uint32(0))
         out = jnp.zeros_like(pools_l[0])
-        return out.at[idx_l[0]].set(rows)
+        # scatter-ADD, not set: padding slots alias local row 0, and with
+        # .set the padded zero update can win over a genuine survivor at
+        # row 0 (silent data loss).  Valid rows target unique indices and
+        # padded rows are zeroed above, so accumulation is exact.
+        return out.at[idx_l[0]].add(rows)
 
     return jax.jit(shard_map(
         _local, mesh=mesh,

@@ -270,13 +270,13 @@ struct RFrame { int64_t base, sz, lo, hi; };
 inline int64_t cm_read(RBitR& r, int64_t range) {
     if (!range) return 0;
     int logv = bit_length_u64(static_cast<uint64_t>(range + 1)) - 1;
-    int64_t c = (1ll << (logv + 1)) - range - 1;
-    int64_t half_c = c >> 1;
-    int64_t half_r = range >> 1;
-    int64_t lo1 = half_r - half_c - ((range + 1) & 1);
-    int64_t hi1 = half_r + half_c + 1;
+    int64_t n_short = (1ll << (logv + 1)) - range - 1;
+    int64_t half_short = n_short >> 1;
+    int64_t half_rng = range >> 1;
+    int64_t flank_lo = half_rng - half_short - ((range + 1) & 1);
+    int64_t flank_hi = half_rng + half_short + 1;
     int64_t v = r.get_bits(logv);
-    if (v <= lo1 || v >= hi1)
+    if (v <= flank_lo || v >= flank_hi)
         v += static_cast<int64_t>(r.get_bit()) << logv;
     return v;
 }
@@ -285,14 +285,14 @@ inline void cm_write(RBitW& w, int64_t value, int64_t range) {
     if (!range) return;
     int64_t n = range + 1;
     int logv = bit_length_u64(static_cast<uint64_t>(n)) - 1;
-    int64_t c = (1ll << (logv + 1)) - n;
-    int64_t half_c = c >> 1;
-    int64_t half_r = range >> 1;
-    int64_t lo1 = half_r - half_c - (n & 1);
-    int64_t hi1 = half_r + half_c;
+    int64_t n_short = (1ll << (logv + 1)) - n;
+    int64_t half_short = n_short >> 1;
+    int64_t half_rng = range >> 1;
+    int64_t flank_lo = half_rng - half_short - (n & 1);
+    int64_t flank_hi = half_rng + half_short;
     // branchless flank widening: the compare outcome is data-dependent
     // and mispredicts dominate the per-value cost otherwise
-    logv += (int)((value <= lo1) | (value > hi1));
+    logv += (int)((value <= flank_lo) | (value > flank_hi));
     w.put_bits(static_cast<uint64_t>(value), logv);
 }
 
@@ -331,11 +331,11 @@ int bmref_bic_decode_cm(const uint8_t* buf, int64_t len, int64_t* pos,
             int64_t val = range;
             if (range) {
                 int logv = bit_length_u64((uint64_t)(range + 1)) - 1;
-                int64_t c = (1ll << (logv + 1)) - range - 1;
-                int64_t half_c = c >> 1;
-                int64_t half_r = range >> 1;
-                int64_t lo1 = half_r - half_c - ((range + 1) & 1);
-                int64_t hi1 = half_r + half_c + 1;
+                int64_t n_short = (1ll << (logv + 1)) - range - 1;
+                int64_t half_short = n_short >> 1;
+                int64_t half_rng = range >> 1;
+                int64_t flank_lo = half_rng - half_short - ((range + 1) & 1);
+                int64_t flank_hi = half_rng + half_short + 1;
                 // peek value + continuation bit from one accumulator state
                 // (logv <= 32 in every stream we parse: u16/u24/u32 ranges;
                 // a pull only happens with nb <= 32, so the 64-bit
@@ -346,13 +346,13 @@ int bmref_bic_decode_cm(const uint8_t* buf, int64_t len, int64_t* pos,
                 val = (int64_t)(a & ((1ull << logv) - 1));
                 if (nb > logv) {
                     // branchless continuation (bit already buffered)
-                    int64_t need = (int64_t)(val <= lo1)
-                                 | (int64_t)(val >= hi1);
+                    int64_t need = (int64_t)(val <= flank_lo)
+                                 | (int64_t)(val >= flank_hi);
                     val += ((int64_t)((a >> logv) & 1) << logv) & (-need);
                     int sh = logv + (int)need;
                     a >>= sh;
                     nb -= sh;
-                } else if (val <= lo1 || val >= hi1) {
+                } else if (val <= flank_lo || val >= flank_hi) {
                     if (nb < logv + 1)
                         refill_to(logv + 1);
                     val += (int64_t)((a >> logv) & 1) << logv;
@@ -575,23 +575,23 @@ static int bic_decode_cm_bitset(const uint8_t* buf, int64_t len,
             int64_t val = range;
             if (range) {
                 int logv = bit_length_u64((uint64_t)(range + 1)) - 1;
-                int64_t c = (1ll << (logv + 1)) - range - 1;
-                int64_t half_c = c >> 1;
-                int64_t half_r = range >> 1;
-                int64_t lo1 = half_r - half_c - ((range + 1) & 1);
-                int64_t hi1 = half_r + half_c + 1;
+                int64_t n_short = (1ll << (logv + 1)) - range - 1;
+                int64_t half_short = n_short >> 1;
+                int64_t half_rng = range >> 1;
+                int64_t flank_lo = half_rng - half_short - ((range + 1) & 1);
+                int64_t flank_hi = half_rng + half_short + 1;
                 refill_to(logv);
                 val = (int64_t)(a & ((1ull << logv) - 1));
                 if (nb > logv) {
                     // branchless continuation-bit path: the extra bit is
                     // already in the accumulator, so the (data-dependent,
                     // poorly predicted) range test costs no branch
-                    int64_t need = (int64_t)(val <= lo1) | (int64_t)(val >= hi1);
+                    int64_t need = (int64_t)(val <= flank_lo) | (int64_t)(val >= flank_hi);
                     val += ((int64_t)((a >> logv) & 1) << logv) & (-need);
                     int sh = logv + (int)need;
                     a >>= sh;
                     nb -= sh;
-                } else if (val <= lo1 || val >= hi1) {
+                } else if (val <= flank_lo || val >= flank_hi) {
                     if (nb < logv + 1)
                         refill_to(logv + 1);
                     val += (int64_t)((a >> logv) & 1) << logv;

@@ -8,9 +8,10 @@
 // copied into this repository.
 //
 // The framework core does NOT depend on this bridge; it is an optional
-// interop extra (serial/refformat.py gates on its availability).  A
-// from-scratch decoder for the reference format is tracked as follow-up
-// work (SURVEY.md §7 hard part 1).
+// interop extra (serial/refformat.py gates on its availability).  The
+// from-scratch reference-format codec lives in serial/refcodec.py (decode
+// of all ~70 block codes + encoder) — this bridge only generates fixtures
+// and cross-checks against the reference's own implementation.
 
 #include <cstdint>
 #include <cstring>

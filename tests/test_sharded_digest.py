@@ -53,6 +53,48 @@ def test_sharded_and_many_digest_narrowing(mesh):
         jnp.array_equal(res.pool, res2.pool)).item()
 
 
+def test_sharded_and_many_survivor_at_row0(mesh):
+    """Regression (round-2 VERDICT confirmed data-loss bug): when shards
+    have RAGGED survivor counts, the padding slots alias local row 0; with
+    a scatter-.set the padded zero update could clobber a genuine survivor
+    at a shard's local row 0.  blocks {0, 2, 3} on the 8-device mesh put
+    one survivor at shard 0 / row 0 with padding, two on shard 1."""
+    ids = np.array([5, 131079, 196617], np.int64)          # blocks 0, 2, 3
+    a = ShardedBitVector.from_indices(
+        np.union1d(ids, [7 * C.BITS_PER_BLOCK + 11]), SIZE, mesh)
+    b = ShardedBitVector.from_indices(
+        np.union1d(ids, [9 * C.BITS_PER_BLOCK + 3]), SIZE, mesh)
+    res = sharded_and_many([a, b])
+    got = np.asarray(res.to_bitvector().indices())
+    np.testing.assert_array_equal(got, ids)                # bit 5 must survive
+    # randomized ragged-survivor sweep: narrowed == non-narrowed, always
+    rng = np.random.default_rng(42)
+    for _ in range(5):
+        blocks_a = rng.choice(SIZE_BLOCKS, 6, replace=False)
+        blocks_b = np.union1d(rng.choice(blocks_a, 3, replace=False),
+                              rng.choice(SIZE_BLOCKS, 3, replace=False))
+        va, _ = _sparse_vec(rng, mesh, blocks_a)
+        vb, _ = _sparse_vec(rng, mesh, blocks_b)
+        r1 = sharded_and_many([va, vb])
+        r2 = sharded_and_many([va, vb], digest_narrowing=False)
+        assert np.asarray(jnp.array_equal(r1.pool, r2.pool)).item()
+
+
+def test_last_narrowing_always_set(mesh):
+    """result.last_narrowing is part of the documented contract on every
+    sharded_and_many path (round-2 ADVICE)."""
+    rng = np.random.default_rng(6)
+    a, _ = _sparse_vec(rng, mesh, [1, 4])
+    b, _ = _sparse_vec(rng, mesh, [4, 8])
+    nblk = a.pool.shape[0]
+    assert sharded_and_many([a]).last_narrowing == (nblk, nblk)
+    assert sharded_and_many(
+        [a, b], digest_narrowing=False).last_narrowing == (nblk, nblk)
+    surv, total = sharded_and_many([a, b]).last_narrowing
+    assert total == nblk and surv <= 1
+    assert (a & b).last_narrowing is None      # plain ops: no narrowing ran
+
+
 def test_sharded_and_sub_count(mesh):
     rng = np.random.default_rng(1)
     a, ids_a = _sparse_vec(rng, mesh, [2, 6, 10])
