@@ -601,7 +601,8 @@ def pipeline_counts_program(mesh):
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(None, BLOCK_AXIS, None), P(None, None)),
-        out_specs=P(None))
+        out_specs=P(None),
+        check_vma=False)   # pallas_call out_shapes carry no vma annotation
     def counts(local_planes, sels):
         c = pipeline_counts(local_planes, sels).astype(jnp.int32)
         return jax.lax.psum(c, BLOCK_AXIS)

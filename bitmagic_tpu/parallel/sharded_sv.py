@@ -1,0 +1,524 @@
+"""Mesh-sharded bit-sliced succinct vector: the scanner workload at scale.
+
+The reference scanner (``bm::sparse_vector_scanner``,
+/root/reference/src/bmsparsevec_algo.h:612) searches bit-sliced vectors in
+compressed form on one node.  This container is its mesh-scale form
+(SURVEY.md §2.7 "sharding rules per container"): ALL value slices of a
+``SparseVector`` live in ONE stacked device pool
+``uint32[K, n_blocks_padded, 2048]`` sharded along the block axis — every
+plane shares the same block sharding, so slice algebra (find_eq AND-SUB,
+ordered slice descent) is entirely shard-local; only per-query counts and
+gathered scalars ride ICI (``psum``).
+
+Layout (rows of the stack):
+  * rows ``0 .. n_eff-1``  — value slices (absent slices are zero rows,
+    which make slice algebra degrade *correctly*: AND with an absent slice
+    empties the result, AND-NOT is a no-op);
+  * row ``n_eff`` (``UNI``) — the universe: the NULL plane when nullable
+    (bit set = value assigned), else the dense ``[0, size)`` range.
+
+Searches mirror the single-chip scanner exactly:
+  * ``find_eq``: digest pre-pass (8 B/block, reference
+    src/bmaggregator.h:1764) decides the survivor block list, then ONE
+    shard-local gather-AND-SUB pass touches only surviving 8 KB rows;
+  * ``find_gt/ge/lt/le/range``: MSB-first slice descent, one fused
+    shard-local program per query (find_gt_horizontal,
+    src/bmsparsevec_algo.h:1144), with the signed split via the s2u
+    encoding (sign = slice 0);
+  * ``pipeline_find_eq``: whole value batches through the sharded
+    VMEM-batch pipeline (pipeline_counts_program) — one sweep per batch
+    per shard + one psum.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from .. import constants as C
+from ..ops import blockops
+from .mesh import BLOCK_AXIS, make_mesh, pad_rows
+from .sharded import ShardedBitVector, _digest_packed, _survivor_slots
+
+_I64 = np.int64
+
+
+def _plane_words(bv, nblk: int) -> np.ndarray:
+    """Dense word image of blocks [0, nblk) of one plane BitVector
+    (planes span ID_MAX48, so BitVector.to_words() is unusable here)."""
+    words = np.zeros((nblk, C.SET_BLOCK_SIZE), np.uint32)
+    if bv is None:
+        return words
+    bv._flush()
+    st = bv._struct
+    keep = st.nb < nblk
+    fm = keep & (st.cls == C.CLS_FULL)
+    words[st.nb[fm]] = 0xFFFFFFFF
+    bm = keep & (st.cls == C.CLS_BIT)
+    if bm.any():
+        rows = bv._pool_host()
+        sel = (st.cls == C.CLS_BIT)
+        words[st.nb[bm]] = rows[keep[sel]]
+    if bv._gaps is not None:
+        gm = keep & (st.cls == C.CLS_GAP)
+        if gm.any():
+            dense = bv._gaps.to_dense()
+            sel = (st.cls == C.CLS_GAP)
+            words[st.nb[gm]] = dense[keep[sel]]
+    return words
+
+
+class ShardedSparseVector:
+    """Block-axis-sharded bit-sliced integer vector with scanner searches."""
+
+    def __init__(self, stack, size: int, mesh, dtype, signed: bool,
+                 n_slices: int, n_eff: int, nullable: bool):
+        self.stack = stack            # uint32[K, nblk_p, 2048] sharded
+        self.size = int(size)
+        self.mesh = mesh
+        self.dtype = np.dtype(dtype)
+        self.signed = bool(signed)
+        self.n_slices = int(n_slices)   # logical slice count (incl. sign)
+        self.n_eff = int(n_eff)         # stack rows holding value slices
+        self.nullable = bool(nullable)
+
+    # row index of the universe plane
+    @property
+    def UNI(self) -> int:
+        return self.n_eff
+
+    @property
+    def n_blocks(self) -> int:
+        return int(self.stack.shape[1])
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_sparse_vector(cls, sv, mesh=None) -> "ShardedSparseVector":
+        from ..sv.sparse_vector import SparseVector  # noqa: F401 (type)
+        mesh = mesh or make_mesh()
+        sv._flush()
+        n_shards = mesh.devices.size
+        size = sv._size
+        nblk = max(C.blocks_for_bits(max(size, 1)), 1)
+        nblk_p = pad_rows(nblk, n_shards)
+        n_eff = max(sv.effective_slices(), 1)
+        host = np.zeros((n_eff + 1, nblk_p, C.SET_BLOCK_SIZE), np.uint32)
+        for s in range(n_eff):
+            host[s, :nblk] = _plane_words(sv.planes[s], nblk)
+        if sv.nullable:
+            host[n_eff, :nblk] = _plane_words(sv.null_plane, nblk)
+        elif size:
+            full, rem = divmod(size, C.BITS_PER_BLOCK)
+            host[n_eff, :full] = 0xFFFFFFFF
+            if rem:
+                tail = np.zeros(C.SET_BLOCK_SIZE, np.uint32)
+                fw, rb = divmod(rem, 32)
+                tail[:fw] = 0xFFFFFFFF
+                if rb:
+                    tail[fw] = (1 << rb) - 1
+                host[n_eff, full] = tail
+        stack = jax.device_put(
+            host, NamedSharding(mesh, P(None, BLOCK_AXIS, None)))
+        return cls(stack, size, mesh, sv.dtype, sv.signed, sv.n_slices,
+                   n_eff, sv.nullable)
+
+    @classmethod
+    def from_array(cls, values, mesh=None, dtype=None, nullable=False,
+                   null_mask=None) -> "ShardedSparseVector":
+        from ..sv.sparse_vector import SparseVector
+        sv = SparseVector.from_array(values, dtype=dtype, nullable=nullable,
+                                     null_mask=null_mask)
+        return cls.from_sparse_vector(sv, mesh)
+
+    def to_sparse_vector(self):
+        """Collect into a single-host SparseVector (planes optimized)."""
+        from ..sv.sparse_vector import SparseVector
+        from ..core.bitvector import BitVector
+        host = np.asarray(self.stack)
+        sv = SparseVector(self.dtype, nullable=self.nullable)
+        for s in range(self.n_eff):
+            if host[s].any():
+                bv = BitVector.from_words(host[s], C.ID_MAX48)
+                bv.optimize()
+                sv.planes[s] = bv
+        if self.nullable:
+            bv = BitVector.from_words(host[self.UNI], C.ID_MAX48)
+            bv.optimize()
+            sv.null_plane = bv
+        sv._size = self.size
+        return sv
+
+    # checkpoint: compressed BMSV blob (succinct at rest)
+    def checkpoint_bytes(self, level: int = 6) -> bytes:
+        from ..serial.sv_serial import sparse_vector_serialize
+        return sparse_vector_serialize(self.to_sparse_vector(), level)
+
+    @classmethod
+    def from_checkpoint(cls, blob: bytes, mesh=None) -> "ShardedSparseVector":
+        from ..serial.sv_serial import sparse_vector_deserialize
+        return cls.from_sparse_vector(sparse_vector_deserialize(blob), mesh)
+
+    # ------------------------------------------------------------------
+    # selector construction (scanner find_eq decomposition,
+    # src/bmsparsevec_algo.h:776: 1-bits -> AND group, 0-bits -> SUB group)
+    # ------------------------------------------------------------------
+    def _s2u_one(self, value) -> int:
+        from ..sv.sparse_vector import SparseVector
+        sv = SparseVector.__new__(SparseVector)
+        sv.signed = self.signed
+        sv.dtype = self.dtype
+        return int(np.asarray(SparseVector.s2u(
+            sv, np.asarray([value], self.dtype)))[0])
+
+    def _selector(self, value):
+        """int32[K] selector (1=AND, -1=AND-NOT per slice; UNI always AND),
+        or None when the value cannot occur (bit above every stored slice).
+        Value 0 maps to AND(UNI) - OR(all slices): the same program."""
+        u = self._s2u_one(value)
+        if u >> self.n_eff:            # a required bit has no stored slice
+            return None
+        sel = np.full(self.K, -1, np.int32)
+        for s in range(self.n_eff):
+            if (u >> s) & 1:
+                sel[s] = 1
+        sel[self.UNI] = 1
+        return sel
+
+    @property
+    def K(self) -> int:
+        return int(self.stack.shape[0])
+
+    # ------------------------------------------------------------------
+    # find_eq with the sharded digest pre-pass
+    # ------------------------------------------------------------------
+    def _empty_result(self) -> ShardedBitVector:
+        pool = jax.jit(lambda s: jnp.zeros_like(s[0]))(self.stack)
+        out = ShardedBitVector(pool, self.size, self.mesh)
+        out.last_narrowing = (0, self.n_blocks)
+        return out
+
+    def find_eq(self, value) -> ShardedBitVector:
+        """All positions holding ``value``, as a sharded hit vector.
+        Digest narrowing first (only blocks whose AND-digest survives are
+        read), then one shard-local gather-AND-SUB pass."""
+        sel = self._selector(value)
+        if sel is None:
+            return self._empty_result()
+        sel_j = jnp.asarray(sel)
+        alive = np.asarray(_sel_alive_prog(self.mesh, self.K)(
+            sel_j, self.stack)).reshape(-1)
+        idx, valid = _survivor_slots(alive, self.mesh.devices.size)
+        pool = _sel_survivors_prog(self.mesh, self.K)(
+            sel_j, jnp.asarray(idx), jnp.asarray(valid), self.stack)
+        out = ShardedBitVector(pool, self.size, self.mesh)
+        out.last_narrowing = (int(alive.sum()), int(alive.size))
+        return out
+
+    def find_eq_count(self, value) -> int:
+        """Global hit count: survivor-only popcount + one psum."""
+        sel = self._selector(value)
+        if sel is None:
+            return 0
+        sel_j = jnp.asarray(sel)
+        alive = np.asarray(_sel_alive_prog(self.mesh, self.K)(
+            sel_j, self.stack)).reshape(-1)
+        if not alive.any():
+            return 0
+        idx, valid = _survivor_slots(alive, self.mesh.devices.size)
+        cnt = _sel_count_prog(self.mesh, self.K)(
+            sel_j, jnp.asarray(idx), jnp.asarray(valid), self.stack)
+        return int(np.asarray(cnt)[0])
+
+    # ------------------------------------------------------------------
+    # ordered searches: fused MSB-first slice descent (shard-local)
+    # ------------------------------------------------------------------
+    def _descent(self, universe_mode: int, vbits: np.ndarray, lo_row: int,
+                 n_bits: int):
+        """(gt, eq) pools relative to the universe.  universe_mode selects
+        the descent universe IN-program: 0=UNI, 1=UNI&~sign, 2=UNI&sign."""
+        prog = _descent_prog(self.mesh, self.K, lo_row, n_bits, self.UNI,
+                             universe_mode)
+        return prog(jnp.asarray(vbits, np.int32), self.stack)
+
+    def _vbits(self, u: int, lo_bit: int, n_bits: int) -> np.ndarray:
+        return np.asarray([(u >> (lo_bit + s)) & 1 for s in range(n_bits)],
+                          np.int32)
+
+    def find_gt(self, value) -> ShardedBitVector:
+        """Positions with element > value (find_gt_horizontal,
+        src/bmsparsevec_algo.h:1144) — one fused descent program."""
+        if not self.signed:
+            u = int(value)
+            if u < 0:
+                return self._universe_vector()
+            gt, _ = self._descent(0, self._vbits(u, 0, self.n_eff), 0,
+                                  self.n_eff)
+            return self._wrap(gt)
+        value = int(value)
+        n_mag = max(self.n_eff - 1, 0)
+        if value >= 0:
+            # universe = non-negatives (UNI & ~sign-slice)
+            gt, _ = self._descent(1, self._vbits(value, 0, n_mag), 1, n_mag)
+            return self._wrap(gt)
+        mag = -value
+        gt, eq = self._descent(2, self._vbits(mag, 0, n_mag), 1, n_mag)
+        # negatives with |x| < |v|, plus every non-negative
+        pool = _lt_mag_plus_pos_prog(self.mesh, self.K, self.UNI)(
+            gt, eq, self.stack)
+        return self._wrap(pool)
+
+    def find_ge(self, value) -> ShardedBitVector:
+        if not self.signed:
+            u = int(value)
+            if u <= 0:
+                return self._universe_vector()
+            gt, eq = self._descent(0, self._vbits(u, 0, self.n_eff), 0,
+                                   self.n_eff)
+            return self._wrap(jax.jit(jnp.bitwise_or)(gt, eq))
+        return self.find_gt(int(value) - 1)
+
+    def find_lt(self, value) -> ShardedBitVector:
+        ge = self.find_ge(value)
+        return self._wrap(_sub_from_uni_prog(self.mesh, self.K, self.UNI)(
+            ge.pool, self.stack))
+
+    def find_le(self, value) -> ShardedBitVector:
+        gt = self.find_gt(value)
+        return self._wrap(_sub_from_uni_prog(self.mesh, self.K, self.UNI)(
+            gt.pool, self.stack))
+
+    def find_range(self, lo, hi) -> ShardedBitVector:
+        ge = self.find_ge(lo)
+        le = self.find_le(hi)
+        return self._wrap(jax.jit(jnp.bitwise_and)(ge.pool, le.pool))
+
+    def _wrap(self, pool) -> ShardedBitVector:
+        return ShardedBitVector(pool, self.size, self.mesh)
+
+    def _universe_vector(self) -> ShardedBitVector:
+        pool = jax.jit(lambda s: s[self.UNI])(self.stack)
+        return self._wrap(pool)
+
+    # ------------------------------------------------------------------
+    # pipeline: a whole value batch in one sweep per shard + one psum
+    # ------------------------------------------------------------------
+    def pipeline_find_eq(self, values) -> list:
+        """Hit counts for a value batch through the sharded VMEM-batch
+        pipeline (scanner pipeline src/bmsparsevec_algo.h:653 at mesh
+        scale)."""
+        from .sharded import pipeline_counts_program
+        sels = np.zeros((len(values), self.K), np.int32)
+        known_zero = []
+        for i, v in enumerate(values):
+            sel = self._selector(v)
+            if sel is None:
+                known_zero.append(i)
+            else:
+                sels[i] = sel
+        counts = np.asarray(pipeline_counts_program(self.mesh)(
+            self.stack, jnp.asarray(sels)))
+        out = [int(c) for c in counts]
+        for i in known_zero:
+            out[i] = 0
+        return out
+
+    # ------------------------------------------------------------------
+    # gather / decode at mesh scale: each shard answers the queries whose
+    # block it owns; assembled halves combine with one psum
+    # ------------------------------------------------------------------
+    def gather(self, ids) -> np.ndarray:
+        ids = np.asarray(ids, _I64)
+        if ids.size == 0:
+            return np.zeros(0, self.dtype)
+        if (ids < 0).any() or (ids >= max(self.size, 1)).any():
+            raise IndexError("gather index out of range")
+        blk = (ids >> C.SET_BLOCK_SHIFT).astype(np.int32)
+        word_idx = ((ids & C.SET_BLOCK_MASK) >> 5).astype(np.int32)
+        bit_in = (ids & 31).astype(np.uint32)
+        lo, hi, nn = _gather_prog(self.mesh, self.K, self.n_eff, self.UNI)(
+            jnp.asarray(blk), jnp.asarray(word_idx), jnp.asarray(bit_in),
+            self.stack)
+        u = (np.asarray(hi).astype(np.uint64) << np.uint64(32)) \
+            | np.asarray(lo).astype(np.uint64)
+        from ..sv.sparse_vector import SparseVector
+        sv = SparseVector.__new__(SparseVector)
+        sv.signed = self.signed
+        sv.dtype = self.dtype
+        vals = SparseVector.u2s(sv, u)
+        if self.nullable:
+            vals = np.where(np.asarray(nn) == 0,
+                            np.asarray(0, self.dtype), vals)
+        return np.asarray(vals, self.dtype)
+
+    def decode(self, lo: int, n: int) -> np.ndarray:
+        return self.gather(np.arange(lo, lo + n, dtype=_I64))
+
+    def get(self, i):
+        return self.gather(np.asarray([i]))[0]
+
+    __getitem__ = get
+
+    def __len__(self):
+        return self.size
+
+    def __repr__(self):
+        return (f"ShardedSparseVector(dtype={self.dtype}, size={self.size}, "
+                f"slices={self.n_eff}, mesh={self.mesh.devices.size} shards)")
+
+
+# ---------------------------------------------------------------------------
+# device programs (cached per mesh/shape signature)
+# ---------------------------------------------------------------------------
+@functools.lru_cache(maxsize=64)
+def _sel_alive_prog(mesh, k):
+    """Digest pre-pass for a selector: AND the 8-byte/block digests of the
+    AND-group rows -> bool[local_blocks] per shard (sharded out)."""
+    def _local(sel, stack_l):
+        acc = None
+        for i in range(k):
+            d = _digest_packed(stack_l[i])
+            d = jnp.where(sel[i] == 1, d, jnp.uint32(0xFFFFFFFF))
+            acc = d if acc is None else (acc & d)
+        return jnp.any(acc != 0, axis=1)[None]
+
+    return jax.jit(shard_map(
+        _local, mesh=mesh,
+        in_specs=(P(), P(None, BLOCK_AXIS, None)),
+        out_specs=P(BLOCK_AXIS, None)))
+
+
+@functools.lru_cache(maxsize=64)
+def _sel_survivors_prog(mesh, k):
+    """Survivor-only AND-SUB: gather surviving rows from each slice,
+    combine by selector polarity, scatter-ADD into a zero pool."""
+    def _local(sel, idx_l, valid_l, stack_l):
+        idx = idx_l[0]
+        acc = None
+        for i in range(k):
+            r = jnp.take(stack_l[i], idx, axis=0)
+            r = jnp.where(sel[i] == 1, r,
+                          jnp.where(sel[i] == -1, ~r,
+                                    jnp.uint32(0xFFFFFFFF)))
+            acc = r if acc is None else (acc & r)
+        acc = jnp.where(valid_l[0][:, None], acc, jnp.uint32(0))
+        out = jnp.zeros_like(stack_l[0])
+        return out.at[idx].add(acc)       # add: padded slots alias row 0
+
+    return jax.jit(shard_map(
+        _local, mesh=mesh,
+        in_specs=(P(), P(BLOCK_AXIS, None), P(BLOCK_AXIS, None),
+                  P(None, BLOCK_AXIS, None)),
+        out_specs=P(BLOCK_AXIS, None)))
+
+
+@functools.lru_cache(maxsize=64)
+def _sel_count_prog(mesh, k):
+    def _local(sel, idx_l, valid_l, stack_l):
+        idx = idx_l[0]
+        acc = None
+        for i in range(k):
+            r = jnp.take(stack_l[i], idx, axis=0)
+            r = jnp.where(sel[i] == 1, r,
+                          jnp.where(sel[i] == -1, ~r,
+                                    jnp.uint32(0xFFFFFFFF)))
+            acc = r if acc is None else (acc & r)
+        acc = jnp.where(valid_l[0][:, None], acc, jnp.uint32(0))
+        c = jnp.sum(jax.lax.population_count(acc), dtype=jnp.uint32)
+        return jax.lax.psum(c[None], BLOCK_AXIS)
+
+    return jax.jit(shard_map(
+        _local, mesh=mesh,
+        in_specs=(P(), P(BLOCK_AXIS, None), P(BLOCK_AXIS, None),
+                  P(None, BLOCK_AXIS, None)),
+        out_specs=P()))
+
+
+@functools.lru_cache(maxsize=128)
+def _descent_prog(mesh, k, lo_row, n_bits, uni_row, universe_mode):
+    """Fused MSB-first descent: (gt, eq) accumulators over the slice rows
+    [lo_row, lo_row + n_bits), universe chosen in-program.  vbits is the
+    value's bit vector (int32[n_bits]) so one compile serves all values."""
+    def _local(vbits, stack_l):
+        uni = stack_l[uni_row]
+        if universe_mode == 1:            # non-negatives: UNI & ~sign
+            uni = uni & ~stack_l[0]
+        elif universe_mode == 2:          # negatives: UNI & sign
+            uni = uni & stack_l[0]
+        gt = jnp.zeros_like(uni)
+        eq = uni
+        for s in range(n_bits - 1, -1, -1):
+            p = stack_l[lo_row + s]
+            vb = vbits[s]
+            gt = jnp.where(vb == 0, gt | (eq & p), gt)
+            eq = jnp.where(vb == 1, eq & p, eq & ~p)
+        return gt, eq
+
+    return jax.jit(shard_map(
+        _local, mesh=mesh,
+        in_specs=(P(), P(None, BLOCK_AXIS, None)),
+        out_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS, None))))
+
+
+@functools.lru_cache(maxsize=64)
+def _lt_mag_plus_pos_prog(mesh, k, uni_row):
+    """value < 0 assembly: (negatives with |x| < |v|) | all non-negatives."""
+    def _local(gt_l, eq_l, stack_l):
+        uni = stack_l[uni_row]
+        neg = uni & stack_l[0]
+        pos = uni & ~stack_l[0]
+        return pos | (neg & ~(gt_l | eq_l))
+
+    return jax.jit(shard_map(
+        _local, mesh=mesh,
+        in_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS, None),
+                  P(None, BLOCK_AXIS, None)),
+        out_specs=P(BLOCK_AXIS, None)))
+
+
+@functools.lru_cache(maxsize=64)
+def _sub_from_uni_prog(mesh, k, uni_row):
+    def _local(pool_l, stack_l):
+        return stack_l[uni_row] & ~pool_l
+
+    return jax.jit(shard_map(
+        _local, mesh=mesh,
+        in_specs=(P(BLOCK_AXIS, None), P(None, BLOCK_AXIS, None)),
+        out_specs=P(BLOCK_AXIS, None)))
+
+
+@functools.lru_cache(maxsize=64)
+def _gather_prog(mesh, k, n_eff, uni_row):
+    """Per-query value assembly: the owning shard reads one word per slice,
+    assembles (lo, hi) u32 halves + the universe bit; one psum combines."""
+    def _local(blk, word_idx, bit_in, stack_l):
+        bps = stack_l.shape[1]
+        sid = jax.lax.axis_index(BLOCK_AXIS)
+        rel = blk - sid * bps
+        mine = (rel >= 0) & (rel < bps)
+        relc = jnp.clip(rel, 0, bps - 1)
+        flat_idx = relc * C.SET_BLOCK_SIZE + word_idx
+        lo = jnp.zeros(blk.shape, jnp.uint32)
+        hi = jnp.zeros(blk.shape, jnp.uint32)
+        for s in range(n_eff):
+            w = jnp.take(stack_l[s].reshape(-1), flat_idx)
+            bit = (w >> bit_in) & jnp.uint32(1)
+            bit = jnp.where(mine, bit, jnp.uint32(0))
+            if s < 32:
+                lo = lo | (bit << jnp.uint32(s))
+            else:
+                hi = hi | (bit << jnp.uint32(s - 32))
+        wn = jnp.take(stack_l[uni_row].reshape(-1), flat_idx)
+        nn = jnp.where(mine, (wn >> bit_in) & jnp.uint32(1), jnp.uint32(0))
+        return (jax.lax.psum(lo, BLOCK_AXIS),
+                jax.lax.psum(hi, BLOCK_AXIS),
+                jax.lax.psum(nn, BLOCK_AXIS))
+
+    return jax.jit(shard_map(
+        _local, mesh=mesh,
+        in_specs=(P(), P(), P(), P(None, BLOCK_AXIS, None)),
+        out_specs=(P(), P(), P())))

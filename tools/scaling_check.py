@@ -89,8 +89,24 @@ def main():
         jax.block_until_ready(prog(planes, jnp.asarray(sels)))
         dtp = time.perf_counter() - t0
 
+        # succinct-vector scan through the CONTAINER API
+        # (parallel/sharded_sv.py), pinned to numpy ground truth
+        from bitmagic_tpu.parallel.sharded_sv import ShardedSparseVector
+        vals = rng.integers(0, 1 << 16, nblk * 65536 // 8).astype(np.uint32)
+        ssv = ShardedSparseVector.from_array(vals, mesh)
+        q = int(vals[42])
+        assert ssv.find_eq_count(q) == int((vals == q).sum())
+        assert ssv.find_gt(1 << 15).count() == int((vals > (1 << 15)).sum())
+        batch = [int(v) for v in vals[:8]]
+        ssv.pipeline_find_eq(batch)                  # compile
+        t0 = time.perf_counter()
+        got = ssv.pipeline_find_eq(batch)
+        dts = time.perf_counter() - t0
+        assert got == [int((vals == b).sum()) for b in batch]
+
         print(f"mesh={n}: scan {elems/1e6:.0f}M elems in {dt*1e3:.1f} ms "
               f"(weak scaling), 16-query pipeline {dtp*1e3:.1f} ms, "
+              f"sharded-SV container 8-query pipeline {dts*1e3:.1f} ms, "
               f"count/psum + shard-prefix select OK")
 
 
