@@ -410,7 +410,9 @@ def _pipeline_counts_map(planes, selectors):
         # all-ones init derived from planes so the carry keeps the same
         # varying axes under shard_map (a plain constant would not)
         acc = jax.lax.fori_loop(0, S, body, planes[0] | ~planes[0])
-        return jnp.sum(jax.lax.population_count(acc).astype(jnp.int64))
+        # int32 per the device convention (x64 stays off); callers needing
+        # >2^31 totals sum per-block partials on host
+        return jnp.sum(jax.lax.population_count(acc).astype(jnp.int32))
 
     return jax.lax.map(one, selectors)
 

@@ -97,9 +97,12 @@ def load():
         lib.bm_gaps_to_dense.argtypes = [i64p, i64p,
                                          ctypes.POINTER(ctypes.c_uint8),
                                          ctypes.c_int64, u32p]
+        lib.bm_bmt1_record_index.restype = ctypes.c_int64
+        lib.bm_bmt1_record_index.argtypes = [u8p, ctypes.c_int64,
+                                             ctypes.c_int64, i64p, i64p]
         lib.bm_bmt1_stream_op.restype = ctypes.c_int
         lib.bm_bmt1_stream_op.argtypes = [
-            u8p, ctypes.c_int64, ctypes.c_int64,
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int, ctypes.c_int,
             i64p, ctypes.POINTER(ctypes.c_uint8), i64p, u32p,
             ctypes.c_int64,
@@ -216,12 +219,9 @@ def gaps_to_dense(ends: np.ndarray, offs: np.ndarray, first: np.ndarray):
 OP_AND, OP_OR, OP_XOR, OP_SUB_AB, OP_SUB_BA = 0, 1, 2, 3, 4
 
 
-def bmt1_stream_op(blob: bytes, rec_offset: int, op: int, count_mode: bool,
-                   t_nbs: np.ndarray, t_cls: np.ndarray,
-                   t_words: np.ndarray):
-    """Streamed set-op of a BMT1 BLOB against a target snapshot (O(1 block)
-    scratch in C).  Returns count (count_mode) or (nbs, cls, words) of the
-    per-record results; None when the native library is unavailable."""
+def bmt1_record_index(blob: bytes, rec_offset: int):
+    """(nbs int64[R], offs int64[R]) — block id + byte offset per record
+    (header scan only); None when the native library is unavailable."""
     lib = load()
     if lib is None:
         return None
@@ -232,12 +232,48 @@ def bmt1_stream_op(blob: bytes, rec_offset: int, op: int, count_mode: bool,
     if lib.bm_bmt1_scan(bp, buf.size - 8, rec_offset, ctypes.byref(n_rec),
                         ctypes.byref(n_rows)) != 0:
         return None
+    cap = max(int(n_rec.value), 1)
+    nbs = np.zeros(cap, np.int64)
+    offs = np.zeros(cap, np.int64)
+    r = lib.bm_bmt1_record_index(
+        bp, buf.size - 8, rec_offset,
+        nbs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if r < 0:
+        return None
+    return nbs[:r], offs[:r]
+
+
+def bmt1_stream_op(blob: bytes, rec_offset: int, op: int, count_mode: bool,
+                   t_nbs: np.ndarray, t_cls: np.ndarray,
+                   t_words: np.ndarray, n_rec: int | None = None):
+    """Streamed set-op of a BMT1 BLOB against a target snapshot (O(1 block)
+    scratch in C).  Returns count (count_mode) or (nbs, cls, words) of the
+    per-record results; None when the native library is unavailable.
+
+    n_rec: process exactly that many records starting at rec_offset (the
+    chunked driver's window — rec_offset then points at the chunk's first
+    record, not the blob header); None = stream to the END record."""
+    lib = load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(bytes(blob) + b"\0" * 8, np.uint8)
+    bp = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    if n_rec is None:
+        nr = ctypes.c_int64(0)
+        n_rows = ctypes.c_int64(0)
+        if lib.bm_bmt1_scan(bp, buf.size - 8, rec_offset, ctypes.byref(nr),
+                            ctypes.byref(n_rows)) != 0:
+            return None
+        n_rec_eff, max_rec = int(nr.value), 0
+    else:
+        n_rec_eff, max_rec = int(n_rec), int(n_rec)
     t_nbs = np.ascontiguousarray(t_nbs, np.int64)
     t_cls = np.ascontiguousarray(t_cls, np.uint8)
     t_words = np.ascontiguousarray(t_words, np.uint32)
     t_slot = np.where(t_cls == 2, np.cumsum(t_cls == 2) - 1, -1).astype(
         np.int64)
-    cap = max(int(n_rec.value), 1)
+    cap = max(n_rec_eff, 1)
     out_nbs = np.full(cap, -1, np.int64)
     out_cls = np.zeros(cap, np.uint8)
     out_words = np.zeros((1 if count_mode else cap, 2048), np.uint32)
@@ -245,7 +281,8 @@ def bmt1_stream_op(blob: bytes, rec_offset: int, op: int, count_mode: bool,
     o_nrows = ctypes.c_int64(0)
     cnt = ctypes.c_int64(0)
     rc = lib.bm_bmt1_stream_op(
-        bp, buf.size - 8, rec_offset, int(op), int(bool(count_mode)),
+        bp, buf.size - 8, rec_offset, max_rec,
+        int(op), int(bool(count_mode)),
         t_nbs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         t_cls.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         t_slot.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),

@@ -1008,8 +1008,28 @@ int bm_gaps_to_dense(const int64_t* ends, const int64_t* offs,
 // 2=row (row appended to out_words).  Blocks of the target that the BLOB
 // does not mention are NOT emitted here — the caller merges them per op.
 // Returns 0, or -1 on malformed input.
+// Per-record header index: out_nbs/out_offs sized >= the record count from
+// bm_bmt1_scan.  Returns the record count, or -1 on a malformed stream.
+int64_t bm_bmt1_record_index(const uint8_t* blob, int64_t len,
+                             int64_t rec_offset,
+                             int64_t* out_nbs, int64_t* out_offs) {
+    int64_t pos = rec_offset, recs = 0;
+    while (pos + 11 <= len) {
+        uint64_t nb = rd48(blob + pos);
+        uint8_t code = blob[pos + 6];
+        uint32_t plen = rd32(blob + pos + 7);
+        if (code == BMT1_END && nb == BMT1_END_NB)
+            return recs;
+        out_nbs[recs] = (int64_t)nb;
+        out_offs[recs] = pos;
+        pos += 11 + plen;
+        ++recs;
+    }
+    return -1;
+}
+
 int bm_bmt1_stream_op(const uint8_t* blob, int64_t len, int64_t off,
-                      int op, int count_mode,
+                      int64_t max_rec, int op, int count_mode,
                       const int64_t* t_nbs, const uint8_t* t_cls,
                       const int64_t* t_slot, const uint32_t* t_words,
                       int64_t nt,
@@ -1021,7 +1041,10 @@ int bm_bmt1_stream_op(const uint8_t* blob, int64_t len, int64_t off,
     int64_t count = 0;
     int64_t* scratch = new int64_t[65537];
     uint32_t* bw = new uint32_t[2048];
-    while (pos + 11 <= len) {
+    // max_rec > 0: stop (successfully) after that many records — the
+    // chunked driver in opdeser.py restricts the target view to each
+    // chunk's blocks so host high-water stays O(chunk), not O(target)
+    while (pos + 11 <= len && (max_rec <= 0 || nrec < max_rec)) {
         uint64_t nb = rd48(blob + pos);
         uint8_t code = blob[pos + 6];
         uint32_t plen = rd32(blob + pos + 7);
@@ -1130,6 +1153,12 @@ int bm_bmt1_stream_op(const uint8_t* blob, int64_t len, int64_t off,
         ++nrec;
     }
     delete[] scratch; delete[] bw;
+    if (max_rec > 0 && nrec >= max_rec) {   // chunk boundary: success
+        if (out_nrec) *out_nrec = nrec;
+        if (out_nrows) *out_nrows = nrows;
+        if (count_out) *count_out = count;
+        return 0;
+    }
     return -1;
 }
 

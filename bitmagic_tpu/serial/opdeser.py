@@ -11,6 +11,16 @@ per-record length fields playing the reference's bookmark role.  A pure-
 Python streamed fallback with the same record-at-a-time semantics covers
 environments without the native library.
 
+The TARGET side streams too: the op never takes a dense snapshot of the
+target.  The native engine runs over chunk windows of the BLOB's records
+with the target view restricted to each chunk's blocks (GAP-resident
+target blocks expand O(chunk) at a time); the Python paths read the target
+lazily one block per record.  For a succinct target, per-chunk results are
+reclassified back into D-GAP runs, so host high-water stays O(chunk) even
+when the BLOB covers the whole vector, and succinct residency survives the
+operation.  Target blocks the BLOB never mentions pass through without any
+representation change (GAP stays GAP; counts come from the run domain).
+
 Reference-format BLOBs stream the same way: RefDeserializer's sink mode
 delivers finalized blocks in ascending order (the serial_stream_iterator
 analog) into the combining sink — set and count ops never materialize the
@@ -25,10 +35,18 @@ import numpy as np
 from .. import constants as C
 from ..core.bitvector import BitVector
 from ..core.blocks import Structure
+from ..core.gapstore import GapStore
+from ..core import gaps as gaps_mod
 from .encoding import ByteDecoder
 from .serializer import (CODE_END, CODE_FULL, Deserializer, MAGIC,
                          _decode_payload)
 from . import native
+
+_I64 = np.int64
+
+# records per streaming window: bounds host high-water at CHUNK dense rows
+# (512 KB) regardless of blob/target size
+_CHUNK = 64
 
 
 def _stream_blocks(data: bytes, want=None):
@@ -64,24 +82,166 @@ def _blob_size(data: bytes) -> int:
     return dec.get_64()
 
 
-def _stream_op_py(data, op, t_nbs, t_cls, t_words, count_mode):
+def _blob_record_index(data: bytes):
+    """One header pass (no payload decode): (nbs int64[R], offs int64[R])
+    — block id and byte offset of every record.  This is the chunked
+    driver's window table and the pass-through 'mentioned' set."""
+    res = native.bmt1_record_index(data, _REC_OFFSET)
+    if res is not None:
+        return res
+    dec = ByteDecoder(data)
+    if dec.get_bytes(4) != MAGIC:
+        raise ValueError("bad magic")
+    dec.get_8()
+    dec.get_64()
+    nbs, offs = [], []
+    while True:
+        off = dec.pos
+        nb = dec.get_48()
+        code = dec.get_8()
+        plen = dec.get_32()
+        if code == CODE_END:
+            return np.asarray(nbs, _I64), np.asarray(offs, _I64)
+        nbs.append(nb)
+        offs.append(off)
+        dec.pos += plen
+
+
+class _TargetReader:
+    """Lazy per-block target lookup: FULL/absent answered symbolically,
+    BIT rows from the host pool, GAP blocks expanded ONE at a time.
+    State contract matches the stream engines: 0 absent, 1 FULL, 2 row."""
+
+    def __init__(self, bv: BitVector):
+        bv._flush()
+        self.bv = bv
+        self.st = bv._struct
+        self._slots = self.st.slots()
+        self._gslots = self.st.gslots()
+
+    def lookup(self, nb):
+        st = self.st
+        pos = int(np.searchsorted(st.nb, nb))
+        if pos >= st.nb.size or st.nb[pos] != nb:
+            return 0, None
+        cls_k = int(st.cls[pos])
+        if cls_k == C.CLS_FULL:
+            return 1, None
+        if cls_k == C.CLS_BIT:
+            return 2, self.bv._pool_host()[self._slots[pos]]
+        return 2, self.bv._gaps.to_dense(
+            np.asarray([self._gslots[pos]]))[0]
+
+
+def _target_view(bv: BitVector, nbs: np.ndarray):
+    """Dense target view RESTRICTED to blocks in ``nbs`` — the native
+    engine's per-chunk snapshot.  GAP blocks expand only when mentioned,
+    so host high-water is O(len(nbs)); the stored representation is
+    untouched.  Returns (nb_r, cls_r in {FULL, BIT}, rows)."""
+    st = bv._struct
+    sel = np.isin(st.nb, nbs)
+    nb_r = st.nb[sel]
+    src_cls = st.cls[sel]
+    cls_r = np.where(src_cls == C.CLS_GAP, C.CLS_BIT,
+                     src_cls).astype(np.uint8)
+    nrows = int((cls_r == C.CLS_BIT).sum())
+    rows = np.zeros((nrows, C.SET_BLOCK_SIZE), np.uint32)
+    if nrows:
+        dst = np.cumsum(cls_r == C.CLS_BIT) - 1
+        bitm = src_cls == C.CLS_BIT
+        gapm = src_cls == C.CLS_GAP
+        if bitm.any():
+            rows[dst[bitm]] = bv._pool_host()[st.slots()[sel][bitm]]
+        if gapm.any():
+            rows[dst[gapm]] = bv._gaps.to_dense(st.gslots()[sel][gapm])
+    return nb_r, cls_r, rows
+
+
+class _ResultAccum:
+    """Accumulates per-record results in arrival (ascending nb) order.
+    With compress=True each dense batch is reclassified ZERO/FULL/GAP/BIT
+    the way optimize() would (core/gaps.py classify_blocks), so a succinct
+    target's result comes out succinct and the dense high-water stays
+    O(batch)."""
+
+    def __init__(self, compress: bool, glevel):
+        self.compress = compress
+        self.glevel = glevel
+        self._nbs, self._cls, self._rows = [], [], []
+        self._gap_parts = []
+
+    def add_batch(self, nbs, cls, rows):
+        """One window of results: rows are the CLS_BIT entries in order."""
+        nbs = np.asarray(nbs, _I64)
+        cls = np.asarray(cls, np.uint8)
+        if nbs.size == 0:
+            return
+        if not (self.compress and rows.shape[0]):
+            self._nbs.append(nbs)
+            self._cls.append(cls)
+            if rows.shape[0]:
+                self._rows.append(rows)
+            return
+        store = GapStore.from_dense(rows)
+        bc = store.popcounts()
+        gap_mask, _, _ = gaps_mod.classify_blocks(
+            bc, store.n_runs(), self.glevel)
+        zero = bc == 0
+        full = bc == C.BITS_PER_BLOCK
+        dense = ~gap_mask & ~zero & ~full
+        new_cls = cls.copy()
+        bit_pos = cls == C.CLS_BIT             # positions backed by rows
+        sub = np.zeros(rows.shape[0], np.uint8)
+        sub[zero] = C.CLS_ZERO
+        sub[full] = C.CLS_FULL
+        sub[gap_mask] = C.CLS_GAP
+        sub[dense] = C.CLS_BIT
+        new_cls[bit_pos] = sub
+        keep = new_cls != C.CLS_ZERO
+        self._nbs.append(nbs[keep])
+        self._cls.append(new_cls[keep])
+        if dense.any():
+            self._rows.append(rows[dense])
+        if gap_mask.any():
+            self._gap_parts.append(store.subset(np.flatnonzero(gap_mask)))
+
+    def finish(self):
+        """(nbs, cls, pool_rows, gapstore_or_None) in ascending nb order."""
+        nbs = (np.concatenate(self._nbs) if self._nbs
+               else np.zeros(0, _I64))
+        cls = (np.concatenate(self._cls) if self._cls
+               else np.zeros(0, np.uint8))
+        rows = (np.concatenate(self._rows) if self._rows
+                else np.zeros((0, C.SET_BLOCK_SIZE), np.uint32))
+        store = None
+        for part in self._gap_parts:
+            store = GapStore.concat(store, part)
+        return nbs, cls, rows, store
+
+
+def _stream_op_py(data, op, reader: _TargetReader, count_mode,
+                  accum: "_ResultAccum | None"):
     """Pure-Python record-at-a-time engine with bm_bmt1_stream_op semantics
-    (one decoded block live at a time)."""
-    nbs_out, cls_out, rows_out = [], [], []
+    (one decoded blob block live at a time, target read lazily one block at
+    a time).  Returns the count in count_mode; otherwise results land in
+    ``accum``."""
     count = 0
     ones = np.full(C.SET_BLOCK_SIZE, 0xFFFFFFFF, np.uint32)
     zeros = np.zeros(C.SET_BLOCK_SIZE, np.uint32)
-    slot = np.where(t_cls == 2, np.cumsum(t_cls == 2) - 1, -1)
+    b_nbs, b_cls, b_rows = [], [], []
+
+    def flush():
+        if b_nbs:
+            rows = (np.stack(b_rows) if b_rows
+                    else np.zeros((0, C.SET_BLOCK_SIZE), np.uint32))
+            accum.add_batch(np.asarray(b_nbs, _I64),
+                            np.asarray(b_cls, np.uint8), rows)
+            b_nbs.clear(); b_cls.clear(); b_rows.clear()
+
     for nb, code, payload in _stream_blocks(data, want=None):
         if nb == "header":
             continue
-        pos = np.searchsorted(t_nbs, nb)
-        tstate = 0
-        tw = None
-        if pos < t_nbs.size and t_nbs[pos] == nb:
-            tstate = int(t_cls[pos])
-            if tstate == 2:
-                tw = t_words[slot[pos]]
+        tstate, tw = reader.lookup(nb)
         rec_full = code == CODE_FULL
         skip = emit_full = False
         if op == native.OP_AND:
@@ -103,8 +263,8 @@ def _stream_op_py(data, op, t_nbs, t_cls, t_words, count_mode):
             if count_mode:
                 count += C.BITS_PER_BLOCK
             else:
-                nbs_out.append(nb)
-                cls_out.append(C.CLS_FULL)
+                b_nbs.append(nb)
+                b_cls.append(C.CLS_FULL)
             continue
         b = ones if rec_full else _decode_payload(code, payload)
         t = tw if tstate == 2 else (ones if tstate == 1 else zeros)
@@ -121,22 +281,15 @@ def _stream_op_py(data, op, t_nbs, t_cls, t_words, count_mode):
         if count_mode:
             count += int(np.bitwise_count(r).sum())
         else:
-            nbs_out.append(nb)
-            cls_out.append(C.CLS_BIT)
-            rows_out.append(r)
+            b_nbs.append(nb)
+            b_cls.append(C.CLS_BIT)
+            b_rows.append(r)
+            if len(b_rows) >= _CHUNK:
+                flush()
     if count_mode:
         return count
-    rows = (np.stack(rows_out) if rows_out
-            else np.zeros((0, C.SET_BLOCK_SIZE), np.uint32))
-    return (np.asarray(nbs_out, np.int64), np.asarray(cls_out, np.uint8),
-            rows)
-
-
-def _blob_nbs(data: bytes) -> np.ndarray:
-    """Block ids mentioned by the BLOB (headers only — no payload decode)."""
-    out = [nb for nb, _, _ in _stream_blocks(data, want=set())
-           if nb != "header"]
-    return np.asarray(out, np.int64)
+    flush()
+    return None
 
 
 _SET_TO_OPC = {
@@ -152,41 +305,65 @@ _COUNT_TO_OPC = {
 _PASS_THROUGH = {native.OP_OR, native.OP_XOR, native.OP_SUB_AB}
 
 
-def _merge_passthrough(out_nbs, out_cls, out_rows, nb_a, cls_a, pool,
-                       mentioned):
-    """Merge per-record results with target blocks the BLOB never
-    mentioned (which pass through unchanged for OR/XOR/SUB_AB)."""
-    keep = ~np.isin(nb_a, mentioned)
+def _merge_passthrough_bv(out_nbs, out_cls, out_rows, out_gaps,
+                          bv: BitVector, mentioned):
+    """Merge per-record results with target blocks the BLOB never mentioned
+    (which pass through unchanged for OR/XOR/SUB_AB).  Pass-through blocks
+    keep their stored representation — GAP stays GAP, no expansion."""
+    st = bv._struct
+    keep = ~np.isin(st.nb, mentioned)
     if not keep.any():
-        return out_nbs, out_cls, out_rows
-    slot = np.where(cls_a == 2, np.cumsum(cls_a == 2) - 1, -1)
-    pt_nbs = nb_a[keep]
-    pt_cls = cls_a[keep]
-    pt_rows = pool[slot[keep & (cls_a == 2)]]
+        return out_nbs, out_cls, out_rows, out_gaps
+    pt_nbs = st.nb[keep]
+    pt_cls = st.cls[keep].copy()
+    bit_pt = keep & (st.cls == C.CLS_BIT)
+    pt_rows = (bv._pool_host()[st.slots()[bit_pt]] if bit_pt.any()
+               else np.zeros((0, C.SET_BLOCK_SIZE), np.uint32))
+    gap_pt = keep & (st.cls == C.CLS_GAP)
+    pt_gaps = (bv._gaps.subset(st.gslots()[gap_pt]) if gap_pt.any()
+               else None)
+    # record nbs and pass-through nbs are disjoint; stable sort interleaves
     all_nbs = np.concatenate([out_nbs, pt_nbs])
     all_cls = np.concatenate([out_cls, pt_cls])
     order = np.argsort(all_nbs, kind="stable")
-    # row index per entry: record rows first, then pass-through rows
-    row_src = np.full(all_nbs.size, -1, np.int64)
-    nrec_rows = int((out_cls == C.CLS_BIT).sum())
-    row_src[: out_nbs.size][out_cls == C.CLS_BIT] = np.arange(nrec_rows)
+    # pool rows (record rows first, then pass-through) into final nb order
+    row_src = np.full(all_nbs.size, -1, _I64)
+    n_rec_rows = int((out_cls == C.CLS_BIT).sum())
+    row_src[: out_nbs.size][out_cls == C.CLS_BIT] = np.arange(n_rec_rows)
     row_src[out_nbs.size:][pt_cls == C.CLS_BIT] = \
-        nrec_rows + np.arange(int((pt_cls == C.CLS_BIT).sum()))
+        n_rec_rows + np.arange(int((pt_cls == C.CLS_BIT).sum()))
     all_rows = np.concatenate([out_rows, pt_rows])
     sel = row_src[order]
-    return all_nbs[order], all_cls[order], all_rows[sel[sel >= 0]]
+    rows_f = all_rows[sel[sel >= 0]]
+    # GAP entries (record store first, then pass-through store) likewise
+    gap_src = np.full(all_nbs.size, -1, _I64)
+    n_rec_gaps = out_gaps.n_blocks if out_gaps is not None else 0
+    gap_src[: out_nbs.size][out_cls == C.CLS_GAP] = np.arange(n_rec_gaps)
+    gap_src[out_nbs.size:][pt_cls == C.CLS_GAP] = \
+        n_rec_gaps + np.arange(int((pt_cls == C.CLS_GAP).sum()))
+    gsel = gap_src[order]
+    gsel = gsel[gsel >= 0]
+    gaps_f = (GapStore.concat(out_gaps, pt_gaps).subset(gsel)
+              if gsel.size else None)
+    return all_nbs[order], all_cls[order], rows_f, gaps_f
 
 
-def _passthrough_count(nb_a, cls_a, pool, mentioned):
-    """Popcount contribution of target blocks the BLOB never mentioned."""
-    keep = ~np.isin(nb_a, mentioned)
+def _passthrough_count_bv(bv: BitVector, mentioned) -> int:
+    """Popcount contribution of target blocks the BLOB never mentioned —
+    straight from the stored representation (GAP answers come from the run
+    domain, no expansion)."""
+    st = bv._struct
+    keep = ~np.isin(st.nb, mentioned)
     if not keep.any():
         return 0
-    total = int((cls_a[keep] == 1).sum()) * C.BITS_PER_BLOCK
-    slot = np.where(cls_a == 2, np.cumsum(cls_a == 2) - 1, -1)
-    rows = pool[slot[keep & (cls_a == 2)]]
-    if rows.shape[0]:
+    total = int((st.cls[keep] == C.CLS_FULL).sum()) * C.BITS_PER_BLOCK
+    bitm = keep & (st.cls == C.CLS_BIT)
+    if bitm.any():
+        rows = bv._pool_host()[st.slots()[bitm]]
         total += int(np.bitwise_count(rows).sum(dtype=np.int64))
+    gapm = keep & (st.cls == C.CLS_GAP)
+    if gapm.any():
+        total += int(bv._gaps.popcounts()[st.gslots()[gapm]].sum())
     return total
 
 
@@ -219,30 +396,86 @@ class OperationDeserializer:
         return self._count_op(bv, data, op)
 
     # ------------------------------------------------------------------
+    # BMT1 chunked streaming (native engine over record windows)
+    # ------------------------------------------------------------------
     @staticmethod
-    def _run_stream(bv, data, opc, count_mode):
-        nb_a, cls_a, pool = bv._dense_snapshot()
-        res = native.bmt1_stream_op(data, _REC_OFFSET, opc, count_mode,
-                                    nb_a, cls_a, pool)
-        if res is None:
-            res = _stream_op_py(data, opc, nb_a, cls_a, pool, count_mode)
-        return nb_a, cls_a, pool, res
+    def _stream_chunks(bv, data, opc, count_mode, rec_nbs, rec_offs):
+        """Drive the native engine over _CHUNK-record windows with the
+        target view restricted to each window's blocks.  Returns the total
+        count (count_mode) or a list of per-window (nbs, cls, rows); None
+        when the native library is unavailable or rejects the stream."""
+        if native.load() is None:
+            return None
+        total = 0
+        batches = []
+        for lo in range(0, rec_nbs.size, _CHUNK):
+            hi = min(lo + _CHUNK, rec_nbs.size)
+            nb_r, cls_r, rows = _target_view(bv, rec_nbs[lo:hi])
+            res = native.bmt1_stream_op(
+                data, int(rec_offs[lo]), opc, count_mode,
+                nb_r, cls_r, rows, n_rec=hi - lo)
+            if res is None:
+                return None
+            if count_mode:
+                total += int(res)
+            else:
+                batches.append(res)
+        return total if count_mode else batches
 
     def _stream_apply(self, bv, data, opc):
         bv._check_writable()
-        nb_a, cls_a, pool, res = self._run_stream(bv, data, opc, False)
-        out_nbs, out_cls, out_rows = res
-        if opc in _PASS_THROUGH and nb_a.size:
-            out_nbs, out_cls, out_rows = _merge_passthrough(
-                out_nbs, out_cls, out_rows, nb_a, cls_a, pool,
-                _blob_nbs(data))
+        bv._flush()
+        rec_nbs, rec_offs = _blob_record_index(data)
+        compress = bv._gaps is not None
+        accum = _ResultAccum(compress, bv._glevel)
+        batches = self._stream_chunks(bv, data, opc, False,
+                                      rec_nbs, rec_offs)
+        if batches is None:
+            _stream_op_py(data, opc, _TargetReader(bv), False, accum)
+        else:
+            for b in batches:
+                accum.add_batch(*b)
+        out_nbs, out_cls, out_rows, out_gaps = accum.finish()
+        if opc in _PASS_THROUGH and bv._struct.nb.size:
+            out_nbs, out_cls, out_rows, out_gaps = _merge_passthrough_bv(
+                out_nbs, out_cls, out_rows, out_gaps, bv, rec_nbs)
         blob_sz = _blob_size(data)
-        bv._struct = Structure(out_nbs.copy(), out_cls.copy())
+        bv._struct = Structure(np.asarray(out_nbs, _I64).copy(),
+                               np.asarray(out_cls, np.uint8).copy())
         bv._pool = out_rows
-        bv._gaps = None
+        bv._gaps = out_gaps
         bv._size = max(bv._size, blob_sz)
         bv._dirty()
         return bv
+
+    def _count_op(self, bv: BitVector, data: bytes, op: int) -> int:
+        bv._flush()
+        if op in (C.SET_COUNT_B, C.SET_COUNT):
+            # count of the BLOB alone: stream against an empty target
+            empty = np.zeros(0, _I64)
+            res = native.bmt1_stream_op(
+                data, _REC_OFFSET, native.OP_OR, True, empty,
+                np.zeros(0, np.uint8),
+                np.zeros((0, C.SET_BLOCK_SIZE), np.uint32))
+            if res is None:
+                res = _stream_op_py(
+                    data, native.OP_OR,
+                    _TargetReader(BitVector(1)), True, None)
+            return int(res)
+        if op == C.SET_COUNT_A:
+            return bv.count()
+        if op not in _COUNT_TO_OPC:
+            raise ValueError(f"unsupported op {op}")
+        opc = _COUNT_TO_OPC[op]
+        rec_nbs, rec_offs = _blob_record_index(data)
+        total = self._stream_chunks(bv, data, opc, True, rec_nbs, rec_offs)
+        if total is None:
+            total = _stream_op_py(data, opc, _TargetReader(bv), True, None)
+        total = int(total)
+        if opc in _PASS_THROUGH and bv._struct.nb.size:
+            # target blocks the BLOB does not mention contribute themselves
+            total += _passthrough_count_bv(bv, rec_nbs)
+        return total
 
     # ------------------------------------------------------------------
     # reference-format streaming (RefDeserializer sink mode)
@@ -285,22 +518,26 @@ class OperationDeserializer:
             return (1, None) if tstate == 0 else (2, ~tw)
         return (2, b) if tstate == 0 else (2, b & ~tw)
 
-    def _ref_stream(self, bv, data, opc, count_mode):
-        """Run the ref-format decoder in sink mode, combining per block."""
+    def _ref_stream(self, bv, data, opc, count_mode, compress=False):
+        """Run the ref-format decoder in sink mode, combining per block.
+        Target blocks are read lazily one at a time (no snapshot)."""
         from .refcodec import RefDeserializer
-        nb_a, cls_a, pool = bv._dense_snapshot()
-        slot = np.where(cls_a == 2, np.cumsum(cls_a == 2) - 1, -1)
-        out_nbs, out_cls, out_rows = [], [], []
+        reader = _TargetReader(bv)
+        accum = None if count_mode else _ResultAccum(compress, bv._glevel)
         seen = []
         state = {"count": 0}
+        b_nbs, b_cls, b_rows = [], [], []
+
+        def flush():
+            if b_nbs:
+                rows = (np.stack(b_rows) if b_rows
+                        else np.zeros((0, C.SET_BLOCK_SIZE), np.uint32))
+                accum.add_batch(np.asarray(b_nbs, _I64),
+                                np.asarray(b_cls, np.uint8), rows)
+                b_nbs.clear(); b_cls.clear(); b_rows.clear()
 
         def sink(nb, words):
-            pos = np.searchsorted(nb_a, nb)
-            tstate, tw = 0, None
-            if pos < nb_a.size and nb_a[pos] == nb:
-                tstate = int(cls_a[pos])
-                if tstate == 2:
-                    tw = pool[slot[pos]]
+            tstate, tw = reader.lookup(nb)
             seen.append(nb)
             kind, w = self._combine_one(opc, tstate, tw, words)
             if count_mode:
@@ -310,35 +547,34 @@ class OperationDeserializer:
                     state["count"] += int(np.bitwise_count(w).sum())
                 return
             if kind == 1:
-                out_nbs.append(nb)
-                out_cls.append(C.CLS_FULL)
+                b_nbs.append(nb)
+                b_cls.append(C.CLS_FULL)
             elif kind == 2:
-                out_nbs.append(nb)
-                out_cls.append(C.CLS_BIT)
-                out_rows.append(w)
+                b_nbs.append(nb)
+                b_cls.append(C.CLS_BIT)
+                b_rows.append(w)
+                if len(b_rows) >= _CHUNK:
+                    flush()
 
         size = RefDeserializer().deserialize(data, sink=sink)
-        rows = (np.stack(out_rows) if out_rows
-                else np.zeros((0, C.SET_BLOCK_SIZE), np.uint32))
-        res = (np.asarray(out_nbs, np.int64),
-               np.asarray(out_cls, np.uint8), rows)
-        return nb_a, cls_a, pool, np.asarray(seen, np.int64), size, \
-            (state["count"] if count_mode else res)
+        if not count_mode:
+            flush()
+        return np.asarray(seen, _I64), size, \
+            (state["count"] if count_mode else accum)
 
     def _ref_stream_apply(self, bv, data, opc):
         bv._check_writable()
-        nb_a, cls_a, pool, seen, size, res = self._ref_stream(
-            bv, data, opc, False)
-        out_nbs, out_cls, out_rows = res
-        if opc in _PASS_THROUGH and nb_a.size:
-            out_nbs, out_cls, out_rows = _merge_passthrough(
-                np.asarray(out_nbs, np.int64),
-                np.asarray(out_cls, np.uint8), out_rows,
-                nb_a, cls_a, pool, seen)
-        bv._struct = Structure(np.asarray(out_nbs, np.int64).copy(),
+        bv._flush()
+        compress = bv._gaps is not None
+        seen, size, accum = self._ref_stream(bv, data, opc, False, compress)
+        out_nbs, out_cls, out_rows, out_gaps = accum.finish()
+        if opc in _PASS_THROUGH and bv._struct.nb.size:
+            out_nbs, out_cls, out_rows, out_gaps = _merge_passthrough_bv(
+                out_nbs, out_cls, out_rows, out_gaps, bv, seen)
+        bv._struct = Structure(np.asarray(out_nbs, _I64).copy(),
                                np.asarray(out_cls, np.uint8).copy())
         bv._pool = out_rows
-        bv._gaps = None
+        bv._gaps = out_gaps
         bv._size = max(bv._size, size)
         bv._dirty()
         return bv
@@ -347,17 +583,15 @@ class OperationDeserializer:
         bv._flush()
         if op in (C.SET_COUNT_B, C.SET_COUNT):
             empty = BitVector(1)
-            _, _, _, _, _, cnt = self._ref_stream(empty, data,
-                                                  native.OP_OR, True)
+            _, _, cnt = self._ref_stream(empty, data, native.OP_OR, True)
             return cnt
         if op == C.SET_COUNT_A:
             return bv.count()
         opc = _COUNT_TO_OPC[op]
-        nb_a, cls_a, pool, seen, _, cnt = self._ref_stream(
-            bv, data, opc, True)
+        seen, _, cnt = self._ref_stream(bv, data, opc, True)
         total = int(cnt)
-        if opc in _PASS_THROUGH and nb_a.size:
-            total += _passthrough_count(nb_a, cls_a, pool, seen)
+        if opc in _PASS_THROUGH and bv._struct.nb.size:
+            total += _passthrough_count_bv(bv, seen)
         return total
 
     def _apply_decoded(self, bv: BitVector, other: BitVector, op: int):
@@ -387,32 +621,6 @@ class OperationDeserializer:
         if metric is None:
             raise ValueError(f"unsupported op {op}")
         return setops.distance_operation(bv, other, [metric])[metric]
-
-    def _count_op(self, bv: BitVector, data: bytes, op: int) -> int:
-        bv._flush()
-        if op in (C.SET_COUNT_B, C.SET_COUNT):
-            # count of the BLOB alone: stream against an empty target
-            empty = np.zeros(0, np.int64)
-            res = native.bmt1_stream_op(
-                data, _REC_OFFSET, native.OP_OR, True, empty,
-                np.zeros(0, np.uint8),
-                np.zeros((0, C.SET_BLOCK_SIZE), np.uint32))
-            if res is None:
-                res = _stream_op_py(
-                    data, native.OP_OR, empty, np.zeros(0, np.uint8),
-                    np.zeros((0, C.SET_BLOCK_SIZE), np.uint32), True)
-            return int(res)
-        if op == C.SET_COUNT_A:
-            return bv.count()
-        if op not in _COUNT_TO_OPC:
-            raise ValueError(f"unsupported op {op}")
-        opc = _COUNT_TO_OPC[op]
-        nb_a, cls_a, pool, res = self._run_stream(bv, data, opc, True)
-        total = int(res)
-        if opc in _PASS_THROUGH and nb_a.size:
-            # target blocks the BLOB does not mention contribute themselves
-            total += _passthrough_count(nb_a, cls_a, pool, _blob_nbs(data))
-        return total
 
 
 def _materialize_subset(data, want, size):

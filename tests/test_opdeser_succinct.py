@@ -1,0 +1,125 @@
+"""Target-side streaming of BLOB ops (round-2 VERDICT item 4).
+
+A GAP-resident target must stay succinct during AND/COUNT_AND/... on a
+BLOB: no _dense_snapshot, GAP expansion bounded by the streaming window
+(O(chunk), not O(target)), and the result of a set op on a succinct
+target comes back succinct.  Results stay bit-equal to the materialized
+path.
+"""
+import numpy as np
+import pytest
+
+import bitmagic_tpu as bm
+from bitmagic_tpu import constants as C
+from bitmagic_tpu.core.bitvector import BitVector
+from bitmagic_tpu.core.gapstore import GapStore
+from bitmagic_tpu.serial import opdeser as od_mod
+from bitmagic_tpu.serial.opdeser import OperationDeserializer
+from bitmagic_tpu.serial.serializer import Deserializer, Serializer
+
+SIZE = 100_000_000
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(7)
+    # GAP-resident sparse target spanning the full 100M-bit range
+    ids_a = np.unique(rng.integers(0, SIZE, 30_000)).astype(np.int64)
+    a = BitVector.from_indices(ids_a, SIZE, strategy=C.BM_GAP)
+    assert a._gaps is not None and a._gaps.n_blocks > 1000
+    # BLOB covering the whole range too (the worst case for snapshots)
+    ids_b = np.unique(rng.integers(0, SIZE, 40_000)).astype(np.int64)
+    b = BitVector.from_indices(ids_b, SIZE)
+    b.set_range(1_000_000, 1_200_000)
+    blob = Serializer(6).serialize(b)
+    bref = Deserializer().deserialize(blob)
+    return a, blob, bref
+
+
+class _Guard:
+    """Forbids _dense_snapshot and meters GAP expansion width."""
+
+    def __init__(self, monkeypatch):
+        self.max_expand = 0
+        orig = GapStore.to_dense
+
+        def boom(bv):
+            raise AssertionError("BLOB op took a dense target snapshot")
+
+        def metered(store, sel=None):
+            k = store.n_blocks if sel is None else len(np.asarray(sel))
+            self.max_expand = max(self.max_expand, k)
+            return orig(store, sel)
+
+        monkeypatch.setattr(BitVector, "_dense_snapshot", boom)
+        monkeypatch.setattr(GapStore, "to_dense", metered)
+
+
+@pytest.mark.parametrize("op,metric", [
+    (C.SET_COUNT_AND, lambda a, b: (a & b).count()),
+    (C.SET_COUNT_OR, lambda a, b: (a | b).count()),
+    (C.SET_COUNT_XOR, lambda a, b: (a ^ b).count()),
+    (C.SET_COUNT_SUB_AB, lambda a, b: (a - b).count()),
+    (C.SET_COUNT_SUB_BA, lambda a, b: (b - a).count()),
+])
+@pytest.mark.parametrize("use_native", [True, False])
+def test_count_ops_bounded_expansion(setup, monkeypatch, op, metric,
+                                     use_native):
+    a, blob, bref = setup
+    want = metric(a.copy(), bref)
+    if not use_native:
+        monkeypatch.setattr(od_mod.native, "load", lambda: None)
+        monkeypatch.setattr(od_mod.native, "bmt1_record_index",
+                            lambda *_: None)
+        monkeypatch.setattr(od_mod.native, "bmt1_stream_op",
+                            lambda *a_, **k: None)
+    g = _Guard(monkeypatch)
+    got = OperationDeserializer().deserialize(a.copy(), blob, op)
+    assert got == want
+    # expansion bounded by the streaming window, not the target size
+    assert 0 < g.max_expand <= od_mod._CHUNK
+
+
+@pytest.mark.parametrize("op,pyop", [
+    (C.SET_AND, "__and__"), (C.SET_OR, "__or__"),
+    (C.SET_XOR, "__xor__"), (C.SET_SUB, "__sub__"),
+])
+@pytest.mark.parametrize("use_native", [True, False])
+def test_set_ops_bounded_and_succinct_result(setup, monkeypatch, op, pyop,
+                                             use_native):
+    a, blob, bref = setup
+    want = getattr(a.copy(), pyop)(bref)
+    if not use_native:
+        monkeypatch.setattr(od_mod.native, "load", lambda: None)
+        monkeypatch.setattr(od_mod.native, "bmt1_record_index",
+                            lambda *_: None)
+        monkeypatch.setattr(od_mod.native, "bmt1_stream_op",
+                            lambda *a_, **k: None)
+    g = _Guard(monkeypatch)
+    tgt = a.copy()
+    OperationDeserializer().deserialize(tgt, blob, op)
+    assert g.max_expand <= od_mod._CHUNK
+    # succinct target -> succinct result: the dense pool must stay a
+    # fraction of the block count (sparse AND/OR results re-classify to GAP)
+    n_dense = int((tgt._struct.cls == C.CLS_BIT).sum())
+    assert n_dense <= od_mod._CHUNK, \
+        f"{n_dense} dense rows leaked into a succinct result"
+    assert tgt.equal(want)
+
+
+def test_ref_format_blob_bounded(setup, monkeypatch):
+    """Reference-format BLOBs stream against the succinct target too."""
+    pytest.importorskip("numpy")
+    from bitmagic_tpu.serial.refcodec import ref_serialize
+    a, _, bref = setup
+    rblob = ref_serialize(bref, level=5)
+    want_cnt = (a.copy() & bref).count()
+    want_or = a.copy() | bref
+    g = _Guard(monkeypatch)
+    od = OperationDeserializer()
+    assert od.deserialize(a.copy(), rblob, C.SET_COUNT_AND) == want_cnt
+    tgt = a.copy()
+    od.deserialize(tgt, rblob, C.SET_OR)
+    assert g.max_expand <= od_mod._CHUNK
+    assert tgt.equal(want_or)
+    assert int((tgt._struct.cls == C.CLS_BIT).sum()) <= od_mod._CHUNK
