@@ -115,15 +115,26 @@ def bench_logical(rng):
         t0 = time.perf_counter()
         np.asarray(hi_fn(a, b))
         t_hi = min(t_hi, time.perf_counter() - t0)
-    # floor: 400 iterations cannot beat 10 TB/s of HBM traffic
-    t_mat = max(t_hi - t_lo, 400 * 3 * BYTES_PER_POOL / 10e12) / 400
+    # physics floor: 400 iterations cannot beat 10 TB/s of HBM traffic.
+    # If tunnel jitter swallowed the slope (below the floor), the number is
+    # NOT a measurement — report it as unmeasured rather than the cap.
+    floor = 400 * 3 * BYTES_PER_POOL / 10e12
+    slope = t_hi - t_lo
     gb = 2 * BYTES_PER_POOL / 1e9
     gbps_count = gb / t_count
     gbps_med = gb / t_count_med
-    gbps_mat = (3 * BYTES_PER_POOL / 1e9) / t_mat
-    log(f"[1 bvsetalgebra] AND+count: {t_count*1e3:.3f} ms -> {gbps_count:.1f} GB/s "
-        f"(median {gbps_med:.1f}); "
-        f"AND materialize: {t_mat*1e3:.3f} ms -> {gbps_mat:.1f} GB/s")
+    if slope <= floor:
+        gbps_mat = None
+        log(f"[1 bvsetalgebra] AND+count: {t_count*1e3:.3f} ms -> "
+            f"{gbps_count:.1f} GB/s (median {gbps_med:.1f}); "
+            f"AND materialize: UNMEASURED (slope {slope*1e3:.2f} ms below "
+            f"jitter floor {floor*1e3:.2f} ms)")
+    else:
+        t_mat = slope / 400
+        gbps_mat = (3 * BYTES_PER_POOL / 1e9) / t_mat
+        log(f"[1 bvsetalgebra] AND+count: {t_count*1e3:.3f} ms -> "
+            f"{gbps_count:.1f} GB/s (median {gbps_med:.1f}); "
+            f"AND materialize: {t_mat*1e3:.3f} ms -> {gbps_mat:.1f} GB/s")
     return gbps_count, gbps_med, gbps_mat
 
 
@@ -198,7 +209,9 @@ def bench_aggregator(rng):
             acc = acc & ~(stack[i] ^ s)
         return jnp.sum(jax.lax.population_count(acc), dtype=jnp.uint32)
 
-    t, t_med = timeit_stats(and_sub_200, stack, iters=5, passes=5)
+    # 9 passes: config 3 showed the widest median/best spread of any config
+    # in round 2; more slope passes pull the median inside the jitter band
+    t, t_med = timeit_stats(and_sub_200, stack, iters=5, passes=9)
     gb = K * nblk * WORDS * 4 / 1e9
     log(f"[3 aggregator] fused AND-SUB over {K} vectors ({gb:.2f} GB): "
         f"{t*1e3:.2f} ms -> {gb/t:.1f} GB/s (median {gb/t_med:.1f})")
@@ -244,16 +257,18 @@ def bench_scan_pipeline(rng):
     prep = scanner.prepare_pipeline(sv)
     queries = list(rng.integers(1, 1 << 20, 256))
     prep.counts(queries)                                         # warm
-    dt = float("inf")
-    for _ in range(3):
+    ts = []
+    for _ in range(5):
         t0 = time.perf_counter()
         prep.counts(queries)
-        dt = min(dt, time.perf_counter() - t0)
-    rate = len(queries) * n / dt
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    dt, dt_med = ts[0], ts[len(ts) // 2]
+    rate, rate_med = len(queries) * n / dt, len(queries) * n / dt_med
     log(f"[4b scan-pipeline] {len(queries)} find_eq counts over "
-        f"{n/1e6:.0f}M elems: {dt*1e3:.1f} ms -> "
-        f"{rate/1e9:.1f} Gsearch-elem/s")
-    return rate
+        f"{n/1e6:.0f}M elems: {dt_med*1e3:.1f} ms -> "
+        f"{rate_med/1e9:.1f} Gsearch-elem/s (best {rate/1e9:.1f})")
+    return rate, rate_med
 
 
 # ---------------------------------------------------------------- config 5
@@ -305,6 +320,11 @@ REF = {
     "4_scan_gelems": 6.0,
     "5_ser_mbps": 319.0,
     "5_deser_mbps": 1274.0,
+    # reference's OWN serializer (refformat bridge, L6) on the exact
+    # config-5 ids — measured round 3; the older 326 KB figure was below
+    # the entropy floor of this data (~658 B/block x 510 random blocks)
+    # and did not reproduce
+    "5_blob_kb": 354.5,
 }
 
 
@@ -321,8 +341,14 @@ def main():
                         "unit": "GB/s", "ref": REF["1_and_count_gbps"],
                         "vs_ref": round(gbps_med
                                         / REF["1_and_count_gbps"], 2)},
-        "1_and_materialize": {"value": round(gbps_mat, 1), "unit": "GB/s"},
     }
+    if gbps_mat is not None:
+        configs["1_and_materialize"] = {"value": round(gbps_mat, 1),
+                                        "unit": "GB/s"}
+    else:
+        configs["1_and_materialize"] = {"value": None, "unit": "GB/s",
+                                        "note": "unmeasured: slope below "
+                                                "tunnel jitter floor"}
     try:
         qps, qps_med = bench_rank_select(rng)
         configs["2_select1"] = {
@@ -339,9 +365,10 @@ def main():
             "value": round(sc_med / 1e9, 2), "best": round(sc / 1e9, 2),
             "unit": "Gelem/s", "ref": REF["4_scan_gelems"],
             "vs_ref": round(sc_med / 1e9 / REF["4_scan_gelems"], 2)}
-        pipe = bench_scan_pipeline(rng)
+        pipe, pipe_med = bench_scan_pipeline(rng)
         configs["4b_scan_pipeline"] = {
-            "value": round(pipe / 1e9, 2), "unit": "Gsearch-elem/s"}
+            "value": round(pipe_med / 1e9, 2), "best": round(pipe / 1e9, 2),
+            "unit": "Gsearch-elem/s"}
         s5 = bench_serialization(rng)
         configs["5_serialize"] = {
             "value": round(s5["ser_mbps"], 1), "unit": "MB/s",
@@ -354,7 +381,9 @@ def main():
         configs["5_count_and_on_blob"] = {
             "value": round(s5["count_and_blob_ms"], 2), "unit": "ms"}
         configs["5_blob_size"] = {
-            "value": round(s5["blob_kb"], 1), "unit": "KB"}
+            "value": round(s5["blob_kb"], 1), "unit": "KB",
+            "ref": REF["5_blob_kb"],
+            "vs_ref": round(REF["5_blob_kb"] / s5["blob_kb"], 3)}
     except Exception as e:          # detail benches must not kill the headline
         log("detail bench failed:", repr(e))
     print(json.dumps({

@@ -436,7 +436,9 @@ class Aggregator:
         back as one [V, nb_union, 2048] array whose per-request slices back
         the result BitVectors without copies.  Returns None when the fused
         path does not apply (no payload, or output over budget)."""
-        from .arena import OperandArena, build_dense_stack
+        from .arena import (OperandArena, build_dense_stack,
+                            build_dense_stack_host, narrowed_union,
+                            operands_succinct)
         operands = []
         index_of = {}
         for and_g, sub_g in norm:
@@ -444,16 +446,9 @@ class Aggregator:
                 if id(v) not in index_of:
                     index_of[id(v)] = len(operands)
                     operands.append(v)
-        arena = OperandArena(operands)
-        planes = build_dense_stack(arena)
-        if planes is None:
-            return None
-        nb_union = np.unique(np.concatenate(
-            [v._struct.nb for v in operands]))
+        for v in operands:
+            v._flush()
         V = len(norm)
-        if V * nb_union.size * C.SET_BLOCK_SIZE * 4 \
-                > self._PIPE_RESULT_BUDGET_BYTES:
-            return None
         sels = np.zeros((V, len(operands)), np.int32)
         forced_zero = np.zeros(V, bool)
         for i, (and_g, sub_g) in enumerate(norm):
@@ -464,6 +459,33 @@ class Aggregator:
                 if sels[i, k] == 1:
                     forced_zero[i] = True
                 sels[i, k] = -1
+        if operands_succinct(operands):
+            # survivor-narrowed: only blocks some request can hit get
+            # expanded (host-side); memory O(survivors), not O(union)
+            nb_union, n_u = narrowed_union(operands, sels)
+            if n_u == 0:
+                return None
+            if V * nb_union.size * C.SET_BLOCK_SIZE * 4 \
+                    > self._PIPE_RESULT_BUDGET_BYTES:
+                return None
+            planes = (jnp.asarray(build_dense_stack_host(
+                operands, nb_union)) if nb_union.size else None)
+            if planes is None:
+                size = max(v.size for v in operands)
+                return [dict(
+                    **({"bv": BitVector(size)} if options.make_results
+                       else {}),
+                    **({"count": 0} if options.compute_counts else {}))
+                    for _ in range(V)]
+        else:
+            planes = build_dense_stack(OperandArena(operands))
+            if planes is None:
+                return None
+            nb_union = np.unique(np.concatenate(
+                [v._struct.nb for v in operands]))
+            if V * nb_union.size * C.SET_BLOCK_SIZE * 4 \
+                    > self._PIPE_RESULT_BUDGET_BYTES:
+                return None
         rows, counts_blk = _pipeline_results_kernel(planes,
                                                     jnp.asarray(sels))
         counts = np.asarray(counts_blk).astype(np.int64).sum(axis=1)
@@ -493,7 +515,9 @@ class Aggregator:
         from ..ops.pallas_kernels import pipeline_counts
         if not config.pallas_enabled():
             return None
-        from .arena import OperandArena, build_dense_stack
+        from .arena import (OperandArena, build_dense_stack,
+                            build_dense_stack_host, narrowed_union,
+                            operands_succinct)
         operands = []
         index_of = {}
         for and_g, sub_g in norm:
@@ -501,9 +525,8 @@ class Aggregator:
                 if id(v) not in index_of:
                     index_of[id(v)] = len(operands)
                     operands.append(v)
-        planes = build_dense_stack(OperandArena(operands))
-        if planes is None:
-            return None
+        for v in operands:
+            v._flush()
         sels = np.zeros((len(norm), len(operands)), np.int32)
         forced_zero = np.zeros(len(norm), bool)
         for i, (and_g, sub_g) in enumerate(norm):
@@ -516,6 +539,17 @@ class Aggregator:
                     # the selector can hold only one role per operand
                     forced_zero[i] = True
                 sels[i, k] = -1
+        if operands_succinct(operands):
+            nb_sel, n_u = narrowed_union(operands, sels)
+            if n_u == 0:
+                return None
+            if nb_sel.size == 0:
+                return np.zeros(len(norm), np.int64)
+            planes = jnp.asarray(build_dense_stack_host(operands, nb_sel))
+        else:
+            planes = build_dense_stack(OperandArena(operands))
+            if planes is None:
+                return None
         counts = np.array(pipeline_counts(planes, jnp.asarray(sels)))
         counts[forced_zero] = 0
         return counts

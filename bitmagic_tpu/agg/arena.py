@@ -25,30 +25,43 @@ _I64 = np.int64
 
 
 class OperandArena:
-    """Combined pool + per-vector structure tables for fast slot lookups."""
+    """Combined pool + per-vector structure tables for fast slot lookups.
+
+    The combined device pool is built LAZILY (first ``.pool`` access):
+    succinct-aware pipelines narrow to survivor blocks in the run domain
+    and never touch the full arena, so GAP-resident operands only expand
+    when a caller actually sweeps the whole arena."""
 
     def __init__(self, vectors):
         for v in vectors:
             v._flush()
         self.vectors = list(vectors)
-        pools = [v._pool for v in self.vectors if v._pool.shape[0]]
         self.row_offset = []
         off = 0
         for v in self.vectors:
             self.row_offset.append(off)
-            off += int(v._pool.shape[0])
-        # GAP blocks expand into extra arena rows (non-mutating: the owning
-        # vectors keep their succinct host residency)
+            off += v._struct.n_rows()
         self.gap_offset = []
-        gap_parts = []
         for v in self.vectors:
             self.gap_offset.append(off)
-            if v._gaps is not None and v._gaps.n_blocks:
-                gap_parts.append(jnp.asarray(v._gaps.to_dense()))
+            if v._gaps is not None:
                 off += v._gaps.n_blocks
-        parts = pools + gap_parts
-        self.pool = (jnp.concatenate(parts, axis=0) if parts
-                     else blockops.zero_pool(0))
+        self._pool = None
+
+    @property
+    def pool(self):
+        if self._pool is None:
+            pools = [v._pool for v in self.vectors
+                     if v._struct.n_rows()]
+            # GAP blocks expand into extra arena rows (non-mutating: the
+            # owning vectors keep their succinct host residency)
+            gap_parts = [jnp.asarray(v._gaps.to_dense())
+                         for v in self.vectors
+                         if v._gaps is not None and v._gaps.n_blocks]
+            parts = pools + gap_parts
+            self._pool = (jnp.concatenate(parts, axis=0) if parts
+                          else blockops.zero_pool(0))
+        return self._pool
 
     def slot_row(self, vector_index: int, blocklist: np.ndarray,
                  full_as: int) -> np.ndarray:
@@ -92,3 +105,50 @@ def build_dense_stack(arena: OperandArena):
         slot_tab[k] = np.where(s < 0, zero_row, s)
     return jnp.take(aug, jnp.asarray(slot_tab.reshape(-1)),
                     axis=0).reshape(K, nb_union.size, C.SET_BLOCK_SIZE)
+
+
+def operands_succinct(vectors) -> bool:
+    """True when the operand group is mostly GAP-resident — the signal to
+    prefer survivor-narrowed host assembly over a full device arena."""
+    n_gap = sum(v._gaps.n_blocks for v in vectors if v._gaps is not None)
+    n_bit = sum(v._struct.n_rows() for v in vectors)
+    return n_gap > n_bit
+
+
+def narrowed_union(vectors, sels: np.ndarray):
+    """(nb_sel, n_union): survivor blocks of a request batch — a block
+    survives iff SOME request's whole AND group (sels row == 1) is present
+    there.  Pure host symbolic math (the run-domain analog of the
+    aggregator's digest pre-pass, src/bmaggregator.h:1764)."""
+    nb_union = np.unique(np.concatenate(
+        [v._struct.nb for v in vectors] or [np.zeros(0, _I64)]))
+    if nb_union.size == 0:
+        return nb_union, 0
+    present = np.stack([v._struct.lookup(nb_union)[0] != 0
+                        for v in vectors]).astype(np.int32)
+    need = (sels == 1).astype(np.int32)
+    got = need @ present
+    surv = (got == need.sum(axis=1, keepdims=True)).any(axis=0)
+    return nb_union[surv], int(nb_union.size)
+
+
+def build_dense_stack_host(vectors, nb_sel: np.ndarray) -> np.ndarray:
+    """[K, len(nb_sel), 2048] dense stack over a CHOSEN block list,
+    assembled host-side — the succinct pipeline's narrowed input (nb_sel is
+    the batch's survivor set, so memory is O(survivors), not O(union)).
+    GAP blocks expand only where selected; FULL/absent synthesize."""
+    K = len(vectors)
+    out = np.zeros((K, len(nb_sel), C.SET_BLOCK_SIZE), np.uint32)
+    from ..core.blocks import _B, _F, _G
+    for k, v in enumerate(vectors):
+        st, slot = v._struct.lookup(nb_sel)
+        fm = st == _F
+        if fm.any():
+            out[k][fm] = C.ALL_ONES_WORD
+        bm = st == _B
+        if bm.any():
+            out[k][bm] = v._pool_host()[slot[bm]]
+        gm = st == _G
+        if gm.any():
+            out[k][gm] = v._gaps.to_dense(slot[gm])
+    return out

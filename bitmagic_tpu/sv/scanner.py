@@ -464,7 +464,15 @@ for _name in ("_float_parts", "find_eq_float", "find_gt_float",
 
 class _PreparedPipeline:
     """Reusable bulk-search state: dense [K, nb_u, 2048] plane stack plus
-    the slice -> operand mapping (scanner.prepare_pipeline)."""
+    the slice -> operand mapping (scanner.prepare_pipeline).
+
+    Succinct mode: when the operands are mostly GAP-resident, the dense
+    stack is NOT prebuilt.  Each batch narrows to survivor blocks in the
+    symbolic domain first (a block can hit query i only when every AND
+    operand of i is present there — the host analog of the aggregator's
+    digest skipping, src/bmaggregator.h:1764), then expands ONLY the
+    survivors host-side into a [K, n_surv, 2048] stack.  Pipeline memory
+    is bounded by survivors; dense SVs keep the prebuilt-stack fast path."""
 
     def __init__(self, sc, sv, arena, pos_of):
         from ..agg.arena import build_dense_stack
@@ -472,8 +480,43 @@ class _PreparedPipeline:
         self.sv = sv
         self.pos_of = pos_of
         self.K = len(arena.vectors)
-        self.planes = build_dense_stack(arena)
-        self.ok = self.planes is not None
+        self.arena = arena
+        n_gap = sum(v._gaps.n_blocks for v in arena.vectors
+                    if v._gaps is not None)
+        n_bit = sum(v._struct.n_rows() for v in arena.vectors)
+        self.succinct = n_gap > n_bit
+        self.last_narrowing = None
+        if self.succinct:
+            self.nb_union = np.unique(np.concatenate(
+                [v._struct.nb for v in arena.vectors]
+                or [np.zeros(0, np.int64)]))
+            # presence per (operand, union block): state != ZERO
+            self._present = np.stack(
+                [v._struct.lookup(self.nb_union)[0] != 0
+                 for v in arena.vectors]).astype(np.int32)
+            self.planes = None
+            self.ok = self.nb_union.size > 0
+        else:
+            self.planes = build_dense_stack(arena)
+            self.ok = self.planes is not None
+
+    def _narrowed_counts(self, sels):
+        """Survivor-narrowed batch: host-expand only blocks where some
+        query's whole AND group is present, then one device sweep."""
+        import jax.numpy as jnp
+
+        from ..agg.arena import build_dense_stack_host
+        from ..ops.pallas_kernels import pipeline_counts
+        need = (sels == 1).astype(np.int32)            # [V, K]
+        got = need @ self._present                     # [V, NB]
+        surv = (got == need.sum(axis=1, keepdims=True)).any(axis=0)
+        nb_sel = self.nb_union[surv]
+        self.last_narrowing = (int(nb_sel.size), int(self.nb_union.size))
+        if nb_sel.size == 0:
+            return np.zeros(sels.shape[0], np.int64)
+        stack = build_dense_stack_host(self.arena.vectors, nb_sel)
+        return np.asarray(pipeline_counts(jnp.asarray(stack),
+                                          jnp.asarray(sels)))
 
     def counts(self, values) -> list:
         """Hit counts per value — ONE device call for the whole batch."""
@@ -504,7 +547,11 @@ class _PreparedPipeline:
                 continue
             if sv.nullable:
                 sels[i, K - 1] = 1
-        cts = np.asarray(pipeline_counts(self.planes, jnp.asarray(sels)))
+        if self.succinct:
+            cts = self._narrowed_counts(sels)
+        else:
+            cts = np.asarray(pipeline_counts(self.planes,
+                                             jnp.asarray(sels)))
         out = []
         for i in range(len(values)):
             if i in fallback:
