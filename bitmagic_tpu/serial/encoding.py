@@ -43,6 +43,14 @@ class ByteEncoder:
     def put_bytes(self, b):
         self.buf += bytes(b)
 
+    def put_varint(self, v):
+        """LEB128 (7 bits/byte, little-endian groups)."""
+        v = int(v)
+        while v >= 0x80:
+            self.buf.append((v & 0x7F) | 0x80)
+            v >>= 7
+        self.buf.append(v)
+
     def put_array_u16(self, arr):
         self.buf += np.asarray(arr, "<u2").tobytes()
 
@@ -87,6 +95,16 @@ class ByteDecoder:
         v = int.from_bytes(self.data[self.pos:self.pos + 8], "little")
         self.pos += 8
         return v
+
+    def get_varint(self):
+        v = sh = 0
+        while True:
+            b = self.data[self.pos]
+            self.pos += 1
+            v |= (b & 0x7F) << sh
+            if not b & 0x80:
+                return v
+            sh += 7
 
     def get_bytes(self, n):
         b = self.data[self.pos:self.pos + n]

@@ -103,7 +103,7 @@ def load():
         lib.bm_bmt1_stream_op.restype = ctypes.c_int
         lib.bm_bmt1_stream_op.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_int, ctypes.c_int,
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int,
             i64p, ctypes.POINTER(ctypes.c_uint8), i64p, u32p,
             ctypes.c_int64,
             i64p, ctypes.POINTER(ctypes.c_uint8), u32p,
@@ -246,14 +246,17 @@ def bmt1_record_index(blob: bytes, rec_offset: int):
 
 def bmt1_stream_op(blob: bytes, rec_offset: int, op: int, count_mode: bool,
                    t_nbs: np.ndarray, t_cls: np.ndarray,
-                   t_words: np.ndarray, n_rec: int | None = None):
+                   t_words: np.ndarray, n_rec: int | None = None,
+                   nb_prev: int = -1):
     """Streamed set-op of a BMT1 BLOB against a target snapshot (O(1 block)
     scratch in C).  Returns count (count_mode) or (nbs, cls, words) of the
     per-record results; None when the native library is unavailable.
 
     n_rec: process exactly that many records starting at rec_offset (the
     chunked driver's window — rec_offset then points at the chunk's first
-    record, not the blob header); None = stream to the END record."""
+    record, not the blob header); None = stream to the END record.
+    nb_prev: block id of the record before the window (-1 at stream start)
+    — compact blobs delta-code block ids."""
     lib = load()
     if lib is None:
         return None
@@ -281,7 +284,7 @@ def bmt1_stream_op(blob: bytes, rec_offset: int, op: int, count_mode: bool,
     o_nrows = ctypes.c_int64(0)
     cnt = ctypes.c_int64(0)
     rc = lib.bm_bmt1_stream_op(
-        bp, buf.size - 8, rec_offset, max_rec,
+        bp, buf.size - 8, rec_offset, max_rec, int(nb_prev),
         int(op), int(bool(count_mode)),
         t_nbs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         t_cls.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),

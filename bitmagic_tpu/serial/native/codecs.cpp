@@ -523,6 +523,58 @@ enum {
     BMT1_GAP_GAMMA = 7, BMT1_GAP_BIC = 8,
 };
 const uint64_t BMT1_END_NB = (1ull << 48) - 1;
+const uint8_t BMT1_FLAG_COMPACT = 2;   // varint record headers
+
+inline uint64_t rd_leb(const uint8_t* p, int64_t* pos) {
+    uint64_t v = 0;
+    int sh = 0;
+    for (;;) {
+        uint8_t b = p[(*pos)++];
+        v |= (uint64_t)(b & 0x7F) << sh;
+        if (!(b & 0x80)) return v;
+        sh += 7;
+    }
+}
+
+inline void wr_leb(uint8_t* out, int64_t* pos, uint64_t v) {
+    while (v >= 0x80) {
+        out[(*pos)++] = (uint8_t)((v & 0x7F) | 0x80);
+        v >>= 7;
+    }
+    out[(*pos)++] = (uint8_t)v;
+}
+
+// One record header.  Returns 0 on a normal record, 1 at END, -1 on
+// overrun.  Compact form: varint(nb - prev_nb) (>= 1; 0 == END) | code u8
+// | varint plen.  Classic form: nb u48 | code u8 | plen u32.
+inline int bmt1_read_rec(const uint8_t* blob, int64_t len, int compact,
+                         int64_t* pos, int64_t* prev_nb,
+                         uint64_t* nb, uint8_t* code, uint32_t* plen) {
+    if (compact) {
+        if (*pos >= len) return -1;
+        uint64_t delta = rd_leb(blob, pos);
+        if (delta == 0) return 1;
+        *nb = (uint64_t)(*prev_nb + (int64_t)delta);
+        if (*pos >= len) return -1;
+        *code = blob[(*pos)++];
+        *plen = (uint32_t)rd_leb(blob, pos);
+        if (*pos > len) return -1;
+        *prev_nb = (int64_t)*nb;
+        return 0;
+    }
+    if (*pos + 11 > len) return -1;
+    *nb = rd48(blob + *pos);
+    *code = blob[*pos + 6];
+    *plen = rd32(blob + *pos + 7);
+    *pos += 11;
+    if (*code == BMT1_END && *nb == BMT1_END_NB) return 1;
+    *prev_nb = (int64_t)*nb;
+    return 0;
+}
+
+inline int bmt1_is_compact(const uint8_t* blob, int64_t len) {
+    return len > 4 && (blob[4] & BMT1_FLAG_COMPACT);
+}
 
 inline void set_bit_blk(uint32_t* w, uint32_t pos) {
     w[pos >> 5] |= 1u << (pos & 31);
@@ -711,25 +763,39 @@ int64_t bm_bmt1_encode(const uint32_t* words, const int64_t* nbs,
                        uint8_t* out, int64_t cap, int64_t* code_counts) {
     int64_t pos = 0;
     int64_t row = 0;
+    int64_t prev_nb = -1;                 // compact records delta-code nb
+    const int64_t PCAP = 1 << 18;         // payload scratch (BIC worst case)
     uint16_t* pos_buf = new uint16_t[65536];
     uint16_t* bnd_buf = new uint16_t[65537];
     int64_t* arr64 = new int64_t[65537];
     uint32_t* gam = new uint32_t[65537];
+    uint8_t* pbuf = new uint8_t[PCAP];
 
-    auto put8 = [&](uint8_t v) { out[pos++] = v; };
-    auto put32 = [&](uint32_t v) { memcpy(out + pos, &v, 4); pos += 4; };
-    auto put48 = [&](uint64_t v) {
-        for (int i = 0; i < 6; ++i) out[pos++] = (v >> (8 * i)) & 0xFF;
-    };
+    // payload writers target the scratch buffer: the compact header's
+    // varint length precedes the payload, so it must be known first
+    int64_t wpos = 0;
+    auto pput8 = [&](uint8_t v) { pbuf[wpos++] = v; };
+    auto pput32 = [&](uint32_t v) { memcpy(pbuf + wpos, &v, 4); wpos += 4; };
     auto fail = [&]() {
         delete[] pos_buf; delete[] bnd_buf; delete[] arr64; delete[] gam;
+        delete[] pbuf;
         return (int64_t)-1;
+    };
+    auto emit = [&](uint64_t nb, uint8_t code) {
+        // header: varint(delta) | code | varint(plen), then the payload
+        wr_leb(out, &pos, nb - (uint64_t)prev_nb);
+        out[pos++] = code;
+        wr_leb(out, &pos, (uint64_t)wpos);
+        memcpy(out + pos, pbuf, wpos);
+        pos += wpos;
+        prev_nb = (int64_t)nb;
+        wpos = 0;
     };
 
     for (int64_t rec = 0; rec < n_rec; ++rec) {
-        if (pos + 11 + 8192 + 64 > cap) return fail();
+        if (pos + 16 + 8192 + 64 > cap) return fail();
         if (cls[rec] == 1) {                       // FULL
-            put48((uint64_t)nbs[rec]); put8(BMT1_FULL); put32(0);
+            emit((uint64_t)nbs[rec], BMT1_FULL);
             ++code_counts[BMT1_FULL];
             continue;
         }
@@ -738,7 +804,7 @@ int64_t bm_bmt1_encode(const uint32_t* words, const int64_t* nbs,
         if (bc == 0)
             continue;                              // zero: implicit
         if (bc == 65536) {
-            put48((uint64_t)nbs[rec]); put8(BMT1_FULL); put32(0);
+            emit((uint64_t)nbs[rec], BMT1_FULL);
             ++code_counts[BMT1_FULL];
             continue;
         }
@@ -787,44 +853,40 @@ int64_t bm_bmt1_encode(const uint32_t* words, const int64_t* nbs,
                 consider((ibc * 22) / 80 + 5, BMT1_ARR_BIC_INV);
         }
 
-        put48((uint64_t)nbs[rec]); put8((uint8_t)best_code);
-        int64_t len_at = pos;
-        put32(0);                                  // payload length patch
-        int64_t pstart = pos;
         ++code_counts[best_code];
 
         switch (best_code) {
         case BMT1_RAW:
-            memcpy(out + pos, w, 8192); pos += 8192;
+            memcpy(pbuf + wpos, w, 8192); wpos += 8192;
             break;
         case BMT1_ARR16:
         case BMT1_ARR16_INV: {
             int inv = best_code == BMT1_ARR16_INV;
             int64_t n = bm_block_positions(w, inv, pos_buf);
-            put32((uint32_t)n);
-            memcpy(out + pos, pos_buf, 2 * n); pos += 2 * n;
+            pput32((uint32_t)n);
+            memcpy(pbuf + wpos, pos_buf, 2 * n); wpos += 2 * n;
             break;
         }
         case BMT1_ARR_BIC:
         case BMT1_ARR_BIC_INV: {
             int inv = best_code == BMT1_ARR_BIC_INV;
             int64_t n = bm_block_positions(w, inv, pos_buf);
-            put32((uint32_t)n);
+            pput32((uint32_t)n);
             for (int64_t i = 0; i < n; ++i) arr64[i] = pos_buf[i];
             uint64_t acc = 0; int32_t nb2 = 0; int64_t written = 0;
             if (bmref_bic_encode_cm(arr64, n, 0, 65535, &acc, &nb2,
-                                    out + pos, cap - pos, &written))
+                                    pbuf + wpos, PCAP - wpos, &written))
                 return fail();
-            pos += written;
+            wpos += written;
             if (nb2) {                              // flush leftover bits
                 uint32_t tail = (uint32_t)acc;
-                memcpy(out + pos, &tail, 4); pos += 4;
+                memcpy(pbuf + wpos, &tail, 4); wpos += 4;
             }
             break;
         }
         case BMT1_GAP_GAMMA: {
-            put8((uint8_t)start);
-            BitW bw{out + pos};
+            pput8((uint8_t)start);
+            BitW bw{pbuf + wpos};
             uint32_t v = (uint32_t)L;
             bw.put(v, 2 * bit_length_u64(v) - 1);
             int64_t prev = -1;
@@ -834,68 +896,75 @@ int64_t bm_bmt1_encode(const uint32_t* words, const int64_t* nbs,
                 bw.put(run, 2 * bit_length_u64(run) - 1);
             }
             bw.flush();
-            pos += (int64_t)bw.byte;
+            wpos += (int64_t)bw.byte;
             break;
         }
         case BMT1_GAP_BIC: {
-            put8((uint8_t)start);
+            pput8((uint8_t)start);
             int64_t n = L - 1;                      // final 65535 implied
-            put32((uint32_t)n);
+            pput32((uint32_t)n);
             for (int64_t i = 0; i < n; ++i) arr64[i] = bnd_buf[i];
             uint64_t acc = 0; int32_t nb2 = 0; int64_t written = 0;
             if (bmref_bic_encode_cm(arr64, n, 0, 65534, &acc, &nb2,
-                                    out + pos, cap - pos, &written))
+                                    pbuf + wpos, PCAP - wpos, &written))
                 return fail();
-            pos += written;
+            wpos += written;
             if (nb2) {
                 uint32_t tail = (uint32_t)acc;
-                memcpy(out + pos, &tail, 4); pos += 4;
+                memcpy(pbuf + wpos, &tail, 4); wpos += 4;
             }
             break;
         }
         }
-        uint32_t plen = (uint32_t)(pos - pstart);
-        memcpy(out + len_at, &plen, 4);
+        if (pos + 16 + wpos > cap) return fail();
+        emit((uint64_t)nbs[rec], (uint8_t)best_code);
     }
-    // END trailer
-    put48(BMT1_END_NB); put8(BMT1_END); put32(0);
+    // END trailer: a single zero delta byte
+    out[pos++] = 0;
     delete[] pos_buf; delete[] bnd_buf; delete[] arr64; delete[] gam;
+    delete[] pbuf;
     return pos;
 }
 
 // Pass 1: count records and BIT rows.  Returns 0, or -1 on malformed input.
 int bm_bmt1_scan(const uint8_t* blob, int64_t len, int64_t rec_offset,
                  int64_t* n_records, int64_t* n_rows) {
-    int64_t pos = rec_offset, recs = 0, rows = 0;
-    while (pos + 11 <= len) {
-        uint64_t nb = rd48(blob + pos);
-        uint8_t code = blob[pos + 6];
-        uint32_t plen = rd32(blob + pos + 7);
-        pos += 11;
-        if (code == BMT1_END && nb == BMT1_END_NB) {
+    int64_t pos = rec_offset, recs = 0, rows = 0, prev = -1;
+    int compact = bmt1_is_compact(blob, len);
+    for (;;) {
+        uint64_t nb;
+        uint8_t code;
+        uint32_t plen;
+        int r = bmt1_read_rec(blob, len, compact, &pos, &prev,
+                              &nb, &code, &plen);
+        if (r < 0) return -1;
+        if (r == 1) {
             *n_records = recs;
             *n_rows = rows;
             return 0;
         }
         pos += plen;
+        if (pos > len) return -1;
         ++recs;
         if (code != BMT1_FULL) ++rows;
     }
-    return -1;
 }
 
 // Pass 2: decode every record.  nbs[n_records], cls[n_records],
 // words[n_rows][2048] (rows in record order for non-FULL records).
 int bm_bmt1_decode(const uint8_t* blob, int64_t len, int64_t rec_offset,
                    int64_t* nbs, uint8_t* cls, uint32_t* words) {
-    int64_t pos = rec_offset, rec = 0, row = 0;
+    int64_t pos = rec_offset, rec = 0, row = 0, prev = -1;
+    int compact = bmt1_is_compact(blob, len);
     int64_t* scratch = new int64_t[65537];
-    while (pos + 11 <= len) {
-        uint64_t nb = rd48(blob + pos);
-        uint8_t code = blob[pos + 6];
-        uint32_t plen = rd32(blob + pos + 7);
-        pos += 11;
-        if (code == BMT1_END && nb == BMT1_END_NB) {
+    for (;;) {
+        uint64_t nb;
+        uint8_t code;
+        uint32_t plen;
+        int r = bmt1_read_rec(blob, len, compact, &pos, &prev,
+                              &nb, &code, &plen);
+        if (r < 0) { delete[] scratch; return -1; }
+        if (r == 1) {
             delete[] scratch;
             return 0;
         }
@@ -916,8 +985,6 @@ int bm_bmt1_decode(const uint8_t* blob, int64_t len, int64_t rec_offset,
         pos += plen;
         ++rec;
     }
-    delete[] scratch;
-    return -1;
 }
 
 }  // extern "C"
@@ -1013,23 +1080,28 @@ int bm_gaps_to_dense(const int64_t* ends, const int64_t* offs,
 int64_t bm_bmt1_record_index(const uint8_t* blob, int64_t len,
                              int64_t rec_offset,
                              int64_t* out_nbs, int64_t* out_offs) {
-    int64_t pos = rec_offset, recs = 0;
-    while (pos + 11 <= len) {
-        uint64_t nb = rd48(blob + pos);
-        uint8_t code = blob[pos + 6];
-        uint32_t plen = rd32(blob + pos + 7);
-        if (code == BMT1_END && nb == BMT1_END_NB)
-            return recs;
+    int64_t pos = rec_offset, recs = 0, prev = -1;
+    int compact = bmt1_is_compact(blob, len);
+    for (;;) {
+        uint64_t nb;
+        uint8_t code;
+        uint32_t plen;
+        int64_t rec_at = pos;
+        int r = bmt1_read_rec(blob, len, compact, &pos, &prev,
+                              &nb, &code, &plen);
+        if (r < 0) return -1;
+        if (r == 1) return recs;
         out_nbs[recs] = (int64_t)nb;
-        out_offs[recs] = pos;
-        pos += 11 + plen;
+        out_offs[recs] = rec_at;
+        pos += plen;
+        if (pos > len) return -1;
         ++recs;
     }
-    return -1;
 }
 
 int bm_bmt1_stream_op(const uint8_t* blob, int64_t len, int64_t off,
-                      int64_t max_rec, int op, int count_mode,
+                      int64_t max_rec, int64_t nb_prev,
+                      int op, int count_mode,
                       const int64_t* t_nbs, const uint8_t* t_cls,
                       const int64_t* t_slot, const uint32_t* t_words,
                       int64_t nt,
@@ -1039,17 +1111,22 @@ int bm_bmt1_stream_op(const uint8_t* blob, int64_t len, int64_t off,
                       int64_t* count_out) {
     int64_t pos = off, nrec = 0, nrows = 0;
     int64_t count = 0;
+    int64_t prev = nb_prev;   // nb of the record before the window (-1 at
+                              // stream start; compact nbs are delta-coded)
+    int compact = bmt1_is_compact(blob, len);
     int64_t* scratch = new int64_t[65537];
     uint32_t* bw = new uint32_t[2048];
     // max_rec > 0: stop (successfully) after that many records — the
     // chunked driver in opdeser.py restricts the target view to each
     // chunk's blocks so host high-water stays O(chunk), not O(target)
-    while (pos + 11 <= len && (max_rec <= 0 || nrec < max_rec)) {
-        uint64_t nb = rd48(blob + pos);
-        uint8_t code = blob[pos + 6];
-        uint32_t plen = rd32(blob + pos + 7);
-        pos += 11;
-        if (code == BMT1_END && nb == BMT1_END_NB) {
+    while (max_rec <= 0 || nrec < max_rec) {
+        uint64_t nb;
+        uint8_t code;
+        uint32_t plen;
+        int r = bmt1_read_rec(blob, len, compact, &pos, &prev,
+                              &nb, &code, &plen);
+        if (r < 0) break;
+        if (r == 1) {
             delete[] scratch; delete[] bw;
             if (out_nrec) *out_nrec = nrec;
             if (out_nrows) *out_nrows = nrows;

@@ -39,7 +39,8 @@ from ..core.gapstore import GapStore
 from ..core import gaps as gaps_mod
 from .encoding import ByteDecoder
 from .serializer import (CODE_END, CODE_FULL, Deserializer, MAGIC,
-                         _decode_payload)
+                         _decode_payload, read_blob_header,
+                         read_record_header)
 from . import native
 
 _I64 = np.int64
@@ -53,17 +54,14 @@ def _stream_blocks(data: bytes, want=None):
     """Yield (block_id, code, payload_or_None).  If ``want`` is a set of
     block ids, payloads of other blocks are skipped without decoding."""
     dec = ByteDecoder(data)
-    if dec.get_bytes(4) != MAGIC:
-        raise ValueError("bad magic")
-    dec.get_8()
-    size = dec.get_64()
+    size, compact = read_blob_header(dec)
     yield ("header", size, None)
+    prev_nb = -1
     while True:
-        nb = dec.get_48()
-        code = dec.get_8()
-        plen = dec.get_32()
+        nb, code, plen = read_record_header(dec, prev_nb, compact)
         if code == CODE_END:
             return
+        prev_nb = nb
         if want is not None and nb not in want:
             dec.pos += plen
             yield (nb, code, None)
@@ -90,18 +88,15 @@ def _blob_record_index(data: bytes):
     if res is not None:
         return res
     dec = ByteDecoder(data)
-    if dec.get_bytes(4) != MAGIC:
-        raise ValueError("bad magic")
-    dec.get_8()
-    dec.get_64()
+    _, compact = read_blob_header(dec)
     nbs, offs = [], []
+    prev_nb = -1
     while True:
         off = dec.pos
-        nb = dec.get_48()
-        code = dec.get_8()
-        plen = dec.get_32()
+        nb, code, plen = read_record_header(dec, prev_nb, compact)
         if code == CODE_END:
             return np.asarray(nbs, _I64), np.asarray(offs, _I64)
+        prev_nb = nb
         nbs.append(nb)
         offs.append(off)
         dec.pos += plen
@@ -413,7 +408,8 @@ class OperationDeserializer:
             nb_r, cls_r, rows = _target_view(bv, rec_nbs[lo:hi])
             res = native.bmt1_stream_op(
                 data, int(rec_offs[lo]), opc, count_mode,
-                nb_r, cls_r, rows, n_rec=hi - lo)
+                nb_r, cls_r, rows, n_rec=hi - lo,
+                nb_prev=int(rec_nbs[lo - 1]) if lo else -1)
             if res is None:
                 return None
             if count_mode:

@@ -70,6 +70,53 @@ def _gamma_unbytes(data, n) -> np.ndarray:
 MAGIC = b"BMT1"
 END_BLOCK = (1 << 48) - 1
 
+# header flag bits
+FLAG_64BIT = 1
+FLAG_COMPACT = 2        # varint record headers (delta block id + length)
+
+
+def read_blob_header(dec: ByteDecoder):
+    """Parse the 13-byte file header -> (size, compact); dec is left at the
+    first record."""
+    if dec.get_bytes(4) != MAGIC:
+        raise ValueError("bad magic")
+    flags = dec.get_8()
+    return dec.get_64(), bool(flags & FLAG_COMPACT)
+
+
+def read_record_header(dec: ByteDecoder, prev_nb: int, compact: bool):
+    """Parse one record header -> (nb, code, plen); code == CODE_END at the
+    trailer.  Compact records carry varint(nb - prev_nb) (>= 1; 0 marks
+    END) + code u8 + varint payload length; classic records are the fixed
+    u48 | u8 | u32 form."""
+    if compact:
+        delta = dec.get_varint()
+        if delta == 0:
+            return END_BLOCK, CODE_END, 0
+        return prev_nb + delta, dec.get_8(), dec.get_varint()
+    return dec.get_48(), dec.get_8(), dec.get_32()
+
+
+def write_record_header(enc: ByteEncoder, nb: int, prev_nb: int, code: int,
+                        plen: int, compact: bool):
+    if compact:
+        enc.put_varint(nb - prev_nb)
+        enc.put_8(code)
+        enc.put_varint(plen)
+    else:
+        enc.put_48(nb)
+        enc.put_8(code)
+        enc.put_32(plen)
+
+
+def write_end_record(enc: ByteEncoder, compact: bool):
+    if compact:
+        enc.put_varint(0)
+    else:
+        enc.put_48(END_BLOCK)
+        enc.put_8(CODE_END)
+        enc.put_32(0)
+
 # block codes
 CODE_END = 0
 CODE_FULL = 1
@@ -107,9 +154,10 @@ class Serializer:
         bv._flush()
         enc = ByteEncoder()
         enc.put_bytes(MAGIC)
-        enc.put_8(1)                       # flags: 64-bit sizes
+        enc.put_8(FLAG_64BIT | FLAG_COMPACT)
         enc.put_64(bv.size)
         self.compression_stat = {}
+        self._prev_nb = -1
         # transient dense view: GAP blocks expand host-side; bytes are
         # identical whether a block is GAP- or BIT-resident in memory
         nb_a, cls_a, words_all = bv._dense_snapshot()
@@ -146,15 +194,13 @@ class Serializer:
                 continue
             code, payload = self._encode_block(words, bc, gc)
             self._record(enc, nb, code, payload)
-        enc.put_48(END_BLOCK)
-        enc.put_8(CODE_END)
-        enc.put_32(0)
+        write_end_record(enc, True)
         return enc.get_bytes()
 
     def _record(self, enc, nb, code, payload):
-        enc.put_48(nb)
-        enc.put_8(code)
-        enc.put_32(len(payload))
+        write_record_header(enc, nb, self._prev_nb, code, len(payload),
+                            True)
+        self._prev_nb = nb
         enc.put_bytes(payload)
         name = _CODE_NAMES.get(code, str(code))
         self.compression_stat[name] = self.compression_stat.get(name, 0) + 1
@@ -275,10 +321,7 @@ class Deserializer:
 
     def deserialize(self, data: bytes, range_=None) -> BitVector:
         dec = ByteDecoder(data)
-        if dec.get_bytes(4) != MAGIC:
-            raise ValueError("bad magic")
-        dec.get_8()
-        size = dec.get_64()
+        size, compact = read_blob_header(dec)
         if range_ is None:
             # whole-BLOB fast path: one native call decodes every record
             res = native.bmt1_decode(data, dec.pos)
@@ -293,12 +336,12 @@ class Deserializer:
             lo_blk = int(range_[0]) >> C.SET_BLOCK_SHIFT
             hi_blk = int(range_[1]) >> C.SET_BLOCK_SHIFT
         nbs, clss, rows = [], [], []
+        prev_nb = -1
         while True:
-            nb = dec.get_48()
-            code = dec.get_8()
-            plen = dec.get_32()
+            nb, code, plen = read_record_header(dec, prev_nb, compact)
             if code == CODE_END:
                 break
+            prev_nb = nb
             if not (lo_blk <= nb <= hi_blk):
                 dec.pos += plen            # skip payload (bookmark jump)
                 continue

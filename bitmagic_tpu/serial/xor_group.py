@@ -28,7 +28,9 @@ from .. import constants as C
 from ..core.bitvector import BitVector
 from .encoding import ByteDecoder, ByteEncoder
 from .serializer import (CODE_END, CODE_FULL, Deserializer, MAGIC,
-                         Serializer, _decode_payload)
+                         Serializer, _decode_payload, read_blob_header,
+                         read_record_header, write_end_record,
+                         write_record_header)
 
 GROUP_MAGIC = b"BMX1"
 CODE_XOR_REF = 9
@@ -95,25 +97,27 @@ def _rewrite_with_xor(blob: bytes, best: dict, ser: Serializer) -> bytes:
     """Replace records of blocks in ``best`` with XOR-reference records."""
     dec = ByteDecoder(blob)
     out = ByteEncoder()
-    out.put_bytes(dec.get_bytes(4))      # magic
-    out.put_8(dec.get_8())
-    out.put_64(dec.get_64())
+    hdr_start = dec.pos
+    _, compact = read_blob_header(dec)
+    out.put_bytes(blob[hdr_start:dec.pos])
+    prev_r = prev_w = -1
     while True:
-        nb = dec.get_48()
-        code = dec.get_8()
-        plen = dec.get_32()
-        payload = dec.get_bytes(plen)
+        nb, code, plen = read_record_header(dec, prev_r, compact)
         if code == CODE_END:
-            out.put_48(nb)
-            out.put_8(code)
-            out.put_32(0)
+            write_end_record(out, compact)
             break
+        prev_r = nb
+        payload = dec.get_bytes(plen)
+
+        def emit(c, p):
+            nonlocal prev_w
+            write_record_header(out, nb, prev_w, c, len(p), compact)
+            out.put_bytes(p)
+            prev_w = nb
+
         ent = best.get(nb)
         if ent is None or code == CODE_FULL:
-            out.put_48(nb)
-            out.put_8(code)
-            out.put_32(plen)
-            out.put_bytes(payload)
+            emit(code, payload)
             continue
         ref_idx, prod, pbc = ent
         inner_code, inner_payload = ser._encode_block(
@@ -124,15 +128,9 @@ def _rewrite_with_xor(blob: bytes, best: dict, ser: Serializer) -> bytes:
         wrapped.put_bytes(inner_payload)
         w = wrapped.get_bytes()
         if len(w) >= plen:               # XOR did not actually help
-            out.put_48(nb)
-            out.put_8(code)
-            out.put_32(plen)
-            out.put_bytes(payload)
+            emit(code, payload)
             continue
-        out.put_48(nb)
-        out.put_8(CODE_XOR_REF)
-        out.put_32(len(w))
-        out.put_bytes(w)
+        emit(CODE_XOR_REF, w)
     return out.get_bytes()
 
 
@@ -181,26 +179,22 @@ def _deserialize_with_xor(blob, group, deser, sel=None) -> BitVector:
     # split: decode plain records via the native path, patch XOR records
     d = ByteDecoder(blob)
     out = ByteEncoder()
-    out.put_bytes(d.get_bytes(4))
-    out.put_8(d.get_8())
-    size = d.get_64()
-    out.put_64(size)
+    hdr_start = d.pos
+    size, compact = read_blob_header(d)
+    out.put_bytes(blob[hdr_start:d.pos])
     patches = []                         # (nb, ref_idx, words)
+    prev_r = prev_w = -1
     while True:
-        nb = d.get_48()
-        code = d.get_8()
-        plen = d.get_32()
-        payload = d.get_bytes(plen)
+        nb, code, plen = read_record_header(d, prev_r, compact)
         if code == CODE_END:
-            out.put_48(nb)
-            out.put_8(code)
-            out.put_32(0)
+            write_end_record(out, compact)
             break
+        prev_r = nb
+        payload = d.get_bytes(plen)
         if code != CODE_XOR_REF:
-            out.put_48(nb)
-            out.put_8(code)
-            out.put_32(plen)
+            write_record_header(out, nb, prev_w, code, plen, compact)
             out.put_bytes(payload)
+            prev_w = nb
             continue
         pd = ByteDecoder(payload)
         ref_idx = pd.get_32()
@@ -250,14 +244,12 @@ def _deserialize_with_xor(blob, group, deser, sel=None) -> BitVector:
 def _codes_present(blob) -> set:
     codes = set()
     d = ByteDecoder(blob)
-    d.get_bytes(4)
-    d.get_8()
-    d.get_64()
+    _, compact = read_blob_header(d)
+    prev = -1
     while True:
-        d.get_48()
-        code = d.get_8()
-        plen = d.get_32()
+        nb, code, plen = read_record_header(d, prev, compact)
         if code == CODE_END:
             return codes
+        prev = nb
         codes.add(code)
         d.pos += plen
