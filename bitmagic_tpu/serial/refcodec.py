@@ -501,6 +501,31 @@ def _arr_restore_min_w(arr, wlen, min0, wflags):
         i += wlen
 
 
+def _gamma_bits(v: int) -> int:
+    return 2 * v.bit_length() - 1
+
+
+def _delta16_bits(v: int) -> int:
+    if 256 <= v <= 511:
+        return 1 + 8
+    if 512 <= v <= 1023:
+        return 3 + 8
+    return 5 + 16
+
+
+def _delta16s_bits(v: int) -> int:
+    return 9 if v < 256 else 1 + _delta16_bits(v)
+
+
+def _gamma8_bits(v: int) -> int:
+    if v == 0:
+        return 5
+    best = 1 + _gamma_bits(v)
+    if v < 256:
+        best = min(best, 3 + 8)
+    return min(best, 3 + _delta16_bits(v))
+
+
 class _BitOut:
     """LSB-first bit writer flushing 32-bit LE words (bm::bit_out)."""
 
@@ -531,6 +556,51 @@ class _BitOut:
     def put_16_no(self, v):
         self.put_bits(v & 0xFF, 8)
         self.put_bits((v >> 8) & 0xFF, 8)
+
+    # writer counterparts of _BitIn.delta16 / delta16s / gamma8 (formats
+    # pinned by our own readers above; reference bit_out::delta16 family,
+    # src/encoding.h)
+    def delta16(self, v):
+        if 256 <= v <= 511:
+            self.gamma(1)
+            self.put_bits(511 - v, 8)
+        elif 512 <= v <= 767:
+            self.gamma(2)
+            self.put_bits(512 + 255 - v, 8)
+        elif 768 <= v <= 1023:
+            self.gamma(3)
+            self.put_bits(768 + 255 - v, 8)
+        else:
+            self.gamma(4)
+            self.put_16_no(v)
+
+    def delta16s(self, v):
+        if v < 256:
+            self.put_bit(0)
+            self.put_bits(v, 8)
+        else:
+            self.put_bit(1)
+            self.delta16(v)
+
+    def gamma8(self, v):
+        """Cheapest of the reader's four gamma8 arms per value."""
+        if v == 0:
+            self.gamma(4)
+            return
+        costs = [(1 + _gamma_bits(v), 1)]
+        if v < 256:
+            costs.append((3 + 8, 2))
+        costs.append((3 + _delta16_bits(v), 3))
+        _, arm = min(costs)
+        if arm == 1:
+            self.gamma(1)
+            self.gamma(v)
+        elif arm == 2:
+            self.gamma(2)
+            self.put_bits(v, 8)
+        else:
+            self.gamma(3)
+            self.delta16(v)
 
     def gamma_many(self, arr):
         """Bulk Elias-gamma writes (native fast path)."""
@@ -977,8 +1047,13 @@ class RefDeserializer:
                 nb_i += SUB_ARRAY - (nb_i & (SUB_ARRAY - 1))
                 continue
             elif btype == SBLOCK_BIENC_GAPS_V3:
-                # reference encoder never emits this (disabled, bmserial.h)
-                raise ValueError("sblock_bienc_gaps_v3 unsupported")
+                # dead code point in the format: the reference's OWN
+                # emitter for code 69 is compiled out (`#if (0)` around
+                # bienc_gaps_sblock, src/bmserial.h:3117), so no producer
+                # exists; raise rather than guess at an unexercised layout
+                raise ValueError(
+                    "sblock_bienc_gaps_v3: no serializer emits this code "
+                    "(reference emitter disabled at src/bmserial.h:3117)")
             elif btype in (NB_BOOKMARK16, NB_BOOKMARK24, NB_BOOKMARK32):
                 skip_off = {NB_BOOKMARK16: r.get_16, NB_BOOKMARK24: r.get_24,
                             NB_BOOKMARK32: r.get_32}[btype]()
@@ -1586,15 +1661,16 @@ class RefSerializer:
         is64 = size > ID_MAX32 or (
             len(struct.nb) and int(struct.nb[-1]) >= TOTAL_BLOCKS32)
 
-        header = HM_RESIZE
+        # NO_GAPL: we always serialize with the default GAP level table, so
+        # the 8 glevel bytes are omitted (the reference's serializer does
+        # the same when levels are default — src/bmserial.h:2575)
+        header = HM_RESIZE | HM_NO_GAPL
         if is64:
             header |= HM_64_BIT
         if self.ref_vectors:
             header |= HM_HXOR
         w.put_8(header)
         w.put_8(1)                                # ByteOrder::LittleEndian
-        for g in DEFAULT_GLEVELS:
-            w.put_16(g)
         (w.put_64 if is64 else w.put_32)(min(size, (1 << 48) if is64
                                              else ID_MAX32))
 
@@ -1734,6 +1810,22 @@ class RefSerializer:
             w.put_8(BLOCK_64ZERO); w.put_64(n); return
 
     def _put_sblock(self, w, sb, offs):
+        """Super-block offset list: v1 (code 56) vs v3 (code 68, fully
+        bit-packed header) built side by side, smaller record kept."""
+        v1 = _ByteWriter()
+        self._put_sblock_v1(v1, sb, offs)
+        v3 = _ByteWriter()
+        self._put_sblock_v3(v3, sb, offs)
+        b1, b3 = v1.get_bytes(), v3.get_bytes()
+        if len(b3) < len(b1):
+            w.parts += b3
+            self._stat("sblock_bienc_v3")
+        else:
+            w.parts += b1
+            self._stat("sblock_bienc")
+
+    @staticmethod
+    def _put_sblock_v1(w, sb, offs):
         """set_sblock_bienc (v1, code 56): whole 16M-bit super-block as one
         BIC offset list (flags: 32-bit sb id, 16-bit len, 24-bit min/max,
         no DR-min)."""
@@ -1749,7 +1841,68 @@ class RefSerializer:
         bo = _BitOut(w)
         bo.bic_encode_cm(np.asarray(offs[1:-1], np.int64), min_v, max_v)
         bo.flush()
-        self._stat("sblock_bienc")
+
+    @staticmethod
+    def _put_sblock_v3(w, sb, offs):
+        """set_sblock_bienc v3 (code 68): flags + length + min/max + sb id
+        all bit-packed, BIC over the narrowed interior (min+1, max-1) —
+        layout pinned by our reader `_read_sblock` v3 arm
+        (src/bmserial.h:4423)."""
+        n = len(offs)
+        mn, mx = int(offs[0]), int(offs[-1])
+        maxd = SUB_TOTAL_BITS - mx
+        sb = int(sb)
+        flags = 0
+        if n >= 256:
+            flags |= SB_FLAG_LEN16
+        if mn >= 65536:
+            flags |= SB_FLAG_MIN24
+        elif mn >= 256:
+            flags |= SB_FLAG_MIN16
+        if maxd >= 65536:
+            flags |= SB_FLAG_MAX24
+        elif maxd >= 256:
+            flags |= SB_FLAG_MAX16
+        sb_cost = 8 if sb < 256 else (16 if sb < 65536 else 32)
+        if _gamma_bits(sb + 1) < sb_cost:
+            flags |= SB_FLAG_SBGAMMA
+        elif sb >= 65536:
+            flags |= SB_FLAG_SB32
+        elif sb >= 256:
+            flags |= SB_FLAG_SB16
+        w.put_8(SBLOCK_BIENC_V3)
+        bo = _BitOut(w)
+        bo.put_bits(flags, 8)
+        if flags & SB_FLAG_LEN16:
+            bo.delta16(n)
+        else:
+            bo.put_bits(n, 8)
+        if flags & SB_FLAG_MIN24:
+            bo.gamma(mn >> 16)
+            bo.put_16_no(mn & 0xFFFF)
+        elif flags & SB_FLAG_MIN16:
+            bo.put_16_no(mn)
+        else:
+            bo.put_bits(mn, 8)
+        if flags & SB_FLAG_MAX24:
+            bo.put_bits(maxd & 0xFF, 8)
+            bo.put_bits((maxd >> 8) & 0xFF, 8)
+            bo.put_bits((maxd >> 16) & 0xFF, 8)
+        elif flags & SB_FLAG_MAX16:
+            bo.put_16_no(maxd)
+        else:
+            bo.put_bits(maxd, 8)
+        if (flags & SB_FLAG_SBGAMMA) == SB_FLAG_SBGAMMA:
+            bo.gamma(sb + 1)
+        elif flags & SB_FLAG_SB32:
+            bo.put_16_no(sb & 0xFFFF)
+            bo.put_16_no(sb >> 16)
+        elif flags & SB_FLAG_SB16:
+            bo.put_16_no(sb)
+        else:
+            bo.put_bits(sb, 8)
+        bo.bic_encode_cm(np.asarray(offs[1:-1], np.int64), mn + 1, mx - 1)
+        bo.flush()
 
     def _put_one_run(self, w, n):
         if n == 1:
@@ -1905,8 +2058,11 @@ class RefSerializer:
         if level >= 5:
             if 2 < bc <= bie_limit:
                 est.append((7 + int(bc * bie) // 8, "arr_bienc"))
+                # v3s: same interior BIC, bit-packed header (codes 65/66)
+                est.append((4 + int(bc * bie) // 8, "arr_bienc_v3s"))
             if 2 < ibc <= bie_limit:
                 est.append((7 + int(ibc * bie) // 8, "arr_bienc_inv"))
+                est.append((4 + int(ibc * bie) // 8, "arr_bienc_inv_v3s"))
             if 2 <= L < 8192:
                 est.append((6 + int(L * bie) // 8, "gap_bienc"))
             if 3 <= L < 8192:
@@ -1916,12 +2072,14 @@ class RefSerializer:
                 tail = BITS - 1 - int(boundaries[L - 2])
                 hdr = 3 + (1 if min_v < 256 else 2) + (1 if tail < 256 else 2)
                 est.append((hdr + int((L - 3) * bie) // 8, "gap_bienc_v2"))
+                # v3s: v2 with head/min/max bit-packed (code 62)
+                est.append((2 + int((L - 3) * bie) // 8, "gap_bienc_v3s"))
         est.sort()
         # keep the near-best candidates: BIC costs are estimates (bits/int
         # heuristics, src/bmserial.h:2225); the emitter builds the top few
         # payloads and keeps the actually-smallest record
         best = est[0][0]
-        cands = tuple(t for sz, t in est[:4] if sz <= best * 1.35 + 16)
+        cands = tuple(t for sz, t in est[:6] if sz <= best * 1.35 + 16)
         return est[0] + (start, boundaries, cands)
 
     def _block_payload(self, tag, words, bc, start=None, boundaries=None):
@@ -1948,12 +2106,20 @@ class RefSerializer:
             return self._enc_gap_bienc(start, boundaries)
         if tag == "gap_bienc_v2":
             return self._enc_gap_bienc_v2(start, boundaries)
+        if tag == "gap_bienc_v3s":
+            return self._enc_gap_bienc_v3s(start, boundaries)
         if tag == "bit_0runs":
             return self._enc_bit_0runs(words)
         if tag == "digest0":
             return self._enc_digest0(words)
         if tag == "arr_bienc":
             return self._enc_arr_bienc(_positions_from_words(words), False)
+        if tag == "arr_bienc_v3s":
+            return self._enc_arr_bienc_v3s(_positions_from_words(words),
+                                           False)
+        if tag == "arr_bienc_inv_v3s":
+            return self._enc_arr_bienc_v3s(
+                _positions_from_words(words, invert=True), True)
         return self._enc_arr_bienc(
             _positions_from_words(words, invert=True), True)
 
@@ -2100,6 +2266,64 @@ class RefSerializer:
         w.put_16(len(pos))
         bo = _BitOut(w)
         bo.bic_encode_cm([int(v) for v in pos[1:-1]], min_v, max_v)
+        bo.flush()
+        return w.get_bytes()
+
+    @staticmethod
+    def _enc_arr_bienc_v3s(pos, inverted):
+        """set_block_arr_bienc_v3s: fully bit-packed header (delta16s
+        length + min + 65536-max) and BIC over the narrowed interior
+        (min+1, max-1) — layout pinned by our reader `_read_bic_arr` v3s
+        arm (reference src/bmserial.h:1253, codes 65/66)."""
+        n = len(pos)
+        w = _ByteWriter()
+        w.put_8(BLOCK_ARR_BIENC_INV_V3S if inverted
+                else BLOCK_ARR_BIENC_V3S)
+        bo = _BitOut(w)
+        bo.delta16s(n)
+        if n >= 2:
+            bo.put_bit(1)
+            mn, mx = int(pos[0]), int(pos[-1])
+            bo.delta16s(mn)
+            bo.delta16s((65536 - mx) & 0xFFFF)
+            bo.bic_encode_cm(np.asarray(pos[1:-1], np.int64),
+                             mn + 1, mx - 1)
+        else:
+            bo.put_bit(0)
+            bo.bic_encode_cm(np.asarray(pos, np.int64), 0, 65535)
+        bo.flush()
+        return w.get_bytes()
+
+    @staticmethod
+    def _enc_gap_bienc_v3s(start, boundaries):
+        """set_block_gap_bienc_v3s: the v2 layout with the head and min/max
+        fields bit-packed (delta16s head, gamma8-or-raw16 min and tail) —
+        layout pinned by our reader (BLOCK_GAP_BIENC_V3S, code 62)."""
+        L = len(boundaries)
+        min_v = int(boundaries[0])
+        max_v = int(boundaries[L - 2])
+        tail = (65535 - max_v) & 0xFFFF
+        head = (L << 3) | start
+        min8 = _gamma8_bits(min_v) < 16
+        tail8 = _gamma8_bits(tail) < 16
+        if min8:
+            head |= H2F_MIN_V_8BIT
+        if tail8:
+            head |= H2F_MAX_V_8BIT
+        w = _ByteWriter()
+        w.put_8(BLOCK_GAP_BIENC_V3S)
+        bo = _BitOut(w)
+        bo.delta16s(head)
+        if min8:
+            bo.gamma8(min_v)
+        else:
+            bo.put_16_no(min_v)
+        if tail8:
+            bo.gamma8(tail)
+        else:
+            bo.put_16_no(tail)
+        bo.bic_encode_cm(np.asarray(boundaries[1:L - 2], np.int64),
+                         min_v, max_v)
         bo.flush()
         return w.get_bytes()
 

@@ -578,8 +578,9 @@ def test_xor_refs_48bit_addresses():
 @pytest.mark.skipif(not refformat.available(),
                     reason="reference bridge unavailable")
 def test_encoder_size_parity_with_reference():
-    """VERDICT round-1 item 6: our reference-format encoder's blob within
-    2% of the reference's own at L5/L6 on a mixed corpus, and every blob
+    """Round-3 bar (VERDICT round-2 item 7): our reference-format encoder
+    BEATS OR TIES the reference's own serializer on every corpus case at
+    L5/L6 (v3s/sblock-v3 codes + NO_GAPL header), and every blob
     round-trips through the reference's own decoder."""
     rng = np.random.default_rng(9)
     SIZE = 40_000_000
@@ -599,7 +600,7 @@ def test_encoder_size_parity_with_reference():
                 ids, SIZE, level=lvl, use_gap=True)
             bv = BitVector.from_indices(ids, SIZE)
             ours = refcodec.ref_serialize(bv, level=lvl)
-            assert len(ours) <= 1.02 * len(ref_blob), \
+            assert len(ours) <= len(ref_blob), \
                 (lvl, len(ours), len(ref_blob))
             back = refcodec.ref_deserialize(ours)
             np.testing.assert_array_equal(back.indices(), ids)
@@ -628,3 +629,40 @@ def test_encoder_bookmarks():
         got = np.asarray(
             refformat.deserialize_reference_blob(blob).indices())
         np.testing.assert_array_equal(got, ids)
+
+
+def test_v3s_encoders_adversarial_roundtrip():
+    """New v3s/sblock-v3 emitters over edge shapes: tiny arrays, extreme
+    min/max, block-top runs — every blob round-trips through OUR decoder
+    and (when available) the reference's own."""
+    rng = np.random.default_rng(77)
+    SIZE = 70_000_000
+    cases = [
+        np.asarray([0, 65535]),                       # full-width endpoints
+        np.asarray([0]), np.asarray([65535]),
+        np.asarray([1, 2, 3]),
+        np.arange(60000, 65536),                      # dense top run
+        np.concatenate([[0], rng.choice(65534, 400, replace=False) + 1,
+                        [65535]]),
+        rng.choice(65536, 3000, replace=False),       # mid-density array
+        np.arange(0, 65536, 2),                       # max GAP runs
+    ]
+    for k, inblk in enumerate(cases):
+        for base_blk in (0, 3, 260, 70000000 // 65536 - 1):
+            ids = np.unique(np.sort(inblk.astype(np.int64))
+                            + (base_blk << 16))
+            ids = ids[ids < SIZE]
+            if ids.size == 0:
+                continue
+            bv = BitVector.from_indices(ids, SIZE)
+            for lvl in (5, 6):
+                blob = refcodec.ref_serialize(bv, level=lvl)
+                back = refcodec.ref_deserialize(blob)
+                np.testing.assert_array_equal(
+                    np.asarray(back.indices()), ids,
+                    err_msg=f"case {k} base {base_blk} L{lvl}")
+                if refformat.available():
+                    got = np.asarray(refformat.deserialize_reference_blob(
+                        blob).indices())
+                    np.testing.assert_array_equal(
+                        got, ids, err_msg=f"ref case {k} {base_blk} L{lvl}")
