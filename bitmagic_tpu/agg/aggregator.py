@@ -99,17 +99,21 @@ def _agg_any_kernel(n_and, n_sub, *args):
 
 
 @functools.partial(jax.jit, static_argnums=0)
-def _shift_and_chain(k, *args):
+def _shift_and_chain(k, first_mask, *args):
     """acc = rows0; acc = shift_up1(acc) & rows_k — whole chain fused.
-    The shift carries bits across words AND blocks by viewing the covering
-    range as one flat bit string (contiguous blocklist required)."""
+    The shift carries bits across words AND blocks by viewing the block
+    list as one flat bit string; ``first_mask`` (uint32[n_blocks]) clears
+    bit 0 of each block's first word when its LIST predecessor is not its
+    ADDRESS predecessor, so gaps in a narrowed blocklist do not leak
+    carries across non-adjacent blocks."""
     rows = [gather_operand(*args[i * 5:(i + 1) * 5]) for i in range(k)]
 
     def _shift_up1(acc):
         flat = acc.reshape(-1)
         carry = jnp.concatenate(
             [jnp.zeros(1, jnp.uint32), flat[:-1] >> jnp.uint32(31)])
-        return ((flat << jnp.uint32(1)) | carry).reshape(acc.shape)
+        out = ((flat << jnp.uint32(1)) | carry).reshape(acc.shape)
+        return out.at[:, 0].set(out[:, 0] & first_mask)
 
     if k == 1:
         return rows[0]
@@ -329,9 +333,12 @@ class Aggregator:
         combine_shift_right_and, src/bmaggregator.h:510 + the fused per-word
         shift_r1_and, src/bmfunc.h:6638; DNA-search sample 06/xsample04).
 
-        ONE jitted device pass: operands gather into a dense stack over the
-        contiguous covering block range and a lax.scan carries the shift
-        bit across the whole chain — no per-step host round-trips."""
+        ONE jitted device pass: a lax.scan carries the shift bit across the
+        whole chain — no per-step host round-trips.  The block list is
+        NARROWED first: a final hit at block B needs every operand present
+        in {B-1, B} (total shift drift is N-1 < 2^16 bits), so only those
+        candidates plus their address predecessors (the carry history)
+        materialize — O(intersection), not O(address span)."""
         vectors = list(vectors)
         if not vectors:
             return BitVector(0)
@@ -341,14 +348,37 @@ class Aggregator:
         nbs = [v._struct.nb for v in vectors if len(v._struct.nb)]
         if not nbs or not len(vectors[0]._struct.nb):
             return BitVector(size)
-        lo = int(min(x[0] for x in nbs))
-        hi = int(max(x[-1] for x in nbs))
-        hi = min(hi + 1, (size - 1) >> C.SET_BLOCK_SHIFT)  # shift spill
-        blocklist = np.arange(lo, hi + 1, dtype=_I64)
+        hi = min(int(max(x[-1] for x in nbs)) + 1,      # shift spill
+                 (size - 1) >> C.SET_BLOCK_SHIFT)
+        if len(vectors) - 1 <= C.BITS_PER_BLOCK:
+            cand = None
+            for v in vectors:
+                nbv = v._struct.nb
+                ext = np.union1d(nbv, nbv + 1)
+                cand = ext if cand is None else np.intersect1d(
+                    cand, ext, assume_unique=True)
+            blocklist = np.union1d(cand, cand - 1)
+            blocklist = blocklist[(blocklist >= 0) & (blocklist <= hi)]
+        else:
+            # chains longer than one block's bits can drift further:
+            # keep the contiguous covering range
+            lo = int(min(x[0] for x in nbs))
+            blocklist = np.arange(lo, hi + 1, dtype=_I64)
+        if blocklist.size == 0:
+            return BitVector(size)
+        adj = np.empty(blocklist.size, bool)
+        adj[0] = False
+        adj[1:] = blocklist[1:] == blocklist[:-1] + 1
+        # block 0 of the list has no carry-in by construction; only true
+        # gaps need their first bit cleared after each shift
+        first_mask = np.where(adj | (np.arange(blocklist.size) == 0),
+                              np.uint32(0xFFFFFFFF),
+                              np.uint32(0xFFFFFFFE))
         args = _operand_args(vectors, blocklist)
-        pool = _shift_and_chain(len(vectors), *args)
+        pool = _shift_and_chain(len(vectors), jnp.asarray(first_mask),
+                                *args)
         res = BitVector._from_parts(
-            Structure(blocklist.copy(),
+            Structure(blocklist.astype(_I64).copy(),
                       np.full(blocklist.size, C.CLS_BIT, np.uint8)),
             pool, size)
         res._drop_trailing(size)

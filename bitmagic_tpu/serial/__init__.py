@@ -1,5 +1,6 @@
 from .serializer import Deserializer, Serializer, deserialize, serialize
 from .opdeser import OperationDeserializer
+from .stream_iter import IteratorDeserializer, SerialStreamIterator
 from .sv_serial import (SparseVectorDeserializer, SparseVectorSerializer,
                         sparse_vector_deserialize, sparse_vector_serialize)
 from .refcodec import (RefDeserializer, RefSerializer, ref_deserialize,
