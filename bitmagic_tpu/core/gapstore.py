@@ -138,6 +138,17 @@ class GapStore:
         full expansion is cached (stores are immutable)."""
         if sel is not None and self._dense is not None:
             return self._dense[np.asarray(sel)]
+        if (sel is not None and self._dense is None
+                and self.n_blocks <= 1024
+                and len(np.asarray(sel)) * 8 >= self.n_blocks):
+            # bulk slicing of a small store: build the (bounded, <= 8 MB)
+            # full expansion once so repeated chunked walks — the streamed
+            # BLOB ops re-reading the same target — hit the cache; large
+            # stores keep strict O(sel) expansion (succinct guarantee)
+            full = self.to_dense(None)
+            if self._dense is None:       # numpy fallback does not cache
+                self._dense = full
+            return self._dense[np.asarray(sel)]
         sub = self if sel is None else self.subset(sel)
         k = sub.n_blocks
         if k == 0:

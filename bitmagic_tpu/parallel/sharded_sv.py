@@ -371,6 +371,254 @@ class ShardedSparseVector:
                 f"slices={self.n_eff}, mesh={self.mesh.devices.size} shards)")
 
 
+class ShardedStrSparseVector:
+    """Mesh-sharded string vector: every present octet-bit plane of a
+    ``StrSparseVector`` (sv/str_vector.py) plus the universe plane in ONE
+    block-sharded stack — the string scanner at mesh scale (reference
+    find_eq_str pipeline, src/bmsparsevec_algo.h:653 over
+    src/bmstrsparsevec.h).  Shares the digest-narrowing / survivor-AND-SUB
+    / pipeline programs with ShardedSparseVector (selectors differ: one
+    AND/AND-NOT entry per (octet, bit) plane from the remapped query
+    image)."""
+
+    def __init__(self, stack, size, mesh, max_str_size, nullable, slots,
+                 remap_matrices, unmap_matrices):
+        self.stack = stack
+        self.size = int(size)
+        self.mesh = mesh
+        self.max_str_size = int(max_str_size)
+        self.nullable = bool(nullable)
+        self.slots = list(slots)          # (octet k, bit b) per value row
+        self.pos_of = {kb: i for i, kb in enumerate(self.slots)}
+        self.remap_matrices = remap_matrices
+        self.unmap_matrices = unmap_matrices
+
+    @property
+    def K(self) -> int:
+        return int(self.stack.shape[0])
+
+    @property
+    def UNI(self) -> int:
+        return len(self.slots)
+
+    @property
+    def n_blocks(self) -> int:
+        return int(self.stack.shape[1])
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_str_vector(cls, ssv, mesh=None) -> "ShardedStrSparseVector":
+        mesh = mesh or make_mesh()
+        for o in ssv.octets:
+            o._flush()
+        n_shards = mesh.devices.size
+        size = ssv._size
+        nblk = max(C.blocks_for_bits(max(size, 1)), 1)
+        nblk_p = pad_rows(nblk, n_shards)
+        slots, rows = [], []
+        for k in range(ssv.max_str_size):
+            for b, p in enumerate(ssv.octets[k].planes):
+                if p is not None:
+                    slots.append((k, b))
+                    rows.append(_plane_words(p, nblk))
+        host = np.zeros((len(slots) + 1, nblk_p, C.SET_BLOCK_SIZE),
+                        np.uint32)
+        for i, r in enumerate(rows):
+            host[i, :nblk] = r
+        if ssv.nullable:
+            host[len(slots), :nblk] = _plane_words(ssv.null_plane, nblk)
+        elif size:
+            full, rem = divmod(size, C.BITS_PER_BLOCK)
+            host[len(slots), :full] = 0xFFFFFFFF
+            if rem:
+                tail = np.zeros(C.SET_BLOCK_SIZE, np.uint32)
+                fw, rb = divmod(rem, 32)
+                tail[:fw] = 0xFFFFFFFF
+                if rb:
+                    tail[fw] = (1 << rb) - 1
+                host[len(slots), full] = tail
+        stack = jax.device_put(
+            host, NamedSharding(mesh, P(None, BLOCK_AXIS, None)))
+        return cls(stack, size, mesh, ssv.max_str_size, ssv.nullable,
+                   slots, ssv.remap_matrices, ssv.unmap_matrices)
+
+    @classmethod
+    def from_strings(cls, strings, mesh=None, **kw) -> \
+            "ShardedStrSparseVector":
+        from ..sv.str_vector import StrSparseVector
+        return cls.from_str_vector(
+            StrSparseVector.from_strings(strings, **kw), mesh)
+
+    def _skel(self):
+        """Remap-only StrSparseVector view (for remap_value/_remap_invert
+        without any payload)."""
+        from ..sv.str_vector import StrSparseVector
+        sk = StrSparseVector.__new__(StrSparseVector)
+        sk.max_str_size = self.max_str_size
+        sk.remap_matrices = self.remap_matrices
+        sk.unmap_matrices = self.unmap_matrices
+        return sk
+
+    # ------------------------------------------------------------------
+    def _selector(self, s):
+        """int32[K] selector for a query string, or None when the string
+        cannot occur (remap miss or a set bit with no stored plane) — the
+        _PreparedStrPipeline decomposition over the sharded stack."""
+        img = self._skel().remap_value(s)
+        if img is None:
+            return None
+        sel = np.zeros(self.K, np.int32)
+        for k in range(self.max_str_size):
+            code = int(img[k])
+            for b in range(8):
+                idx = self.pos_of.get((k, b))
+                if (code >> b) & 1:
+                    if idx is None:
+                        return None
+                    sel[idx] = 1
+                elif idx is not None:
+                    sel[idx] = -1
+        sel[self.UNI] = 1
+        return sel
+
+    def _empty_result(self) -> ShardedBitVector:
+        pool = jax.jit(lambda s: jnp.zeros_like(s[0]))(self.stack)
+        out = ShardedBitVector(pool, self.size, self.mesh)
+        out.last_narrowing = (0, self.n_blocks)
+        return out
+
+    def find_eq_str(self, s) -> ShardedBitVector:
+        """All positions holding string ``s``: digest narrowing + one
+        shard-local survivor AND-SUB pass (same programs as the int
+        container)."""
+        sel = self._selector(s)
+        if sel is None:
+            return self._empty_result()
+        sel_j = jnp.asarray(sel)
+        alive = np.asarray(_sel_alive_prog(self.mesh, self.K)(
+            sel_j, self.stack)).reshape(-1)
+        idx, valid = _survivor_slots(alive, self.mesh.devices.size)
+        pool = _sel_survivors_prog(self.mesh, self.K)(
+            sel_j, jnp.asarray(idx), jnp.asarray(valid), self.stack)
+        out = ShardedBitVector(pool, self.size, self.mesh)
+        out.last_narrowing = (int(alive.sum()), int(alive.size))
+        return out
+
+    def find_eq_str_count(self, s) -> int:
+        sel = self._selector(s)
+        if sel is None:
+            return 0
+        sel_j = jnp.asarray(sel)
+        alive = np.asarray(_sel_alive_prog(self.mesh, self.K)(
+            sel_j, self.stack)).reshape(-1)
+        if not alive.any():
+            return 0
+        idx, valid = _survivor_slots(alive, self.mesh.devices.size)
+        cnt = _sel_count_prog(self.mesh, self.K)(
+            sel_j, jnp.asarray(idx), jnp.asarray(valid), self.stack)
+        return int(np.asarray(cnt)[0])
+
+    def pipeline_find_eq_str(self, strings) -> list:
+        """Hit counts for a string batch through the sharded VMEM-batch
+        pipeline — one sweep per batch per shard + one psum."""
+        from .sharded import pipeline_counts_program
+        sels = np.zeros((len(strings), self.K), np.int32)
+        known_zero = []
+        for i, s in enumerate(strings):
+            sel = self._selector(s)
+            if sel is None:
+                known_zero.append(i)
+            else:
+                sels[i] = sel
+        counts = np.asarray(pipeline_counts_program(self.mesh)(
+            self.stack, jnp.asarray(sels)))
+        out = [int(c) for c in counts]
+        for i in known_zero:
+            out[i] = 0
+        return out
+
+    # ------------------------------------------------------------------
+    def gather(self, ids) -> list:
+        """Decode strings at mesh scale: the owning shard reads one word
+        per plane per query; one psum assembles the octet codes."""
+        ids = np.asarray(ids, np.int64)
+        if ids.size == 0:
+            return []
+        if (ids < 0).any() or (ids >= max(self.size, 1)).any():
+            raise IndexError("gather index out of range")
+        blk = (ids >> C.SET_BLOCK_SHIFT).astype(np.int32)
+        word_idx = ((ids & C.SET_BLOCK_MASK) >> 5).astype(np.int32)
+        bit_in = (ids & 31).astype(np.uint32)
+        bits = np.asarray(_gather_rows_prog(self.mesh, self.K)(
+            jnp.asarray(blk), jnp.asarray(word_idx), jnp.asarray(bit_in),
+            self.stack))                      # [K, n_ids] 0/1
+        cols = np.zeros((ids.size, self.max_str_size), np.uint8)
+        for i, (k, b) in enumerate(self.slots):
+            cols[:, k] |= (bits[i].astype(np.uint8) << b)
+        if self.remap_matrices is not None:
+            cols = self._skel()._remap_invert(cols)
+        nn = bits[self.UNI]
+        out = []
+        for r in range(ids.size):
+            if self.nullable and not nn[r]:
+                out.append(None)
+                continue
+            row = cols[r]
+            nz = np.flatnonzero(row == 0)
+            end = int(nz[0]) if nz.size else self.max_str_size
+            out.append(bytes(row[:end]).decode("latin-1"))
+        return out
+
+    def get(self, i):
+        return self.gather([i])[0]
+
+    __getitem__ = get
+
+    def __len__(self):
+        return self.size
+
+    # ------------------------------------------------------------------
+    def to_str_vector(self):
+        """Collect into a single-host StrSparseVector."""
+        from ..core.bitvector import BitVector
+        from ..sv.sparse_vector import SparseVector
+        from ..sv.str_vector import StrSparseVector
+        host = np.asarray(self.stack)
+        out = StrSparseVector(self.max_str_size, nullable=self.nullable)
+        for i, (k, b) in enumerate(self.slots):
+            if host[i].any():
+                bv = BitVector.from_words(host[i], C.ID_MAX48)
+                bv.optimize()
+                self_oct = out.octets[k]
+                self_oct.planes[b] = bv
+        for o in out.octets:
+            o._size = self.size
+        if self.nullable:
+            bv = BitVector.from_words(host[self.UNI], C.ID_MAX48)
+            bv.optimize()
+            out.null_plane = bv
+        out._size = self.size
+        out.remap_matrices = self.remap_matrices
+        out.unmap_matrices = self.unmap_matrices
+        return out
+
+    def checkpoint_bytes(self) -> bytes:
+        from ..serial.sv_serial import SparseVectorSerializer
+        return SparseVectorSerializer().serialize_str(self.to_str_vector())
+
+    @classmethod
+    def from_checkpoint(cls, blob: bytes, mesh=None) -> \
+            "ShardedStrSparseVector":
+        from ..serial.sv_serial import SparseVectorDeserializer
+        return cls.from_str_vector(
+            SparseVectorDeserializer().deserialize(blob), mesh)
+
+    def __repr__(self):
+        return (f"ShardedStrSparseVector(size={self.size}, "
+                f"octets={self.max_str_size}, planes={len(self.slots)}, "
+                f"mesh={self.mesh.devices.size} shards)")
+
+
 # ---------------------------------------------------------------------------
 # device programs (cached per mesh/shape signature)
 # ---------------------------------------------------------------------------
@@ -489,6 +737,30 @@ def _sub_from_uni_prog(mesh, k, uni_row):
         _local, mesh=mesh,
         in_specs=(P(BLOCK_AXIS, None), P(None, BLOCK_AXIS, None)),
         out_specs=P(BLOCK_AXIS, None)))
+
+
+@functools.lru_cache(maxsize=64)
+def _gather_rows_prog(mesh, k):
+    """Per-query per-row bit extraction: the owning shard reads one word
+    per stack row; psum assembles -> uint32[k, n_ids] of 0/1 bits."""
+    def _local(blk, word_idx, bit_in, stack_l):
+        bps = stack_l.shape[1]
+        sid = jax.lax.axis_index(BLOCK_AXIS)
+        rel = blk - sid * bps
+        mine = (rel >= 0) & (rel < bps)
+        relc = jnp.clip(rel, 0, bps - 1)
+        flat_idx = relc * C.SET_BLOCK_SIZE + word_idx
+        rows = []
+        for s in range(k):
+            w = jnp.take(stack_l[s].reshape(-1), flat_idx)
+            bit = (w >> bit_in) & jnp.uint32(1)
+            rows.append(jnp.where(mine, bit, jnp.uint32(0)))
+        return jax.lax.psum(jnp.stack(rows), BLOCK_AXIS)
+
+    return jax.jit(shard_map(
+        _local, mesh=mesh,
+        in_specs=(P(), P(), P(), P(None, BLOCK_AXIS, None)),
+        out_specs=P()))
 
 
 @functools.lru_cache(maxsize=64)

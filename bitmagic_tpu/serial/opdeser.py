@@ -395,12 +395,28 @@ class OperationDeserializer:
     # ------------------------------------------------------------------
     @staticmethod
     def _stream_chunks(bv, data, opc, count_mode, rec_nbs, rec_offs):
-        """Drive the native engine over _CHUNK-record windows with the
-        target view restricted to each window's blocks.  Returns the total
-        count (count_mode) or a list of per-window (nbs, cls, rows); None
+        """Drive the native engine over the BLOB's records with the target
+        view restricted to the mentioned blocks.  Small targets (dense, or
+        a GAP store whose bounded cache already exists / fits) run as ONE
+        native call; large succinct targets stream in _CHUNK-record
+        windows so host high-water stays O(chunk).  Returns the total
+        count (count_mode) or a list of (nbs, cls, rows) batches; None
         when the native library is unavailable or rejects the stream."""
         if native.load() is None:
             return None
+        small = bv._gaps is None or bv._gaps.n_blocks <= 1024
+        if bv._snap is not None:
+            # a dense snapshot already exists (e.g. the serializer just
+            # built it): using it costs nothing extra
+            nb_a, cls_a, pool = bv._snap
+            res = native.bmt1_stream_op(data, _REC_OFFSET, opc, count_mode,
+                                        nb_a, cls_a, pool)
+            return res if res is None or count_mode else [res]
+        if small:
+            nb_r, cls_r, rows = _target_view(bv, rec_nbs)
+            res = native.bmt1_stream_op(data, _REC_OFFSET, opc, count_mode,
+                                        nb_r, cls_r, rows)
+            return res if res is None or count_mode else [res]
         total = 0
         batches = []
         for lo in range(0, rec_nbs.size, _CHUNK):

@@ -133,3 +133,64 @@ def test_roundtrip_and_checkpoint(mesh):
     assert again.size == N
     np.testing.assert_array_equal(again.decode(0, 64), vals[:64])
     assert len(blob) < N * 4                  # actually compressed
+
+
+# ---------------------------------------------------------------------------
+# sharded STRING container (mesh-scale find_eq_str / gather / pipeline)
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def str_data():
+    rng = np.random.default_rng(11)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "longer-string-here", "x"]
+    strs = [words[i] for i in rng.integers(0, len(words), 50_000)]
+    strs[12345] = "needle"
+    return strs
+
+
+def test_sharded_str_find_eq(mesh, str_data):
+    from bitmagic_tpu.parallel.sharded_sv import ShardedStrSparseVector
+    from bitmagic_tpu.sv.str_vector import StrSparseVector
+    from bitmagic_tpu.sv.scanner import scanner
+    ssv = StrSparseVector.from_strings(str_data)
+    sh = ShardedStrSparseVector.from_str_vector(ssv, mesh)
+    for q in ("beta", "needle", "absent", "x"):
+        want = np.asarray(scanner.find_eq_str(ssv, q).indices())
+        got = np.asarray(sh.find_eq_str(q).to_bitvector().indices())
+        np.testing.assert_array_equal(got, want, err_msg=q)
+        assert sh.find_eq_str_count(q) == want.size
+    res = sh.find_eq_str("needle")
+    surv, total = res.last_narrowing
+    assert surv <= 2 and total == sh.n_blocks
+
+
+def test_sharded_str_remap_and_pipeline(mesh, str_data):
+    from bitmagic_tpu.parallel.sharded_sv import ShardedStrSparseVector
+    from bitmagic_tpu.sv.str_vector import StrSparseVector
+    ssv = StrSparseVector.from_strings(str_data)
+    ssv.remap()
+    sh = ShardedStrSparseVector.from_str_vector(ssv, mesh)
+    queries = ["alpha", "needle", "nope", "zeta", "", "x"]
+    # pin to the single-chip scanner (incl. the "" all-zero-octets edge)
+    from bitmagic_tpu.sv.scanner import scanner
+    want = [scanner.find_eq_str(ssv, q).count() for q in queries]
+    got = sh.pipeline_find_eq_str(queries)
+    assert got == want
+
+
+def test_sharded_str_gather_roundtrip(mesh, str_data):
+    from bitmagic_tpu.parallel.sharded_sv import ShardedStrSparseVector
+    from bitmagic_tpu.sv.str_vector import StrSparseVector
+    strs = list(str_data[:2000])
+    strs[7] = None                       # NULL element
+    ssv = StrSparseVector.from_strings(strs, nullable=True)
+    ssv.remap()
+    sh = ShardedStrSparseVector.from_str_vector(ssv, mesh)
+    ids = [0, 7, 100, 1999]
+    assert sh.gather(ids) == [strs[i] for i in ids]
+    assert sh[7] is None and sh[100] == strs[100]
+    back = sh.to_str_vector()
+    assert back.gather(np.arange(50)) == strs[:50]
+    blob = sh.checkpoint_bytes()
+    again = ShardedStrSparseVector.from_checkpoint(blob, mesh)
+    assert again.gather(ids) == [strs[i] for i in ids]
