@@ -371,6 +371,147 @@ class ShardedSparseVector:
                 f"slices={self.n_eff}, mesh={self.mesh.devices.size} shards)")
 
 
+class ShardedRSCVector:
+    """Mesh-sharded rank-select-compressed vector
+    (``bm::rsc_sparse_vector``, reference src/bmsparsevec_compr.h at
+    mesh scale): the dense payload is a block-sharded
+    ``ShardedSparseVector`` over compressed slots, NULL membership is a
+    block-sharded ``ShardedBitVector`` with a persistent
+    ``ShardedRSIndex`` — searches run in the compressed domain and
+    rank-decompress through the sharded index (the scanner's RSC front,
+    src/bmsparsevec_algo.h find_eq over rsc)."""
+
+    def __init__(self, dense, null_sbv, rs, size, mesh):
+        self.dense = dense            # ShardedSparseVector (compressed)
+        self.null_sbv = null_sbv      # ShardedBitVector (logical domain)
+        self.rs = rs                  # ShardedRSIndex over null_sbv
+        self.size = int(size)
+        self.mesh = mesh
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_rsc(cls, rsc, mesh=None) -> "ShardedRSCVector":
+        mesh = mesh or make_mesh()
+        rsc._flush()
+        dense = ShardedSparseVector.from_sparse_vector(rsc.dense, mesh)
+        ids = np.asarray(rsc.null_bv.indices())
+        ids = ids[ids < max(rsc._size, 1)]
+        null_sbv = ShardedBitVector.from_indices(
+            ids, max(rsc._size, 1), mesh)
+        rs = null_sbv.build_rs_index()
+        return cls(dense, null_sbv, rs, rsc._size, mesh)
+
+    @classmethod
+    def from_sparse_vector(cls, sv, mesh=None) -> "ShardedRSCVector":
+        from ..sv.rsc_vector import RSCSparseVector
+        return cls.from_rsc(RSCSparseVector.from_sparse_vector(sv), mesh)
+
+    def to_rsc(self):
+        """Collect into a single-host RSCSparseVector."""
+        from ..sv.rsc_vector import RSCSparseVector
+        out = RSCSparseVector(self.dense.dtype)
+        out.dense = self.dense.to_sparse_vector()
+        out.dense.nullable = False
+        out.dense.null_plane = None
+        # RSC null_bv lives in the ID_MAX48 address space by convention
+        from ..core.bitvector import BitVector
+        wide = BitVector(C.ID_MAX48)
+        ids = np.asarray(self.null_sbv.to_bitvector().indices())
+        if ids.size:
+            wide.set_many(ids)
+        out.null_bv = wide
+        out._size = self.size
+        out._rs = None
+        return out
+
+    def checkpoint_bytes(self) -> bytes:
+        from ..serial.sv_serial import SparseVectorSerializer
+        return SparseVectorSerializer().serialize_rsc(self.to_rsc())
+
+    @classmethod
+    def from_checkpoint(cls, blob: bytes, mesh=None) -> "ShardedRSCVector":
+        from ..serial.sv_serial import SparseVectorDeserializer
+        return cls.from_rsc(SparseVectorDeserializer().deserialize(blob),
+                            mesh)
+
+    # ------------------------------------------------------------------
+    def count(self) -> int:
+        """Assigned (non-NULL) element count."""
+        return int(self.rs.count())
+
+    def __len__(self):
+        return self.size
+
+    def _decompress(self, hits) -> ShardedBitVector:
+        """Compressed-domain hit vector -> logical positions through the
+        sharded rank-select index (reference rank decompression)."""
+        pos = np.asarray(hits.to_bitvector().indices())
+        if pos.size == 0:
+            return ShardedBitVector.from_indices(
+                np.zeros(0, _I64), max(self.size, 1), self.mesh)
+        logical = self.rs.select_batch(np.asarray(pos + 1, _I64))
+        out = ShardedBitVector.from_indices(
+            np.asarray(logical, _I64), max(self.size, 1), self.mesh)
+        out.last_narrowing = getattr(hits, "last_narrowing", None)
+        return out
+
+    def find_eq(self, value) -> ShardedBitVector:
+        """Logical positions holding ``value`` (search runs shard-local in
+        the compressed domain, then one sharded select pass)."""
+        return self._decompress(self.dense.find_eq(value))
+
+    def find_eq_count(self, value) -> int:
+        return self.dense.find_eq_count(value)
+
+    def find_gt(self, value) -> ShardedBitVector:
+        return self._decompress(self.dense.find_gt(value))
+
+    def find_lt(self, value) -> ShardedBitVector:
+        return self._decompress(self.dense.find_lt(value))
+
+    def find_range(self, lo, hi) -> ShardedBitVector:
+        return self._decompress(self.dense.find_range(lo, hi))
+
+    def pipeline_find_eq(self, values) -> list:
+        return self.dense.pipeline_find_eq(values)
+
+    # ------------------------------------------------------------------
+    def gather(self, ids):
+        """(values, not_null mask) for logical positions — NULL reads 0."""
+        ids = np.asarray(ids, _I64)
+        if ids.size == 0:
+            return (np.zeros(0, self.dense.dtype), np.zeros(0, bool))
+        if (ids < 0).any() or (ids >= max(self.size, 1)).any():
+            raise IndexError("gather index out of range")
+        rk = np.asarray(self.rs.rank_batch(ids))
+        prev = np.zeros_like(rk)
+        m = ids > 0
+        if m.any():
+            prev[m] = np.asarray(self.rs.rank_batch(ids[m] - 1))
+        assigned = rk > prev
+        vals = np.zeros(ids.size, self.dense.dtype)
+        if assigned.any():
+            vals[assigned] = self.dense.gather(
+                (rk[assigned] - 1).astype(_I64))
+        return vals, assigned
+
+    def try_get(self, i):
+        """Value at logical position i, or None when NULL."""
+        vals, ok = self.gather([i])
+        return (self.dense.dtype.type(vals[0]) if ok[0] else None)
+
+    def get(self, i):
+        vals, _ = self.gather([i])
+        return vals[0]
+
+    __getitem__ = get
+
+    def __repr__(self):
+        return (f"ShardedRSCVector(dtype={self.dense.dtype}, "
+                f"size={self.size}, assigned={self.count()}, "
+                f"mesh={self.mesh.devices.size} shards)")
+
+
 class ShardedStrSparseVector:
     """Mesh-sharded string vector: every present octet-bit plane of a
     ``StrSparseVector`` (sv/str_vector.py) plus the universe plane in ONE

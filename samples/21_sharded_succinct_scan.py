@@ -55,6 +55,21 @@ print("pipeline_find_eq_str:",
       sstr.pipeline_find_eq_str(["mesh", "needle", "absent"]))
 print("gather[0, 5000]:", sstr.gather([0, 5_000]))
 
+# --- RSC vector: compressed-domain search + sharded rank decompress ------
+from bitmagic_tpu.parallel.sharded_sv import ShardedRSCVector
+from bitmagic_tpu.sv.sparse_vector import SparseVector
+
+nmask = rng.random(300_000) < 0.85              # 85% NULL
+rvals = rng.integers(1, 2000, 300_000).astype(np.uint32)
+srsc = ShardedRSCVector.from_sparse_vector(
+    SparseVector.from_array(rvals, nullable=True, null_mask=nmask), mesh)
+print(srsc)
+qv = int(rvals[np.flatnonzero(~nmask)[0]])
+print(f"rsc find_eq({qv}) logical hits:",
+      srsc.find_eq(qv).to_bitvector().count())
+print("rsc try_get:", srsc.try_get(int(np.flatnonzero(~nmask)[1])),
+      srsc.try_get(int(np.flatnonzero(nmask)[0])))
+
 # checkpoint: succinct at rest, resharded on load
 blob = ssv.checkpoint_bytes()
 again = ShardedSparseVector.from_checkpoint(blob, mesh)

@@ -240,3 +240,36 @@ def test_python_native_choosers_byte_identical():
             finally:
                 native.bmt1_encode = orig
             assert nat == py, lvl
+
+
+def test_compact_blob_corruption_rejected():
+    """Truncated / corrupted compact blobs must raise or return None from
+    the native engines — never crash or silently succeed."""
+    import pytest
+    from bitmagic_tpu.serial import native
+    from bitmagic_tpu.serial.serializer import Deserializer, Serializer
+    rng = np.random.default_rng(3)
+    bv = BitVector.from_indices(
+        np.unique(rng.integers(0, 3_000_000, 5000)), 3_000_000)
+    blob = Serializer(6).serialize(bv)
+    de = Deserializer()
+    assert de.deserialize(blob).equal(bv)
+    # truncations at many byte offsets: native decode returns None ->
+    # python fallback raises (or errors in native scan)
+    for cut in (14, len(blob) // 3, len(blob) - 2, len(blob) - 1):
+        bad = blob[:cut]
+        with pytest.raises(Exception):
+            de.deserialize(bad)
+    # flipped bytes inside record headers
+    for pos in (13, 15, 20):
+        bad = bytearray(blob)
+        bad[pos] ^= 0xFF
+        try:
+            got = de.deserialize(bytes(bad))
+            # if it decodes, it must at least be a well-formed vector
+            got.count()
+        except Exception:
+            pass
+    # the record-index scanner rejects truncation
+    assert native.bmt1_record_index(blob[: len(blob) - 1], 13) is None \
+        or native.load() is None

@@ -194,3 +194,59 @@ def test_sharded_str_gather_roundtrip(mesh, str_data):
     blob = sh.checkpoint_bytes()
     again = ShardedStrSparseVector.from_checkpoint(blob, mesh)
     assert again.gather(ids) == [strs[i] for i in ids]
+
+
+# ---------------------------------------------------------------------------
+# sharded RSC container (compressed-domain search + sharded rank decompress)
+# ---------------------------------------------------------------------------
+def test_sharded_rsc_find_and_gather(mesh):
+    from bitmagic_tpu.parallel.sharded_sv import ShardedRSCVector
+    from bitmagic_tpu.sv.rsc_vector import RSCSparseVector
+    from bitmagic_tpu.sv.sparse_vector import SparseVector
+    from bitmagic_tpu.sv.scanner import scanner
+    rng = np.random.default_rng(21)
+    n = 2 * C.BITS_PER_BLOCK + 777
+    null_mask = rng.random(n) < 0.7              # 70% NULL -> compressive
+    vals = rng.integers(1, 3000, n).astype(np.uint32)
+    sv = SparseVector.from_array(vals, nullable=True, null_mask=null_mask)
+    rsc = RSCSparseVector.from_sparse_vector(sv)
+    srsc = ShardedRSCVector.from_rsc(rsc, mesh)
+    assert srsc.count() == int((~null_mask).sum())
+    for q in (int(vals[np.flatnonzero(~null_mask)[0]]), 12345):
+        want = np.asarray(scanner.find_eq_rsc(rsc, q).indices())
+        got = np.asarray(srsc.find_eq(q).to_bitvector().indices())
+        np.testing.assert_array_equal(got, want, err_msg=str(q))
+    # gather semantics: NULL reads 0/None
+    ids = np.asarray([0, 5, n - 1] + list(rng.integers(0, n, 100)))
+    got_vals, got_ok = srsc.gather(ids)
+    want_ok = ~null_mask[ids]
+    np.testing.assert_array_equal(got_ok, want_ok)
+    np.testing.assert_array_equal(got_vals[want_ok], vals[ids][want_ok])
+    assert (got_vals[~want_ok] == 0).all()
+    i_null = int(np.flatnonzero(null_mask)[0])
+    i_val = int(np.flatnonzero(~null_mask)[0])
+    assert srsc.try_get(i_null) is None
+    assert srsc.try_get(i_val) == vals[i_val]
+
+
+def test_sharded_rsc_roundtrip_checkpoint(mesh):
+    from bitmagic_tpu.parallel.sharded_sv import ShardedRSCVector
+    from bitmagic_tpu.sv.rsc_vector import RSCSparseVector
+    from bitmagic_tpu.sv.sparse_vector import SparseVector
+    rng = np.random.default_rng(22)
+    n = 50_000
+    null_mask = rng.random(n) < 0.9
+    vals = rng.integers(1, 500, n).astype(np.uint32)
+    sv = SparseVector.from_array(vals, nullable=True, null_mask=null_mask)
+    srsc = ShardedRSCVector.from_sparse_vector(sv, mesh)
+    blob = srsc.checkpoint_bytes()
+    assert len(blob) < n                          # compressed at rest
+    again = ShardedRSCVector.from_checkpoint(blob, mesh)
+    ids = rng.integers(0, n, 200)
+    v1, ok1 = srsc.gather(ids)
+    v2, ok2 = again.gather(ids)
+    np.testing.assert_array_equal(v1, v2)
+    np.testing.assert_array_equal(ok1, ok2)
+    counts = again.pipeline_find_eq([7, 9, 100000])
+    want = [int((vals[~null_mask] == q).sum()) for q in (7, 9, 100000)]
+    assert counts == want
