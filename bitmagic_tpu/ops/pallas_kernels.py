@@ -342,7 +342,15 @@ def scan_eq_pallas(n_planes, planes, value):
 # ---------------------------------------------------------------------------
 # tiling (VMEM budget bound; measured on v5e): 2 block columns x 128
 # value rows; fewer kernel calls beat larger per-call tiles because
-# dispatch RTT dominates on the tunneled chip
+# dispatch RTT dominates on the tunneled chip.
+# Negative results (round 3, measured through the production path on-chip
+# at the bench-4b shape): a loop-interchanged variant walking V in 8/16/32-
+# value sub-tiles inside the kernel (hoping Mosaic keeps the small acc in
+# vector registers across the unrolled plane loop) measured within noise
+# of this kernel (-3%..+9%) — the acc spills to VMEM either way, and the
+# kernel stays VMEM-traffic-bound at ~2 full-size passes per (value,
+# plane).  Standalone pallas_call compiles of the same body can OOM the
+# 16 MB scoped-vmem limit even though the production jit compiles fine.
 _PIPE_TILING = {False: (2, 128), True: (2, 128)}
 
 

@@ -31,6 +31,17 @@ from ..ops import blockops
 from .mesh import BLOCK_AXIS, block_sharding, make_mesh, pad_rows
 
 
+def _host_fetch(x, dtype=None) -> np.ndarray:
+    """np.asarray that also works when ``x`` spans non-addressable devices
+    (multi-process meshes): falls back to a process allgather."""
+    try:
+        a = np.asarray(x)
+    except RuntimeError:
+        from jax.experimental import multihost_utils
+        a = np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return a if dtype is None else a.astype(dtype, copy=False)
+
+
 class ShardedBitVector:
     """Dense, mesh-sharded bit-vector covering [0, size)."""
 
@@ -60,7 +71,7 @@ class ShardedBitVector:
         return cls.from_bitvector(BitVector.from_indices(ids, size), mesh)
 
     def to_bitvector(self) -> BitVector:
-        words = np.asarray(self.pool)
+        words = _host_fetch(self.pool)
         bv = BitVector.from_words(words, self.size)
         bv.optimize()
         return bv
@@ -116,7 +127,7 @@ class ShardedBitVector:
     # reductions: per-shard partials + psum
     # ------------------------------------------------------------------
     def count(self) -> int:
-        per_block = np.asarray(_block_counts_jit(self.pool))
+        per_block = _host_fetch(_block_counts_jit(self.pool))
         return int(per_block.astype(np.int64).sum())
 
     def count_shardmap(self) -> int:
@@ -195,7 +206,7 @@ class ShardedBitVector:
             out = jnp.where(mine, base + pos.astype(jnp.int64), 0)
             return jax.lax.psum(out, BLOCK_AXIS)
 
-        return np.asarray(_sel(self.pool, ranks_a), np.int64)
+        return _host_fetch(_sel(self.pool, ranks_a), np.int64)
 
     def select(self, rank: int) -> int:
         return int(self.select_batch([rank])[0])
@@ -243,7 +254,7 @@ class ShardedRSIndex:
             "per-shard span exceeds the int32 device bound; add shards"
         # [n_shards, local_waves] inclusive prefix, sharded on axis 0
         self.gwc = _gwc_prog(self.mesh)(sbv.pool)
-        totals = np.asarray(self.gwc[:, -1]).astype(np.int64)
+        totals = _host_fetch(self.gwc[:, -1], np.int64)
         self.shard_totals = totals
         self.cum = np.cumsum(totals)                 # int64, host only
         self.before = np.concatenate([[0], self.cum[:-1]])   # int64
@@ -266,7 +277,7 @@ class ShardedRSIndex:
             jnp.asarray(local_rank), jnp.asarray(tgt))
         # global position re-assembled on host in int64
         out[ok] = (tgt.astype(np.int64) * self.shard_span
-                   + np.asarray(pos, np.int64))
+                   + _host_fetch(pos, np.int64))
         return out
 
     def select(self, rank: int) -> int:
@@ -287,7 +298,7 @@ class ShardedRSIndex:
         rel = (q - tgt.astype(np.int64) * self.shard_span).astype(np.int32)
         r = _rs_rank_prog(self.mesh, self.n_shards, self.blocks_per_shard)(
             self.sbv.pool, self.gwc, jnp.asarray(rel), jnp.asarray(tgt))
-        out[ok] = self.before[tgt] + np.asarray(r, np.int64)
+        out[ok] = self.before[tgt] + _host_fetch(r, np.int64)
         return out
 
     def rank(self, i: int) -> int:
@@ -433,7 +444,7 @@ def sharded_and_many(vectors: list["ShardedBitVector"],
         sbv.last_narrowing = (nblk, nblk)      # nothing skipped
         return sbv
 
-    alive = np.asarray(_alive_and(*pools))        # tiny: 1 flag/block
+    alive = _host_fetch(_alive_and(*pools))       # tiny: 1 flag/block
     idx, valid = _survivor_slots(alive, n_shards)
     pool = _and_survivors_prog(mesh, len(pools))(
         jnp.asarray(idx), jnp.asarray(valid), *pools)
@@ -474,7 +485,7 @@ def sharded_and_sub_count(and_vs, sub_vs=(), digest_narrowing=True) -> int:
     pools = [v.pool for v in and_vs]
     spools = [v.pool for v in sub_vs]
     if digest_narrowing:
-        alive = np.asarray(_alive_and(*pools))
+        alive = _host_fetch(_alive_and(*pools))
         idx, valid = _survivor_slots(alive, n_shards)
     else:
         nblk = pools[0].shape[0]
@@ -483,7 +494,7 @@ def sharded_and_sub_count(and_vs, sub_vs=(), digest_narrowing=True) -> int:
         valid = np.ones((n_shards, bps), bool)
     cnt = _and_sub_count_prog(mesh, len(pools), len(spools))(
         jnp.asarray(idx), jnp.asarray(valid), *pools, *spools)
-    return int(np.asarray(cnt)[0])
+    return int(_host_fetch(cnt)[0])
 
 
 @functools.lru_cache(maxsize=64)
@@ -540,7 +551,7 @@ def group_and_exchange(stack, mesh, vec_axis: str = "v",
             combined = combined & alld[i]
         return jnp.any(combined != 0, axis=1)[None]  # replicated bool[nblk]
 
-    alive = np.asarray(_phase1(stack))[0]
+    alive = _host_fetch(_phase1(stack))[0]
     surv = np.flatnonzero(alive).astype(np.int32)
     n_surv = max(int(surv.size), 1)
     surv_pad = np.zeros(n_surv, np.int32)
@@ -566,7 +577,7 @@ def group_and_exchange(stack, mesh, vec_axis: str = "v",
         check_vma=False))
     res = _phase2(stack, jnp.asarray(surv_pad))
     if count_only:
-        res = int(np.asarray(res)[0]) if surv.size else 0
+        res = int(_host_fetch(res)[0]) if surv.size else 0
     traffic = (int(surv.size), int(nblk))
     return res, surv, traffic
 

@@ -43,7 +43,8 @@ from jax import shard_map
 from .. import constants as C
 from ..ops import blockops
 from .mesh import BLOCK_AXIS, make_mesh, pad_rows
-from .sharded import ShardedBitVector, _digest_packed, _survivor_slots
+from .sharded import (ShardedBitVector, _digest_packed, _host_fetch,
+                      _survivor_slots)
 
 _I64 = np.int64
 
@@ -139,7 +140,7 @@ class ShardedSparseVector:
         """Collect into a single-host SparseVector (planes optimized)."""
         from ..sv.sparse_vector import SparseVector
         from ..core.bitvector import BitVector
-        host = np.asarray(self.stack)
+        host = _host_fetch(self.stack)
         sv = SparseVector(self.dtype, nullable=self.nullable)
         for s in range(self.n_eff):
             if host[s].any():
@@ -210,7 +211,7 @@ class ShardedSparseVector:
         if sel is None:
             return self._empty_result()
         sel_j = jnp.asarray(sel)
-        alive = np.asarray(_sel_alive_prog(self.mesh, self.K)(
+        alive = _host_fetch(_sel_alive_prog(self.mesh, self.K)(
             sel_j, self.stack)).reshape(-1)
         idx, valid = _survivor_slots(alive, self.mesh.devices.size)
         pool = _sel_survivors_prog(self.mesh, self.K)(
@@ -225,14 +226,14 @@ class ShardedSparseVector:
         if sel is None:
             return 0
         sel_j = jnp.asarray(sel)
-        alive = np.asarray(_sel_alive_prog(self.mesh, self.K)(
+        alive = _host_fetch(_sel_alive_prog(self.mesh, self.K)(
             sel_j, self.stack)).reshape(-1)
         if not alive.any():
             return 0
         idx, valid = _survivor_slots(alive, self.mesh.devices.size)
         cnt = _sel_count_prog(self.mesh, self.K)(
             sel_j, jnp.asarray(idx), jnp.asarray(valid), self.stack)
-        return int(np.asarray(cnt)[0])
+        return int(_host_fetch(cnt)[0])
 
     # ------------------------------------------------------------------
     # ordered searches: fused MSB-first slice descent (shard-local)
@@ -320,7 +321,7 @@ class ShardedSparseVector:
                 known_zero.append(i)
             else:
                 sels[i] = sel
-        counts = np.asarray(pipeline_counts_program(self.mesh)(
+        counts = _host_fetch(pipeline_counts_program(self.mesh)(
             self.stack, jnp.asarray(sels)))
         out = [int(c) for c in counts]
         for i in known_zero:
@@ -343,15 +344,15 @@ class ShardedSparseVector:
         lo, hi, nn = _gather_prog(self.mesh, self.K, self.n_eff, self.UNI)(
             jnp.asarray(blk), jnp.asarray(word_idx), jnp.asarray(bit_in),
             self.stack)
-        u = (np.asarray(hi).astype(np.uint64) << np.uint64(32)) \
-            | np.asarray(lo).astype(np.uint64)
+        u = (_host_fetch(hi).astype(np.uint64) << np.uint64(32)) \
+            | _host_fetch(lo).astype(np.uint64)
         from ..sv.sparse_vector import SparseVector
         sv = SparseVector.__new__(SparseVector)
         sv.signed = self.signed
         sv.dtype = self.dtype
         vals = SparseVector.u2s(sv, u)
         if self.nullable:
-            vals = np.where(np.asarray(nn) == 0,
+            vals = np.where(_host_fetch(nn) == 0,
                             np.asarray(0, self.dtype), vals)
         return np.asarray(vals, self.dtype)
 
@@ -636,7 +637,7 @@ class ShardedStrSparseVector:
         if sel is None:
             return self._empty_result()
         sel_j = jnp.asarray(sel)
-        alive = np.asarray(_sel_alive_prog(self.mesh, self.K)(
+        alive = _host_fetch(_sel_alive_prog(self.mesh, self.K)(
             sel_j, self.stack)).reshape(-1)
         idx, valid = _survivor_slots(alive, self.mesh.devices.size)
         pool = _sel_survivors_prog(self.mesh, self.K)(
@@ -650,14 +651,14 @@ class ShardedStrSparseVector:
         if sel is None:
             return 0
         sel_j = jnp.asarray(sel)
-        alive = np.asarray(_sel_alive_prog(self.mesh, self.K)(
+        alive = _host_fetch(_sel_alive_prog(self.mesh, self.K)(
             sel_j, self.stack)).reshape(-1)
         if not alive.any():
             return 0
         idx, valid = _survivor_slots(alive, self.mesh.devices.size)
         cnt = _sel_count_prog(self.mesh, self.K)(
             sel_j, jnp.asarray(idx), jnp.asarray(valid), self.stack)
-        return int(np.asarray(cnt)[0])
+        return int(_host_fetch(cnt)[0])
 
     def pipeline_find_eq_str(self, strings) -> list:
         """Hit counts for a string batch through the sharded VMEM-batch
@@ -671,7 +672,7 @@ class ShardedStrSparseVector:
                 known_zero.append(i)
             else:
                 sels[i] = sel
-        counts = np.asarray(pipeline_counts_program(self.mesh)(
+        counts = _host_fetch(pipeline_counts_program(self.mesh)(
             self.stack, jnp.asarray(sels)))
         out = [int(c) for c in counts]
         for i in known_zero:
@@ -690,7 +691,7 @@ class ShardedStrSparseVector:
         blk = (ids >> C.SET_BLOCK_SHIFT).astype(np.int32)
         word_idx = ((ids & C.SET_BLOCK_MASK) >> 5).astype(np.int32)
         bit_in = (ids & 31).astype(np.uint32)
-        bits = np.asarray(_gather_rows_prog(self.mesh, self.K)(
+        bits = _host_fetch(_gather_rows_prog(self.mesh, self.K)(
             jnp.asarray(blk), jnp.asarray(word_idx), jnp.asarray(bit_in),
             self.stack))                      # [K, n_ids] 0/1
         cols = np.zeros((ids.size, self.max_str_size), np.uint8)
@@ -724,7 +725,7 @@ class ShardedStrSparseVector:
         from ..core.bitvector import BitVector
         from ..sv.sparse_vector import SparseVector
         from ..sv.str_vector import StrSparseVector
-        host = np.asarray(self.stack)
+        host = _host_fetch(self.stack)
         out = StrSparseVector(self.max_str_size, nullable=self.nullable)
         for i, (k, b) in enumerate(self.slots):
             if host[i].any():

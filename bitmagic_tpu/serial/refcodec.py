@@ -1752,6 +1752,11 @@ class RefSerializer:
             cur = nb + 1
             k += 1
         w.put_8(BLOCK_END)
+        if any(s.startswith("sblock") for s in self.compression_stat):
+            # the reference flags blobs that use super-block codes
+            # (BM_HM_SPARSE, src/bmserial.h:3666) — its
+            # operation_deserializer keys a strategy choice off it
+            w.parts[0] |= HM_SPARSE
         return w.get_bytes()
 
     # ------------------------------------------------------------------

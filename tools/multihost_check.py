@@ -98,11 +98,27 @@ def worker(pid: int, n_proc: int):
     merged = merge_broadcast_parts(all_gather_blobs(my_blob))
     assert merged.count() > 0 and merged.test(int(my_ids[0]))
 
+    # 5. sharded succinct-vector CONTAINER across process boundaries:
+    #    find_eq digest narrowing + pipeline, each process independently
+    #    verifying the global result
+    from bitmagic_tpu.parallel.sharded_sv import ShardedSparseVector
+    vals = rng.integers(0, 4096, nblk * 65536 // 8).astype(np.uint32)
+    vals[3] = 9999
+    ssv = ShardedSparseVector.from_array(vals, mesh)
+    qv = int(vals[55])
+    assert ssv.find_eq_count(qv) == int((vals == qv).sum())
+    hits = ssv.find_eq(9999)
+    surv, tot = hits.last_narrowing
+    assert surv <= 1 and hits.count() == 1, (surv, tot)
+    pc = ssv.pipeline_find_eq([qv, 9999])
+    assert pc == [int((vals == qv).sum()), 1], pc
+
     if pid == 0:
         print(f"multihost OK: {n_proc} processes x {n_local} devices = "
               f"{n_global} global; popcount/psum, scan ({dt * 1e3:.1f} ms), "
-              f"8-query pipeline, BLOB broadcast + partition/merge all "
-              f"verified cross-host", flush=True)
+              f"8-query pipeline, BLOB broadcast + partition/merge, "
+              f"sharded-SV container scan all verified cross-host",
+              flush=True)
 
 
 def main():
