@@ -175,10 +175,62 @@ class SparseVectorScanner:
     # ------------------------------------------------------------------
     # sorted-vector search (reference bfind/lower_bound_str + sample index)
     # ------------------------------------------------------------------
+    #: sampling stride of the bound index (reference sv_sample_index
+    #: samples one element per block region, src/bmsparsevec_algo.h:493;
+    #: 256 keeps the residual window one gather wide)
+    BIND_SAMPLE_RATE = 256
+
+    def bind(self, sv, sorted=True) -> None:
+        """Attach a SORTED vector to this scanner and build its sample
+        index once (reference ``bind()`` + ``sv_sample_index``,
+        src/bmsparsevec_algo.h:493).  Subsequent ``lower_bound`` /
+        ``bfind_eq`` (or the ``_str`` forms) on the bound vector narrow
+        through the host sample array and decode ONE window with a
+        single vectorized gather instead of O(log n) per-element probes.
+        Re-bind after mutating the vector (reference contract)."""
+        if not sorted:                       # parity with the ref signature
+            self._bound = None
+            return
+        getattr(sv, "_flush", lambda: None)()   # str vectors flush per-octet
+        n = len(sv)
+        rate = self.BIND_SAMPLE_RATE
+        pos = np.arange(0, n, rate, dtype=np.int64)
+        samples = sv.gather(pos) if n else []
+        self._bound = (sv, np.asarray(pos), samples)
+
+    def unbind(self) -> None:
+        self._bound = None
+
+    def _bound_lower_bound(self, sv, value, cmp_lt) -> int:
+        """Sample-index descent shared by the int and str paths:
+        binary-search the samples, then linear-scan one decoded window."""
+        _, pos, samples = self._bound
+        n = len(sv)
+        lo_s, hi_s = 0, len(samples)
+        while lo_s < hi_s:                    # search the SAMPLES
+            mid = (lo_s + hi_s) // 2
+            if cmp_lt(samples[mid], value):
+                lo_s = mid + 1
+            else:
+                hi_s = mid
+        # answer lies in (pos[lo_s-1], pos[lo_s]] — decode that window
+        w_lo = 0 if lo_s == 0 else int(pos[lo_s - 1]) + 1
+        w_hi = int(pos[lo_s]) if lo_s < len(pos) else n
+        if w_lo >= w_hi:
+            return w_hi
+        window = sv.decode(w_lo, w_hi - w_lo)
+        for k in range(len(window)):
+            if not cmp_lt(window[k], value):
+                return w_lo + k
+        return w_hi
+
     def lower_bound(self, sv: SparseVector, value) -> int:
         """First index i with sv[i] >= value in a sorted vector
         (reference lower_bound, src/bmsparsevec_algo.h bfind family)."""
         sv._flush()
+        b = getattr(self, "_bound", None)
+        if b is not None and b[0] is sv:
+            return self._bound_lower_bound(sv, value, lambda a, v: a < v)
         lo, hi = 0, len(sv)
         while lo < hi:
             mid = (lo + hi) // 2
@@ -237,6 +289,12 @@ class SparseVectorScanner:
         """First index i with ssv[i] >= s in a sorted string vector
         (reference lower_bound_str / bfind_eq_str with sample index,
         src/bmsparsevec_algo.h:493)."""
+        s = s if isinstance(s, str) else bytes(s).decode("latin-1")
+        b = getattr(self, "_bound", None)
+        if b is not None and b[0] is ssv:
+            # nulls decode as None and sort as "" (compare() contract)
+            return self._bound_lower_bound(ssv, s,
+                                           lambda a, v: (a or "") < v)
         lo, hi = 0, len(ssv)
         while lo < hi:
             mid = (lo + hi) // 2

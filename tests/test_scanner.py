@@ -84,6 +84,48 @@ def test_sorted_search(rng):
     assert scanner.lower_bound(sv, 0) == 0
 
 
+def test_bound_sorted_search(rng):
+    """bind() sample-index descent == plain binary search (reference
+    bind/sv_sample_index, src/bmsparsevec_algo.h:493)."""
+    vals = np.unique(rng.integers(0, 10**7, 3000)).astype(np.uint32)
+    sv = SparseVector.from_array(vals)
+    queries = np.concatenate([rng.integers(0, 10**7, 40),
+                              vals[[0, 1, 555, len(vals) - 1]],
+                              [0, 10**7 + 5]])
+    plain = [scanner.lower_bound(sv, int(q)) for q in queries]
+    scanner.bind(sv)
+    try:
+        bound = [scanner.lower_bound(sv, int(q)) for q in queries]
+        assert bound == plain
+        assert scanner.bfind_eq(sv, int(vals[77])) == 77
+        # window boundary cases: exact sample positions land on pos[k]
+        rate = scanner.BIND_SAMPLE_RATE
+        if len(vals) > rate:
+            assert scanner.lower_bound(sv, int(vals[rate])) == rate
+    finally:
+        scanner.unbind()
+
+
+def test_bound_sorted_search_str(rng):
+    from bitmagic_tpu.sv.str_vector import StrSparseVector
+    import bisect
+    words = sorted({f"k{int(x):06d}" for x in rng.integers(0, 10**6, 1200)})
+    ssv = StrSparseVector(8)
+    for w in words:
+        ssv.push_back(w)
+    ssv.remap()
+    qs = [f"k{int(x):06d}" for x in rng.integers(0, 10**6, 25)] + \
+        [words[0], words[-1], "a", "z"]
+    scanner.bind(ssv)
+    try:
+        for q in qs:
+            assert scanner.lower_bound_str(ssv, q) == \
+                bisect.bisect_left(words, q)
+        assert scanner.bfind_eq_str(ssv, words[33]) == 33
+    finally:
+        scanner.unbind()
+
+
 def test_pipeline_find_eq(rng):
     vals = rng.integers(0, 20, 4000).astype(np.uint32)
     sv = SparseVector.from_array(vals)
