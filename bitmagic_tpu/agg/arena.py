@@ -115,21 +115,37 @@ def operands_succinct(vectors) -> bool:
     return n_gap > n_bit
 
 
-def narrowed_union(vectors, sels: np.ndarray):
+def presence_table(vectors):
+    """(nb_union, present int32[K, NB]) — the symbolic presence matrix of
+    an operand group (state != ZERO per (operand, union block)).  Callers
+    that re-narrow many batches over the same operands cache this pair
+    (scanner prepared pipelines) instead of rebuilding it per batch."""
+    nb_union = np.unique(np.concatenate(
+        [v._struct.nb for v in vectors] or [np.zeros(0, _I64)]))
+    if not vectors or nb_union.size == 0:
+        return nb_union, np.zeros((len(vectors), nb_union.size), np.int32)
+    present = np.stack([v._struct.lookup(nb_union)[0] != 0
+                        for v in vectors]).astype(np.int32)
+    return nb_union, present
+
+
+def narrow_survivors(nb_union, present, sels: np.ndarray):
     """(nb_sel, n_union): survivor blocks of a request batch — a block
     survives iff SOME request's whole AND group (sels row == 1) is present
     there.  Pure host symbolic math (the run-domain analog of the
     aggregator's digest pre-pass, src/bmaggregator.h:1764)."""
-    nb_union = np.unique(np.concatenate(
-        [v._struct.nb for v in vectors] or [np.zeros(0, _I64)]))
-    if nb_union.size == 0:
-        return nb_union, 0
-    present = np.stack([v._struct.lookup(nb_union)[0] != 0
-                        for v in vectors]).astype(np.int32)
     need = (sels == 1).astype(np.int32)
     got = need @ present
     surv = (got == need.sum(axis=1, keepdims=True)).any(axis=0)
     return nb_union[surv], int(nb_union.size)
+
+
+def narrowed_union(vectors, sels: np.ndarray):
+    """One-shot presence_table + narrow_survivors."""
+    nb_union, present = presence_table(vectors)
+    if nb_union.size == 0:
+        return nb_union, 0
+    return narrow_survivors(nb_union, present, sels)
 
 
 def build_dense_stack_host(vectors, nb_sel: np.ndarray) -> np.ndarray:

@@ -182,6 +182,22 @@ class GapStore:
                    np.concatenate([a.offs, a.offs[-1] + b.offs[1:]]),
                    np.concatenate([a.first, b.first]))
 
+    @classmethod
+    def concat_many(cls, parts) -> "GapStore | None":
+        """One multi-way concat of an ordered part list (linear, unlike a
+        pairwise-concat fold which re-copies the growing arrays per part)."""
+        parts = [p for p in parts if p is not None and p.n_blocks > 0]
+        if not parts:
+            return None
+        if len(parts) == 1:
+            return parts[0]
+        bases = np.cumsum([0] + [int(p.offs[-1]) for p in parts[:-1]])
+        return cls(np.concatenate([p.ends for p in parts]),
+                   np.concatenate([parts[0].offs]
+                                  + [b + p.offs[1:]
+                                     for b, p in zip(bases[1:], parts[1:])]),
+                   np.concatenate([p.first for p in parts]))
+
     def subset(self, sel) -> "GapStore":
         """New store holding blocks sel (index array or bool mask)."""
         sel = np.asarray(sel)

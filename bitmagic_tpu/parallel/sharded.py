@@ -215,6 +215,26 @@ class ShardedBitVector:
         """Per-block wave digests (the 8-byte/block exchange currency)."""
         return _digest_jit(self.pool)
 
+    def get_bits(self, ids) -> np.ndarray:
+        """Bit values at global positions ids, as a bool array.  One
+        word-gather pass across the mesh: each shard gathers the
+        containing word for its own queries and the answers combine with
+        one psum — O(n_queries) communication, no rank machinery."""
+        ids = np.asarray(ids, np.int64)
+        if ids.size == 0:
+            return np.zeros(0, bool)
+        n_shards = self.mesh.devices.size
+        span = (self.pool.shape[0] // n_shards) * C.BITS_PER_BLOCK
+        q = np.clip(ids, 0, self.pool.shape[0] * C.BITS_PER_BLOCK - 1)
+        tgt = (q // span).astype(np.int32)
+        rel = (q - tgt.astype(np.int64) * span).astype(np.int32)
+        bits = _get_bits_prog(self.mesh)(
+            self.pool, jnp.asarray(rel >> 5), jnp.asarray(rel & 31),
+            jnp.asarray(tgt))
+        out = _host_fetch(bits).astype(bool)
+        out[(ids < 0) | (ids != q)] = False      # out-of-range reads 0
+        return out
+
 
 @jax.jit
 def _block_counts_jit(pool):
@@ -250,7 +270,9 @@ class ShardedRSIndex:
         # prefixes, query ranks, global positions — is combined on host in
         # int64 so a mesh holding >= 2^31 total set bits never wraps.
         self.shard_span = self.blocks_per_shard * C.BITS_PER_BLOCK
-        assert self.shard_span <= 2**31, \
+        # strict: a full shard's set-bit COUNT reaches shard_span, and the
+        # int32 inclusive prefix must hold it (2**31 would wrap to -2**31)
+        assert self.shard_span < 2**31, \
             "per-shard span exceeds the int32 device bound; add shards"
         # [n_shards, local_waves] inclusive prefix, sharded on axis 0
         self.gwc = _gwc_prog(self.mesh)(sbv.pool)
@@ -375,6 +397,22 @@ def _rs_rank_prog(mesh, n_shards, blocks_per_shard):
     return jax.jit(shard_map(
         _rank, mesh=mesh,
         in_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS, None), P(), P()),
+        out_specs=P()))
+
+
+@functools.lru_cache(maxsize=16)
+def _get_bits_prog(mesh):
+    def _get(local, widx, wbit, tgt):
+        # widx int32[q] = word index inside shard tgt[q]'s flat pool
+        sid = jax.lax.axis_index(BLOCK_AXIS)
+        words = jnp.take(local.reshape(-1), widx)
+        bit = (words >> wbit.astype(jnp.uint32)) & jnp.uint32(1)
+        contrib = jnp.where(tgt == sid, bit, jnp.uint32(0))
+        return jax.lax.psum(contrib.astype(jnp.int32), BLOCK_AXIS)
+
+    return jax.jit(shard_map(
+        _get, mesh=mesh,
+        in_specs=(P(BLOCK_AXIS, None), P(), P(), P()),
         out_specs=P()))
 
 

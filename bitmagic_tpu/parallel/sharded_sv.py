@@ -74,7 +74,93 @@ def _plane_words(bv, nblk: int) -> np.ndarray:
     return words
 
 
-class ShardedSparseVector:
+def _fill_universe_row(host, row, size):
+    """Dense [0, size) universe plane written into host[row] (the non-
+    nullable case: every position is assigned)."""
+    if not size:
+        return
+    full, rem = divmod(size, C.BITS_PER_BLOCK)
+    host[row, :full] = 0xFFFFFFFF
+    if rem:
+        tail = np.zeros(C.SET_BLOCK_SIZE, np.uint32)
+        fw, rb = divmod(rem, 32)
+        tail[:fw] = 0xFFFFFFFF
+        if rb:
+            tail[fw] = (1 << rb) - 1
+        host[row, full] = tail
+
+
+class _SelectorSearchBase:
+    """Shared digest-narrowing search flow for stacked-plane containers.
+
+    Subclasses provide ``stack`` (uint32[K, nblk_p, 2048] block-sharded),
+    ``mesh``, ``size`` and ``_selector(key) -> int32[K] | None`` (1=AND,
+    -1=AND-NOT per plane; None = key cannot occur).  The flow mirrors the
+    single-chip scanner: digest pre-pass (8 B/block) -> survivor-only
+    gather-AND-SUB pass; pipelines push whole key batches through one
+    sweep per shard + one psum."""
+
+    @property
+    def K(self) -> int:
+        return int(self.stack.shape[0])
+
+    @property
+    def n_blocks(self) -> int:
+        return int(self.stack.shape[1])
+
+    def _empty_result(self) -> ShardedBitVector:
+        pool = _zeros_row_prog()(self.stack)
+        out = ShardedBitVector(pool, self.size, self.mesh)
+        out.last_narrowing = (0, self.n_blocks)
+        return out
+
+    def _search(self, key) -> ShardedBitVector:
+        sel = self._selector(key)
+        if sel is None:
+            return self._empty_result()
+        sel_j = jnp.asarray(sel)
+        alive = _host_fetch(_sel_alive_prog(self.mesh, self.K)(
+            sel_j, self.stack)).reshape(-1)
+        idx, valid = _survivor_slots(alive, self.mesh.devices.size)
+        pool = _sel_survivors_prog(self.mesh, self.K)(
+            sel_j, jnp.asarray(idx), jnp.asarray(valid), self.stack)
+        out = ShardedBitVector(pool, self.size, self.mesh)
+        out.last_narrowing = (int(alive.sum()), int(alive.size))
+        return out
+
+    def _search_count(self, key) -> int:
+        sel = self._selector(key)
+        if sel is None:
+            return 0
+        sel_j = jnp.asarray(sel)
+        alive = _host_fetch(_sel_alive_prog(self.mesh, self.K)(
+            sel_j, self.stack)).reshape(-1)
+        if not alive.any():
+            return 0
+        idx, valid = _survivor_slots(alive, self.mesh.devices.size)
+        cnt = _sel_count_prog(self.mesh, self.K)(
+            sel_j, jnp.asarray(idx), jnp.asarray(valid), self.stack)
+        return int(_host_fetch(cnt)[0])
+
+    def _pipeline(self, keys) -> list:
+        from .sharded import pipeline_counts_program
+        sels = np.zeros((len(keys), self.K), np.int32)
+        known_zero = []
+        for i, k in enumerate(keys):
+            sel = self._selector(k)
+            if sel is None:
+                known_zero.append(i)
+            else:
+                sels[i] = sel
+        counts = _host_fetch(pipeline_counts_program(self.mesh)(
+            self.stack, jnp.asarray(sels)))
+        out = [int(c) for c in counts]
+        for i in known_zero:
+            out[i] = 0
+        return out
+
+
+class ShardedSparseVector(_SelectorSearchBase):
     """Block-axis-sharded bit-sliced integer vector with scanner searches."""
 
     def __init__(self, stack, size: int, mesh, dtype, signed: bool,
@@ -93,10 +179,6 @@ class ShardedSparseVector:
     def UNI(self) -> int:
         return self.n_eff
 
-    @property
-    def n_blocks(self) -> int:
-        return int(self.stack.shape[1])
-
     # ------------------------------------------------------------------
     @classmethod
     def from_sparse_vector(cls, sv, mesh=None) -> "ShardedSparseVector":
@@ -113,16 +195,8 @@ class ShardedSparseVector:
             host[s, :nblk] = _plane_words(sv.planes[s], nblk)
         if sv.nullable:
             host[n_eff, :nblk] = _plane_words(sv.null_plane, nblk)
-        elif size:
-            full, rem = divmod(size, C.BITS_PER_BLOCK)
-            host[n_eff, :full] = 0xFFFFFFFF
-            if rem:
-                tail = np.zeros(C.SET_BLOCK_SIZE, np.uint32)
-                fw, rb = divmod(rem, 32)
-                tail[:fw] = 0xFFFFFFFF
-                if rb:
-                    tail[fw] = (1 << rb) - 1
-                host[n_eff, full] = tail
+        else:
+            _fill_universe_row(host, n_eff, size)
         stack = jax.device_put(
             host, NamedSharding(mesh, P(None, BLOCK_AXIS, None)))
         return cls(stack, size, mesh, sv.dtype, sv.signed, sv.n_slices,
@@ -190,50 +264,18 @@ class ShardedSparseVector:
         sel[self.UNI] = 1
         return sel
 
-    @property
-    def K(self) -> int:
-        return int(self.stack.shape[0])
-
     # ------------------------------------------------------------------
-    # find_eq with the sharded digest pre-pass
+    # find_eq with the sharded digest pre-pass (_SelectorSearchBase flow)
     # ------------------------------------------------------------------
-    def _empty_result(self) -> ShardedBitVector:
-        pool = jax.jit(lambda s: jnp.zeros_like(s[0]))(self.stack)
-        out = ShardedBitVector(pool, self.size, self.mesh)
-        out.last_narrowing = (0, self.n_blocks)
-        return out
-
     def find_eq(self, value) -> ShardedBitVector:
         """All positions holding ``value``, as a sharded hit vector.
         Digest narrowing first (only blocks whose AND-digest survives are
         read), then one shard-local gather-AND-SUB pass."""
-        sel = self._selector(value)
-        if sel is None:
-            return self._empty_result()
-        sel_j = jnp.asarray(sel)
-        alive = _host_fetch(_sel_alive_prog(self.mesh, self.K)(
-            sel_j, self.stack)).reshape(-1)
-        idx, valid = _survivor_slots(alive, self.mesh.devices.size)
-        pool = _sel_survivors_prog(self.mesh, self.K)(
-            sel_j, jnp.asarray(idx), jnp.asarray(valid), self.stack)
-        out = ShardedBitVector(pool, self.size, self.mesh)
-        out.last_narrowing = (int(alive.sum()), int(alive.size))
-        return out
+        return self._search(value)
 
     def find_eq_count(self, value) -> int:
         """Global hit count: survivor-only popcount + one psum."""
-        sel = self._selector(value)
-        if sel is None:
-            return 0
-        sel_j = jnp.asarray(sel)
-        alive = _host_fetch(_sel_alive_prog(self.mesh, self.K)(
-            sel_j, self.stack)).reshape(-1)
-        if not alive.any():
-            return 0
-        idx, valid = _survivor_slots(alive, self.mesh.devices.size)
-        cnt = _sel_count_prog(self.mesh, self.K)(
-            sel_j, jnp.asarray(idx), jnp.asarray(valid), self.stack)
-        return int(_host_fetch(cnt)[0])
+        return self._search_count(value)
 
     # ------------------------------------------------------------------
     # ordered searches: fused MSB-first slice descent (shard-local)
@@ -252,21 +294,33 @@ class ShardedSparseVector:
 
     def find_gt(self, value) -> ShardedBitVector:
         """Positions with element > value (find_gt_horizontal,
-        src/bmsparsevec_algo.h:1144) — one fused descent program."""
+        src/bmsparsevec_algo.h:1144) — one fused descent program.
+
+        The descent only sees the n_eff stored slices, so queries whose
+        magnitude exceeds every storable value resolve symbolically here
+        (descent on truncated bits would answer for value mod 2**n_eff)."""
         if not self.signed:
             u = int(value)
             if u < 0:
                 return self._universe_vector()
+            if u >= (1 << self.n_eff) - 1:
+                return self._empty_result()   # no stored value can exceed u
             gt, _ = self._descent(0, self._vbits(u, 0, self.n_eff), 0,
                                   self.n_eff)
             return self._wrap(gt)
         value = int(value)
         n_mag = max(self.n_eff - 1, 0)
+        max_mag = (1 << n_mag) - 1            # largest storable magnitude
         if value >= 0:
+            if value >= max_mag:
+                return self._empty_result()
             # universe = non-negatives (UNI & ~sign-slice)
             gt, _ = self._descent(1, self._vbits(value, 0, n_mag), 1, n_mag)
             return self._wrap(gt)
         mag = -value
+        if mag > max_mag:
+            # every stored negative has |x| < mag -> everything qualifies
+            return self._universe_vector()
         gt, eq = self._descent(2, self._vbits(mag, 0, n_mag), 1, n_mag)
         # negatives with |x| < |v|, plus every non-negative
         pool = _lt_mag_plus_pos_prog(self.mesh, self.K, self.UNI)(
@@ -278,9 +332,11 @@ class ShardedSparseVector:
             u = int(value)
             if u <= 0:
                 return self._universe_vector()
+            if u > (1 << self.n_eff) - 1:
+                return self._empty_result()
             gt, eq = self._descent(0, self._vbits(u, 0, self.n_eff), 0,
                                    self.n_eff)
-            return self._wrap(jax.jit(jnp.bitwise_or)(gt, eq))
+            return self._wrap(_or_pools(gt, eq))
         return self.find_gt(int(value) - 1)
 
     def find_lt(self, value) -> ShardedBitVector:
@@ -296,13 +352,13 @@ class ShardedSparseVector:
     def find_range(self, lo, hi) -> ShardedBitVector:
         ge = self.find_ge(lo)
         le = self.find_le(hi)
-        return self._wrap(jax.jit(jnp.bitwise_and)(ge.pool, le.pool))
+        return self._wrap(_and_pools(ge.pool, le.pool))
 
     def _wrap(self, pool) -> ShardedBitVector:
         return ShardedBitVector(pool, self.size, self.mesh)
 
     def _universe_vector(self) -> ShardedBitVector:
-        pool = jax.jit(lambda s: s[self.UNI])(self.stack)
+        pool = _stack_row_prog(self.UNI)(self.stack)
         return self._wrap(pool)
 
     # ------------------------------------------------------------------
@@ -312,21 +368,7 @@ class ShardedSparseVector:
         """Hit counts for a value batch through the sharded VMEM-batch
         pipeline (scanner pipeline src/bmsparsevec_algo.h:653 at mesh
         scale)."""
-        from .sharded import pipeline_counts_program
-        sels = np.zeros((len(values), self.K), np.int32)
-        known_zero = []
-        for i, v in enumerate(values):
-            sel = self._selector(v)
-            if sel is None:
-                known_zero.append(i)
-            else:
-                sels[i] = sel
-        counts = _host_fetch(pipeline_counts_program(self.mesh)(
-            self.stack, jnp.asarray(sels)))
-        out = [int(c) for c in counts]
-        for i in known_zero:
-            out[i] = 0
-        return out
+        return self._pipeline(values)
 
     # ------------------------------------------------------------------
     # gather / decode at mesh scale: each shard answers the queries whose
@@ -484,16 +526,14 @@ class ShardedRSCVector:
             return (np.zeros(0, self.dense.dtype), np.zeros(0, bool))
         if (ids < 0).any() or (ids >= max(self.size, 1)).any():
             raise IndexError("gather index out of range")
-        rk = np.asarray(self.rs.rank_batch(ids))
-        prev = np.zeros_like(rk)
-        m = ids > 0
-        if m.any():
-            prev[m] = np.asarray(self.rs.rank_batch(ids[m] - 1))
-        assigned = rk > prev
+        # assigned = bit set at ids in null_sbv (one word-gather pass);
+        # then ONE rank pass over just the assigned ids gives the value
+        # indices — not two full rank_batch dispatches (ids and ids-1)
+        assigned = self.null_sbv.get_bits(ids)
         vals = np.zeros(ids.size, self.dense.dtype)
         if assigned.any():
-            vals[assigned] = self.dense.gather(
-                (rk[assigned] - 1).astype(_I64))
+            rk = np.asarray(self.rs.rank_batch(ids[assigned]))
+            vals[assigned] = self.dense.gather((rk - 1).astype(_I64))
         return vals, assigned
 
     def try_get(self, i):
@@ -513,15 +553,15 @@ class ShardedRSCVector:
                 f"mesh={self.mesh.devices.size} shards)")
 
 
-class ShardedStrSparseVector:
+class ShardedStrSparseVector(_SelectorSearchBase):
     """Mesh-sharded string vector: every present octet-bit plane of a
     ``StrSparseVector`` (sv/str_vector.py) plus the universe plane in ONE
     block-sharded stack — the string scanner at mesh scale (reference
     find_eq_str pipeline, src/bmsparsevec_algo.h:653 over
     src/bmstrsparsevec.h).  Shares the digest-narrowing / survivor-AND-SUB
-    / pipeline programs with ShardedSparseVector (selectors differ: one
-    AND/AND-NOT entry per (octet, bit) plane from the remapped query
-    image)."""
+    / pipeline flow with ShardedSparseVector (_SelectorSearchBase;
+    selectors differ: one AND/AND-NOT entry per (octet, bit) plane from
+    the remapped query image)."""
 
     def __init__(self, stack, size, mesh, max_str_size, nullable, slots,
                  remap_matrices, unmap_matrices):
@@ -569,16 +609,8 @@ class ShardedStrSparseVector:
             host[i, :nblk] = r
         if ssv.nullable:
             host[len(slots), :nblk] = _plane_words(ssv.null_plane, nblk)
-        elif size:
-            full, rem = divmod(size, C.BITS_PER_BLOCK)
-            host[len(slots), :full] = 0xFFFFFFFF
-            if rem:
-                tail = np.zeros(C.SET_BLOCK_SIZE, np.uint32)
-                fw, rb = divmod(rem, 32)
-                tail[:fw] = 0xFFFFFFFF
-                if rb:
-                    tail[fw] = (1 << rb) - 1
-                host[len(slots), full] = tail
+        else:
+            _fill_universe_row(host, len(slots), size)
         stack = jax.device_put(
             host, NamedSharding(mesh, P(None, BLOCK_AXIS, None)))
         return cls(stack, size, mesh, ssv.max_str_size, ssv.nullable,
@@ -624,7 +656,7 @@ class ShardedStrSparseVector:
         return sel
 
     def _empty_result(self) -> ShardedBitVector:
-        pool = jax.jit(lambda s: jnp.zeros_like(s[0]))(self.stack)
+        pool = _zeros_row_prog()(self.stack)
         out = ShardedBitVector(pool, self.size, self.mesh)
         out.last_narrowing = (0, self.n_blocks)
         return out
@@ -764,6 +796,23 @@ class ShardedStrSparseVector:
 # ---------------------------------------------------------------------------
 # device programs (cached per mesh/shape signature)
 # ---------------------------------------------------------------------------
+# module-level singletons: jit caches live on the wrapper, so per-call
+# jax.jit(lambda ...) would re-trace every invocation
+_or_pools = jax.jit(jnp.bitwise_or)
+_and_pools = jax.jit(jnp.bitwise_and)
+
+
+@functools.lru_cache(maxsize=32)
+def _stack_row_prog(row):
+    """stack -> copy of stack[row] (universe plane extraction)."""
+    return jax.jit(lambda s: s[row] | jnp.uint32(0))
+
+
+@functools.lru_cache(maxsize=4)
+def _zeros_row_prog():
+    return jax.jit(lambda s: jnp.zeros_like(s[0]))
+
+
 @functools.lru_cache(maxsize=64)
 def _sel_alive_prog(mesh, k):
     """Digest pre-pass for a selector: AND the 8-byte/block digests of the

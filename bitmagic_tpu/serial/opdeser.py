@@ -208,10 +208,116 @@ class _ResultAccum:
                else np.zeros(0, np.uint8))
         rows = (np.concatenate(self._rows) if self._rows
                 else np.zeros((0, C.SET_BLOCK_SIZE), np.uint32))
-        store = None
-        for part in self._gap_parts:
-            store = GapStore.concat(store, part)
+        store = GapStore.concat_many(self._gap_parts)
         return nbs, cls, rows, store
+
+
+class _StreamCombiner:
+    """THE record-at-a-time skip/emit/combine engine (Python twin of
+    codecs.cpp bm_bmt1_stream_op's table) — shared by the BMT1 streamer,
+    the public pull-iterator combine (stream_iter.IteratorDeserializer)
+    and the reference-format sink, so the op semantics live in exactly one
+    place per language.  feed() one record at a time; the payload decode
+    is deferred to the ``get_words`` thunk so skip paths never decode."""
+
+    def __init__(self, opc, reader: _TargetReader, count_mode,
+                 accum: "_ResultAccum | None"):
+        self.opc = opc
+        self.reader = reader
+        self.count_mode = count_mode
+        self.accum = accum
+        self.count = 0
+        self.seen = []
+        self._ones = np.full(C.SET_BLOCK_SIZE, 0xFFFFFFFF, np.uint32)
+        self._zeros = np.zeros(C.SET_BLOCK_SIZE, np.uint32)
+        self._b_nbs, self._b_cls, self._b_rows = [], [], []
+
+    def _flush(self):
+        if self._b_nbs:
+            rows = (np.stack(self._b_rows) if self._b_rows
+                    else np.zeros((0, C.SET_BLOCK_SIZE), np.uint32))
+            self.accum.add_batch(np.asarray(self._b_nbs, _I64),
+                                 np.asarray(self._b_cls, np.uint8), rows)
+            self._b_nbs.clear(); self._b_cls.clear(); self._b_rows.clear()
+
+    def feed(self, nb, rec_full: bool, get_words):
+        """One blob record: block id, FULL flag, thunk -> uint32[2048]."""
+        opc = self.opc
+        self.seen.append(nb)
+        tstate, tw = self.reader.lookup(nb)
+        # payload-skip fast paths (same table as the native engine)
+        skip = emit_full = False
+        if opc == native.OP_AND:
+            skip = tstate == 0
+            emit_full = tstate == 1 and rec_full
+        elif opc == native.OP_OR:
+            emit_full = tstate == 1 or rec_full
+        elif opc == native.OP_XOR:
+            emit_full = rec_full and tstate == 0
+            skip = rec_full and tstate == 1
+        elif opc == native.OP_SUB_AB:
+            skip = tstate == 0 or rec_full
+        else:                                   # OP_SUB_BA
+            skip = tstate == 1
+            emit_full = rec_full and tstate == 0
+        if skip:
+            return
+        if emit_full:
+            if self.count_mode:
+                self.count += C.BITS_PER_BLOCK
+            else:
+                self._b_nbs.append(nb)
+                self._b_cls.append(C.CLS_FULL)
+            return
+        b = self._ones if rec_full else get_words()
+        t = tw if tstate == 2 else (self._ones if tstate == 1
+                                    else self._zeros)
+        if opc == native.OP_AND:
+            r = t & b
+        elif opc == native.OP_OR:
+            r = t | b
+        elif opc == native.OP_XOR:
+            r = t ^ b
+        elif opc == native.OP_SUB_AB:
+            r = t & ~b
+        else:
+            r = b & ~t
+        if self.count_mode:
+            self.count += int(np.bitwise_count(r).sum())
+        else:
+            self._b_nbs.append(nb)
+            self._b_cls.append(C.CLS_BIT)
+            self._b_rows.append(r)
+            if len(self._b_rows) >= _CHUNK:
+                self._flush()
+
+    def finish(self):
+        """Count (count_mode) or None; set-mode results land in accum."""
+        if self.count_mode:
+            return self.count
+        self._flush()
+        return None
+
+    @property
+    def mentioned(self) -> np.ndarray:
+        return np.asarray(self.seen, _I64)
+
+
+def _finalize_set(bv: BitVector, accum: "_ResultAccum", opc, mentioned,
+                  size: int) -> BitVector:
+    """Install streamed set-op results into bv: pass-through merge of
+    target blocks the BLOB never mentioned, then structure swap."""
+    out_nbs, out_cls, out_rows, out_gaps = accum.finish()
+    if opc in _PASS_THROUGH and bv._struct.nb.size:
+        out_nbs, out_cls, out_rows, out_gaps = _merge_passthrough_bv(
+            out_nbs, out_cls, out_rows, out_gaps, bv, mentioned)
+    bv._struct = Structure(np.asarray(out_nbs, _I64).copy(),
+                           np.asarray(out_cls, np.uint8).copy())
+    bv._pool = out_rows
+    bv._gaps = out_gaps
+    bv._size = max(bv._size, size)
+    bv._dirty()
+    return bv
 
 
 def _stream_op_py(data, op, reader: _TargetReader, count_mode,
@@ -220,71 +326,14 @@ def _stream_op_py(data, op, reader: _TargetReader, count_mode,
     (one decoded blob block live at a time, target read lazily one block at
     a time).  Returns the count in count_mode; otherwise results land in
     ``accum``."""
-    count = 0
-    ones = np.full(C.SET_BLOCK_SIZE, 0xFFFFFFFF, np.uint32)
-    zeros = np.zeros(C.SET_BLOCK_SIZE, np.uint32)
-    b_nbs, b_cls, b_rows = [], [], []
-
-    def flush():
-        if b_nbs:
-            rows = (np.stack(b_rows) if b_rows
-                    else np.zeros((0, C.SET_BLOCK_SIZE), np.uint32))
-            accum.add_batch(np.asarray(b_nbs, _I64),
-                            np.asarray(b_cls, np.uint8), rows)
-            b_nbs.clear(); b_cls.clear(); b_rows.clear()
-
+    eng = _StreamCombiner(op, reader, count_mode, accum)
     for nb, code, payload in _stream_blocks(data, want=None):
         if nb == "header":
             continue
-        tstate, tw = reader.lookup(nb)
-        rec_full = code == CODE_FULL
-        skip = emit_full = False
-        if op == native.OP_AND:
-            skip = tstate == 0
-            emit_full = tstate == 1 and rec_full
-        elif op == native.OP_OR:
-            emit_full = tstate == 1 or rec_full
-        elif op == native.OP_XOR:
-            emit_full = rec_full and tstate == 0
-            skip = rec_full and tstate == 1
-        elif op == native.OP_SUB_AB:
-            skip = tstate == 0 or rec_full
-        else:                                   # OP_SUB_BA
-            skip = tstate == 1
-            emit_full = rec_full and tstate == 0
-        if skip:
-            continue
-        if emit_full:
-            if count_mode:
-                count += C.BITS_PER_BLOCK
-            else:
-                b_nbs.append(nb)
-                b_cls.append(C.CLS_FULL)
-            continue
-        b = ones if rec_full else _decode_payload(code, payload)
-        t = tw if tstate == 2 else (ones if tstate == 1 else zeros)
-        if op == native.OP_AND:
-            r = t & b
-        elif op == native.OP_OR:
-            r = t | b
-        elif op == native.OP_XOR:
-            r = t ^ b
-        elif op == native.OP_SUB_AB:
-            r = t & ~b
-        else:
-            r = b & ~t
-        if count_mode:
-            count += int(np.bitwise_count(r).sum())
-        else:
-            b_nbs.append(nb)
-            b_cls.append(C.CLS_BIT)
-            b_rows.append(r)
-            if len(b_rows) >= _CHUNK:
-                flush()
-    if count_mode:
-        return count
-    flush()
-    return None
+        eng.feed(nb, code == CODE_FULL,
+                 lambda code=code, payload=payload:
+                 _decode_payload(code, payload))
+    return eng.finish()
 
 
 _SET_TO_OPC = {
@@ -447,18 +496,7 @@ class OperationDeserializer:
         else:
             for b in batches:
                 accum.add_batch(*b)
-        out_nbs, out_cls, out_rows, out_gaps = accum.finish()
-        if opc in _PASS_THROUGH and bv._struct.nb.size:
-            out_nbs, out_cls, out_rows, out_gaps = _merge_passthrough_bv(
-                out_nbs, out_cls, out_rows, out_gaps, bv, rec_nbs)
-        blob_sz = _blob_size(data)
-        bv._struct = Structure(np.asarray(out_nbs, _I64).copy(),
-                               np.asarray(out_cls, np.uint8).copy())
-        bv._pool = out_rows
-        bv._gaps = out_gaps
-        bv._size = max(bv._size, blob_sz)
-        bv._dirty()
-        return bv
+        return _finalize_set(bv, accum, opc, rec_nbs, _blob_size(data))
 
     def _count_op(self, bv: BitVector, data: bytes, op: int) -> int:
         bv._flush()
@@ -492,104 +530,27 @@ class OperationDeserializer:
     # ------------------------------------------------------------------
     # reference-format streaming (RefDeserializer sink mode)
     # ------------------------------------------------------------------
-    @staticmethod
-    def _combine_one(opc, tstate, tw, b):
-        """Combine one blob block (b: words or None=FULL) with the target
-        state (0 absent / 1 FULL / 2 row tw).  Returns (cls, words):
-        cls 0 zero / 1 FULL / 2 row."""
-        rec_full = b is None
-        if opc == native.OP_AND:
-            if tstate == 0:
-                return 0, None
-            if tstate == 1:
-                return (1, None) if rec_full else (2, b)
-            return (2, tw.copy()) if rec_full else (2, tw & b)
-        if opc == native.OP_OR:
-            if tstate == 1 or rec_full:
-                return 1, None
-            return (2, b) if tstate == 0 else (2, tw | b)
-        if opc == native.OP_XOR:
-            if rec_full:
-                return (0, None) if tstate == 1 else \
-                    ((1, None) if tstate == 0 else (2, ~tw))
-            if tstate == 0:
-                return 2, b
-            if tstate == 1:
-                return 2, ~b
-            return 2, tw ^ b
-        if opc == native.OP_SUB_AB:
-            if tstate == 0 or rec_full:
-                return 0, None
-            if tstate == 1:
-                return 2, ~b
-            return 2, tw & ~b
-        # OP_SUB_BA
-        if tstate == 1:
-            return 0, None
-        if rec_full:
-            return (1, None) if tstate == 0 else (2, ~tw)
-        return (2, b) if tstate == 0 else (2, b & ~tw)
-
     def _ref_stream(self, bv, data, opc, count_mode, compress=False):
-        """Run the ref-format decoder in sink mode, combining per block.
-        Target blocks are read lazily one at a time (no snapshot)."""
+        """Run the ref-format decoder in sink mode, combining per block
+        through the shared _StreamCombiner engine.  Target blocks are read
+        lazily one at a time (no snapshot); sink words=None means FULL."""
         from .refcodec import RefDeserializer
-        reader = _TargetReader(bv)
         accum = None if count_mode else _ResultAccum(compress, bv._glevel)
-        seen = []
-        state = {"count": 0}
-        b_nbs, b_cls, b_rows = [], [], []
-
-        def flush():
-            if b_nbs:
-                rows = (np.stack(b_rows) if b_rows
-                        else np.zeros((0, C.SET_BLOCK_SIZE), np.uint32))
-                accum.add_batch(np.asarray(b_nbs, _I64),
-                                np.asarray(b_cls, np.uint8), rows)
-                b_nbs.clear(); b_cls.clear(); b_rows.clear()
+        eng = _StreamCombiner(opc, _TargetReader(bv), count_mode, accum)
 
         def sink(nb, words):
-            tstate, tw = reader.lookup(nb)
-            seen.append(nb)
-            kind, w = self._combine_one(opc, tstate, tw, words)
-            if count_mode:
-                if kind == 1:
-                    state["count"] += C.BITS_PER_BLOCK
-                elif kind == 2:
-                    state["count"] += int(np.bitwise_count(w).sum())
-                return
-            if kind == 1:
-                b_nbs.append(nb)
-                b_cls.append(C.CLS_FULL)
-            elif kind == 2:
-                b_nbs.append(nb)
-                b_cls.append(C.CLS_BIT)
-                b_rows.append(w)
-                if len(b_rows) >= _CHUNK:
-                    flush()
+            eng.feed(nb, words is None, lambda: words)
 
         size = RefDeserializer().deserialize(data, sink=sink)
-        if not count_mode:
-            flush()
-        return np.asarray(seen, _I64), size, \
-            (state["count"] if count_mode else accum)
+        cnt = eng.finish()
+        return eng.mentioned, size, (cnt if count_mode else accum)
 
     def _ref_stream_apply(self, bv, data, opc):
         bv._check_writable()
         bv._flush()
         compress = bv._gaps is not None
         seen, size, accum = self._ref_stream(bv, data, opc, False, compress)
-        out_nbs, out_cls, out_rows, out_gaps = accum.finish()
-        if opc in _PASS_THROUGH and bv._struct.nb.size:
-            out_nbs, out_cls, out_rows, out_gaps = _merge_passthrough_bv(
-                out_nbs, out_cls, out_rows, out_gaps, bv, seen)
-        bv._struct = Structure(np.asarray(out_nbs, _I64).copy(),
-                               np.asarray(out_cls, np.uint8).copy())
-        bv._pool = out_rows
-        bv._gaps = out_gaps
-        bv._size = max(bv._size, size)
-        bv._dirty()
-        return bv
+        return _finalize_set(bv, accum, opc, seen, size)
 
     def _ref_count_op(self, bv, data, op):
         bv._flush()

@@ -121,12 +121,12 @@ class IteratorDeserializer:
         """Pure pull-driven variant: consumes ``it`` record by record with
         O(1 block) live state — the exact iterator pairing of the
         reference API (useful when the caller interleaves its own record
-        inspection with the combine)."""
-        from . import native
+        inspection with the combine).  The skip/emit/combine semantics are
+        the shared opdeser._StreamCombiner engine; skipped records never
+        decode their payload (next() jumps unconsumed payloads)."""
         from .opdeser import (_COUNT_TO_OPC, _PASS_THROUGH, _SET_TO_OPC,
-                              _ResultAccum, _TargetReader,
-                              _merge_passthrough_bv, _passthrough_count_bv)
-        from ..core.blocks import Structure
+                              _ResultAccum, _StreamCombiner, _TargetReader,
+                              _finalize_set, _passthrough_count_bv)
         count_mode = op in _COUNT_TO_OPC
         if not count_mode and op not in _SET_TO_OPC:
             raise ValueError(f"unsupported op {op}")
@@ -134,88 +134,14 @@ class IteratorDeserializer:
         if not count_mode:
             bv._check_writable()
         bv._flush()
-        reader = _TargetReader(bv)
         accum = None if count_mode else _ResultAccum(
             bv._gaps is not None, bv._glevel)
-        seen = []
-        total = 0
-        ones = np.full(C.SET_BLOCK_SIZE, 0xFFFFFFFF, np.uint32)
-        zeros = np.zeros(C.SET_BLOCK_SIZE, np.uint32)
-        b_nbs, b_cls, b_rows = [], [], []
-
-        def flush():
-            if b_nbs:
-                rows = (np.stack(b_rows) if b_rows
-                        else np.zeros((0, C.SET_BLOCK_SIZE), np.uint32))
-                accum.add_batch(np.asarray(b_nbs, _I64),
-                                np.asarray(b_cls, np.uint8), rows)
-                b_nbs.clear(); b_cls.clear(); b_rows.clear()
-
+        eng = _StreamCombiner(opc, _TargetReader(bv), count_mode, accum)
         while it.next():
-            nb = it.block_idx
-            seen.append(nb)
-            tstate, tw = reader.lookup(nb)
-            rec_full = it.state == E_FULL
-            # payload-skip fast paths (same table as the stream engines)
-            skip = emit_full = False
-            if opc == native.OP_AND:
-                skip = tstate == 0
-                emit_full = tstate == 1 and rec_full
-            elif opc == native.OP_OR:
-                emit_full = tstate == 1 or rec_full
-            elif opc == native.OP_XOR:
-                emit_full = rec_full and tstate == 0
-                skip = rec_full and tstate == 1
-            elif opc == native.OP_SUB_AB:
-                skip = tstate == 0 or rec_full
-            else:
-                skip = tstate == 1
-                emit_full = rec_full and tstate == 0
-            if skip:
-                it.skip()
-                continue
-            if emit_full:
-                it.skip()
-                if count_mode:
-                    total += C.BITS_PER_BLOCK
-                else:
-                    b_nbs.append(nb)
-                    b_cls.append(C.CLS_FULL)
-                continue
-            b = ones if rec_full else it.get_block_words()
-            t = tw if tstate == 2 else (ones if tstate == 1 else zeros)
-            if opc == native.OP_AND:
-                r = t & b
-            elif opc == native.OP_OR:
-                r = t | b
-            elif opc == native.OP_XOR:
-                r = t ^ b
-            elif opc == native.OP_SUB_AB:
-                r = t & ~b
-            else:
-                r = b & ~t
-            if count_mode:
-                total += int(np.bitwise_count(r).sum())
-            else:
-                b_nbs.append(nb)
-                b_cls.append(C.CLS_BIT)
-                b_rows.append(r)
-                if len(b_rows) >= 64:
-                    flush()
-        mentioned = np.asarray(seen, _I64)
+            eng.feed(it.block_idx, it.state == E_FULL, it.get_block_words)
+        total = eng.finish()
         if count_mode:
             if opc in _PASS_THROUGH and bv._struct.nb.size:
-                total += _passthrough_count_bv(bv, mentioned)
+                total += _passthrough_count_bv(bv, eng.mentioned)
             return total
-        flush()
-        out_nbs, out_cls, out_rows, out_gaps = accum.finish()
-        if opc in _PASS_THROUGH and bv._struct.nb.size:
-            out_nbs, out_cls, out_rows, out_gaps = _merge_passthrough_bv(
-                out_nbs, out_cls, out_rows, out_gaps, bv, mentioned)
-        bv._struct = Structure(np.asarray(out_nbs, _I64).copy(),
-                               np.asarray(out_cls, np.uint8).copy())
-        bv._pool = out_rows
-        bv._gaps = out_gaps
-        bv._size = max(bv._size, it.size)
-        bv._dirty()
-        return bv
+        return _finalize_set(bv, accum, opc, eng.mentioned, it.size)

@@ -533,25 +533,18 @@ class _PreparedPipeline:
     is bounded by survivors; dense SVs keep the prebuilt-stack fast path."""
 
     def __init__(self, sc, sv, arena, pos_of):
-        from ..agg.arena import build_dense_stack
+        from ..agg.arena import (build_dense_stack, operands_succinct,
+                                 presence_table)
         self.sc = sc
         self.sv = sv
         self.pos_of = pos_of
         self.K = len(arena.vectors)
         self.arena = arena
-        n_gap = sum(v._gaps.n_blocks for v in arena.vectors
-                    if v._gaps is not None)
-        n_bit = sum(v._struct.n_rows() for v in arena.vectors)
-        self.succinct = n_gap > n_bit
+        self.succinct = operands_succinct(arena.vectors)
         self.last_narrowing = None
         if self.succinct:
-            self.nb_union = np.unique(np.concatenate(
-                [v._struct.nb for v in arena.vectors]
-                or [np.zeros(0, np.int64)]))
-            # presence per (operand, union block): state != ZERO
-            self._present = np.stack(
-                [v._struct.lookup(self.nb_union)[0] != 0
-                 for v in arena.vectors]).astype(np.int32)
+            # cached across batches (the prepared-pipeline payoff)
+            self.nb_union, self._present = presence_table(arena.vectors)
             self.planes = None
             self.ok = self.nb_union.size > 0
         else:
@@ -563,13 +556,11 @@ class _PreparedPipeline:
         query's whole AND group is present, then one device sweep."""
         import jax.numpy as jnp
 
-        from ..agg.arena import build_dense_stack_host
+        from ..agg.arena import build_dense_stack_host, narrow_survivors
         from ..ops.pallas_kernels import pipeline_counts
-        need = (sels == 1).astype(np.int32)            # [V, K]
-        got = need @ self._present                     # [V, NB]
-        surv = (got == need.sum(axis=1, keepdims=True)).any(axis=0)
-        nb_sel = self.nb_union[surv]
-        self.last_narrowing = (int(nb_sel.size), int(self.nb_union.size))
+        nb_sel, n_union = narrow_survivors(self.nb_union, self._present,
+                                           sels)
+        self.last_narrowing = (int(nb_sel.size), n_union)
         if nb_sel.size == 0:
             return np.zeros(sels.shape[0], np.int64)
         stack = build_dense_stack_host(self.arena.vectors, nb_sel)

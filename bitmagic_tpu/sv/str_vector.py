@@ -231,6 +231,8 @@ class StrSparseVector:
         """Remapped octet image of a query string, or None if some character
         cannot be remapped at its position (=> value cannot exist)."""
         b = s.encode() if isinstance(s, str) else bytes(s)
+        if len(b) > self.max_str_size:
+            return None          # longer than any stored string can be
         arr = np.zeros(self.max_str_size, np.uint8)
         arr[:len(b)] = np.frombuffer(b, np.uint8)
         if self.remap_matrices is None:

@@ -98,6 +98,29 @@ def test_ordered_searches(mesh, signed):
         np.asarray(scanner.find_range(sv, lo, hi).indices()))
 
 
+@pytest.mark.parametrize("signed", [False, True])
+def test_ordered_searches_out_of_range(mesh, signed):
+    """Queries beyond the stored value range must resolve symbolically —
+    the slice descent only sees n_eff bits, so without the range guards a
+    query would be answered for value mod 2**n_eff (round-3 review repro)."""
+    vals = (np.asarray([-3, -1, 0, 2], np.int32) if signed
+            else np.asarray([1, 2, 3, 0, 3], np.uint32))
+    sv = SparseVector.from_array(vals)
+    ssv = ShardedSparseVector.from_sparse_vector(sv, mesh)
+    queries = ([5, -10, 100, -100, 3, -4] if signed
+               else [4, 5, 100, (1 << 31) - 1, 3])
+    for v in queries:
+        for name in ("find_gt", "find_ge", "find_lt", "find_le"):
+            want = np.asarray(getattr(scanner, name)(sv, v).indices())
+            got = _hits(getattr(ssv, name)(v))
+            np.testing.assert_array_equal(got, want,
+                                          err_msg=f"{name} {v}")
+    lo, hi = (-100, 100) if signed else (0, 100)
+    np.testing.assert_array_equal(
+        _hits(ssv.find_range(lo, hi)),
+        np.asarray(scanner.find_range(sv, lo, hi).indices()))
+
+
 def test_pipeline_counts_match(mesh):
     rng = np.random.default_rng(4)
     sv, vals, _ = _mk(rng)
@@ -176,6 +199,22 @@ def test_sharded_str_remap_and_pipeline(mesh, str_data):
     want = [scanner.find_eq_str(ssv, q).count() for q in queries]
     got = sh.pipeline_find_eq_str(queries)
     assert got == want
+
+
+def test_sharded_str_overlong_query(mesh, str_data):
+    """A needle longer than max_str_size cannot exist in the container —
+    must return 0 hits, not crash in remap_value (round-3 review repro)."""
+    from bitmagic_tpu.parallel.sharded_sv import ShardedStrSparseVector
+    from bitmagic_tpu.sv.str_vector import StrSparseVector
+    ssv = StrSparseVector.from_strings(["aa", "bb", "cc"])
+    sh = ShardedStrSparseVector.from_str_vector(ssv, mesh)
+    long_q = "a" * (ssv.max_str_size + 9)
+    assert sh.find_eq_str_count(long_q) == 0
+    assert np.asarray(sh.find_eq_str(long_q).to_bitvector().indices()).size == 0
+    assert sh.pipeline_find_eq_str(["aa", long_q, "cc"]) == [1, 0, 1]
+    # single-host scanner path through the same remap_value
+    from bitmagic_tpu.sv.scanner import scanner
+    assert scanner.find_eq_str(ssv, long_q).count() == 0
 
 
 def test_sharded_str_gather_roundtrip(mesh, str_data):
