@@ -3,8 +3,8 @@ from .sharded import (ShardedBitVector, ShardedRSIndex,
                       group_and_exchange, scan_throughput_program,
                       sharded_and_many, sharded_and_sub,
                       sharded_and_sub_count)
-from .sharded_sv import (ShardedRSCVector, ShardedSparseVector,
-                         ShardedStrSparseVector)
+from .sharded_sv import (ShardedFloatVector, ShardedRSCVector,
+                         ShardedSparseVector, ShardedStrSparseVector)
 from .blobcast import (all_gather_blobs, broadcast_bitvector,
                        broadcast_bytes, broadcast_sparse_vector,
                        merge_broadcast_parts)
@@ -13,7 +13,8 @@ from .plan import (TaskBatch, build_optimize_plan, build_sim_matrix_plan,
 
 __all__ = [
     "BLOCK_AXIS", "block_sharding", "make_mesh", "replicated",
-    "ShardedBitVector", "ShardedRSIndex", "ShardedRSCVector",
+    "ShardedBitVector", "ShardedRSIndex", "ShardedFloatVector",
+    "ShardedRSCVector",
     "ShardedSparseVector", "ShardedStrSparseVector", "group_and_exchange",
     "scan_throughput_program", "sharded_and_many", "sharded_and_sub",
     "sharded_and_sub_count", "TaskBatch", "build_optimize_plan",

@@ -793,6 +793,237 @@ class ShardedStrSparseVector(_SelectorSearchBase):
                 f"mesh={self.mesh.devices.size} shards)")
 
 
+class ShardedFloatVector(_SelectorSearchBase):
+    """Mesh-sharded float vector (``bm::sparse_vector_float``,
+    reference src/bmsparsevec_float.h at mesh scale): the IEEE-754
+    sign/exponent/mantissa split of a ``FloatSparseVector``
+    (sv/float_vector.py) in ONE block-sharded stack.
+
+    Stack rows: mantissa slices [0, man_eff), exponent slices
+    [man_eff, man_eff+exp_eff), then the sign plane, then the universe.
+    Magnitude bit s of the (exp << man_bits) | mantissa image maps through
+    ``self.rows`` (-1 = no element stores that bit; the descent
+    synthesizes a zero plane at trace time, the eq selector resolves a
+    required absent bit symbolically).
+
+    find_eq rides the shared digest-narrowing selector flow
+    (_SelectorSearchBase); ordered searches use a fused magnitude descent
+    with the float scanner's sign-class assembly (scanner find_gt_float:
+    lexicographic (exp, mantissa) per sign class, order reversed for
+    negatives, stored -0.0 moved to the non-negative class)."""
+
+    def __init__(self, stack, size, mesh, dtype, rows, sign_row, nullable):
+        self.stack = stack
+        self.size = int(size)
+        self.mesh = mesh
+        self.dtype = np.dtype(dtype)
+        spec_u = np.uint32 if self.dtype == np.float32 else np.uint64
+        self._uint = spec_u
+        self._eb = 8 if self.dtype == np.float32 else 11
+        self._mb = 23 if self.dtype == np.float32 else 52
+        self.rows = tuple(rows)        # magnitude bit s -> stack row / -1
+        self.SIGN = int(sign_row)
+        self.nullable = bool(nullable)
+
+    @property
+    def UNI(self) -> int:
+        return self.SIGN + 1
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_float_vector(cls, fv, mesh=None) -> "ShardedFloatVector":
+        mesh = mesh or make_mesh()
+        fv.mantissa._flush()
+        fv.exponent._flush()
+        fv.sign._flush()
+        n_shards = mesh.devices.size
+        size = fv._size
+        nblk = max(C.blocks_for_bits(max(size, 1)), 1)
+        nblk_p = pad_rows(nblk, n_shards)
+        man_eff = fv.mantissa.effective_slices()
+        exp_eff = fv.exponent.effective_slices()
+        eb = 8 if fv.dtype == np.float32 else 11
+        mb = 23 if fv.dtype == np.float32 else 52
+        rows = [(s if s < man_eff else -1) for s in range(mb)] + \
+               [(man_eff + e if e < exp_eff else -1) for e in range(eb)]
+        sign_row = man_eff + exp_eff
+        host = np.zeros((sign_row + 2, nblk_p, C.SET_BLOCK_SIZE), np.uint32)
+        for s in range(man_eff):
+            host[s, :nblk] = _plane_words(fv.mantissa.planes[s], nblk)
+        for e in range(exp_eff):
+            host[man_eff + e, :nblk] = _plane_words(
+                fv.exponent.planes[e], nblk)
+        host[sign_row, :nblk] = _plane_words(fv.sign, nblk)
+        if fv.nullable:
+            host[sign_row + 1, :nblk] = _plane_words(fv.null_plane, nblk)
+        else:
+            _fill_universe_row(host, sign_row + 1, size)
+        stack = jax.device_put(
+            host, NamedSharding(mesh, P(None, BLOCK_AXIS, None)))
+        return cls(stack, size, mesh, fv.dtype, rows, sign_row, fv.nullable)
+
+    @classmethod
+    def from_array(cls, values, mesh=None, dtype=None,
+                   nullable=False) -> "ShardedFloatVector":
+        from ..sv.float_vector import FloatSparseVector
+        return cls.from_float_vector(
+            FloatSparseVector.from_array(values, dtype=dtype,
+                                         nullable=nullable), mesh)
+
+    def to_float_vector(self):
+        """Collect into a single-host FloatSparseVector."""
+        from ..core.bitvector import BitVector
+        from ..sv.float_vector import FloatSparseVector
+        host = _host_fetch(self.stack)
+        fv = FloatSparseVector(self.dtype, nullable=self.nullable)
+        for s, r in enumerate(self.rows):
+            if r < 0 or not host[r].any():
+                continue
+            bv = BitVector.from_words(host[r], C.ID_MAX48)
+            bv.optimize()
+            (fv.mantissa if s < self._mb else fv.exponent).planes[
+                s if s < self._mb else s - self._mb] = bv
+        fv.sign = BitVector.from_words(host[self.SIGN], C.ID_MAX48)
+        fv.sign.optimize()
+        if self.nullable:
+            fv.null_plane = BitVector.from_words(host[self.UNI], C.ID_MAX48)
+            fv.null_plane.optimize()
+        fv.mantissa._size = fv.exponent._size = self.size
+        fv._size = self.size
+        return fv
+
+    def checkpoint_bytes(self) -> bytes:
+        from ..serial.sv_serial import SparseVectorSerializer
+        return SparseVectorSerializer().serialize_float(
+            self.to_float_vector())
+
+    @classmethod
+    def from_checkpoint(cls, blob: bytes, mesh=None) -> "ShardedFloatVector":
+        from ..serial.sv_serial import SparseVectorDeserializer
+        return cls.from_float_vector(
+            SparseVectorDeserializer().deserialize(blob), mesh)
+
+    # ------------------------------------------------------------------
+    def _parts(self, value):
+        u = int(np.asarray([value], self.dtype).view(self._uint)[0])
+        sign = u >> (self._eb + self._mb)
+        exp = (u >> self._mb) & ((1 << self._eb) - 1)
+        mant = u & ((1 << self._mb) - 1)
+        if exp == 0 and mant == 0:
+            sign = 0                     # -0.0 compares equal to +0.0
+        return sign, exp, mant
+
+    def _selector(self, value):
+        """Equality selector over magnitude rows + sign + universe (the
+        scanner find_eq_float decomposition; None = value cannot occur)."""
+        sign, exp, mant = self._parts(value)
+        mag = (exp << self._mb) | mant
+        sel = np.zeros(self.K, np.int32)
+        for s, r in enumerate(self.rows):
+            if (mag >> s) & 1:
+                if r < 0:                # a required bit no element stores
+                    return None
+                sel[r] = 1
+            elif r >= 0:
+                sel[r] = -1
+        if not (exp == 0 and mant == 0):
+            sel[self.SIGN] = 1 if sign else -1
+        sel[self.UNI] = 1
+        return sel
+
+    def find_eq(self, value) -> ShardedBitVector:
+        """All positions holding ``value`` (digest narrowing + one
+        survivor AND-SUB pass; +-0.0 match each other)."""
+        return self._search(value)
+
+    def find_eq_count(self, value) -> int:
+        return self._search_count(value)
+
+    def pipeline_find_eq(self, values) -> list:
+        """Hit counts for a float batch — one sharded sweep per batch."""
+        return self._pipeline(values)
+
+    # ------------------------------------------------------------------
+    def _gt_eq(self, value):
+        """(gt_pool, eq_pool) of the float ordering (scanner
+        find_gt_float semantics: gt_pool is the FINAL x > value set)."""
+        sign, exp, mant = self._parts(value)
+        mag = (exp << self._mb) | mant
+        vbits = np.asarray([(mag >> s) & 1 for s in range(len(self.rows))],
+                           np.int32)
+        prog = _float_gt_prog(self.mesh, self.rows, self.SIGN, self.UNI,
+                              bool(sign))
+        return prog(jnp.asarray(vbits), self.stack)
+
+    def find_gt(self, value) -> ShardedBitVector:
+        gt, _ = self._gt_eq(value)
+        return self._wrap(gt)
+
+    def find_ge(self, value) -> ShardedBitVector:
+        gt, eq = self._gt_eq(value)
+        return self._wrap(_or_pools(gt, eq))
+
+    def find_le(self, value) -> ShardedBitVector:
+        gt, _ = self._gt_eq(value)
+        return self._wrap(_sub_from_uni_prog(self.mesh, self.K, self.UNI)(
+            gt, self.stack))
+
+    def find_lt(self, value) -> ShardedBitVector:
+        gt, eq = self._gt_eq(value)
+        return self._wrap(_sub_from_uni_prog(self.mesh, self.K, self.UNI)(
+            _or_pools(gt, eq), self.stack))
+
+    def find_range(self, lo, hi) -> ShardedBitVector:
+        ge = self.find_ge(lo)
+        le = self.find_le(hi)
+        return self._wrap(_and_pools(ge.pool, le.pool))
+
+    def _wrap(self, pool) -> ShardedBitVector:
+        return ShardedBitVector(pool, self.size, self.mesh)
+
+    # ------------------------------------------------------------------
+    def gather(self, ids) -> np.ndarray:
+        """Decode floats at mesh scale (NULL positions read 0.0)."""
+        ids = np.asarray(ids, _I64)
+        if ids.size == 0:
+            return np.zeros(0, self.dtype)
+        if (ids < 0).any() or (ids >= max(self.size, 1)).any():
+            raise IndexError("gather index out of range")
+        blk = (ids >> C.SET_BLOCK_SHIFT).astype(np.int32)
+        word_idx = ((ids & C.SET_BLOCK_MASK) >> 5).astype(np.int32)
+        bit_in = (ids & 31).astype(np.uint32)
+        bits = _host_fetch(_gather_rows_prog(self.mesh, self.K)(
+            jnp.asarray(blk), jnp.asarray(word_idx), jnp.asarray(bit_in),
+            self.stack)).astype(np.uint64)
+        u = np.zeros(ids.size, np.uint64)
+        for s, r in enumerate(self.rows):
+            if r >= 0:
+                u |= bits[r] << np.uint64(s)
+        u |= bits[self.SIGN] << np.uint64(self._eb + self._mb)
+        vals = u.astype(np.uint64).view(np.float64) \
+            if self.dtype == np.float64 \
+            else u.astype(np.uint32).view(np.float32)
+        if self.nullable:
+            vals = np.where(bits[self.UNI] == 0,
+                            np.asarray(0, self.dtype), vals)
+        return np.asarray(vals, self.dtype)
+
+    def decode(self, lo: int, n: int) -> np.ndarray:
+        return self.gather(np.arange(lo, lo + n, dtype=_I64))
+
+    def get(self, i):
+        return self.gather(np.asarray([i]))[0]
+
+    __getitem__ = get
+
+    def __len__(self):
+        return self.size
+
+    def __repr__(self):
+        return (f"ShardedFloatVector(dtype={self.dtype}, size={self.size}, "
+                f"rows={self.K}, mesh={self.mesh.devices.size} shards)")
+
+
 # ---------------------------------------------------------------------------
 # device programs (cached per mesh/shape signature)
 # ---------------------------------------------------------------------------
@@ -895,6 +1126,43 @@ def _descent_prog(mesh, k, lo_row, n_bits, uni_row, universe_mode):
             vb = vbits[s]
             gt = jnp.where(vb == 0, gt | (eq & p), gt)
             eq = jnp.where(vb == 1, eq & p, eq & ~p)
+        return gt, eq
+
+    return jax.jit(shard_map(
+        _local, mesh=mesh,
+        in_specs=(P(), P(None, BLOCK_AXIS, None)),
+        out_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS, None))))
+
+
+@functools.lru_cache(maxsize=64)
+def _float_gt_prog(mesh, rows, sign_row, uni_row, neg_mode):
+    """Fused float ordering (scanner find_gt_float at mesh scale):
+    magnitude descent over ``rows`` (stack row per (exp<<mb)|mantissa bit,
+    -1 = zero plane synthesized at trace time) with IEEE sign-class
+    assembly — stored -0.0 joins the non-negative class; for a negative
+    query (neg_mode) the result is all non-negatives plus negatives of
+    SMALLER magnitude.  Returns (x > value, x == value) pools."""
+    n_bits = len(rows)
+
+    def _local(vbits, stack_l):
+        uni = stack_l[uni_row]
+        sgn = stack_l[sign_row]
+        mag_zero = uni
+        for r in rows:
+            if r >= 0:
+                mag_zero = mag_zero & ~stack_l[r]
+        pos = (uni & ~sgn) | (mag_zero & sgn)
+        neg = (uni & sgn) & ~mag_zero
+        eq = neg if neg_mode else pos
+        gt = jnp.zeros_like(uni)
+        for s in range(n_bits - 1, -1, -1):
+            p = (jnp.zeros_like(uni) if rows[s] < 0
+                 else stack_l[rows[s]])
+            vb = vbits[s]
+            gt = jnp.where(vb == 0, gt | (eq & p), gt)
+            eq = jnp.where(vb == 1, eq & p, eq & ~p)
+        if neg_mode:
+            return pos | (neg & ~(gt | eq)), eq
         return gt, eq
 
     return jax.jit(shard_map(

@@ -236,6 +236,72 @@ def test_sharded_str_gather_roundtrip(mesh, str_data):
 
 
 # ---------------------------------------------------------------------------
+# sharded FLOAT container (IEEE sign/exp/mantissa descent at mesh scale)
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_sharded_float_matches_scanner(mesh, dtype):
+    from bitmagic_tpu.parallel.sharded_sv import ShardedFloatVector
+    from bitmagic_tpu.sv.float_vector import FloatSparseVector
+    rng = np.random.default_rng(31)
+    n = 2 * C.BITS_PER_BLOCK + 999
+    vals = (rng.normal(0, 100, n) * rng.choice([1, 0, 0.5], n)).astype(dtype)
+    vals[5] = -0.0                              # signed-zero edge
+    vals[7] = 3.25
+    fv = FloatSparseVector.from_array(vals)
+    sfv = ShardedFloatVector.from_float_vector(fv, mesh)
+    for q in (3.25, 0.0, -0.0, 12.75, -50.0, float(vals[123])):
+        q = dtype(q)
+        want = np.asarray(scanner.find_eq_float(fv, q).indices())
+        got = _hits(sfv.find_eq(q))
+        np.testing.assert_array_equal(got, want, err_msg=f"eq {q}")
+        assert sfv.find_eq_count(q) == want.size
+        np.testing.assert_array_equal(
+            _hits(sfv.find_gt(q)),
+            np.asarray(scanner.find_gt_float(fv, q).indices()),
+            err_msg=f"gt {q}")
+        np.testing.assert_array_equal(
+            _hits(sfv.find_lt(q)),
+            np.asarray(scanner.find_lt_float(fv, q).indices()),
+            err_msg=f"lt {q}")
+    # ge/le/range against ground truth
+    for q in (0.0, -25.5, 60.0):
+        np.testing.assert_array_equal(
+            _hits(sfv.find_ge(dtype(q))), np.flatnonzero(vals >= dtype(q)))
+        np.testing.assert_array_equal(
+            _hits(sfv.find_le(dtype(q))), np.flatnonzero(vals <= dtype(q)))
+    np.testing.assert_array_equal(
+        _hits(sfv.find_range(dtype(-10), dtype(10))),
+        np.flatnonzero((vals >= dtype(-10)) & (vals <= dtype(10))))
+    # batch pipeline + gather/decode + checkpoint roundtrip
+    qs = [dtype(3.25), dtype(0.0), dtype(999999.0)]
+    assert sfv.pipeline_find_eq(qs) == [int((vals == q).sum()) for q in qs]
+    ids = rng.integers(0, n, 200)
+    np.testing.assert_array_equal(sfv.gather(ids), vals[ids])
+    np.testing.assert_array_equal(sfv.decode(100, 40), vals[100:140])
+    blob = sfv.checkpoint_bytes()
+    again = ShardedFloatVector.from_checkpoint(blob, mesh)
+    np.testing.assert_array_equal(again.decode(0, 64), vals[:64])
+
+
+def test_sharded_float_nullable(mesh):
+    from bitmagic_tpu.parallel.sharded_sv import ShardedFloatVector
+    from bitmagic_tpu.sv.float_vector import FloatSparseVector
+    rng = np.random.default_rng(33)
+    n = 30_000
+    vals = rng.normal(0, 10, n).astype(np.float32)
+    fv = FloatSparseVector.from_array(vals, nullable=True)
+    for i in (3, 100, 29_999):
+        fv.set_null(i)
+    sfv = ShardedFloatVector.from_float_vector(fv, mesh)
+    q = np.float32(vals[3])
+    want = np.asarray(scanner.find_eq_float(fv, q).indices())
+    np.testing.assert_array_equal(_hits(sfv.find_eq(q)), want)
+    assert 3 not in set(_hits(sfv.find_gt(np.float32(-1e9))).tolist())
+    got = sfv.gather([2, 3, 4])
+    assert got[1] == 0.0 and got[0] == vals[2] and got[2] == vals[4]
+
+
+# ---------------------------------------------------------------------------
 # sharded RSC container (compressed-domain search + sharded rank decompress)
 # ---------------------------------------------------------------------------
 def test_sharded_rsc_find_and_gather(mesh):
