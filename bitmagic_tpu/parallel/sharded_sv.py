@@ -142,6 +142,13 @@ class _SelectorSearchBase:
             sel_j, jnp.asarray(idx), jnp.asarray(valid), self.stack)
         return int(_host_fetch(cnt)[0])
 
+    def _search_ne(self, key) -> ShardedBitVector:
+        """Universe minus the eq hits (scanner find_ne)."""
+        eq = self._search(key)
+        return ShardedBitVector(
+            _sub_from_uni_prog(self.mesh, self.K, self.UNI)(
+                eq.pool, self.stack), self.size, self.mesh)
+
     def _pipeline(self, keys) -> list:
         from .sharded import pipeline_counts_program
         sels = np.zeros((len(keys), self.K), np.int32)
@@ -276,6 +283,20 @@ class ShardedSparseVector(_SelectorSearchBase):
     def find_eq_count(self, value) -> int:
         """Global hit count: survivor-only popcount + one psum."""
         return self._search_count(value)
+
+    def find_ne(self, value) -> ShardedBitVector:
+        """Assigned positions holding anything but ``value``
+        (scanner find_ne, src/bmsparsevec_algo.h)."""
+        return self._search_ne(value)
+
+    def find_zero(self) -> ShardedBitVector:
+        """Assigned positions holding 0 (scanner find_zero)."""
+        return self._search(0)
+
+    def find_nonzero(self) -> ShardedBitVector:
+        """OR of all value slices (scanner find_nonzero semantics,
+        reference src/bmsparsevec_algo.h:1082 — NOT null-masked)."""
+        return self._wrap(_or_rows_prog(self.mesh, self.n_eff)(self.stack))
 
     # ------------------------------------------------------------------
     # ordered searches: fused MSB-first slice descent (shard-local)
@@ -939,6 +960,10 @@ class ShardedFloatVector(_SelectorSearchBase):
     def find_eq_count(self, value) -> int:
         return self._search_count(value)
 
+    def find_ne(self, value) -> ShardedBitVector:
+        """Assigned positions holding anything but ``value``."""
+        return self._search_ne(value)
+
     def pipeline_find_eq(self, values) -> list:
         """Hit counts for a float batch — one sharded sweep per batch."""
         return self._pipeline(values)
@@ -1042,6 +1067,21 @@ def _stack_row_prog(row):
 @functools.lru_cache(maxsize=4)
 def _zeros_row_prog():
     return jax.jit(lambda s: jnp.zeros_like(s[0]))
+
+
+@functools.lru_cache(maxsize=64)
+def _or_rows_prog(mesh, n_rows):
+    """OR of stack rows [0, n_rows) (find_nonzero: union of value slices)."""
+    def _local(stack_l):
+        acc = stack_l[0]
+        for i in range(1, n_rows):
+            acc = acc | stack_l[i]
+        return acc
+
+    return jax.jit(shard_map(
+        _local, mesh=mesh,
+        in_specs=P(None, BLOCK_AXIS, None),
+        out_specs=P(BLOCK_AXIS, None)))
 
 
 @functools.lru_cache(maxsize=64)

@@ -121,6 +121,21 @@ def test_ordered_searches_out_of_range(mesh, signed):
         np.asarray(scanner.find_range(sv, lo, hi).indices()))
 
 
+def test_find_ne_zero_nonzero(mesh):
+    rng = np.random.default_rng(9)
+    sv, vals, nm = _mk(rng, nullable=True)
+    ssv = ShardedSparseVector.from_sparse_vector(sv, mesh)
+    for v in (0, 17, 1 << 30):
+        np.testing.assert_array_equal(
+            _hits(ssv.find_ne(v)),
+            np.asarray(scanner.find_ne(sv, v).indices()), err_msg=f"ne {v}")
+    np.testing.assert_array_equal(
+        _hits(ssv.find_zero()), np.asarray(scanner.find_zero(sv).indices()))
+    np.testing.assert_array_equal(
+        _hits(ssv.find_nonzero()),
+        np.asarray(scanner.find_nonzero(sv).indices()))
+
+
 def test_pipeline_counts_match(mesh):
     rng = np.random.default_rng(4)
     sv, vals, _ = _mk(rng)
