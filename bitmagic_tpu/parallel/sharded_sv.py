@@ -530,8 +530,19 @@ class ShardedRSCVector:
     def find_gt(self, value) -> ShardedBitVector:
         return self._decompress(self.dense.find_gt(value))
 
+    def find_ge(self, value) -> ShardedBitVector:
+        return self._decompress(self.dense.find_ge(value))
+
     def find_lt(self, value) -> ShardedBitVector:
         return self._decompress(self.dense.find_lt(value))
+
+    def find_le(self, value) -> ShardedBitVector:
+        return self._decompress(self.dense.find_le(value))
+
+    def find_ne(self, value) -> ShardedBitVector:
+        """Assigned slots holding anything but ``value`` (compressed-
+        domain ne, then one sharded rank decompression)."""
+        return self._decompress(self.dense.find_ne(value))
 
     def find_range(self, lo, hi) -> ShardedBitVector:
         return self._decompress(self.dense.find_range(lo, hi))

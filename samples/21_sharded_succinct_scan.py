@@ -70,6 +70,23 @@ print(f"rsc find_eq({qv}) logical hits:",
 print("rsc try_get:", srsc.try_get(int(np.flatnonzero(~nmask)[1])),
       srsc.try_get(int(np.flatnonzero(nmask)[0])))
 
+# --- float vector: IEEE sign/exp/mantissa descent at mesh scale ----------
+from bitmagic_tpu.parallel import ShardedFloatVector
+
+fvals = (rng.normal(0, 25, 200_000)
+         * rng.choice([1.0, 0.0], 200_000)).astype(np.float32)
+fvals[77] = -3.75
+sfv = ShardedFloatVector.from_array(fvals, mesh)
+print(sfv)
+print("float find_eq(-3.75):",
+      np.asarray(sfv.find_eq(np.float32(-3.75)).to_bitvector()
+                 .indices()).tolist())
+print("float find_gt(0).count():", sfv.find_gt(np.float32(0)).count(),
+      " numpy:", int((fvals > 0).sum()))
+print("float find_range(-10, 10).count():",
+      sfv.find_range(np.float32(-10), np.float32(10)).count())
+print("float gather[0, 77]:", sfv.gather([0, 77]).tolist())
+
 # checkpoint: succinct at rest, resharded on load
 blob = ssv.checkpoint_bytes()
 again = ShardedSparseVector.from_checkpoint(blob, mesh)

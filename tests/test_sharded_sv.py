@@ -347,6 +347,16 @@ def test_sharded_rsc_find_and_gather(mesh):
     i_val = int(np.flatnonzero(~null_mask)[0])
     assert srsc.try_get(i_null) is None
     assert srsc.try_get(i_val) == vals[i_val]
+    # ordered + ne fronts: compressed-domain search, rank decompression
+    for name, pred in (("find_gt", lambda a, q: a > q),
+                       ("find_ge", lambda a, q: a >= q),
+                       ("find_lt", lambda a, q: a < q),
+                       ("find_le", lambda a, q: a <= q),
+                       ("find_ne", lambda a, q: a != q)):
+        q = 1500
+        want = np.flatnonzero(~null_mask & pred(vals, q))
+        got = np.asarray(getattr(srsc, name)(q).to_bitvector().indices())
+        np.testing.assert_array_equal(got, want, err_msg=name)
 
 
 def test_sharded_rsc_roundtrip_checkpoint(mesh):
