@@ -105,6 +105,22 @@ class SparseVectorScanner:
         uni = _universe(sv).copy()
         return uni - self.find_eq(sv, value)
 
+    def invert(self, sv: SparseVector, bv: BitVector) -> BitVector:
+        """Invert a search result within [0, sv.size) with NULL correction
+        ("EQ" -> "not EQ"; reference scanner invert,
+        src/bmsparsevec_algo.h:2014: resize-invert + correct_nulls)."""
+        uni = _universe(sv).copy()
+        return uni - bv
+
+    def find_eq_set(self, sv: SparseVector, values) -> BitVector:
+        """Positions holding ANY of ``values`` — A IN (C, D, E, ...)
+        (reference set-iterator find_eq, src/bmsparsevec_algo.h:1092:
+        OR of per-value matches, zero handled by NULL correction)."""
+        out = BitVector(C.ID_MAX48)
+        for v in values:
+            out.bit_or(self.find_eq(sv, v))
+        return out
+
     # ------------------------------------------------------------------
     # ordered searches (slice descent)
     # ------------------------------------------------------------------

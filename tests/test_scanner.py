@@ -253,3 +253,26 @@ def test_str_pipeline_counts(rng):
         assert got == want, f"remapped={remapped}"
         prep = scanner.prepare_pipeline_str(ssv)
         assert prep.counts(queries) == want
+
+
+def test_invert_and_find_eq_set(rng):
+    """scanner.invert (EQ -> not-EQ with NULL correction) and the
+    set-membership find_eq_set (A IN (...)), reference
+    src/bmsparsevec_algo.h:2014 / :1092."""
+    vals = rng.integers(0, 40, 30_000).astype(np.uint32)
+    nm = rng.random(30_000) < 0.25
+    sv = SparseVector.from_array(vals, nullable=True, null_mask=nm)
+    eq = scanner.find_eq(sv, 7)
+    inv = scanner.invert(sv, eq)
+    np.testing.assert_array_equal(
+        np.asarray(inv.indices()), np.flatnonzero(~nm & (vals != 7)))
+    # invert of empty result = all assigned
+    assert scanner.invert(sv, BitVector(1)).count() == int((~nm).sum())
+    got = scanner.find_eq_set(sv, [0, 7, 39, 1000])
+    want = np.flatnonzero(~nm & np.isin(vals, [0, 7, 39, 1000]))
+    np.testing.assert_array_equal(np.asarray(got.indices()), want)
+    # non-nullable path
+    sv2 = SparseVector.from_array(vals)
+    np.testing.assert_array_equal(
+        np.asarray(scanner.invert(sv2, scanner.find_eq(sv2, 3)).indices()),
+        np.flatnonzero(vals != 3))
