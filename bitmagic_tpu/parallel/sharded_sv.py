@@ -780,6 +780,16 @@ class ShardedStrSparseVector(_SelectorSearchBase):
 
     __getitem__ = get
 
+    def decode(self, lo: int, n: int) -> list:
+        return self.gather(np.arange(lo, lo + n, dtype=np.int64))
+
+    def compare(self, i: int, s) -> int:
+        """-1/0/1 of element i vs string s (NULL sorts as "" — the
+        single-host compare() contract; enables scanner sorted search)."""
+        s = s if isinstance(s, str) else bytes(s).decode("latin-1")
+        a = self.get(int(i)) or ""
+        return (a > s) - (a < s)
+
     def __len__(self):
         return self.size
 

@@ -242,8 +242,10 @@ class SparseVectorScanner:
 
     def lower_bound(self, sv: SparseVector, value) -> int:
         """First index i with sv[i] >= value in a sorted vector
-        (reference lower_bound, src/bmsparsevec_algo.h bfind family)."""
-        sv._flush()
+        (reference lower_bound, src/bmsparsevec_algo.h bfind family).
+        Works on single-host AND mesh containers (both expose
+        gather/decode/get; bind() first for the sample-index fast path)."""
+        getattr(sv, "_flush", lambda: None)()
         b = getattr(self, "_bound", None)
         if b is not None and b[0] is sv:
             return self._bound_lower_bound(sv, value, lambda a, v: a < v)

@@ -250,6 +250,33 @@ def test_sharded_str_gather_roundtrip(mesh, str_data):
     assert again.gather(ids) == [strs[i] for i in ids]
 
 
+def test_sorted_search_on_sharded(mesh):
+    """scanner.bind() sorted search runs on the MESH containers unchanged
+    (sample gather + one window decode, all through mesh gather/decode)."""
+    import bisect
+    rng = np.random.default_rng(41)
+    vals = np.sort(rng.integers(0, 100_000, 50_000).astype(np.uint32))
+    ssv = ShardedSparseVector.from_array(vals, mesh)
+    scanner.bind(ssv)
+    for q in (0, int(vals[7]), int(vals[-1]), 100_001, 55_555):
+        assert scanner.lower_bound(ssv, q) == bisect.bisect_left(vals, q), q
+    hit = scanner.bfind_eq(ssv, int(vals[123]))
+    assert vals[hit] == vals[123]
+    assert scanner.bfind_eq(ssv, 100_001) == -1
+    scanner.unbind()
+    # sorted STRING container through the same path
+    from bitmagic_tpu.parallel.sharded_sv import ShardedStrSparseVector
+    words = sorted("w%05d" % v for v in rng.integers(0, 999, 5_000))
+    sstr = ShardedStrSparseVector.from_strings(words, mesh)
+    scanner.bind(sstr)
+    for q in ("w00000", words[17], words[-1], "zzzzz"):
+        assert scanner.lower_bound_str(sstr, q) == \
+            bisect.bisect_left(words, q), q
+    assert words[scanner.bfind_eq_str(sstr, words[42])] == words[42]
+    assert scanner.bfind_eq_str(sstr, "zzzzz") == -1
+    scanner.unbind()
+
+
 # ---------------------------------------------------------------------------
 # sharded FLOAT container (IEEE sign/exp/mantissa descent at mesh scale)
 # ---------------------------------------------------------------------------
