@@ -261,6 +261,9 @@ class ShardedSparseVector(_SelectorSearchBase):
         """int32[K] selector (1=AND, -1=AND-NOT per slice; UNI always AND),
         or None when the value cannot occur (bit above every stored slice).
         Value 0 maps to AND(UNI) - OR(all slices): the same program."""
+        from ..sv.sparse_vector import value_fits
+        if not value_fits(value, self.dtype):
+            return None                    # unrepresentable: never matches
         u = self._s2u_one(value)
         if u >> self.n_eff:            # a required bit has no stored slice
             return None

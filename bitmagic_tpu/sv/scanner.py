@@ -25,7 +25,7 @@ import numpy as np
 from .. import constants as C
 from ..agg.aggregator import Aggregator
 from ..core.bitvector import BitVector
-from .sparse_vector import SparseVector
+from .sparse_vector import SparseVector, value_fits
 
 _agg = Aggregator()
 
@@ -79,6 +79,8 @@ class SparseVectorScanner:
         """All positions holding exactly ``value`` (reference find_eq,
         src/bmsparsevec_algo.h:776)."""
         sv._flush()
+        if not value_fits(value, sv.dtype):
+            return BitVector(C.ID_MAX48)   # unrepresentable: never matches
         u = int(np.asarray(sv.s2u(np.asarray([value], sv.dtype)))[0])
         if u == 0:
             return self.find_zero(sv)
@@ -362,6 +364,9 @@ class SparseVectorScanner:
                 return counts
         out = []
         for v in values:
+            if not value_fits(v, sv.dtype):
+                out.append(0 if counts_only else BitVector(C.ID_MAX48))
+                continue
             u = int(np.asarray(sv.s2u(np.asarray([v], sv.dtype)))[0])
             if u == 0 or u.bit_length() > sv.n_slices or any(
                     (u >> s) & 1 and s not in pos_of for s in range(sv.n_slices)):
@@ -593,8 +598,15 @@ class _PreparedPipeline:
         sv, K, pos_of = self.sv, self.K, self.pos_of
         sels = np.zeros((len(values), K), np.int32)
         fallback = {}
-        us = np.asarray(sv.s2u(np.asarray(values, sv.dtype)), np.uint64)
+        fits = [value_fits(v, sv.dtype) for v in values]
+        vals_c = np.asarray([v if f else 0 for v, f in zip(values, fits)],
+                            sv.dtype)
+        us = np.asarray(sv.s2u(vals_c), np.uint64)
         for i, u64 in enumerate(us):
+            if not fits[i]:
+                sels[i] = 0
+                fallback[i] = None          # unrepresentable: known zero
+                continue
             u = int(u64)
             if u == 0:
                 fallback[i] = values[i]

@@ -31,6 +31,19 @@ from ..ops import blockops
 _I64 = np.int64
 
 
+def value_fits(value, dtype) -> bool:
+    """True when ``value`` is representable in ``dtype``.  Search entry
+    points use this to resolve out-of-range queries symbolically (the
+    reference takes a typed ``value_type`` argument so the case cannot
+    arise there; here an unrepresentable value simply never matches)."""
+    try:
+        v = int(value)
+    except (TypeError, ValueError, OverflowError):
+        return False
+    info = np.iinfo(dtype)
+    return info.min <= v <= info.max
+
+
 def _u(dtype):
     dt = np.dtype(dtype)
     return {"bits": dt.itemsize * 8, "signed": dt.kind == "i"}

@@ -276,3 +276,31 @@ def test_invert_and_find_eq_set(rng):
     np.testing.assert_array_equal(
         np.asarray(scanner.invert(sv2, scanner.find_eq(sv2, 3)).indices()),
         np.flatnonzero(vals != 3))
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.int16, np.uint32, np.int64])
+def test_out_of_dtype_range_queries(rng, dtype):
+    """Queries not representable in the container dtype resolve
+    symbolically (the reference's typed value_type argument makes the
+    case impossible there; here it must never match rather than raise —
+    round-3 fuzz finding: OverflowError in s2u)."""
+    info = np.iinfo(dtype)
+    vals = rng.integers(max(info.min, -100), min(info.max, 100),
+                        20_000).astype(dtype)
+    nm = rng.random(20_000) < 0.2
+    sv = SparseVector.from_array(vals, nullable=True, null_mask=nm)
+    over = [int(info.max) + 1, int(info.max) * 2 + 7,
+            int(info.min) - 1, int(info.min) * 2 - 1]
+    for q in over:
+        assert scanner.find_eq(sv, q).count() == 0
+        # ne of an impossible value = all assigned
+        assert scanner.find_ne(sv, q).count() == int((~nm).sum())
+    # pipelines: mixed representable / unrepresentable batches
+    batch = [0, over[0], 5, over[2]]
+    counts = scanner.pipeline_find_eq(sv, batch, counts_only=True)
+    want = [int((vals[~nm] == q).sum()) if info.min <= q <= info.max else 0
+            for q in batch]
+    assert counts == want
+    res = scanner.pipeline_find_eq(sv, batch)
+    for bv, w in zip(res, want):
+        assert bv.count() == w

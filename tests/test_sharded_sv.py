@@ -407,3 +407,20 @@ def test_sharded_rsc_roundtrip_checkpoint(mesh):
     counts = again.pipeline_find_eq([7, 9, 100000])
     want = [int((vals[~null_mask] == q).sum()) for q in (7, 9, 100000)]
     assert counts == want
+
+
+def test_out_of_dtype_range_queries_sharded(mesh):
+    """Unrepresentable values through the sharded container (round-3 fuzz
+    finding: the selector's s2u cast raised OverflowError)."""
+    rng = np.random.default_rng(55)
+    vals = rng.integers(-100, 100, 30_000).astype(np.int16)
+    sv = SparseVector.from_array(vals)
+    ssv = ShardedSparseVector.from_sparse_vector(sv, mesh)
+    for q in (1 << 15, (1 << 15) + 7, -(1 << 15) - 1, 1 << 40):
+        assert ssv.find_eq_count(q) == 0
+        assert _hits(ssv.find_eq(q)).size == 0
+        # ne of an impossible value = everything assigned
+        assert _hits(ssv.find_ne(q)).size == vals.size
+    counts = ssv.pipeline_find_eq([0, 1 << 15, 17, -(1 << 20)])
+    assert counts == [int((vals == 0).sum()), 0,
+                      int((vals == 17).sum()), 0]
