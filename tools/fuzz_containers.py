@@ -1,0 +1,391 @@
+"""Adversarial fuzz harness for the sharded container family + serial
+iterators (the round-3 surfaces).
+
+Every trial builds a random container (random dtype / size / distribution /
+null mask, deliberately including dtype edges, empty strings, IEEE
+specials, duplicate runs, ragged shard tails) and cross-checks the mesh
+container against the single-chip scanner AND a numpy golden.  The
+single-chip scanner itself is golden-tested in tests/; here it serves as
+the oracle for the sharded layer (reference scanner semantics:
+src/bmsparsevec_algo.h:612).
+
+Run (virtual 8-device CPU mesh):
+    python tools/fuzz_containers.py --trials 50 --seed 0
+Exit code != 0 on the first mismatch, with a reproduction line.
+"""
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax  # noqa: E402
+
+try:
+    from jax._src import xla_bridge as _xb
+    _backend_up = bool(getattr(_xb, "_backends", None))
+except Exception:
+    _backend_up = False
+if not _backend_up:
+    xf = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in xf:
+        os.environ["XLA_FLAGS"] = (
+            xf + " --xla_force_host_platform_device_count=8").strip()
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
+import bitmagic_tpu as bm  # noqa: E402
+import bitmagic_tpu.constants as C  # noqa: E402
+from bitmagic_tpu.parallel.mesh import make_mesh  # noqa: E402
+from bitmagic_tpu.parallel.sharded_sv import (  # noqa: E402
+    ShardedFloatVector, ShardedRSCVector, ShardedSparseVector,
+    ShardedStrSparseVector)
+from bitmagic_tpu.serial import (IteratorDeserializer,  # noqa: E402
+                                 SerialStreamIterator)
+from bitmagic_tpu.sv.float_vector import FloatSparseVector  # noqa: E402
+from bitmagic_tpu.sv.rsc_vector import RSCSparseVector  # noqa: E402
+from bitmagic_tpu.sv.scanner import scanner  # noqa: E402
+from bitmagic_tpu.sv.sparse_vector import SparseVector  # noqa: E402
+from bitmagic_tpu.sv.str_vector import StrSparseVector  # noqa: E402
+
+MESH = make_mesh(8)
+
+_INT_DTYPES = [np.int8, np.uint8, np.int16, np.uint16,
+               np.int32, np.uint32, np.int64, np.uint64]
+
+
+def _hits(sbv):
+    return np.asarray(sbv.to_bitvector().indices())
+
+
+def _rand_int_values(rng, n, dtype):
+    """Random values with adversarial distributions."""
+    info = np.iinfo(dtype)
+    mode = rng.integers(0, 4)
+    if mode == 0:        # uniform over a small window (many collisions)
+        lo = max(info.min, -5000)
+        hi = min(info.max, 5000)
+        v = rng.integers(lo, hi + 1, n)
+    elif mode == 1:      # clustered runs (GAP-friendly)
+        k = max(1, n // max(1, int(rng.integers(1, 200))))
+        centers = rng.integers(max(info.min, -50), min(info.max, 50) + 1, k)
+        v = np.repeat(centers, int(np.ceil(n / k)))[:n]
+    elif mode == 2:      # dtype edges sprinkled into zeros
+        v = np.zeros(n, np.int64)
+        if n:
+            idx = rng.integers(0, n, max(1, n // 20))
+            v[idx] = rng.choice(
+                np.array([info.min, info.max, 0, 1,
+                          info.max // 2, info.min // 2], np.int64),
+                idx.size)
+    else:                # full-range uniform
+        v = rng.integers(info.min, info.max, n, dtype=np.int64) \
+            if info.bits == 64 else rng.integers(info.min, info.max + 1, n)
+    return v.astype(dtype)
+
+
+def _queries_int(rng, vals, dtype):
+    info = np.iinfo(dtype)
+    qs = [0, 1, info.min, info.max,
+          int(info.max) + 1, int(info.min) - 1, 1 << 70]
+    if info.min < 0:
+        qs += [-1, int(info.min) + 1]
+    if vals.size:
+        qs += [int(x) for x in
+               rng.choice(vals, min(4, vals.size), replace=True)]
+    return qs
+
+
+def _fail(msg, seed, t):
+    print(f"FAIL seed={seed} trial={t}: {msg}")
+    sys.exit(1)
+
+
+def trial_int(rng, seed, t):
+    n = int(rng.choice([1, 7, 65_536, 65_537,
+                        int(rng.integers(2, 400_000))]))
+    dtype = _INT_DTYPES[rng.integers(0, len(_INT_DTYPES))]
+    info = np.iinfo(dtype)
+    vals = _rand_int_values(rng, n, dtype)
+    nullable = bool(rng.integers(0, 2))
+    nm = (rng.random(n) < rng.choice([0.0, 0.2, 0.95])) if nullable else None
+    sv = SparseVector.from_array(vals, nullable=nullable, null_mask=nm)
+    ssv = ShardedSparseVector.from_sparse_vector(sv, MESH)
+    assigned = ~nm if nm is not None else np.ones(n, bool)
+    for q in _queries_int(rng, vals, dtype):
+        in_range = info.min <= q <= info.max
+        want_eq = (np.flatnonzero(assigned & (vals == dtype(q)))
+                   if in_range else np.empty(0, np.int64))
+        got = _hits(ssv.find_eq(q))
+        if not np.array_equal(got, want_eq):
+            _fail(f"int find_eq({q}) dtype={dtype} n={n}: "
+                  f"{got.size} vs {want_eq.size}", seed, t)
+        if ssv.find_eq_count(q) != want_eq.size:
+            _fail(f"int find_eq_count({q})", seed, t)
+        # scanner cross-check (oracle parity, independent of golden)
+        sc = np.asarray(scanner.find_eq(sv, q).indices())
+        if not np.array_equal(got, sc):
+            _fail(f"sharded vs scanner find_eq({q})", seed, t)
+        if in_range:
+            want_gt = np.flatnonzero(assigned & (vals.astype(np.int64)
+                                                 > int(q)))
+            got_gt = _hits(ssv.find_gt(q))
+            if not np.array_equal(got_gt, want_gt):
+                _fail(f"int find_gt({q}) dtype={dtype} n={n}", seed, t)
+            want_le = np.flatnonzero(assigned & (vals.astype(np.int64)
+                                                 <= int(q)))
+            if not np.array_equal(_hits(ssv.find_le(q)), want_le):
+                _fail(f"int find_le({q})", seed, t)
+    # ne + range on a random in-range pair
+    lo, hi = sorted(int(x) for x in
+                    rng.integers(max(info.min, -6000),
+                                 min(info.max, 6000) + 1, 2))
+    want_rng = np.flatnonzero(assigned
+                              & (vals.astype(np.int64) >= lo)
+                              & (vals.astype(np.int64) <= hi))
+    if not np.array_equal(_hits(ssv.find_range(lo, hi)), want_rng):
+        _fail(f"int find_range({lo},{hi}) dtype={dtype} n={n}", seed, t)
+    qv = int(vals[rng.integers(0, n)]) if n else 0
+    want_ne = np.flatnonzero(assigned & (vals != dtype(qv)))
+    if not np.array_equal(_hits(ssv.find_ne(qv)), want_ne):
+        _fail(f"int find_ne({qv})", seed, t)
+    # pipeline counts vs per-query
+    batch = _queries_int(rng, vals, dtype)[:6]
+    pipe = ssv.pipeline_find_eq(batch)
+    single = [ssv.find_eq_count(q) for q in batch]
+    if pipe != single:
+        _fail(f"pipeline {pipe} vs single {single}", seed, t)
+    # gather/decode (NULL positions are unassigned -> 0, reference
+    # sparse_vector::gather semantics)
+    if n:
+        ids = rng.integers(0, n, min(64, n))
+        g = np.asarray(ssv.gather(ids)).astype(np.int64)
+        want_g = np.where(assigned[ids], vals[ids].astype(np.int64), 0)
+        if not np.array_equal(g, want_g):
+            _fail("int gather", seed, t)
+        gs = np.asarray(sv.gather(ids)).astype(np.int64)
+        if not np.array_equal(g, gs):
+            _fail("int gather sharded vs single-chip", seed, t)
+    # checkpoint round-trip (sampled)
+    if rng.random() < 0.25:
+        again = ShardedSparseVector.from_checkpoint(
+            ssv.checkpoint_bytes(), MESH)
+        if again.find_eq_count(qv) != ssv.find_eq_count(qv):
+            _fail("int checkpoint", seed, t)
+
+
+def trial_float(rng, seed, t):
+    n = int(rng.choice([1, 3, 65_537, int(rng.integers(2, 200_000))]))
+    dtype = np.float32 if rng.random() < 0.7 else np.float64
+    base = rng.normal(0, 1000, n)
+    specials = np.array([0.0, -0.0, np.inf, -np.inf, 1e-40, -1e-40,
+                         np.finfo(dtype).max, np.finfo(dtype).tiny])
+    idx = rng.integers(0, n, max(1, n // 10))
+    base[idx] = rng.choice(specials, idx.size)
+    vals = base.astype(dtype)
+    fv = FloatSparseVector.from_array(vals, dtype=dtype)
+    sfv = ShardedFloatVector.from_float_vector(fv, MESH)
+    qs = [0.0, -0.0, 1.5, np.inf, -np.inf, float(np.finfo(dtype).max)]
+    if n:
+        qs += [float(x) for x in rng.choice(vals, min(3, n))]
+    qs = [q for q in qs if not np.isnan(q)]
+    for q in qs:
+        want = np.flatnonzero(vals == dtype(q))   # ±0.0 equal, IEEE
+        got = _hits(sfv.find_eq(q))
+        if not np.array_equal(got, want):
+            _fail(f"float find_eq({q!r}) dtype={dtype} n={n}", seed, t)
+        sc = np.asarray(scanner.find_eq_float(fv, q).indices())
+        if not np.array_equal(got, sc):
+            _fail(f"sharded vs scanner find_eq_float({q!r})", seed, t)
+        want_gt = np.flatnonzero(vals.astype(np.float64) > float(q))
+        if not np.array_equal(_hits(sfv.find_gt(q)), want_gt):
+            _fail(f"float find_gt({q!r}) dtype={dtype} n={n}", seed, t)
+        want_le = np.flatnonzero(vals.astype(np.float64) <= float(q))
+        if not np.array_equal(_hits(sfv.find_le(q)), want_le):
+            _fail(f"float find_le({q!r})", seed, t)
+    if n:
+        ids = rng.integers(0, n, min(32, n))
+        g = np.asarray(sfv.gather(ids))
+        if not np.array_equal(g.view(np.uint64) if dtype == np.float64
+                              else g.view(np.uint32),
+                              vals[ids].view(np.uint64) if dtype == np.float64
+                              else vals[ids].view(np.uint32)):
+            _fail("float gather (bitwise)", seed, t)
+
+
+def _rand_strings(rng, n, max_len):
+    alpha = "ACGT" if rng.random() < 0.4 else \
+        "abcdefghijklmnopqrstuvwxyz0123456789_-"
+    out = []
+    for _ in range(n):
+        ln = int(rng.integers(0, max_len + 1))
+        out.append("".join(rng.choice(list(alpha), ln)) if ln else "")
+    return out
+
+
+def trial_str(rng, seed, t):
+    n = int(rng.choice([1, 5, 40_000, int(rng.integers(2, 80_000))]))
+    max_len = int(rng.integers(1, 12))
+    strs = _rand_strings(rng, n, max_len)
+    ssv1 = StrSparseVector.from_strings(strs, max_str_size=max_len + 1)
+    if rng.random() < 0.5:
+        ssv1.remap()
+    sss = ShardedStrSparseVector.from_str_vector(ssv1, MESH)
+    qs = ["", "zzz_overlong_way_beyond_max" * 3]
+    if n:
+        qs += [strs[int(rng.integers(0, n))] for _ in range(3)]
+    qs += ["".join(rng.choice(list("ACGTxyz"), 3)) for _ in range(2)]
+    arr = np.array(strs)
+    for q in qs:
+        want = np.flatnonzero(arr == q)
+        got = _hits(sss.find_eq_str(q))
+        if not np.array_equal(got, want):
+            _fail(f"str find_eq_str({q!r}) n={n} max_len={max_len}",
+                  seed, t)
+        if sss.find_eq_str_count(q) != want.size:
+            _fail(f"str count({q!r})", seed, t)
+    pipe = sss.pipeline_find_eq_str(qs)   # counts, like the int pipeline
+    want_pipe = [int((arr == q).sum()) for q in qs]
+    if pipe != want_pipe:
+        _fail(f"str pipeline {pipe} vs {want_pipe}", seed, t)
+    if n:
+        ids = rng.integers(0, n, min(32, n))
+        if sss.gather(ids) != [strs[i] for i in ids]:
+            _fail("str gather", seed, t)
+
+
+def trial_rsc(rng, seed, t):
+    n = int(rng.choice([2, 65_537, int(rng.integers(2, 150_000))]))
+    vals = _rand_int_values(rng, n, np.uint32)
+    nm = rng.random(n) < rng.choice([0.3, 0.9, 0.999])
+    sv = SparseVector.from_array(vals, nullable=True, null_mask=nm)
+    rsc = RSCSparseVector.from_sparse_vector(sv)
+    srsc = ShardedRSCVector.from_rsc(rsc, MESH)
+    assigned = ~nm
+    for q in ([0, 1, int(vals[~nm][0])] if (~nm).any() else [0, 1]):
+        want = np.flatnonzero(assigned & (vals == np.uint32(q)))
+        if not np.array_equal(_hits(srsc.find_eq(q)), want):
+            _fail(f"rsc find_eq({q}) n={n}", seed, t)
+        want_gt = np.flatnonzero(assigned & (vals.astype(np.int64) > q))
+        if not np.array_equal(_hits(srsc.find_gt(q)), want_gt):
+            _fail(f"rsc find_gt({q})", seed, t)
+    ids = rng.integers(0, n, min(48, n))
+    got_vals, got_ok = srsc.gather(ids)
+    if not np.array_equal(got_ok, ~nm[ids]):
+        _fail("rsc gather not_null mask", seed, t)
+    if not np.array_equal(got_vals[got_ok], vals[ids][~nm[ids]]):
+        _fail("rsc gather values", seed, t)
+    for gid in ids[:8]:
+        tg = srsc.try_get(int(gid))
+        want = None if nm[gid] else int(vals[gid])
+        if (tg is None) != (want is None) or \
+                (tg is not None and int(tg) != want):
+            _fail(f"rsc try_get({gid}): {tg} vs {want}", seed, t)
+    if srsc.count() != int(assigned.sum()):
+        _fail("rsc count", seed, t)
+
+
+def trial_sorted(rng, seed, t):
+    n = int(rng.choice([1, 2, 50_000, int(rng.integers(2, 120_000))]))
+    vals = np.sort(_rand_int_values(rng, n, np.uint32))
+    sv = SparseVector.from_array(vals)
+    scanner.bind(sv, sorted=True)
+    qs = [0, int(vals[0]), int(vals[-1]), int(vals[-1]) + 1,
+          0xFFFFFFFF]
+    qs += [int(x) for x in rng.choice(vals, min(5, n))]
+    qs += [int(x) + 1 for x in rng.choice(vals, min(3, n))]
+    for q in qs:
+        want_lb = int(np.searchsorted(vals, np.uint32(min(q, 0xFFFFFFFF))))
+        if q > 0xFFFFFFFF:
+            want_lb = n
+        got_lb = scanner.lower_bound(sv, q)
+        if got_lb != want_lb:
+            _fail(f"lower_bound({q}) n={n}: {got_lb} vs {want_lb}",
+                  seed, t)
+        got_bf = scanner.bfind_eq(sv, q)
+        present = 0 <= q <= 0xFFFFFFFF and want_lb < n and \
+            int(vals[want_lb]) == q
+        if present:
+            if got_bf < 0 or int(vals[got_bf]) != q:
+                _fail(f"bfind_eq({q}) returned {got_bf}", seed, t)
+        elif got_bf >= 0:
+            _fail(f"bfind_eq({q}) false positive {got_bf}", seed, t)
+    scanner.bind(sv, sorted=False)   # unbind
+
+
+def trial_stream(rng, seed, t):
+    size = int(rng.integers(1, 40) * C.BITS_PER_BLOCK
+               + rng.integers(0, C.BITS_PER_BLOCK))
+    dens = rng.choice([5, 500, 20_000])
+    ids_b = np.unique(rng.integers(0, size, dens))
+    b = bm.BitVector.from_indices(ids_b, size)
+    if rng.random() < 0.5:
+        b.set_range(int(rng.integers(0, size // 2)),
+                    int(rng.integers(size // 2, size)))
+    if rng.random() < 0.5:
+        b.optimize()
+    level = int(rng.choice([0, 3, 5, 6]))
+    blob = bm.serialize(b, level=level)
+    # walk: record count sanity + decoded-words parity
+    it = SerialStreamIterator(blob)
+    cnt = 0
+    while it.next():
+        cnt += 1
+        if rng.random() < 0.5:
+            w = it.get_block_words()
+            if w is not None and w.shape != (2048,):
+                _fail("stream get_block_words shape", seed, t)
+    a_strategy = C.BM_GAP if rng.random() < 0.5 else C.BM_BIT
+    a = bm.BitVector.from_indices(
+        np.unique(rng.integers(0, size, 3000)), size, strategy=a_strategy)
+    for op, gold in ((C.SET_AND, lambda x, y: x & y),
+                     (C.SET_OR, lambda x, y: x | y),
+                     (C.SET_XOR, lambda x, y: x ^ y),
+                     (C.SET_SUB, lambda x, y: x - y)):
+        tgt = a.copy()
+        IteratorDeserializer().deserialize_streamed(
+            tgt, SerialStreamIterator(blob), op)
+        if not tgt.equal(gold(a.copy(), b)):
+            _fail(f"stream set op {op} size={size} level={level}",
+                  seed, t)
+    for op, gold in ((C.SET_COUNT_AND, lambda x, y: (x & y).count()),
+                     (C.SET_COUNT_OR, lambda x, y: (x | y).count()),
+                     (C.SET_COUNT_XOR, lambda x, y: (x ^ y).count()),
+                     (C.SET_COUNT_SUB_AB, lambda x, y: (x - y).count()),
+                     (C.SET_COUNT_SUB_BA, lambda x, y: (y - x).count())):
+        got = IteratorDeserializer().deserialize_streamed(
+            a.copy(), SerialStreamIterator(blob), op)
+        want = gold(a.copy(), b)
+        if got != want:
+            _fail(f"stream count op {op}: {got} vs {want} "
+                  f"size={size} level={level}", seed, t)
+
+
+TRIALS = [trial_int, trial_float, trial_str, trial_rsc, trial_sorted,
+          trial_stream]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trials", type=int, default=30)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--family", type=str, default=None,
+                    help="int|float|str|rsc|sorted|stream")
+    args = ap.parse_args()
+    fams = {f.__name__.removeprefix("trial_"): f for f in TRIALS}
+    for t in range(args.trials):
+        seed = args.seed + t
+        rng = np.random.default_rng(seed)
+        fn = fams[args.family] if args.family else \
+            TRIALS[int(rng.integers(0, len(TRIALS)))]
+        fn(rng, seed, t)
+        print(f"trial {t} ({fn.__name__}) ok", flush=True)
+    print(f"ALL {args.trials} TRIALS PASSED")
+
+
+if __name__ == "__main__":
+    main()
