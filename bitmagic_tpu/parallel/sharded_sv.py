@@ -334,19 +334,21 @@ class ShardedSparseVector(_SelectorSearchBase):
             return self._wrap(gt)
         value = int(value)
         n_mag = max(self.n_eff - 1, 0)
-        max_mag = (1 << n_mag) - 1            # largest storable magnitude
+        max_mag = (1 << n_mag) - 1      # largest storable magnitude field
         if value >= 0:
             if value >= max_mag:
                 return self._empty_result()
             # universe = non-negatives (UNI & ~sign-slice)
             gt, _ = self._descent(1, self._vbits(value, 0, n_mag), 1, n_mag)
             return self._wrap(gt)
-        mag = -value
-        if mag > max_mag:
-            # every stored negative has |x| < mag -> everything qualifies
+        # negatives store |x|-1 in the magnitude slices (reference s2u):
+        # x > value  <=>  stored (-x-1) < (-value-1)
+        magq = -value - 1
+        if magq > max_mag:
+            # every stored negative has (-x-1) <= max_mag < magq -> all
             return self._universe_vector()
-        gt, eq = self._descent(2, self._vbits(mag, 0, n_mag), 1, n_mag)
-        # negatives with |x| < |v|, plus every non-negative
+        gt, eq = self._descent(2, self._vbits(magq, 0, n_mag), 1, n_mag)
+        # negatives with stored magnitude < magq, plus every non-negative
         pool = _lt_mag_plus_pos_prog(self.mesh, self.K, self.UNI)(
             gt, eq, self.stack)
         return self._wrap(pool)

@@ -261,6 +261,51 @@ int64_t bmref_sv_deserialize(const uint8_t* blob, uint32_t* vals,
     }
 }
 
+// Reference sparse_vector<int64> round-trip pair: validates that the
+// framework's signed s2u plane layout is byte-compatible with the
+// reference's (negative values, incl. INT64_MIN, must survive both
+// directions).
+int64_t bmref_sv_serialize_i64(const int64_t* vals, const uint8_t* notnull,
+                               int64_t n, int use_xor,
+                               uint8_t* out, int64_t out_cap) {
+    try {
+        typedef bm::sparse_vector<int64_t, bvect> svect_i64;
+        svect_i64 sv(bm::use_null);
+        for (int64_t i = 0; i < n; ++i)
+            if (notnull[i])
+                sv.set(static_cast<bm::id_t>(i), vals[i]);
+        sv.optimize();
+        bm::sparse_vector_serializer<svect_i64> ser;
+        ser.enable_xor_compression();
+        if (!use_xor) ser.disable_xor_compression();
+        bm::sparse_vector_serial_layout<svect_i64> lay;
+        ser.serialize(sv, lay);
+        if (out && out_cap >= static_cast<int64_t>(lay.size()))
+            memcpy(out, lay.buf(), lay.size());
+        return static_cast<int64_t>(lay.size());
+    } catch (...) {
+        return -1;
+    }
+}
+
+int64_t bmref_sv_deserialize_i64(const uint8_t* blob, int64_t* vals,
+                                 uint8_t* notnull, int64_t cap) {
+    try {
+        typedef bm::sparse_vector<int64_t, bvect> svect_i64;
+        svect_i64 sv(bm::use_null);
+        bm::sparse_vector_deserializer<svect_i64> des;
+        des.deserialize(sv, blob);
+        int64_t n = static_cast<int64_t>(sv.size());
+        for (int64_t i = 0; i < n && i < cap; ++i) {
+            notnull[i] = !sv.is_null(static_cast<bm::id_t>(i));
+            vals[i] = notnull[i] ? sv.get(static_cast<bm::id_t>(i)) : 0;
+        }
+        return n;
+    } catch (...) {
+        return -1;
+    }
+}
+
 // Reference rsc_sparse_vector<unsigned> serializer ('BC' BLOB).
 int64_t bmref_rsc_serialize(const uint32_t* vals, const uint8_t* notnull,
                             int64_t n, uint8_t* out, int64_t out_cap) {

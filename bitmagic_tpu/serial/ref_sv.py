@@ -284,21 +284,18 @@ def _serialize_matrix(rows: dict[int, BitVector], n_rows: int, size: int,
 def serialize_sv_blob(sv, level: int = 6, xor_refs: bool = True) -> bytes:
     """SparseVector -> reference-format 'BM' BLOB (reference-readable).
 
-    The NULL row must land at index 8*sizeof(Val) for the reference to
-    recognize it; a signed vector using our extra top slice (s2u magnitude
-    overflow past the dtype width) cannot be represented and raises."""
+    The NULL row lands at index 8*sizeof(Val) (the reference's layout);
+    signed planes are bit-compatible because s2u matches the reference's
+    -(v+1) magnitude mapping (src/bmbmatrix.h:2294)."""
     sv._flush()
     if sv.size == 0:
         return b"BZ"
     ref_val = 8 * sv.dtype.itemsize
+    assert sv.n_slices <= ref_val
     rows = {}
     for i, bv in enumerate(sv.planes):
         if bv is None or not bv.any():
             continue
-        if i >= ref_val:
-            raise ValueError(
-                f"value slice {i} exceeds the reference layout for "
-                f"{sv.dtype} (signed magnitudes too large)")
         rows[i] = bv
     if sv.nullable and sv.null_plane is not None:
         rows[ref_val] = sv.null_plane

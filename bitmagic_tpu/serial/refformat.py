@@ -90,6 +90,14 @@ def load():
                                            ctypes.c_int, u8p, ctypes.c_int64]
         lib.bmref_sv_deserialize.restype = ctypes.c_int64
         lib.bmref_sv_deserialize.argtypes = [u8p, u32p, u8p, ctypes.c_int64]
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.bmref_sv_serialize_i64.restype = ctypes.c_int64
+        lib.bmref_sv_serialize_i64.argtypes = [i64p, u8p, ctypes.c_int64,
+                                               ctypes.c_int, u8p,
+                                               ctypes.c_int64]
+        lib.bmref_sv_deserialize_i64.restype = ctypes.c_int64
+        lib.bmref_sv_deserialize_i64.argtypes = [u8p, i64p, u8p,
+                                                 ctypes.c_int64]
         lib.bmref_rsc_serialize.restype = ctypes.c_int64
         lib.bmref_rsc_serialize.argtypes = [u32p, u8p, ctypes.c_int64,
                                             u8p, ctypes.c_int64]
@@ -238,6 +246,43 @@ def deserialize_reference_sv(blob):
     mask = np.zeros(max(n, 1), np.uint8)
     lib.bmref_sv_deserialize(
         bp, vals.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n)
+    return vals[:n], mask[:n].astype(bool)
+
+
+def serialize_reference_sv_i64(values, notnull, use_xor=True) -> bytes:
+    """Reference sparse_vector<int64> serializer -> 'BM' BLOB (signed)."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("reference bridge unavailable")
+    v = np.ascontiguousarray(values, np.int64)
+    m = np.ascontiguousarray(notnull, np.uint8)
+    vp = v.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    mp = m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    n = lib.bmref_sv_serialize_i64(vp, mp, v.size, int(use_xor), None, 0)
+    if n < 0:
+        raise ValueError("reference i64 sv serialization failed")
+    out = np.zeros(n, np.uint8)
+    lib.bmref_sv_serialize_i64(
+        vp, mp, v.size, int(use_xor),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n)
+    return out.tobytes()
+
+
+def deserialize_reference_sv_i64(blob):
+    """Reference sparse_vector<int64> deserializer -> (values, notnull)."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("reference bridge unavailable")
+    buf = np.frombuffer(bytes(blob), np.uint8)
+    bp = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    n = lib.bmref_sv_deserialize_i64(bp, None, None, 0)
+    if n < 0:
+        raise ValueError("reference i64 sv deserialization failed")
+    vals = np.zeros(max(n, 1), np.int64)
+    mask = np.zeros(max(n, 1), np.uint8)
+    lib.bmref_sv_deserialize_i64(
+        bp, vals.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n)
     return vals[:n], mask[:n].astype(bool)
 

@@ -148,14 +148,21 @@ class SparseVectorScanner:
 
     def find_gt(self, sv: SparseVector, value) -> BitVector:
         """Positions with element > value (reference find_gt,
-        src/bmsparsevec_algo.h:1144 find_gt_horizontal)."""
+        src/bmsparsevec_algo.h:1144 find_gt_horizontal).  Out-of-dtype
+        values resolve symbolically (the descent sees dtype-width bits
+        only; the reference takes a typed argument)."""
         sv._flush()
+        value = int(value)
+        info = np.iinfo(sv.dtype)
+        if value < info.min:
+            return _universe(sv).copy()
+        if value >= info.max:
+            return BitVector(C.ID_MAX48)
         uni = _universe(sv)
         if not sv.signed:
-            gt, _ = self._cmp_unsigned(sv.planes, uni, int(value), sv.n_slices)
+            gt, _ = self._cmp_unsigned(sv.planes, uni, value, sv.n_slices)
             return gt
-        # signed split: s2u keeps sign in slice 0, magnitude in slices 1..
-        value = int(value)
+        # signed split: s2u keeps sign in slice 0, |v|-1 magnitude above
         sign_p = sv.planes[0]
         neg = (uni & sign_p) if sign_p is not None else BitVector(C.ID_MAX48)
         pos = uni - neg        # non-negative elements (includes zero)
@@ -163,20 +170,26 @@ class SparseVectorScanner:
         if value >= 0:
             gt, _ = self._cmp_unsigned(mag_planes, pos, value, sv.n_slices - 1)
             return gt
-        # value < 0: all non-negatives qualify, plus negatives with
-        # magnitude < |value|
-        mag = -value
-        gtm, eqm = self._cmp_unsigned(mag_planes, neg, mag, sv.n_slices - 1)
+        # value < 0: all non-negatives qualify, plus negatives x > value,
+        # i.e. stored magnitude (-x-1) < (-value-1)
+        magq = -value - 1
+        gtm, eqm = self._cmp_unsigned(mag_planes, neg, magq, sv.n_slices - 1)
         lt_mag = neg - gtm - eqm
         return pos | lt_mag
 
     def find_ge(self, sv: SparseVector, value) -> BitVector:
         sv._flush()
+        value = int(value)
+        info = np.iinfo(sv.dtype)
+        if value <= info.min:
+            return _universe(sv).copy()
+        if value > info.max:
+            return BitVector(C.ID_MAX48)
         uni = _universe(sv)
         if not sv.signed:
-            gt, eq = self._cmp_unsigned(sv.planes, uni, int(value), sv.n_slices)
+            gt, eq = self._cmp_unsigned(sv.planes, uni, value, sv.n_slices)
             return gt | eq
-        return self.find_gt(sv, int(value) - 1)
+        return self.find_gt(sv, value - 1)
 
     def find_lt(self, sv: SparseVector, value) -> BitVector:
         uni = _universe(sv).copy()

@@ -5,9 +5,10 @@ vector stored as up-to-64 bit-planes (BitVectors) plus an optional NULL plane
 (bit set = value assigned, reference null_support semantics).  Values are
 searchable *in compressed form* via slice algebra (see scanner.py).
 
-Signed values use the reference's s2u mapping (sign in bit 0, magnitude
-shifted up — src/bmsparsevec.h usage at scanner :2296) so ordering-by-slices
-works unchanged.
+Signed values use the reference's s2u mapping (sign in bit 0, |v|-1
+magnitudes shifted up — src/bmbmatrix.h:2294) so ordering-by-slices works
+unchanged, dtype min needs no extra slice, and signed planes are
+bit-compatible with the reference BLOB format.
 
 TPU-first import/export: bulk ``from_array`` runs one fused bit-transpose
 program on device (values -> 32/64 plane word-images in a single pass) — the
@@ -98,10 +99,11 @@ class SparseVector:
         self.dtype = np.dtype(dtype)
         self.val_bits = info["bits"]
         self.signed = info["signed"]
-        # signed s2u shifts the magnitude up one bit (sign lands in slice 0),
-        # so signed vectors carry one extra slice (reference
-        # base_sparse_vector sv_slices, src/bmbmatrix.h:490-496)
-        self.n_slices = self.val_bits + (1 if info["signed"] else 0)
+        # signed s2u packs sign into bit 0 and |v|-1 magnitudes above it,
+        # so the encoding fits exactly val_bits slices for every dtype
+        # (incl. dtype min) — the same layout as the reference
+        # (base_sparse_vector sv_value_slices, src/bmbmatrix.h:490-496)
+        self.n_slices = self.val_bits
         self._size = 0
         self.planes: list[BitVector | None] = [None] * self.n_slices
         self.nullable = nullable
@@ -112,19 +114,26 @@ class SparseVector:
     # value mapping (reference s2u/u2s)
     # ------------------------------------------------------------------
     def s2u(self, v):
-        """Signed -> unsigned slice encoding: sign in bit 0."""
+        """Signed -> unsigned slice encoding: sign in bit 0, negatives
+        store |v|-1 (the reference's -(v+1) trick, src/bmbmatrix.h:2294 —
+        overflow-free for dtype min, and bit-compatible with the
+        reference's plane layout so signed vectors interop byte-for-byte
+        in the reference BLOB format)."""
         if not self.signed:
             return np.asarray(v).astype(np.uint64)
         v = np.asarray(v, np.int64)
-        return np.where(v < 0, ((-v).astype(np.uint64) << np.uint64(1)) | np.uint64(1),
+        # ~v == -(v+1) in two's complement: |v|-1 without overflowing at min
+        return np.where(v < 0,
+                        ((~v).astype(np.uint64) << np.uint64(1)) | np.uint64(1),
                         v.astype(np.uint64) << np.uint64(1))
 
     def u2s(self, u):
+        """Inverse of s2u (reference u2s, src/bmbmatrix.h:2315)."""
         if not self.signed:
             return u.astype(self.dtype)
         u = np.asarray(u, np.uint64)
         mag = (u >> np.uint64(1)).astype(np.int64)
-        return np.where(u & np.uint64(1), -mag, mag).astype(self.dtype)
+        return np.where(u & np.uint64(1), -mag - 1, mag).astype(self.dtype)
 
     # ------------------------------------------------------------------
     # construction / bulk import

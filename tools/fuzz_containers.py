@@ -75,16 +75,18 @@ def _rand_int_values(rng, n, dtype):
         centers = rng.integers(max(info.min, -50), min(info.max, 50) + 1, k)
         v = np.repeat(centers, int(np.ceil(n / k)))[:n]
     elif mode == 2:      # dtype edges sprinkled into zeros
-        v = np.zeros(n, np.int64)
+        v = np.zeros(n, dtype)
         if n:
             idx = rng.integers(0, n, max(1, n // 20))
             v[idx] = rng.choice(
                 np.array([info.min, info.max, 0, 1,
-                          info.max // 2, info.min // 2], np.int64),
+                          info.max // 2, info.min // 2], dtype),
                 idx.size)
+        return v
     else:                # full-range uniform
-        v = rng.integers(info.min, info.max, n, dtype=np.int64) \
-            if info.bits == 64 else rng.integers(info.min, info.max + 1, n)
+        v = rng.integers(info.min, info.max, n, dtype=dtype,
+                         endpoint=True)
+        return v
     return v.astype(dtype)
 
 
@@ -116,6 +118,7 @@ def trial_int(rng, seed, t):
     sv = SparseVector.from_array(vals, nullable=nullable, null_mask=nm)
     ssv = ShardedSparseVector.from_sparse_vector(sv, MESH)
     assigned = ~nm if nm is not None else np.ones(n, bool)
+    v_obj = vals.astype(object)   # exact golden domain (uint64 > 2^63 safe)
     for q in _queries_int(rng, vals, dtype):
         in_range = info.min <= q <= info.max
         want_eq = (np.flatnonzero(assigned & (vals == dtype(q)))
@@ -130,23 +133,21 @@ def trial_int(rng, seed, t):
         sc = np.asarray(scanner.find_eq(sv, q).indices())
         if not np.array_equal(got, sc):
             _fail(f"sharded vs scanner find_eq({q})", seed, t)
-        if in_range:
-            want_gt = np.flatnonzero(assigned & (vals.astype(np.int64)
-                                                 > int(q)))
-            got_gt = _hits(ssv.find_gt(q))
-            if not np.array_equal(got_gt, want_gt):
-                _fail(f"int find_gt({q}) dtype={dtype} n={n}", seed, t)
-            want_le = np.flatnonzero(assigned & (vals.astype(np.int64)
-                                                 <= int(q)))
-            if not np.array_equal(_hits(ssv.find_le(q)), want_le):
-                _fail(f"int find_le({q})", seed, t)
+        want_gt = np.flatnonzero(assigned & (v_obj > int(q)))
+        got_gt = _hits(ssv.find_gt(q))
+        if not np.array_equal(got_gt, want_gt):
+            _fail(f"int find_gt({q}) dtype={dtype} n={n}", seed, t)
+        sc_gt = np.asarray(scanner.find_gt(sv, q).indices())
+        if not np.array_equal(got_gt, sc_gt):
+            _fail(f"sharded vs scanner find_gt({q})", seed, t)
+        want_le = np.flatnonzero(assigned & (v_obj <= int(q)))
+        if not np.array_equal(_hits(ssv.find_le(q)), want_le):
+            _fail(f"int find_le({q})", seed, t)
     # ne + range on a random in-range pair
     lo, hi = sorted(int(x) for x in
                     rng.integers(max(info.min, -6000),
                                  min(info.max, 6000) + 1, 2))
-    want_rng = np.flatnonzero(assigned
-                              & (vals.astype(np.int64) >= lo)
-                              & (vals.astype(np.int64) <= hi))
+    want_rng = np.flatnonzero(assigned & (v_obj >= lo) & (v_obj <= hi))
     if not np.array_equal(_hits(ssv.find_range(lo, hi)), want_rng):
         _fail(f"int find_range({lo},{hi}) dtype={dtype} n={n}", seed, t)
     qv = int(vals[rng.integers(0, n)]) if n else 0
@@ -163,11 +164,11 @@ def trial_int(rng, seed, t):
     # sparse_vector::gather semantics)
     if n:
         ids = rng.integers(0, n, min(64, n))
-        g = np.asarray(ssv.gather(ids)).astype(np.int64)
-        want_g = np.where(assigned[ids], vals[ids].astype(np.int64), 0)
+        g = np.asarray(ssv.gather(ids)).astype(object)
+        want_g = np.where(assigned[ids], v_obj[ids], 0)
         if not np.array_equal(g, want_g):
             _fail("int gather", seed, t)
-        gs = np.asarray(sv.gather(ids)).astype(np.int64)
+        gs = np.asarray(sv.gather(ids)).astype(object)
         if not np.array_equal(g, gs):
             _fail("int gather sharded vs single-chip", seed, t)
     # checkpoint round-trip (sampled)
