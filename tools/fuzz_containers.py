@@ -261,19 +261,25 @@ def trial_str(rng, seed, t):
 
 def trial_rsc(rng, seed, t):
     n = int(rng.choice([2, 65_537, int(rng.integers(2, 150_000))]))
-    vals = _rand_int_values(rng, n, np.uint32)
+    dtype = _INT_DTYPES[rng.integers(0, len(_INT_DTYPES))]
+    info = np.iinfo(dtype)
+    vals = _rand_int_values(rng, n, dtype)
     nm = rng.random(n) < rng.choice([0.3, 0.9, 0.999])
     sv = SparseVector.from_array(vals, nullable=True, null_mask=nm)
     rsc = RSCSparseVector.from_sparse_vector(sv)
     srsc = ShardedRSCVector.from_rsc(rsc, MESH)
     assigned = ~nm
-    for q in ([0, 1, int(vals[~nm][0])] if (~nm).any() else [0, 1]):
-        want = np.flatnonzero(assigned & (vals == np.uint32(q)))
+    v_obj = vals.astype(object)
+    qs = [0, 1, int(info.min), int(info.max)]
+    if (~nm).any():
+        qs.append(int(vals[~nm][0]))
+    for q in qs:
+        want = np.flatnonzero(assigned & (v_obj == q))
         if not np.array_equal(_hits(srsc.find_eq(q)), want):
-            _fail(f"rsc find_eq({q}) n={n}", seed, t)
-        want_gt = np.flatnonzero(assigned & (vals.astype(np.int64) > q))
+            _fail(f"rsc find_eq({q}) dtype={dtype} n={n}", seed, t)
+        want_gt = np.flatnonzero(assigned & (v_obj > q))
         if not np.array_equal(_hits(srsc.find_gt(q)), want_gt):
-            _fail(f"rsc find_gt({q})", seed, t)
+            _fail(f"rsc find_gt({q}) dtype={dtype}", seed, t)
     ids = rng.integers(0, n, min(48, n))
     got_vals, got_ok = srsc.gather(ids)
     if not np.array_equal(got_ok, ~nm[ids]):
@@ -292,24 +298,24 @@ def trial_rsc(rng, seed, t):
 
 def trial_sorted(rng, seed, t):
     n = int(rng.choice([1, 2, 50_000, int(rng.integers(2, 120_000))]))
-    vals = np.sort(_rand_int_values(rng, n, np.uint32))
+    dtype = _INT_DTYPES[rng.integers(0, len(_INT_DTYPES))]
+    info = np.iinfo(dtype)
+    vals = np.sort(_rand_int_values(rng, n, dtype))
+    v_obj = vals.astype(object)
     sv = SparseVector.from_array(vals)
     scanner.bind(sv, sorted=True)
     qs = [0, int(vals[0]), int(vals[-1]), int(vals[-1]) + 1,
-          0xFFFFFFFF]
+          int(info.min), int(info.max)]
     qs += [int(x) for x in rng.choice(vals, min(5, n))]
     qs += [int(x) + 1 for x in rng.choice(vals, min(3, n))]
     for q in qs:
-        want_lb = int(np.searchsorted(vals, np.uint32(min(q, 0xFFFFFFFF))))
-        if q > 0xFFFFFFFF:
-            want_lb = n
+        want_lb = int(np.sum(v_obj < q))   # exact for any-int q
         got_lb = scanner.lower_bound(sv, q)
         if got_lb != want_lb:
-            _fail(f"lower_bound({q}) n={n}: {got_lb} vs {want_lb}",
-                  seed, t)
+            _fail(f"lower_bound({q}) dtype={dtype} n={n}: "
+                  f"{got_lb} vs {want_lb}", seed, t)
         got_bf = scanner.bfind_eq(sv, q)
-        present = 0 <= q <= 0xFFFFFFFF and want_lb < n and \
-            int(vals[want_lb]) == q
+        present = want_lb < n and int(vals[want_lb]) == q
         if present:
             if got_bf < 0 or int(vals[got_bf]) != q:
                 _fail(f"bfind_eq({q}) returned {got_bf}", seed, t)
@@ -366,8 +372,57 @@ def trial_stream(rng, seed, t):
                   f"size={size} level={level}", seed, t)
 
 
+def trial_refbridge(rng, seed, t):
+    """Cross-check against the REFERENCE'S OWN codec (strongest oracle;
+    skipped when the bridge can't build).  Random bit-vectors round-trip
+    ours->reference and reference->ours; random signed i64 SVs likewise."""
+    from bitmagic_tpu.serial import ref_sv, refcodec, refformat
+    if not refformat.available():
+        return
+    size = int(rng.integers(1, 30) * C.BITS_PER_BLOCK
+               + rng.integers(1, C.BITS_PER_BLOCK))
+    dens = int(rng.choice([3, 800, 30_000]))
+    ids = np.unique(rng.integers(0, size, dens))
+    bv = bm.BitVector.from_indices(ids, size)
+    if rng.random() < 0.4:
+        bv.set_range(int(rng.integers(0, size // 2)),
+                     int(rng.integers(size // 2, size)))
+        ids = bv.indices()
+    if rng.random() < 0.5:
+        bv.optimize()
+    # ours -> reference decoder
+    blob = refcodec.ref_serialize(bv, level=int(rng.choice([5, 6])))
+    got = refformat.deserialize_reference_blob(blob)
+    if not got.equal(bv):
+        _fail(f"refbridge: reference failed to decode our blob "
+              f"(size={size} bits={len(ids)})", seed, t)
+    # reference encoder -> our decoder
+    rblob = refformat.serialize_reference_blob(bv)
+    back = refcodec.ref_deserialize(rblob)
+    if not back.equal(bv):
+        _fail(f"refbridge: our decoder mismatched on a reference blob "
+              f"(size={size} bits={len(ids)})", seed, t)
+    # signed i64 SV both directions
+    n = int(rng.integers(1, 40_000))
+    vals = _rand_int_values(rng, n, np.int64)
+    nn = rng.random(n) < rng.choice([0.5, 0.95])
+    vals = np.where(nn, vals, 0)
+    sv = SparseVector.from_array(vals, nullable=True, null_mask=~nn)
+    rv, rm = refformat.deserialize_reference_sv_i64(
+        ref_sv.serialize_sv_blob(sv))
+    if not (np.array_equal(rm[:n], nn)
+            and np.array_equal(rv[:n][nn], vals[nn])):
+        _fail(f"refbridge: signed SV ours->reference n={n}", seed, t)
+    rblob = refformat.serialize_reference_sv_i64(vals, nn)
+    sv2 = ref_sv.deserialize_sv_blob(rblob, np.int64)
+    idx = np.flatnonzero(nn).astype(np.int64)
+    if idx.size and not np.array_equal(
+            np.asarray(sv2.gather(idx), np.int64), vals[idx]):
+        _fail(f"refbridge: signed SV reference->ours n={n}", seed, t)
+
+
 TRIALS = [trial_int, trial_float, trial_str, trial_rsc, trial_sorted,
-          trial_stream]
+          trial_stream, trial_refbridge]
 
 
 def main():
