@@ -322,6 +322,28 @@ def trial_sorted(rng, seed, t):
         elif got_bf >= 0:
             _fail(f"bfind_eq({q}) false positive {got_bf}", seed, t)
     scanner.bind(sv, sorted=False)   # unbind
+    # sorted STRING search (bind/lower_bound_str/bfind_eq_str)
+    m = int(rng.choice([1, 3, 2_000, int(rng.integers(2, 20_000))]))
+    strs = sorted(_rand_strings(rng, m, int(rng.integers(1, 10))))
+    ssv1 = StrSparseVector.from_strings(strs, max_str_size=10)
+    if rng.random() < 0.5:
+        ssv1.remap()
+    scanner.bind(ssv1, sorted=True)
+    sq = [strs[int(rng.integers(0, m))] for _ in range(3)]
+    sq += ["", "zz~~", strs[0], strs[-1], strs[-1] + "a",
+           "overlong_beyond_max_str_size_" * 2]
+    import bisect
+    for q in sq:
+        want_lb = bisect.bisect_left(strs, q)
+        got_lb = scanner.lower_bound_str(ssv1, q)
+        if got_lb != want_lb:
+            _fail(f"lower_bound_str({q!r}) m={m}: {got_lb} vs {want_lb}",
+                  seed, t)
+        got_bf = scanner.bfind_eq_str(ssv1, q)
+        present = want_lb < m and strs[want_lb] == q
+        if present != (got_bf >= 0) or (present and strs[got_bf] != q):
+            _fail(f"bfind_eq_str({q!r}) -> {got_bf}", seed, t)
+    scanner.bind(ssv1, sorted=False)
 
 
 def trial_stream(rng, seed, t):
