@@ -392,6 +392,29 @@ def trial_stream(rng, seed, t):
         if got != want:
             _fail(f"stream count op {op}: {got} vs {want} "
                   f"size={size} level={level}", seed, t)
+    # OperationDeserializer over BOTH wire formats (streamed, no
+    # materialize) against the same goldens
+    from bitmagic_tpu.serial.opdeser import OperationDeserializer
+    from bitmagic_tpu.serial.refcodec import ref_serialize
+    blobs = [blob, ref_serialize(b, level=6)]
+    od = OperationDeserializer()
+    for fmt, bb in zip(("bmt1", "ref"), blobs):
+        for op, gold in ((C.SET_AND, lambda x, y: x & y),
+                         (C.SET_OR, lambda x, y: x | y),
+                         (C.SET_XOR, lambda x, y: x ^ y),
+                         (C.SET_SUB, lambda x, y: x - y)):
+            tgt = a.copy()
+            od.deserialize(tgt, bb, op)
+            if not tgt.equal(gold(a.copy(), b)):
+                _fail(f"opdeser {fmt} set op {op} size={size} "
+                      f"level={level}", seed, t)
+        for op, gold in ((C.SET_COUNT_AND, lambda x, y: (x & y).count()),
+                         (C.SET_COUNT_SUB_BA, lambda x, y: (y - x).count())):
+            got = od.deserialize(a.copy(), bb, op)
+            want = gold(a.copy(), b)
+            if got != want:
+                _fail(f"opdeser {fmt} count op {op}: {got} vs {want}",
+                      seed, t)
 
 
 def trial_refbridge(rng, seed, t):
