@@ -435,8 +435,9 @@ def trial_refbridge(rng, seed, t):
         ids = bv.indices()
     if rng.random() < 0.5:
         bv.optimize()
-    # ours -> reference decoder
-    blob = refcodec.ref_serialize(bv, level=int(rng.choice([5, 6])))
+    # ours -> reference decoder (every compression level)
+    blob = refcodec.ref_serialize(bv, level=int(rng.choice([0, 1, 2, 3,
+                                                            4, 5, 6])))
     got = refformat.deserialize_reference_blob(blob)
     if not got.equal(bv):
         _fail(f"refbridge: reference failed to decode our blob "
