@@ -113,12 +113,57 @@ def worker(pid: int, n_proc: int):
     pc = ssv.pipeline_find_eq([qv, 9999])
     assert pc == [int((vals == qv).sum()), 1], pc
 
+    # 6. the REST of the sharded container family cross-host: signed
+    #    ordered search, string scanner with remap, float magnitude
+    #    descent, RSC rank decompression — every _host_fetch here crosses
+    #    process boundaries through the allgather fallback
+    ivals = rng.integers(-5000, 5000, 40_000).astype(np.int64)
+    ivals[7] = np.iinfo(np.int64).min
+    issv = ShardedSparseVector.from_array(ivals, mesh)
+    want_gt = int((ivals > -17).sum())
+    got_gt = issv.find_gt(-17).count()
+    assert got_gt == want_gt, (got_gt, want_gt)
+    assert issv.find_le(np.iinfo(np.int64).min).count() == 1
+
+    from bitmagic_tpu.parallel.sharded_sv import (ShardedFloatVector,
+                                                  ShardedRSCVector,
+                                                  ShardedStrSparseVector)
+    from bitmagic_tpu.sv.float_vector import FloatSparseVector
+    from bitmagic_tpu.sv.rsc_vector import RSCSparseVector
+    from bitmagic_tpu.sv.sparse_vector import SparseVector
+    from bitmagic_tpu.sv.str_vector import StrSparseVector
+
+    fvals = np.round(rng.normal(0, 100, 20_000), 1).astype(np.float32)
+    fvals[11] = 777.5
+    sfv = ShardedFloatVector.from_float_vector(
+        FloatSparseVector.from_array(fvals), mesh)
+    assert sfv.find_eq(777.5).count() == int((fvals == np.float32(777.5)).sum())
+    want_fgt = int((fvals > 50.0).sum())
+    assert sfv.find_gt(50.0).count() == want_fgt
+
+    strs = [f"k{int(x):04d}" for x in rng.integers(0, 2000, 15_000)]
+    strs[5] = "needle"
+    sv_str = StrSparseVector.from_strings(strs, max_str_size=8)
+    sv_str.remap()
+    sss = ShardedStrSparseVector.from_str_vector(sv_str, mesh)
+    assert sss.find_eq_str("needle").count() == 1
+    assert sss.find_eq_str_count(strs[100]) == strs.count(strs[100])
+
+    rvals = rng.integers(0, 1000, 30_000).astype(np.uint32)
+    rnull = rng.random(30_000) < 0.7
+    rsc = RSCSparseVector.from_sparse_vector(
+        SparseVector.from_array(rvals, nullable=True, null_mask=rnull))
+    srsc = ShardedRSCVector.from_rsc(rsc, mesh)
+    qr = int(rvals[~rnull][0]) if (~rnull).any() else 0
+    want_r = int(((~rnull) & (rvals == qr)).sum())
+    assert srsc.find_eq(qr).count() == want_r, (qr, want_r)
+
     if pid == 0:
         print(f"multihost OK: {n_proc} processes x {n_local} devices = "
               f"{n_global} global; popcount/psum, scan ({dt * 1e3:.1f} ms), "
               f"8-query pipeline, BLOB broadcast + partition/merge, "
-              f"sharded-SV container scan all verified cross-host",
-              flush=True)
+              f"sharded int/signed/float/str/RSC container scans all "
+              f"verified cross-host", flush=True)
 
 
 def main():
