@@ -1,6 +1,7 @@
 from .mesh import BLOCK_AXIS, block_sharding, make_mesh, replicated
 from .sharded import (ShardedBitVector, ShardedRSIndex,
-                      group_and_exchange, scan_throughput_program,
+                      group_and_exchange, pipeline_counts_host,
+                      pipeline_counts_program, scan_throughput_program,
                       sharded_and_many, sharded_and_sub,
                       sharded_and_sub_count)
 from .sharded_sv import (ShardedFloatVector, ShardedRSCVector,
@@ -16,6 +17,7 @@ __all__ = [
     "ShardedBitVector", "ShardedRSIndex", "ShardedFloatVector",
     "ShardedRSCVector",
     "ShardedSparseVector", "ShardedStrSparseVector", "group_and_exchange",
+    "pipeline_counts_host", "pipeline_counts_program",
     "scan_throughput_program", "sharded_and_many", "sharded_and_sub",
     "sharded_and_sub_count", "TaskBatch", "build_optimize_plan",
     "build_sim_matrix_plan", "build_sv_serialization_plan",

@@ -31,6 +31,12 @@ from ..ops import blockops
 from .mesh import BLOCK_AXIS, block_sharding, make_mesh, pad_rows
 
 
+# the one-call fused select path carries GLOBAL ranks/positions as device
+# int32 (TPU has no native int64); a pool holding this many bits or more
+# must take the rs_index path (host-side int64 cross-shard combine)
+_FUSED_SELECT_CAP = 2**31
+
+
 def _host_fetch(x, dtype=None) -> np.ndarray:
     """np.asarray that also works when ``x`` spans non-addressable devices
     (multi-process meshes): falls back to a process allgather."""
@@ -135,14 +141,16 @@ class ShardedBitVector:
         mesh = self.mesh
 
         @functools.partial(shard_map, mesh=mesh,
-                           in_specs=P(BLOCK_AXIS, None), out_specs=P())
+                           in_specs=P(BLOCK_AXIS, None),
+                           out_specs=P(BLOCK_AXIS))
         def _cnt(local):
             # u32 local partial (one shard holds < 2^32 set bits by HBM
-            # bounds); the cross-shard total rides a psum over ICI
+            # bounds); per-shard partials combine on host in int64 —
+            # a u32 psum would wrap past 2^32 total set bits
             c = jnp.sum(jax.lax.population_count(local), dtype=jnp.uint32)
-            return jax.lax.psum(c[None], BLOCK_AXIS)
+            return c[None]
 
-        return int(_cnt(self.pool)[0])
+        return int(_host_fetch(_cnt(self.pool), np.int64).sum())
 
     def count_range(self, lo: int, hi: int) -> int:
         return blockops.count_range_pool(self.pool, lo, hi)
@@ -179,13 +187,23 @@ class ShardedBitVector:
         descent (ops/select.py), and the answers combine with one psum —
         communication is O(n_shards + n_queries), never block data.
         Uses the persistent ShardedRSIndex when built (no per-call wave
-        prefix recomputation)."""
+        prefix recomputation).  Out-of-range ranks answer -1."""
         if self._rs is not None:
             return self._rs.select_batch(ranks)
+        capacity = self.pool.shape[0] * C.BITS_PER_BLOCK
+        if capacity >= _FUSED_SELECT_CAP:
+            # the one-call fused path carries global ranks/positions as
+            # device int32 (TPU has no native int64); past 2^31 bits that
+            # wraps, so route through the rs_index path, which combines
+            # everything cross-shard on host in int64
+            return self.build_rs_index().select_batch(ranks)
         mesh = self.mesh
         n_shards = mesh.devices.size
-        blocks_per_shard = self.pool.shape[0] // n_shards
-        ranks_a = jnp.asarray(np.asarray(ranks, np.int32))
+        ranks64 = np.asarray(ranks, np.int64)
+        # clip into int32 before the device sees them; clipped values stay
+        # > total (capacity < 2^31 bounds total), so they resolve to -1
+        ranks_a = jnp.asarray(
+            np.clip(ranks64, -1, 2**31 - 1).astype(np.int32))
 
         @functools.partial(shard_map, mesh=mesh,
                            in_specs=(P(BLOCK_AXIS, None), P()),
@@ -202,11 +220,17 @@ class ShardedBitVector:
             mine = (local_rank >= 1) & (local_rank <= total)
             safe = jnp.clip(local_rank, 1, jnp.maximum(total, 1))
             pos = select_flat(local, gwc, safe.astype(jnp.int32))
-            base = sid.astype(jnp.int64) * blocks_per_shard * C.BITS_PER_BLOCK
-            out = jnp.where(mine, base + pos.astype(jnp.int64), 0)
+            base = sid.astype(jnp.int32) * jnp.int32(
+                local.shape[0] * C.BITS_PER_BLOCK)
+            out = jnp.where(mine, base + pos, 0)
+            # tack the global total onto the answers: ONE fetch on return
+            out = jnp.concatenate([out, total[None]])
             return jax.lax.psum(out, BLOCK_AXIS)
 
-        return _host_fetch(_sel(self.pool, ranks_a), np.int64)
+        fetched = _host_fetch(_sel(self.pool, ranks_a), np.int64)
+        out, total = fetched[:-1], int(fetched[-1])
+        out[(ranks64 < 1) | (ranks64 > total)] = -1
+        return out
 
     def select(self, rank: int) -> int:
         return int(self.select_batch([rank])[0])
@@ -515,8 +539,8 @@ def _and_survivors_prog(mesh, k):
 
 def sharded_and_sub_count(and_vs, sub_vs=(), digest_narrowing=True) -> int:
     """Global popcount of AND(and_vs) MINUS OR(sub_vs) with digest narrowing:
-    only blocks whose AND-digest survives are read; the count combines with
-    one psum — the aggregator's count mode at mesh scale."""
+    only blocks whose AND-digest survives are read; per-shard partials
+    combine on host in int64 — the aggregator's count mode at mesh scale."""
     assert and_vs
     mesh = and_vs[0].mesh
     n_shards = mesh.devices.size
@@ -532,7 +556,7 @@ def sharded_and_sub_count(and_vs, sub_vs=(), digest_narrowing=True) -> int:
         valid = np.ones((n_shards, bps), bool)
     cnt = _and_sub_count_prog(mesh, len(pools), len(spools))(
         jnp.asarray(idx), jnp.asarray(valid), *pools, *spools)
-    return int(_host_fetch(cnt)[0])
+    return int(_host_fetch(cnt, np.int64).sum())
 
 
 @functools.lru_cache(maxsize=64)
@@ -545,14 +569,16 @@ def _and_sub_count_prog(mesh, ka, ks):
         for p in ps[ka:]:
             acc = acc & ~jnp.take(p, idx_l[0], axis=0)
         acc = jnp.where(valid_l[0][:, None], acc, jnp.uint32(0))
+        # per-shard u32 partial; host combines in int64 (a u32 psum would
+        # wrap past 2^32 global hits — the scale a mesh exists for)
         c = jnp.sum(jax.lax.population_count(acc), dtype=jnp.uint32)
-        return jax.lax.psum(c[None], BLOCK_AXIS)
+        return c[None]
 
     return jax.jit(shard_map(
         _local, mesh=mesh,
         in_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS, None))
         + (P(BLOCK_AXIS, None),) * (ka + ks),
-        out_specs=P()))
+        out_specs=P(BLOCK_AXIS)))
 
 
 # ---------------------------------------------------------------------------
@@ -605,8 +631,10 @@ def group_and_exchange(stack, mesh, vec_axis: str = "v",
         for i in range(1, allr.shape[0]):
             out = out & allr[i]
         if count_only:
-            return jnp.sum(jax.lax.population_count(out),
-                           dtype=jnp.uint32)[None]
+            # per-survivor-row int32 counts (<= 65536 each); the total is
+            # summed on host in int64 so huge results never wrap a u32
+            return jnp.sum(jax.lax.population_count(out).astype(jnp.int32),
+                           axis=1)
         return out
 
     _phase2 = jax.jit(shard_map(
@@ -615,7 +643,7 @@ def group_and_exchange(stack, mesh, vec_axis: str = "v",
         check_vma=False))
     res = _phase2(stack, jnp.asarray(surv_pad))
     if count_only:
-        res = int(_host_fetch(res)[0]) if surv.size else 0
+        res = int(_host_fetch(res, np.int64).sum()) if surv.size else 0
     traffic = (int(surv.size), int(nblk))
     return res, surv, traffic
 
@@ -639,24 +667,34 @@ def sharded_and_sub(and_vs, sub_vs) -> ShardedBitVector:
 
 def pipeline_counts_program(mesh):
     """Sharded bulk-search pipeline: planes uint32[S, nblk, 2048] sharded on
-    the block axis, selectors int32[V, S] replicated -> int32[V] global hit
-    counts.  Per shard the VMEM-batch Pallas sweep runs on the local block
-    columns; one psum combines the partial counts (the scanner pipeline at
-    mesh scale — scan-throughput scaling with a whole query batch per
-    pass)."""
+    the block axis, selectors int32[V, S] replicated -> int32[n_shards, V]
+    PER-SHARD hit counts.  Per shard the VMEM-batch Pallas sweep runs on the
+    local block columns; the tiny partials all-gather over ICI and the
+    caller combines them on host in int64 (``pipeline_counts_host``) — a
+    device int32 psum would wrap past 2^31 global hits, exactly the scale a
+    mesh is for (the scanner pipeline at mesh scale — scan-throughput
+    scaling with a whole query batch per pass)."""
     from ..ops.pallas_kernels import pipeline_counts
 
     @jax.jit
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(None, BLOCK_AXIS, None), P(None, None)),
-        out_specs=P(None),
+        out_specs=P(BLOCK_AXIS, None),
         check_vma=False)   # pallas_call out_shapes carry no vma annotation
     def counts(local_planes, sels):
         c = pipeline_counts(local_planes, sels).astype(jnp.int32)
-        return jax.lax.psum(c, BLOCK_AXIS)
+        return c[None]
 
     return counts
+
+
+def pipeline_counts_host(mesh, planes, sels) -> np.ndarray:
+    """Run the sharded pipeline and combine the per-shard partials on host:
+    int64[V] global hit counts (never wraps)."""
+    parts = _host_fetch(pipeline_counts_program(mesh)(planes, sels),
+                        np.int64)
+    return parts.sum(axis=0)
 
 
 def scan_throughput_program(mesh, n_planes: int, n_blocks_per_shard: int):

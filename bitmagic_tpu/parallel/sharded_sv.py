@@ -27,7 +27,7 @@ Searches mirror the single-chip scanner exactly:
     encoding (sign = slice 0);
   * ``pipeline_find_eq``: whole value batches through the sharded
     VMEM-batch pipeline (pipeline_counts_program) — one sweep per batch
-    per shard + one psum.
+    per shard; the tiny per-shard partials combine on host in int64.
 """
 
 from __future__ import annotations
@@ -98,7 +98,7 @@ class _SelectorSearchBase:
     -1=AND-NOT per plane; None = key cannot occur).  The flow mirrors the
     single-chip scanner: digest pre-pass (8 B/block) -> survivor-only
     gather-AND-SUB pass; pipelines push whole key batches through one
-    sweep per shard + one psum."""
+    sweep per shard, partials combined on host in int64."""
 
     @property
     def K(self) -> int:
@@ -140,7 +140,7 @@ class _SelectorSearchBase:
         idx, valid = _survivor_slots(alive, self.mesh.devices.size)
         cnt = _sel_count_prog(self.mesh, self.K)(
             sel_j, jnp.asarray(idx), jnp.asarray(valid), self.stack)
-        return int(_host_fetch(cnt)[0])
+        return int(_host_fetch(cnt, np.int64).sum())
 
     def _search_ne(self, key) -> ShardedBitVector:
         """Universe minus the eq hits (scanner find_ne)."""
@@ -150,7 +150,7 @@ class _SelectorSearchBase:
                 eq.pool, self.stack), self.size, self.mesh)
 
     def _pipeline(self, keys) -> list:
-        from .sharded import pipeline_counts_program
+        from .sharded import pipeline_counts_host
         sels = np.zeros((len(keys), self.K), np.int32)
         known_zero = []
         for i, k in enumerate(keys):
@@ -159,8 +159,8 @@ class _SelectorSearchBase:
                 known_zero.append(i)
             else:
                 sels[i] = sel
-        counts = _host_fetch(pipeline_counts_program(self.mesh)(
-            self.stack, jnp.asarray(sels)))
+        counts = pipeline_counts_host(self.mesh, self.stack,
+                                      jnp.asarray(sels))
         out = [int(c) for c in counts]
         for i in known_zero:
             out[i] = 0
@@ -284,7 +284,8 @@ class ShardedSparseVector(_SelectorSearchBase):
         return self._search(value)
 
     def find_eq_count(self, value) -> int:
-        """Global hit count: survivor-only popcount + one psum."""
+        """Global hit count: survivor-only popcount per shard, partials
+        combined on host in int64."""
         return self._search_count(value)
 
     def find_ne(self, value) -> ShardedBitVector:
@@ -388,7 +389,7 @@ class ShardedSparseVector(_SelectorSearchBase):
         return self._wrap(pool)
 
     # ------------------------------------------------------------------
-    # pipeline: a whole value batch in one sweep per shard + one psum
+    # pipeline: a whole value batch in one sweep per shard
     # ------------------------------------------------------------------
     def pipeline_find_eq(self, values) -> list:
         """Hit counts for a value batch through the sharded VMEM-batch
@@ -727,12 +728,13 @@ class ShardedStrSparseVector(_SelectorSearchBase):
         idx, valid = _survivor_slots(alive, self.mesh.devices.size)
         cnt = _sel_count_prog(self.mesh, self.K)(
             sel_j, jnp.asarray(idx), jnp.asarray(valid), self.stack)
-        return int(_host_fetch(cnt)[0])
+        return int(_host_fetch(cnt, np.int64).sum())
 
     def pipeline_find_eq_str(self, strings) -> list:
         """Hit counts for a string batch through the sharded VMEM-batch
-        pipeline — one sweep per batch per shard + one psum."""
-        from .sharded import pipeline_counts_program
+        pipeline — one sweep per batch per shard; per-shard partials
+        combine on host in int64."""
+        from .sharded import pipeline_counts_host
         sels = np.zeros((len(strings), self.K), np.int32)
         known_zero = []
         for i, s in enumerate(strings):
@@ -741,8 +743,8 @@ class ShardedStrSparseVector(_SelectorSearchBase):
                 known_zero.append(i)
             else:
                 sels[i] = sel
-        counts = _host_fetch(pipeline_counts_program(self.mesh)(
-            self.stack, jnp.asarray(sels)))
+        counts = pipeline_counts_host(self.mesh, self.stack,
+                                      jnp.asarray(sels))
         out = [int(c) for c in counts]
         for i in known_zero:
             out[i] = 0
@@ -1164,14 +1166,16 @@ def _sel_count_prog(mesh, k):
                                     jnp.uint32(0xFFFFFFFF)))
             acc = r if acc is None else (acc & r)
         acc = jnp.where(valid_l[0][:, None], acc, jnp.uint32(0))
+        # per-shard partial only; the cross-shard total combines on host in
+        # int64 (a u32 psum would wrap past 2^32 global hits)
         c = jnp.sum(jax.lax.population_count(acc), dtype=jnp.uint32)
-        return jax.lax.psum(c[None], BLOCK_AXIS)
+        return c[None]
 
     return jax.jit(shard_map(
         _local, mesh=mesh,
         in_specs=(P(), P(BLOCK_AXIS, None), P(BLOCK_AXIS, None),
                   P(None, BLOCK_AXIS, None)),
-        out_specs=P()))
+        out_specs=P(BLOCK_AXIS)))
 
 
 @functools.lru_cache(maxsize=128)

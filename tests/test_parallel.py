@@ -117,6 +117,40 @@ def test_sharded_select_matches_host():
     assert sbv.select(1) == ids[0]
 
 
+def test_sharded_select_out_of_range_and_big_pool_path():
+    """Out-of-range ranks answer -1 on BOTH select paths, and a pool past
+    the device-int32 capacity bound must route through the rs_index path
+    (host int64 cross-shard combine) — the fused one-call program carries
+    global ranks/positions as device int32 and would wrap there."""
+    from bitmagic_tpu.parallel import sharded as sh_mod
+    rng = np.random.default_rng(31)
+    size = 8 * BITS_PER_BLOCK * 2
+    ids = np.unique(rng.integers(0, size, 9_000)).astype(np.int64)
+    n = len(ids)
+    ranks = np.asarray([0, -5, 1, n, n + 1, 2**40], np.int64)
+    want = np.asarray([-1, -1, ids[0], ids[-1], -1, -1], np.int64)
+
+    # fused path (no index built)
+    sbv = ShardedBitVector.from_indices(ids, size)
+    np.testing.assert_array_equal(sbv.select_batch(ranks), want)
+
+    # indexed path has identical semantics
+    sbv2 = ShardedBitVector.from_indices(ids, size)
+    sbv2.build_rs_index()
+    np.testing.assert_array_equal(sbv2.select_batch(ranks), want)
+
+    # capacity guard: shrink the bound so THIS pool counts as "big" and
+    # verify the delegation produces the same answers (and builds the index)
+    sbv3 = ShardedBitVector.from_indices(ids, size)
+    old = sh_mod._FUSED_SELECT_CAP
+    sh_mod._FUSED_SELECT_CAP = 1
+    try:
+        np.testing.assert_array_equal(sbv3.select_batch(ranks), want)
+        assert sbv3._rs is not None      # went through build_rs_index()
+    finally:
+        sh_mod._FUSED_SELECT_CAP = old
+
+
 def test_sharded_pipeline_counts(mesh):
     import jax.numpy as jnp
     from bitmagic_tpu.parallel.sharded import pipeline_counts_program
@@ -132,7 +166,9 @@ def test_sharded_pipeline_counts(mesh):
     counts = pipeline_counts_program(mesh)
     planes = jax.device_put(
         planes_np, NamedSharding(mesh, P(None, BLOCK_AXIS, None)))
-    got = np.asarray(counts(planes, jnp.asarray(sels_np)))
+    parts = np.asarray(counts(planes, jnp.asarray(sels_np)))
+    assert parts.shape[0] == 8            # per-shard partials
+    got = parts.astype(np.int64).sum(axis=0)
     # golden: dense AND-SUB per request
     want = []
     for sel in sels_np:

@@ -34,7 +34,7 @@ def worker(pid: int, n_proc: int):
 
     sys.path.insert(0, os.path.join(HERE, ".."))
     from bitmagic_tpu.parallel.mesh import BLOCK_AXIS
-    from bitmagic_tpu.parallel.sharded import (pipeline_counts_program,
+    from bitmagic_tpu.parallel.sharded import (pipeline_counts_host,
                                                scan_throughput_program)
 
     n_global = jax.device_count()
@@ -67,12 +67,11 @@ def worker(pid: int, n_proc: int):
     hits.block_until_ready()
     dt = time.perf_counter() - t0
 
-    # 3. bulk-search pipeline (per-shard sweep + psum)
+    # 3. bulk-search pipeline (per-shard sweep; host int64 combine)
     sels = np.zeros((8, n_planes), np.int32)
     sels[:, 0] = 1
     sels[:, 1] = [-1, 0, 1, -1, 0, 1, -1, 0]
-    counts = np.asarray(pipeline_counts_program(mesh)(planes,
-                                                      jnp.asarray(sels)))
+    counts = pipeline_counts_host(mesh, planes, jnp.asarray(sels))
     acc = planes_global[0].copy()
     acc &= ~planes_global[1]
     want0 = int(np.unpackbits(acc.view(np.uint8)).sum())
