@@ -1,5 +1,7 @@
 """Adversarial fuzz harness for the sharded container family + serial
-iterators (the round-3 surfaces).
+iterators (the round-3 surfaces) + the ShardedBitVector surface itself
+(set algebra, digest-narrowed group ops, rank/select both paths,
+checkpoint, group exchange).
 
 Every trial builds a random container (random dtype / size / distribution /
 null mask, deliberately including dtype edges, empty strings, IEEE
@@ -467,8 +469,116 @@ def trial_refbridge(rng, seed, t):
         _fail(f"refbridge: signed SV reference->ours n={n}", seed, t)
 
 
+def trial_sbv(rng, seed, t):
+    """ShardedBitVector surface vs a dense numpy golden: set algebra,
+    digest-narrowed group ops, counts (per-shard-partial paths), rank /
+    select on BOTH paths (fused + rs_index) incl. out-of-range ranks,
+    get_bits, checkpoint round-trip, group_and_exchange."""
+    from bitmagic_tpu.parallel.sharded import (ShardedBitVector,
+                                               group_and_exchange,
+                                               sharded_and_many,
+                                               sharded_and_sub_count)
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    import jax.numpy as jnp
+
+    nblk = int(rng.integers(1, 33))
+    size = nblk * C.BITS_PER_BLOCK - int(rng.integers(0, C.BITS_PER_BLOCK))
+    size = max(size, 1)
+
+    def rand_mask():
+        g = np.zeros(size, bool)
+        mode = rng.integers(0, 3)
+        if mode == 0:                                  # sparse uniform
+            n = int(rng.integers(0, max(size // 50, 2)))
+            g[rng.integers(0, size, n)] = True
+        elif mode == 1:                                # dense runs
+            for _ in range(int(rng.integers(1, 6))):
+                lo = int(rng.integers(0, size))
+                hi = min(size - 1, lo + int(rng.integers(0, size // 2 + 1)))
+                g[lo:hi + 1] = True
+        # mode 2: empty
+        return g
+
+    ga, gb = rand_mask(), rand_mask()
+    a = ShardedBitVector.from_indices(np.flatnonzero(ga), size, MESH)
+    b = ShardedBitVector.from_indices(np.flatnonzero(gb), size, MESH)
+
+    if a.count() != int(ga.sum()) or a.count_shardmap() != int(ga.sum()):
+        _fail(f"sbv count size={size}", seed, t)
+    lo = int(rng.integers(0, size))
+    hi = int(rng.integers(lo, size))
+    if a.count_range(lo, hi) != int(ga[lo:hi + 1].sum()):
+        _fail(f"sbv count_range [{lo},{hi}] size={size}", seed, t)
+
+    for op, gold in (("&", ga & gb), ("|", ga | gb),
+                     ("^", ga ^ gb), ("-", ga & ~gb)):
+        got = {"&": a & b, "|": a | b, "^": a ^ b, "-": a - b}[op]
+        if got.count() != int(gold.sum()):
+            _fail(f"sbv op {op} size={size}", seed, t)
+
+    # digest-narrowed group AND over 2-4 vectors with ragged survivors
+    masks = [rand_mask() for _ in range(int(rng.integers(2, 5)))]
+    vs = [ShardedBitVector.from_indices(np.flatnonzero(m), size, MESH)
+          for m in masks]
+    want_and = np.logical_and.reduce(masks)
+    agg = sharded_and_many(vs)
+    if not np.array_equal(_hits(agg), np.flatnonzero(want_and)):
+        _fail(f"sbv sharded_and_many size={size} k={len(masks)}", seed, t)
+    if sharded_and_sub_count(vs, [b]) != int((want_and & ~gb).sum()):
+        _fail(f"sbv and_sub_count size={size}", seed, t)
+
+    # rank/select on both paths; out-of-range ranks answer -1
+    n_set = int(ga.sum())
+    pos = np.flatnonzero(ga)
+    ranks = np.asarray(
+        [0, -3, n_set, n_set + 1, 2**40]
+        + list(rng.integers(1, n_set + 1, 16) if n_set else []), np.int64)
+    want_sel = np.full(ranks.shape, -1, np.int64)
+    ok = (ranks >= 1) & (ranks <= n_set)
+    if n_set:
+        want_sel[ok] = pos[ranks[ok] - 1]
+    got_fused = a.select_batch(ranks)
+    if not np.array_equal(got_fused, want_sel):
+        _fail(f"sbv select fused size={size} n={n_set}", seed, t)
+    idx = a.build_rs_index()
+    if not np.array_equal(a.select_batch(ranks), want_sel):
+        _fail(f"sbv select indexed size={size} n={n_set}", seed, t)
+    qids = rng.integers(0, size, 8)
+    cum = np.cumsum(ga)
+    if not np.array_equal(idx.rank_batch(qids),
+                          cum[np.minimum(qids, size - 1)]):
+        _fail(f"sbv rank size={size}", seed, t)
+
+    # get_bits incl. out-of-range ids
+    gq = np.concatenate([qids, [-1, size, size + 12345]]).astype(np.int64)
+    want_bits = np.zeros(gq.shape, bool)
+    inr = (gq >= 0) & (gq < size)
+    want_bits[inr] = ga[gq[inr]]
+    if not np.array_equal(a.get_bits(gq), want_bits):
+        _fail(f"sbv get_bits size={size}", seed, t)
+
+    # checkpoint round-trip (compressed BLOB)
+    back = ShardedBitVector.from_checkpoint(a.checkpoint_bytes(), MESH)
+    if not np.array_equal(_hits(back), pos):
+        _fail(f"sbv checkpoint size={size}", seed, t)
+
+    # vector-axis group exchange (count mode) vs golden
+    k = 8
+    gmasks = [rand_mask() for _ in range(k)]
+    stack_h = np.stack([
+        np.packbits(m, bitorder="little").copy() for m in
+        (np.pad(g2, (0, nblk * C.BITS_PER_BLOCK - size)) for g2 in gmasks)
+    ]).view(np.uint32).reshape(k, nblk, C.SET_BLOCK_SIZE)
+    vmesh = Mesh(MESH.devices.reshape(-1), ("v",))
+    stack = jax.device_put(stack_h, NamedSharding(vmesh, P("v", None, None)))
+    cnt, _, traffic = group_and_exchange(stack, vmesh, "v", count_only=True)
+    want_cnt = int(np.logical_and.reduce(gmasks).sum())
+    if cnt != want_cnt:
+        _fail(f"sbv group_and_exchange {cnt} != {want_cnt}", seed, t)
+
+
 TRIALS = [trial_int, trial_float, trial_str, trial_rsc, trial_sorted,
-          trial_stream, trial_refbridge]
+          trial_stream, trial_refbridge, trial_sbv]
 
 
 def main():
@@ -476,7 +586,7 @@ def main():
     ap.add_argument("--trials", type=int, default=30)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--family", type=str, default=None,
-                    help="int|float|str|rsc|sorted|stream")
+                    help="int|float|str|rsc|sorted|stream|refbridge|sbv")
     args = ap.parse_args()
     fams = {f.__name__.removeprefix("trial_"): f for f in TRIALS}
     for t in range(args.trials):
