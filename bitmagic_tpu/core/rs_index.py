@@ -68,6 +68,14 @@ class RSIndex:
         if pool.shape[0]:
             bc = np.asarray(blockops.block_counts(pool)).astype(_I64)
             counts[is_bit] = bc[struct.slots()[is_bit]]
+            # the select descent carries pool-global ranks as device int32
+            # (ops/select.py contract); enforce the documented bound
+            # loudly instead of wrapping silently
+            if int(bc.sum()) >= 2**31:
+                raise ValueError(
+                    "rs_index: device pool holds >= 2^31 set bits — beyond "
+                    "the int32 select-descent bound; split the vector "
+                    "(rank_range_split) or shard it over a mesh")
         is_gap = struct.cls == C.CLS_GAP
         if bv._gaps is not None and is_gap.any():
             counts[is_gap] = bv._gaps.popcounts()[struct.gslots()[is_gap]]

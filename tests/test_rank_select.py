@@ -79,3 +79,20 @@ def test_rank_select_invalidation(rng):
     assert bv.select(2) == 15       # index must rebuild after mutation
     bv.clear_bit(10)
     assert bv.select(1) == 15
+
+
+def test_rs_index_int32_bound_enforced(rng, monkeypatch):
+    """A pool holding >= 2^31 set bits must refuse to build an rs_index
+    (the select descent carries pool-global ranks as device int32) —
+    loudly, not by wrapping.  Simulated via patched block counts."""
+    from bitmagic_tpu.core import rs_index as rsmod
+    idx = random_indices(rng, 4 * BITS_PER_BLOCK, 0.01)
+    bv = BitVector.from_indices(idx, 4 * BITS_PER_BLOCK)
+    bv._flush()
+    n_rows = bv._pool.shape[0]
+    monkeypatch.setattr(
+        rsmod.blockops, "block_counts",
+        lambda pool: np.full(pool.shape[0], 2**31 // max(n_rows, 1) + 1,
+                             np.int64))
+    with pytest.raises(ValueError, match="2\\^31"):
+        rsmod.RSIndex.build(bv)
