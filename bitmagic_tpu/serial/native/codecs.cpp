@@ -749,6 +749,56 @@ int bmt1_payload(int code, const uint8_t* p, int64_t plen, uint32_t* w,
     }
 }
 
+// Fused single-pass block analysis for the encoder: D-GAP boundaries +
+// popcount + the exact Elias-gamma cost of the run-length list (sans the
+// length header), all from ONE 8 KB read — the encoder previously paid
+// three full-block scans (popcount, boundaries, positions) per block.
+int64_t block_scan_fused(const uint32_t* words, uint16_t* out,
+                         int32_t* start, int64_t* popcnt,
+                         int64_t* gamma_bits) {
+    *start = static_cast<int32_t>(words[0] & 1u);
+    int64_t n = 0, bc = 0, gbits = 0;
+    int32_t prev = -1;
+    uint64_t prev_top = words[0] & 1u;   // so bit -1 == bit 0 (no change)
+    for (unsigned k = 0; k < 2048; k += 2) {
+        uint64_t w;
+        memcpy(&w, words + k, 8);
+        bc += __builtin_popcountll(w);
+        uint64_t x = w ^ ((w << 1) | prev_top);
+        prev_top = w >> 63;
+        unsigned base = k << 5;
+        for (int i = __builtin_popcountll(x); i; --i) {
+            // change at bit (base+j) means boundary at (base+j-1)
+            int32_t b = static_cast<int32_t>(base + __builtin_ctzll(x)) - 1;
+            x &= x - 1;
+            out[n++] = static_cast<uint16_t>(b);
+            gbits += 2 * bit_length_u64(static_cast<uint64_t>(b - prev)) - 1;
+            prev = b;
+        }
+    }
+    out[n++] = 65535;
+    gbits += 2 * bit_length_u64(static_cast<uint64_t>(65535 - prev)) - 1;
+    *popcnt = bc;
+    *gamma_bits = gbits;
+    return n;
+}
+
+// Set-bit (want=1) or clear-bit (want=0) positions reconstructed from the
+// run boundaries — O(runs + emitted) with no second block read.
+int64_t positions_from_runs(const uint16_t* bnd, int64_t L, int32_t start,
+                            int want, uint16_t* out) {
+    int64_t n = 0;
+    int32_t prev = -1;
+    for (int64_t i = 0; i < L; ++i) {
+        int32_t hi = bnd[i];
+        if ((start ^ static_cast<int32_t>(i & 1)) == want)
+            for (int32_t p = prev + 1; p <= hi; ++p)
+                out[n++] = static_cast<uint16_t>(p);
+        prev = hi;
+    }
+    return n;
+}
+
 }  // namespace
 
 extern "C" {
@@ -800,7 +850,10 @@ int64_t bm_bmt1_encode(const uint32_t* words, const int64_t* nbs,
             continue;
         }
         const uint32_t* w = words + (row++) * 2048;
-        int64_t bc = bm_block_popcount(w);
+        int32_t start = 0;
+        int64_t bc = 0, run_gamma_bits = 0;
+        int64_t L = block_scan_fused(w, bnd_buf, &start, &bc,
+                                     &run_gamma_bits);  // incl. final 65535
         if (bc == 0)
             continue;                              // zero: implicit
         if (bc == 65536) {
@@ -808,9 +861,6 @@ int64_t bm_bmt1_encode(const uint32_t* words, const int64_t* nbs,
             ++code_counts[BMT1_FULL];
             continue;
         }
-        int32_t start = 0;
-        int64_t nb_bnd = bm_block_gap_boundaries(w, bnd_buf, &start);
-        int64_t L = nb_bnd;                        // incl. final 65535
         int64_t ibc = 65536 - bc;
 
         // size-estimate chooser (same model as the Python serializer)
@@ -823,16 +873,11 @@ int64_t bm_bmt1_encode(const uint32_t* words, const int64_t* nbs,
             if (bc < 65536) consider(3 + 2 * bc, BMT1_ARR16);
             if (ibc < 65536) consider(3 + 2 * ibc, BMT1_ARR16_INV);
         }
-        int64_t gamma_bits = 0;
         if (level >= 4 && L < 16384) {
-            // exact gamma cost of the run-length list
-            int64_t prev = -1;
-            for (int64_t i = 0; i < L; ++i) {
-                uint32_t run = (uint32_t)(bnd_buf[i] - prev);
-                prev = bnd_buf[i];
-                gamma_bits += 2 * bit_length_u64(run) - 1;
-            }
-            gamma_bits += 2 * bit_length_u64((uint64_t)L) - 1;
+            // exact gamma cost: per-run bits from the fused scan + the
+            // gamma-coded length header
+            int64_t gamma_bits =
+                run_gamma_bits + 2 * bit_length_u64((uint64_t)L) - 1;
             consider(2 + (gamma_bits + 7) / 8, BMT1_GAP_GAMMA);
         }
         if (level >= 5) {
@@ -862,7 +907,8 @@ int64_t bm_bmt1_encode(const uint32_t* words, const int64_t* nbs,
         case BMT1_ARR16:
         case BMT1_ARR16_INV: {
             int inv = best_code == BMT1_ARR16_INV;
-            int64_t n = bm_block_positions(w, inv, pos_buf);
+            int64_t n = positions_from_runs(bnd_buf, L, start, !inv,
+                                            pos_buf);
             pput32((uint32_t)n);
             memcpy(pbuf + wpos, pos_buf, 2 * n); wpos += 2 * n;
             break;
@@ -870,7 +916,8 @@ int64_t bm_bmt1_encode(const uint32_t* words, const int64_t* nbs,
         case BMT1_ARR_BIC:
         case BMT1_ARR_BIC_INV: {
             int inv = best_code == BMT1_ARR_BIC_INV;
-            int64_t n = bm_block_positions(w, inv, pos_buf);
+            int64_t n = positions_from_runs(bnd_buf, L, start, !inv,
+                                            pos_buf);
             pput32((uint32_t)n);
             for (int64_t i = 0; i < n; ++i) arr64[i] = pos_buf[i];
             uint64_t acc = 0; int32_t nb2 = 0; int64_t written = 0;
