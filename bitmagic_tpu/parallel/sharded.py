@@ -707,7 +707,10 @@ def scan_throughput_program(mesh, n_planes: int, n_blocks_per_shard: int):
 
     @functools.partial(jax.jit, out_shardings=None)
     def scan(planes, value_bits):
-        # planes: uint32[n_planes, nblk, 2048] sharded on axis 1
+        # planes: uint32[n_planes, nblk, 2048] sharded on axis 1.
+        # u32 hit count is fine HERE (benchmark program, hits << 2^32);
+        # production queries go through ShardedSparseVector, whose count
+        # paths combine per-shard partials on host in int64.
         acc = jnp.full((nblk, C.SET_BLOCK_SIZE), 0xFFFFFFFF, jnp.uint32)
         for s in range(n_planes):
             bit = (value_bits >> s) & 1

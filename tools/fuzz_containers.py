@@ -417,6 +417,19 @@ def trial_stream(rng, seed, t):
             if got != want:
                 _fail(f"opdeser {fmt} count op {op}: {got} vs {want}",
                       seed, t)
+    # range deserialize (selective decode) from both wire formats
+    from bitmagic_tpu.serial import Deserializer
+    from bitmagic_tpu.serial.refcodec import RefDeserializer
+    lo = int(rng.integers(0, size))
+    hi = int(rng.integers(lo, size))
+    want_rng = ids_full = np.asarray(b.indices())
+    want_rng = ids_full[(ids_full >= lo) & (ids_full <= hi)]
+    part = Deserializer().deserialize_range(blob, lo, hi)
+    if not np.array_equal(np.asarray(part.indices()), want_rng):
+        _fail(f"bmt1 range deser [{lo},{hi}] level={level}", seed, t)
+    rpart = RefDeserializer().deserialize_range(blobs[1], lo, hi)
+    if not np.array_equal(np.asarray(rpart.indices()), want_rng):
+        _fail(f"ref range deser [{lo},{hi}]", seed, t)
 
 
 def trial_refbridge(rng, seed, t):
