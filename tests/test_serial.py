@@ -221,12 +221,25 @@ def test_python_native_choosers_byte_identical():
         pytest.skip("native library unavailable")
     rng = np.random.default_rng(13)
     size = 10_000_000
+    B = BITS_PER_BLOCK
     cases = [
         np.unique(rng.integers(0, size, 3000)),
         np.unique(rng.integers(0, 600_000, 200_000)),
         np.unique(np.concatenate(
             [np.arange(s, s + int(rng.integers(50, 2000)))
              for s in rng.integers(0, size - 3000, 80)])),
+        # adversarial block shapes for the fused boundary scan:
+        # alternating bits (maximal run count), single bits at block
+        # edges, one long run, dense-but-not-full (inverted-array codes)
+        np.concatenate([
+            np.arange(0, B, 2),                      # alternating from bit 0
+            np.arange(B + 1, 2 * B, 2),              # alternating from bit 1
+            [2 * B, 3 * B - 1],                      # first/last bit only
+            np.arange(3 * B, 3 * B + 777),           # single run at start
+            np.arange(5 * B - 321, 5 * B),           # single run at end
+            np.setdiff1d(np.arange(6 * B, 7 * B),    # full minus a few
+                         6 * B + rng.integers(0, B, 40)),
+        ]).astype(np.int64),
     ]
     orig = native.bmt1_encode
     for ids in cases:
