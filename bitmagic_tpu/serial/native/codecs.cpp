@@ -1228,6 +1228,49 @@ int bm_bmt1_stream_op(const uint8_t* blob, int64_t len, int64_t off,
             }
             pos += plen; ++nrec; continue;
         }
+        // count-mode shortcut for array records under AND / SUB_BA: the
+        // answer is a sum of target-bit tests at the decoded positions —
+        // no 8 KB dense expansion, no combine pass.  (AND reaches here
+        // with tstate 1/2; SUB_BA with tstate 0/2.)
+        if (count_mode && (op == 0 || op == 4) && !rec_full &&
+            (code == BMT1_ARR16 || code == BMT1_ARR_BIC) && plen >= 4) {
+            uint32_t n = rd32(blob + pos);
+            if (n <= 65536) {
+                if (tstate != 2) {            // FULL (AND) / absent (SUB_BA)
+                    count += n;
+                    pos += plen; ++nrec; continue;
+                }
+                int decoded = 0;
+                if (code == BMT1_ARR16) {
+                    if (4 + 2ull * n <= (uint64_t)plen) {
+                        const uint8_t* q = blob + pos + 4;
+                        for (uint32_t i = 0; i < n; ++i) {
+                            uint16_t pp;
+                            memcpy(&pp, q + 2 * i, 2);
+                            scratch[i] = pp;
+                        }
+                        decoded = 1;
+                    }
+                } else {
+                    int64_t bpos = 0; uint64_t acc = 0; int32_t nb2 = 0;
+                    decoded = (n == 0) ||
+                        !bmref_bic_decode_cm(blob + pos + 4, plen - 4,
+                                             &bpos, &acc, &nb2, n,
+                                             0, 65535, scratch);
+                }
+                if (decoded) {
+                    int64_t c = 0;
+                    for (uint32_t i = 0; i < n; ++i) {
+                        uint32_t pp = (uint32_t)scratch[i];
+                        c += (tw[pp >> 5] >> (pp & 31)) & 1u;
+                    }
+                    count += (op == 0) ? c : (int64_t)n - c;
+                    pos += plen; ++nrec; continue;
+                }
+                // malformed payload: fall through to the dense path,
+                // which reports the error
+            }
+        }
         // decode the record payload (dense) unless the record is FULL
         const uint32_t* bp;
         if (rec_full) {
