@@ -1228,16 +1228,22 @@ int bm_bmt1_stream_op(const uint8_t* blob, int64_t len, int64_t off,
             }
             pos += plen; ++nrec; continue;
         }
-        // count-mode shortcut for array records under AND / SUB_BA: the
-        // answer is a sum of target-bit tests at the decoded positions —
-        // no 8 KB dense expansion, no combine pass.  (AND reaches here
-        // with tstate 1/2; SUB_BA with tstate 0/2.)
-        if (count_mode && (op == 0 || op == 4) && !rec_full &&
+        // count-mode shortcut for array records: every COUNT_* answer is
+        // an arithmetic function of (n, target popcount, overlap c at the
+        // decoded positions) — no 8 KB dense expansion, no combine pass.
+        // Symbolic targets resolve without decoding positions at all.
+        if (count_mode && !rec_full &&
             (code == BMT1_ARR16 || code == BMT1_ARR_BIC) && plen >= 4) {
             uint32_t n = rd32(blob + pos);
             if (n <= 65536) {
-                if (tstate != 2) {            // FULL (AND) / absent (SUB_BA)
-                    count += n;
+                if (tstate != 2) {
+                    // symbolic target: FULL (ops 0/2/3 reach here) or
+                    // absent (ops 1/2/4) — OR+absent emits the record's
+                    // own bits: count += n, same as XOR+absent
+                    if (tstate == 1)
+                        count += (op == 0) ? n : 65536 - n;  // AND / XOR,SUB_AB
+                    else
+                        count += n;                           // OR, XOR, SUB_BA
                     pos += plen; ++nrec; continue;
                 }
                 int decoded = 0;
@@ -1264,7 +1270,15 @@ int bm_bmt1_stream_op(const uint8_t* blob, int64_t len, int64_t off,
                         uint32_t pp = (uint32_t)scratch[i];
                         c += (tw[pp >> 5] >> (pp & 31)) & 1u;
                     }
-                    count += (op == 0) ? c : (int64_t)n - c;
+                    int64_t pc_t = (op == 1 || op == 2 || op == 3)
+                                   ? bm_block_popcount(tw) : 0;
+                    switch (op) {
+                    case 0: count += c; break;                  // AND
+                    case 1: count += pc_t + n - c; break;       // OR
+                    case 2: count += pc_t + n - 2 * c; break;   // XOR
+                    case 3: count += pc_t - c; break;           // SUB_AB
+                    default: count += (int64_t)n - c; break;    // SUB_BA
+                    }
                     pos += plen; ++nrec; continue;
                 }
                 // malformed payload: fall through to the dense path,
