@@ -249,6 +249,10 @@ class ShardedBitVector:
             return np.zeros(0, bool)
         n_shards = self.mesh.devices.size
         span = (self.pool.shape[0] // n_shards) * C.BITS_PER_BLOCK
+        # shard-LOCAL offsets ride the device as int32 (same bound the
+        # rs_index asserts); enforce loudly instead of wrapping
+        assert span < 2**31, \
+            "per-shard span exceeds the int32 device bound; add shards"
         q = np.clip(ids, 0, self.pool.shape[0] * C.BITS_PER_BLOCK - 1)
         tgt = (q // span).astype(np.int32)
         rel = (q - tgt.astype(np.int64) * span).astype(np.int32)
