@@ -749,6 +749,60 @@ int bmt1_payload(int code, const uint8_t* p, int64_t plen, uint32_t* w,
     }
 }
 
+// Decode a GAP record's run ENDS into scratch (ascending, last = 65535)
+// WITHOUT expanding to a dense block.  Returns the number of ends, or -1
+// on a malformed payload.  *first gets the value of the first run.
+int64_t bmt1_gap_ends(int code, const uint8_t* p, int64_t plen,
+                      int64_t* scratch, int* first) {
+    if (code == BMT1_GAP_BIC) {
+        if (plen < 5) return -1;
+        *first = p[0];
+        uint32_t n = rd32(p + 1);
+        if (n > 65535) return -1;
+        int64_t pos = 0; uint64_t acc = 0; int32_t nb = 0;
+        if (n && bmref_bic_decode_cm(p + 5, plen - 5, &pos, &acc, &nb,
+                                     n, 0, 65534, scratch))
+            return -1;
+        scratch[n] = 65535;
+        return (int64_t)n + 1;
+    }
+    if (code != BMT1_GAP_GAMMA || plen < 1) return -1;
+    *first = p[0];
+    BitR rd{p + 1, 0};
+    const uint64_t max_bits = (uint64_t)(plen - 1) * 8;
+    int nz = 0;
+    while (rd.bitpos < max_bits && rd.get_bit() == 0) ++nz;
+    if (nz > 17 || rd.bitpos + nz > max_bits) return -1;
+    uint64_t n_runs = nz ? ((1ull << nz) | rd.get(nz)) : 1;
+    if (n_runs > 65536) return -1;
+    int64_t prev = -1;
+    for (uint64_t i = 0; i < n_runs; ++i) {
+        int z = 0;
+        while (rd.bitpos < max_bits && rd.get_bit() == 0) ++z;
+        if (z > 17 || rd.bitpos + z > max_bits) return -1;
+        uint64_t run = z ? ((1ull << z) | rd.get(z)) : 1;
+        int64_t end = prev + (int64_t)run;
+        if (end > 65535) return -1;
+        scratch[i] = end;
+        prev = end;
+    }
+    return (int64_t)n_runs;
+}
+
+// Masked popcount of target bits [a, b] within one 2048-word block row.
+int64_t count_bits_range(const uint32_t* w, int32_t a, int32_t b) {
+    int32_t wa = a >> 5, wb = b >> 5;
+    uint32_t ma = ~0u << (a & 31);
+    uint32_t mb = ((b & 31) == 31) ? ~0u : ((1u << ((b & 31) + 1)) - 1);
+    if (wa == wb)
+        return __builtin_popcount(w[wa] & ma & mb);
+    int64_t c = __builtin_popcount(w[wa] & ma)
+              + __builtin_popcount(w[wb] & mb);
+    for (int32_t k = wa + 1; k < wb; ++k)
+        c += __builtin_popcount(w[k]);
+    return c;
+}
+
 // Fused single-pass block analysis for the encoder: D-GAP boundaries +
 // popcount + the exact Elias-gamma cost of the run-length list (sans the
 // length header), all from ONE 8 KB read — the encoder previously paid
@@ -1283,6 +1337,46 @@ int bm_bmt1_stream_op(const uint8_t* blob, int64_t len, int64_t off,
                 }
                 // malformed payload: fall through to the dense path,
                 // which reports the error
+            }
+        }
+        // same shortcut for GAP records: decode run ENDS only, then count
+        // in the run domain (masked range popcounts over the target row)
+        if (count_mode && !rec_full &&
+            (code == BMT1_GAP_GAMMA || code == BMT1_GAP_BIC)) {
+            int first = 0;
+            int64_t n_ends = bmt1_gap_ends(code, blob + pos, plen,
+                                           scratch, &first);
+            if (n_ends > 0) {
+                int64_t nset = 0, c = 0;
+                int64_t prev = -1;
+                int val = first;
+                for (int64_t i = 0; i < n_ends; ++i) {
+                    int64_t e = scratch[i];
+                    if (val) {
+                        nset += e - prev;
+                        if (tstate == 2)
+                            c += count_bits_range(tw, (int32_t)(prev + 1),
+                                                  (int32_t)e);
+                    }
+                    prev = e;
+                    val ^= 1;
+                }
+                if (tstate != 2) {
+                    count += (tstate == 1)
+                             ? ((op == 0) ? nset : 65536 - nset)
+                             : nset;
+                } else {
+                    int64_t pc_t = (op == 1 || op == 2 || op == 3)
+                                   ? bm_block_popcount(tw) : 0;
+                    switch (op) {
+                    case 0: count += c; break;
+                    case 1: count += pc_t + nset - c; break;
+                    case 2: count += pc_t + nset - 2 * c; break;
+                    case 3: count += pc_t - c; break;
+                    default: count += nset - c; break;
+                    }
+                }
+                pos += plen; ++nrec; continue;
             }
         }
         // decode the record payload (dense) unless the record is FULL
