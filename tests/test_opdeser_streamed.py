@@ -144,3 +144,44 @@ def test_ref_format_streamed(setup, monkeypatch):
         assert t == getattr(a, pyop)(bref), op
     for op, fn in _COUNT_OPS:
         assert od.deserialize(a.copy(), blob, op) == fn(a, bref), op
+
+
+def test_count_shortcut_matrix_all_ops_tstates_records():
+    """The positions/run-domain COUNT_* shortcuts must agree with the
+    materialized goldens for every op x target-state (absent/FULL/dense
+    rows) x record family (ARR16/ARR_BIC at L6, GAP_GAMMA at L4,
+    GAP_BIC for run-structured data)."""
+    rng = np.random.default_rng(5)
+    size = 64 * C.BITS_PER_BLOCK
+
+    # run-structured source (GAP records) and random source (ARR records)
+    runs = bm.BitVector(size)
+    p = 0
+    while p < size - 2000:
+        ln = int(rng.integers(1, 1500))
+        runs.set_range(p, min(p + ln - 1, size - 1))
+        p += ln + int(rng.integers(1, 4000))
+    runs.optimize()
+    rand = bm.BitVector.from_indices(
+        np.unique(rng.integers(0, size, 40_000)), size)
+    blobs = [Serializer(6).serialize(runs), Serializer(4).serialize(runs),
+             Serializer(6).serialize(rand), Serializer(1).serialize(rand)]
+
+    od = OperationDeserializer()
+    ops = ((C.SET_COUNT_AND, lambda a, b: (a & b).count()),
+           (C.SET_COUNT_OR, lambda a, b: (a | b).count()),
+           (C.SET_COUNT_XOR, lambda a, b: (a ^ b).count()),
+           (C.SET_COUNT_SUB_AB, lambda a, b: (a - b).count()),
+           (C.SET_COUNT_SUB_BA, lambda a, b: (b - a).count()))
+    for src, blob in zip((runs, runs, rand, rand), blobs):
+        for tseed in (1, 2):
+            r2 = np.random.default_rng(tseed)
+            t = bm.BitVector.from_indices(
+                np.unique(r2.integers(0, size, 60_000)), size)
+            t.set_range(3 * C.BITS_PER_BLOCK, 5 * C.BITS_PER_BLOCK - 1)
+            t.clear_range(8 * C.BITS_PER_BLOCK, 11 * C.BITS_PER_BLOCK - 1)
+            t.optimize()     # mixes FULL, absent and dense target blocks
+            for op, gold in ops:
+                got = od.deserialize(t.copy(), blob, op)
+                want = gold(t.copy(), src)
+                assert got == want, (tseed, op, got, want)
