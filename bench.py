@@ -329,9 +329,33 @@ REF = {
 
 
 def main():
+    # watchdog: the axon tunnel can go fully down (jax.devices() itself
+    # hangs) for hours at a stretch.  If NOTHING has been measured after
+    # 10 minutes (normal worst case: first compile ~40 s, bad machine
+    # patches ~3x), emit an explicit unmeasured JSON line instead of
+    # hanging forever — an honest record beats a driver timeout with no
+    # output.  The timer is cancelled the moment config 1 completes.
+    import os
+    import threading
+
+    def _give_up():
+        log("WATCHDOG: no measurement after 600 s — TPU tunnel down?")
+        print(json.dumps({
+            "metric": "bvsetalgebra_and_count_throughput",
+            "value": None, "unit": "GB/s", "vs_baseline": None,
+            "note": "unmeasured: device unreachable for 600 s "
+                    "(axon tunnel outage); no benchmark was run",
+        }), flush=True)
+        os._exit(0)
+
+    watchdog = threading.Timer(600.0, _give_up)
+    watchdog.daemon = True
+    watchdog.start()
+
     rng = np.random.default_rng(42)
     log(f"devices: {jax.devices()}")
     gbps, gbps_med, gbps_mat = bench_logical(rng)
+    watchdog.cancel()                 # device is alive and measured
     cpu_gbps = bench_logical_cpu(rng)
     # PRIMARY values are medians over >=5 slope passes: tunnel RTT jitter
     # can shrink a two-point slope and inflate a min-side estimate beyond
