@@ -16,19 +16,35 @@ form, entropy-coded serialization, and mesh-sharded multi-chip scaling.
 
 from . import constants  # noqa: E402
 from .config import config, simd_version  # noqa: E402
-from .core.bitvector import BitVector  # noqa: E402
+from .core.bitvector import BitVector, ReadOnlyError  # noqa: E402
 from . import algo, agg, parallel, serial, sv, utils  # noqa: E402
 # one-shot free functions (reference bm::serialize / bm::deserialize)
 from .serial.serializer import deserialize, serialize  # noqa: E402
 
+# Everything a reference user reaches through the single ``bm::`` namespace
+# is also reachable here at the top level (full module paths stay canonical;
+# these are aliases, see MIGRATING.md).
+from .agg.aggregator import Aggregator  # noqa: E402
+from .serial.opdeser import OperationDeserializer  # noqa: E402
+from .serial.serializer import Deserializer, Serializer  # noqa: E402
+from .serial.stream_iter import (IteratorDeserializer,  # noqa: E402
+                                 SerialStreamIterator)
+from .sv import (BitMatrix, FloatSparseVector, RSCSparseVector,  # noqa: E402
+                 SparseVector, SparseVectorScanner, StrSparseVector)
+
 __version__ = "0.1.0"
 
 __all__ = [
-    "BitVector",
+    "BitVector", "ReadOnlyError",
     "config",
     "constants",
     "simd_version",
     "serialize", "deserialize",
+    "Serializer", "Deserializer", "OperationDeserializer",
+    "SerialStreamIterator", "IteratorDeserializer",
+    "Aggregator",
+    "SparseVector", "RSCSparseVector", "StrSparseVector",
+    "FloatSparseVector", "BitMatrix", "SparseVectorScanner",
     "algo", "agg", "parallel", "serial", "sv", "utils",
     "__version__",
 ]
