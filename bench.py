@@ -209,9 +209,11 @@ def bench_aggregator(rng):
             acc = acc & ~(stack[i] ^ s)
         return jnp.sum(jax.lax.population_count(acc), dtype=jnp.uint32)
 
-    # 9 passes: config 3 showed the widest median/best spread of any config
-    # in round 2; more slope passes pull the median inside the jitter band
-    t, t_med = timeit_stats(and_sub_200, stack, iters=5, passes=9)
+    # 9 passes + iters=25: config 3 showed the widest median/best spread of
+    # any config in round 2 — at iters=5 the slope (~6 ms) sat inside the
+    # tunnel RTT jitter band; 25 chained iterations make the slope dominate
+    # (the fori_loop body compiles once, so the extra runtime is ~1 s total)
+    t, t_med = timeit_stats(and_sub_200, stack, iters=25, passes=9)
     gb = K * nblk * WORDS * 4 / 1e9
     log(f"[3 aggregator] fused AND-SUB over {K} vectors ({gb:.2f} GB): "
         f"{t*1e3:.2f} ms -> {gb/t:.1f} GB/s (median {gb/t_med:.1f})")
@@ -236,7 +238,7 @@ def bench_scan(rng):
         return jnp.sum(jax.lax.population_count(acc), dtype=jnp.uint32)
 
     t, t_med = timeit_stats(scan_eq, planes, jnp.uint32(123456789),
-                            iters=10, passes=5)
+                            iters=25, passes=5)
     n_elem = nblk * WORDS * 32
     log(f"[4 sv-scan] find_eq over {n_elem/1e6:.0f}M u32 elements: "
         f"{t*1e3:.2f} ms -> {n_elem/t/1e9:.2f} Gelem/s "
