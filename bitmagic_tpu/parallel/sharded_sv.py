@@ -115,7 +115,10 @@ class _SelectorSearchBase:
         return out
 
     def _search(self, key) -> ShardedBitVector:
-        sel = self._selector(key)
+        return self._search_sel(self._selector(key))
+
+    def _search_sel(self, sel) -> ShardedBitVector:
+        """Digest-narrowed survivor AND-SUB for a prepared selector."""
         if sel is None:
             return self._empty_result()
         sel_j = jnp.asarray(sel)
@@ -715,6 +718,38 @@ class ShardedStrSparseVector(_SelectorSearchBase):
         out = ShardedBitVector(pool, self.size, self.mesh)
         out.last_narrowing = (int(alive.sum()), int(alive.size))
         return out
+
+    def _selector_prefix(self, s):
+        """Prefix selector: only octet positions < len(s) constrained
+        (reference find_eq_str_impl(prefix_sub=false),
+        src/bmsparsevec_algo.h:2239; the empty query degrades to the exact
+        empty-string selector, mirroring the reference's ``if (*str)``
+        branch).  None = the prefix cannot occur."""
+        s = s if isinstance(s, str) else bytes(s).decode("latin-1")
+        if not s:
+            return self._selector("")
+        img = self._skel().remap_value(s)
+        if img is None:
+            return None
+        sel = np.zeros(self.K, np.int32)
+        for k in range(len(s)):
+            code = int(img[k])
+            for b in range(8):
+                idx = self.pos_of.get((k, b))
+                if (code >> b) & 1:
+                    if idx is None:
+                        return None
+                    sel[idx] = 1
+                elif idx is not None:
+                    sel[idx] = -1
+        sel[self.UNI] = 1
+        return sel
+
+    def find_eq_str_prefix(self, s) -> ShardedBitVector:
+        """All positions whose string starts with ``s`` — the prefix
+        selector through the same digest-narrowed survivor AND-SUB flow
+        (scanner find_eq_str_prefix at mesh scale)."""
+        return self._search_sel(self._selector_prefix(s))
 
     def find_eq_str_count(self, s) -> int:
         sel = self._selector(s)

@@ -20,6 +20,8 @@ The pipeline API batches many find_eq searches (reference scanner pipeline
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from .. import constants as C
@@ -56,6 +58,24 @@ def _planes(sv: SparseVector):
 
 class SparseVectorScanner:
     """bm::sparse_vector_scanner equivalent."""
+
+    #: external AND mask applied to every find_* result
+    #: (reference set_and_mask, src/bmsparsevec_algo.h:1124)
+    _and_mask = None
+
+    def set_and_mask(self, bv_mask: BitVector | None) -> None:
+        """Restrict subsequent find_* searches to positions set in
+        ``bv_mask`` (reference set_and_mask, src/bmsparsevec_algo.h:1124;
+        the reference seeds the aggregator's AND group with the mask —
+        here it ANDs into the finalized result, same answer).  ``None``
+        resets.  Pipelines and the sorted bfind family are unaffected.
+        For RSC searches the mask is interpreted in the LOGICAL address
+        space (documented deviation: the reference masks pre-decompression
+        coordinates)."""
+        self._and_mask = bv_mask
+
+    def reset_and_mask(self) -> None:
+        self._and_mask = None
 
     # ------------------------------------------------------------------
     def find_zero(self, sv: SparseVector) -> BitVector:
@@ -102,6 +122,35 @@ class SparseVectorScanner:
 
     def find_eq_count(self, sv, value) -> int:
         return self.find_eq(sv, value).count()
+
+    def find_first_eq(self, sv: SparseVector, value) -> int:
+        """FIRST position holding ``value``, or -1 (reference
+        find_eq(sv, value, pos&) -> find_first_eq, src/bmsparsevec_algo.h
+        :804/:2118: search_limit=1 combine with early exit).  Runs the
+        aggregator's any-flags early-exit pass (find_first_and_sub) —
+        only the first hit block is materialized.  Honors the AND mask."""
+        sv._flush()
+        if not value_fits(value, sv.dtype):
+            return -1
+        u = int(np.asarray(sv.s2u(np.asarray([value], sv.dtype)))[0])
+        if u == 0:
+            return self.find_zero(sv).find()   # masked find_zero
+        if u.bit_length() > sv.n_slices:
+            return -1
+        and_group, sub_group = [], []
+        for s in range(sv.n_slices):
+            p = sv.planes[s]
+            if (u >> s) & 1:
+                if p is None:
+                    return -1
+                and_group.append(p)
+            elif p is not None:
+                sub_group.append(p)
+        if sv.nullable:
+            and_group.append(sv.null_plane)
+        if self._and_mask is not None:
+            and_group.append(self._and_mask)
+        return _agg.find_first_and_sub(and_group, sub_group)
 
     def find_ne(self, sv: SparseVector, value) -> BitVector:
         uni = _universe(sv).copy()
@@ -202,6 +251,17 @@ class SparseVectorScanner:
     def find_range(self, sv: SparseVector, lo, hi) -> BitVector:
         """lo <= element <= hi (reference find_range)."""
         return self.find_ge(sv, lo) & self.find_le(sv, hi)
+
+    def find_nonnegative(self, sv: SparseVector) -> BitVector:
+        """All positions with element >= 0, NULLs INCLUDED (they read 0) —
+        reference find_nonnegative (src/bmsparsevec_algo.h:1073 ->
+        find_nonnegative_no_mask :1484, which does NOT null-correct):
+        the [0, size) range minus the sign plane."""
+        sv._flush()
+        out = _range_universe(sv._size)
+        if sv.signed and sv.planes and sv.planes[0] is not None:
+            out.bit_sub(sv.planes[0])
+        return out
 
     # ------------------------------------------------------------------
     # sorted-vector search (reference bfind/lower_bound_str + sample index)
@@ -317,6 +377,68 @@ class SparseVectorScanner:
 
     def find_eq_str_count(self, ssv, s) -> int:
         return self.find_eq_str(ssv, s).count()
+
+    def find_eq_str_prefix(self, ssv, s) -> BitVector:
+        """Positions whose string STARTS WITH ``s`` (reference
+        find_eq_str_prefix, src/bmsparsevec_algo.h:920 ->
+        find_eq_str_impl(prefix_sub=false) :2239: octet positions past
+        len(s) stay UNCONSTRAINED; an empty query degrades to the exact
+        empty-string search, as the reference's ``if (*str)`` branch
+        does)."""
+        s = s if isinstance(s, str) else bytes(s).decode("latin-1")
+        if not s:
+            return self.find_eq_str(ssv, "")
+        img = ssv.remap_value(s)
+        if img is None:                 # unmappable / longer than storable
+            return BitVector(C.ID_MAX48)
+        and_group, sub_group = [], []
+        for k in range(len(s)):
+            osv = ssv.octets[k]
+            osv._flush()
+            code = int(img[k])
+            for b in range(osv.n_slices):
+                p = osv.planes[b]
+                if (code >> b) & 1:
+                    if p is None:
+                        return BitVector(C.ID_MAX48)
+                    and_group.append(p)
+                elif p is not None:
+                    sub_group.append(p)
+        res = _agg.combine_and_sub(and_group, sub_group)
+        if ssv.nullable:
+            res.bit_and(ssv.null_plane)
+        return res
+
+    def find_first_eq_str(self, ssv, s) -> int:
+        """FIRST position of exact string ``s``, or -1 (reference
+        find_eq_str(sv, str, pos&), src/bmsparsevec_algo.h:902 ->
+        find_first_eq :3080: early-exit aggregator pass).  Honors the
+        AND mask."""
+        s = s if isinstance(s, str) else bytes(s).decode("latin-1")
+        if not s:
+            bv = self.find_eq_str(ssv, "")
+            return bv.find()
+        img = ssv.remap_value(s)
+        if img is None:
+            return -1
+        and_group, sub_group = [], []
+        for k in range(ssv.max_str_size):
+            osv = ssv.octets[k]
+            osv._flush()
+            code = int(img[k])
+            for b in range(osv.n_slices):
+                p = osv.planes[b]
+                if (code >> b) & 1:
+                    if p is None:
+                        return -1
+                    and_group.append(p)
+                elif p is not None:
+                    sub_group.append(p)
+        if ssv.nullable:
+            and_group.append(ssv.null_plane)
+        if self._and_mask is not None:
+            and_group.append(self._and_mask)
+        return _agg.find_first_and_sub(and_group, sub_group)
 
     def lower_bound_str(self, ssv, s) -> int:
         """First index i with ssv[i] >= s in a sorted string vector
@@ -548,12 +670,82 @@ class FloatScannerMixin:
         uni.bit_sub(eq)
         return uni
 
+    def find_ge_float(self, fv, value) -> BitVector:
+        """x >= value (reference find_ge_float,
+        src/bmsparsevec_algo.h:1001)."""
+        out = self.find_gt_float(fv, value)
+        out.bit_or(self.find_eq_float(fv, value))
+        return out
+
+    def find_le_float(self, fv, value) -> BitVector:
+        """x <= value = assigned and not (x > value) (reference
+        find_le_float, src/bmsparsevec_algo.h:1020)."""
+        gt = self.find_gt_float(fv, value)
+        uni = BitVector(C.ID_MAX48)
+        if fv._size:
+            uni.set_range(0, fv._size - 1)
+        if fv.nullable and fv.null_plane is not None:
+            uni.bit_and(fv.null_plane)
+        uni.bit_sub(gt)
+        return uni
+
+    def find_range_float(self, fv, lo, hi) -> BitVector:
+        """CLOSED interval [lo, hi] over floats (reference
+        find_range_float, src/bmsparsevec_algo.h:1031: swaps reversed
+        bounds, le(hi) & ge(lo))."""
+        if lo > hi:
+            lo, hi = hi, lo
+        out = self.find_le_float(fv, hi)
+        out.bit_and(self.find_ge_float(fv, lo))
+        return out
+
+    def find_range_float_unbounded(self, fv, lo, hi) -> BitVector:
+        """OPEN interval (lo, hi) over floats (reference
+        find_range_float_unbounded, src/bmsparsevec_algo.h:1043: swaps
+        reversed bounds, lt(to) & gt(from))."""
+        if lo > hi:
+            lo, hi = hi, lo
+        out = self.find_lt_float(fv, hi)
+        out.bit_and(self.find_gt_float(fv, lo))
+        return out
+
 
 for _name in ("find_eq_rsc", "find_gt_rsc", "find_lt_rsc"):
     setattr(SparseVectorScanner, _name, getattr(RSCScannerMixin, _name))
 for _name in ("_float_parts", "find_eq_float", "find_gt_float",
-              "find_lt_float"):
+              "find_lt_float", "find_ge_float", "find_le_float",
+              "find_range_float", "find_range_float_unbounded"):
     setattr(SparseVectorScanner, _name, getattr(FloatScannerMixin, _name))
+
+
+def _masked(fn):
+    """Apply the scanner's external AND mask to a finalized find_* result
+    (reference finalize_search_result, src/bmsparsevec_algo.h:2052).  The
+    mask is cleared for the duration of the body so composed searches
+    (find_lt = universe - find_ge, ...) mask exactly once, at the top."""
+    @functools.wraps(fn)
+    def wrap(self, *a, **kw):
+        m = self._and_mask
+        self._and_mask = None
+        try:
+            out = fn(self, *a, **kw)
+        finally:
+            self._and_mask = m
+        if m is not None:
+            out.bit_and(m)
+        return out
+    return wrap
+
+
+for _name in ("find_zero", "find_nonzero", "find_eq", "find_ne",
+              "find_eq_set", "find_gt", "find_ge", "find_lt", "find_le",
+              "find_range", "find_nonnegative", "find_eq_str",
+              "find_eq_str_prefix", "find_eq_rsc", "find_gt_rsc",
+              "find_lt_rsc", "find_eq_float", "find_gt_float",
+              "find_lt_float", "find_ge_float", "find_le_float",
+              "find_range_float", "find_range_float_unbounded"):
+    setattr(SparseVectorScanner, _name,
+            _masked(getattr(SparseVectorScanner, _name)))
 
 
 class _PreparedPipeline:
