@@ -143,9 +143,15 @@ class SparseVector:
         values = np.asarray(values)
         dtype = values.dtype if dtype is None else np.dtype(dtype)
         sv = cls(dtype, nullable=nullable or (null_mask is not None))
+        if null_mask is not None:
+            # NULL slots hold ZERO value planes (reference set_null =
+            # clear(idx, true), src/bmsparsevec.h:1162 — garbage at NULL
+            # positions would leak through plane-direct reads like
+            # find_nonnegative and bloat the slices)
+            nm = np.asarray(null_mask, bool)        # True = NULL
+            values = np.where(nm, np.asarray(0, values.dtype), values)
         sv.import_values(values, offset=0)
         if sv.nullable and null_mask is not None:
-            nm = np.asarray(null_mask, bool)        # True = NULL
             sv.null_plane = BitVector.from_indices(
                 np.flatnonzero(~nm), C.ID_MAX48)
         return sv

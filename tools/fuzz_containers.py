@@ -156,6 +156,31 @@ def trial_int(rng, seed, t):
     want_ne = np.flatnonzero(assigned & (vals != dtype(qv)))
     if not np.array_equal(_hits(ssv.find_ne(qv)), want_ne):
         _fail(f"int find_ne({qv})", seed, t)
+    # find_nonnegative (NULLs INCLUDED, reference no_mask semantics) +
+    # find_first_eq (early-exit) + the external AND mask
+    want_nn = np.flatnonzero((vals >= 0) | ~assigned)
+    got_nn = np.asarray(scanner.find_nonnegative(sv).indices())
+    if not np.array_equal(got_nn, want_nn):
+        _fail(f"find_nonnegative dtype={dtype} n={n}", seed, t)
+    want_first = np.flatnonzero(assigned & (vals == dtype(qv)))
+    first = scanner.find_first_eq(sv, qv)
+    if first != (int(want_first[0]) if want_first.size else -1):
+        _fail(f"find_first_eq({qv}): {first}", seed, t)
+    if n > 2:
+        mlo, mhi = sorted(int(x) for x in rng.integers(0, n, 2))
+        mask = bm.BitVector(C.ID_MAX48)
+        mask.set_range(mlo, mhi)
+        scanner.set_and_mask(mask)
+        try:
+            got_m = np.asarray(scanner.find_eq(sv, qv).indices())
+            want_m = want_first[(want_first >= mlo) & (want_first <= mhi)]
+            if not np.array_equal(got_m, want_m):
+                _fail(f"masked find_eq({qv}) [{mlo},{mhi}]", seed, t)
+            first_m = scanner.find_first_eq(sv, qv)
+            if first_m != (int(want_m[0]) if want_m.size else -1):
+                _fail(f"masked find_first_eq({qv})", seed, t)
+        finally:
+            scanner.reset_and_mask()
     # pipeline counts vs per-query
     batch = _queries_int(rng, vals, dtype)[:6]
     pipe = ssv.pipeline_find_eq(batch)
@@ -210,6 +235,22 @@ def trial_float(rng, seed, t):
         want_le = np.flatnonzero(vals.astype(np.float64) <= float(q))
         if not np.array_equal(_hits(sfv.find_le(q)), want_le):
             _fail(f"float find_le({q!r})", seed, t)
+        want_ge = np.flatnonzero(vals.astype(np.float64) >= float(q))
+        if not np.array_equal(
+                np.asarray(scanner.find_ge_float(fv, q).indices()), want_ge):
+            _fail(f"find_ge_float({q!r})", seed, t)
+    # closed + open range on a random query pair (bounds may be reversed)
+    if len(qs) >= 2:
+        lo = float(qs[int(rng.integers(0, len(qs)))])
+        hi = float(qs[int(rng.integers(0, len(qs)))])
+        v64, a, b = vals.astype(np.float64), min(lo, hi), max(lo, hi)
+        got_r = np.asarray(scanner.find_range_float(fv, lo, hi).indices())
+        if not np.array_equal(got_r, np.flatnonzero((v64 >= a) & (v64 <= b))):
+            _fail(f"find_range_float({lo},{hi})", seed, t)
+        got_o = np.asarray(
+            scanner.find_range_float_unbounded(fv, lo, hi).indices())
+        if not np.array_equal(got_o, np.flatnonzero((v64 > a) & (v64 < b))):
+            _fail(f"find_range_float_unbounded({lo},{hi})", seed, t)
     if n:
         ids = rng.integers(0, n, min(32, n))
         g = np.asarray(sfv.gather(ids))
@@ -255,6 +296,26 @@ def trial_str(rng, seed, t):
     want_pipe = [int((arr == q).sum()) for q in qs]
     if pipe != want_pipe:
         _fail(f"str pipeline {pipe} vs {want_pipe}", seed, t)
+    # prefix search: sharded vs single-host scanner vs golden
+    prefs = ["".join(rng.choice(list("ACGTab0"), 2))]
+    if n:
+        s0 = strs[int(rng.integers(0, n))]
+        if s0:
+            prefs.append(s0[:int(rng.integers(1, len(s0) + 1))])
+    for p in prefs:
+        want = np.flatnonzero(np.char.startswith(arr, p)) if p else \
+            np.flatnonzero(arr == "")
+        got = _hits(sss.find_eq_str_prefix(p))
+        if not np.array_equal(got, want):
+            _fail(f"str prefix({p!r}) n={n}", seed, t)
+        sc1 = np.asarray(scanner.find_eq_str_prefix(ssv1, p).indices())
+        if not np.array_equal(got, sc1):
+            _fail(f"sharded vs scanner prefix({p!r})", seed, t)
+    if n:
+        q = strs[int(rng.integers(0, n))]
+        first = scanner.find_first_eq_str(ssv1, q)
+        if first != int(np.flatnonzero(arr == q)[0]):
+            _fail(f"find_first_eq_str({q!r}): {first}", seed, t)
     if n:
         ids = rng.integers(0, n, min(32, n))
         if sss.gather(ids) != [strs[i] for i in ids]:
