@@ -13,6 +13,7 @@
 // of all ~70 block codes + encoder) — this bridge only generates fixtures
 // and cross-checks against the reference's own implementation.
 
+#include <chrono>
 #include <cstdint>
 #include <cstring>
 #include <ostream>   // the reference's bmsparsevec_serial.h uses std::endl
@@ -111,6 +112,70 @@ int64_t bmref_serialize_ex(const uint64_t* ids, int64_t n, uint64_t size_hint,
         if (out && out_cap >= static_cast<int64_t>(buf.size()))
             memcpy(out, buf.data(), buf.size());
         return static_cast<int64_t>(buf.size());
+    } catch (...) {
+        return -1;
+    }
+}
+
+// Same-session reference-codec timing: build one bvector from ids (plus an
+// optional FULL range [rng_lo, rng_hi]), then time the reference's OWN
+// serialize/deserialize best-of-`iters` with std::chrono (pure codec work,
+// no construction or ctypes overhead inside the timed region).  Writes
+// out_res = {blob_bytes, ser_seconds_best, deser_seconds_best}.  Returns 0,
+// or -1 on error/round-trip mismatch.  This makes bench vs_ref an honest
+// A/B on the machine state of THE SAME RUN (host codec throughput swings
+// ~2x between sessions).
+int64_t bmref_bench_codec(const uint64_t* ids, int64_t n, uint64_t size_hint,
+                          uint64_t rng_lo, uint64_t rng_hi,
+                          int level, int iters, double* out_res) {
+    using clk = std::chrono::steady_clock;
+    try {
+        bvect bv;
+        {
+            bvect::bulk_insert_iterator ins(bv);
+            for (int64_t i = 0; i < n; ++i)
+                ins = static_cast<bm::id_t>(ids[i]);
+            ins.flush();
+        }
+        if (rng_hi >= rng_lo && rng_hi)
+            bv.set_range(static_cast<bm::id_t>(rng_lo),
+                         static_cast<bm::id_t>(rng_hi));
+        if (size_hint)
+            bv.resize(static_cast<bm::id_t>(size_hint));
+        bvect::statistics st;
+        bv.optimize(0, bvect::opt_compress, &st);
+        const bvect::size_type want = bv.count();
+
+        bm::serializer<bvect> ser;
+        ser.set_compression_level(static_cast<unsigned>(level));
+        bm::serializer<bvect>::buffer buf;
+        ser.serialize(bv, buf);                 // warm-up + final blob
+        double ser_best = 1e30;
+        for (int it = 0; it < iters; ++it) {
+            bm::serializer<bvect>::buffer b2;
+            auto t0 = clk::now();
+            ser.serialize(bv, b2);
+            double dt = std::chrono::duration<double>(clk::now() - t0)
+                            .count();
+            if (dt < ser_best) ser_best = dt;
+        }
+
+        double deser_best = 1e30;
+        bvect::size_type got = 0;
+        for (int it = 0; it < iters + 1; ++it) {   // +1 warm-up
+            bvect bv2;
+            auto t0 = clk::now();
+            bm::deserialize(bv2, buf.data());
+            double dt = std::chrono::duration<double>(clk::now() - t0)
+                            .count();
+            if (it > 0 && dt < deser_best) deser_best = dt;
+            got = bv2.count();
+        }
+        if (got != want) return -1;
+        out_res[0] = static_cast<double>(buf.size());
+        out_res[1] = ser_best;
+        out_res[2] = deser_best;
+        return 0;
     } catch (...) {
         return -1;
     }

@@ -84,6 +84,12 @@ def load():
         lib.bmref_gap_stat.restype = ctypes.c_int
         lib.bmref_gap_stat.argtypes = [u64p, ctypes.c_int64,
                                        ctypes.c_uint64, u64p]
+        dp = ctypes.POINTER(ctypes.c_double)
+        lib.bmref_bench_codec.restype = ctypes.c_int64
+        lib.bmref_bench_codec.argtypes = [u64p, ctypes.c_int64,
+                                          ctypes.c_uint64, ctypes.c_uint64,
+                                          ctypes.c_uint64, ctypes.c_int,
+                                          ctypes.c_int, dp]
         u32p = ctypes.POINTER(ctypes.c_uint32)
         lib.bmref_sv_serialize.restype = ctypes.c_int64
         lib.bmref_sv_serialize.argtypes = [u32p, u8p, ctypes.c_int64,
@@ -413,6 +419,29 @@ def reference_gap_stat(ids, size):
     return {"bit_blocks": int(out[0]), "gap_blocks": int(out[1]),
             "gaps_by_level": [int(x) for x in out[2:6]],
             "gap_cap_overhead": int(out[6])}
+
+
+def bench_reference_codec(ids, size, rng_lo=0, rng_hi=0, level=6,
+                          iters=11):
+    """Time the reference's OWN serializer/deserializer on this machine,
+    in-process, right now (pure codec work, best-of-iters, no ctypes in
+    the timed region).  Returns {'blob_bytes', 'ser_s', 'deser_s'} or
+    None when the bridge is unavailable.  Used by bench.py so the
+    config-5 vs_ref ratio is a same-session A/B instead of a constant
+    from a differently-loaded machine."""
+    lib = load()
+    if lib is None:
+        return None
+    ids = np.ascontiguousarray(np.asarray(ids, np.uint64))
+    res = np.zeros(3, np.float64)
+    rc = lib.bmref_bench_codec(
+        _u64p(ids), ids.size, int(size), int(rng_lo), int(rng_hi),
+        int(level), int(iters),
+        res.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    if rc != 0:
+        return None
+    return {"blob_bytes": int(res[0]), "ser_s": float(res[1]),
+            "deser_s": float(res[2])}
 
 
 def serialize_reference_blob(bv) -> bytes:
