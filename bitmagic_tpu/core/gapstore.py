@@ -36,7 +36,7 @@ class GapStore:
     """Immutable batch of D-GAP blocks (rebuild on structural change)."""
 
     __slots__ = ("ends", "offs", "first", "_run_block", "_cum1", "_bc",
-                 "_dense")
+                 "_dense", "_ends32")
 
     def __init__(self, ends, offs, first):
         self.ends = np.asarray(ends, _I64)
@@ -46,6 +46,14 @@ class GapStore:
         self._cum1 = None
         self._bc = None
         self._dense = None        # cached full expansion (store is immutable)
+        self._ends32 = None       # cached int32 ends (native stream-op view)
+
+    def ends_i32(self) -> np.ndarray:
+        """Block-local run ends as int32 (the native stream engine's
+        run-coded target form); cached — the store is immutable."""
+        if self._ends32 is None:
+            self._ends32 = self.ends.astype(np.int32)
+        return self._ends32
 
     # ------------------------------------------------------------------
     @classmethod

@@ -105,6 +105,7 @@ def load():
             u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int, ctypes.c_int,
             i64p, ctypes.POINTER(ctypes.c_uint8), i64p, u32p,
+            i32p, i64p, ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int64,
             i64p, ctypes.POINTER(ctypes.c_uint8), u32p,
             i64p, i64p, i64p]
@@ -247,7 +248,8 @@ def bmt1_record_index(blob: bytes, rec_offset: int):
 def bmt1_stream_op(blob: bytes, rec_offset: int, op: int, count_mode: bool,
                    t_nbs: np.ndarray, t_cls: np.ndarray,
                    t_words: np.ndarray, n_rec: int | None = None,
-                   nb_prev: int = -1):
+                   nb_prev: int = -1, t_gap_ends=None, t_gap_offs=None,
+                   t_gap_first=None):
     """Streamed set-op of a BMT1 BLOB against a target snapshot (O(1 block)
     scratch in C).  Returns count (count_mode) or (nbs, cls, words) of the
     per-record results; None when the native library is unavailable.
@@ -256,7 +258,11 @@ def bmt1_stream_op(blob: bytes, rec_offset: int, op: int, count_mode: bool,
     chunked driver's window — rec_offset then points at the chunk's first
     record, not the blob header); None = stream to the END record.
     nb_prev: block id of the record before the window (-1 at stream start)
-    — compact blobs delta-code block ids."""
+    — compact blobs delta-code block ids.
+    t_gap_*: run-coded target blocks (t_cls==3): block k of the cls==3
+    subsequence has run ends t_gap_ends[t_gap_offs[k]:t_gap_offs[k+1]]
+    (int32, block-local) and first-run value t_gap_first[k] — COUNT_* fold
+    these in the run domain; dense combines expand one block at a time."""
     lib = load()
     if lib is None:
         return None
@@ -274,8 +280,20 @@ def bmt1_stream_op(blob: bytes, rec_offset: int, op: int, count_mode: bool,
     t_nbs = np.ascontiguousarray(t_nbs, np.int64)
     t_cls = np.ascontiguousarray(t_cls, np.uint8)
     t_words = np.ascontiguousarray(t_words, np.uint32)
+    # per-class slot numbering: cls==2 rows index t_words, cls==3 blocks
+    # index the run arrays
     t_slot = np.where(t_cls == 2, np.cumsum(t_cls == 2) - 1, -1).astype(
         np.int64)
+    gapm = t_cls == 3
+    if gapm.any():
+        t_slot[gapm] = np.cumsum(gapm)[gapm] - 1
+    if t_gap_ends is None:
+        t_gap_ends = np.zeros(0, np.int32)
+        t_gap_offs = np.zeros(1, np.int64)
+        t_gap_first = np.zeros(0, np.uint8)
+    t_gap_ends = np.ascontiguousarray(t_gap_ends, np.int32)
+    t_gap_offs = np.ascontiguousarray(t_gap_offs, np.int64)
+    t_gap_first = np.ascontiguousarray(t_gap_first, np.uint8)
     cap = max(n_rec_eff, 1)
     out_nbs = np.full(cap, -1, np.int64)
     out_cls = np.zeros(cap, np.uint8)
@@ -290,6 +308,9 @@ def bmt1_stream_op(blob: bytes, rec_offset: int, op: int, count_mode: bool,
         t_cls.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         t_slot.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         t_words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        t_gap_ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        t_gap_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        t_gap_first.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         t_nbs.size,
         out_nbs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         out_cls.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),

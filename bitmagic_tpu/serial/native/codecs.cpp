@@ -1170,8 +1170,11 @@ int bm_gaps_to_dense(const int64_t* ends, const int64_t* offs,
 // op: 0 AND, 1 OR, 2 XOR, 3 SUB_AB (t & ~blob), 4 SUB_BA (blob & ~t).
 // count_mode: 1 -> only *count_out is produced (sum of per-block result
 // popcounts over blob records), no rows are written.
-// Target snapshot: t_nbs sorted; t_cls 1=FULL 2=row; t_slot row index into
-// t_words for cls==2.
+// Target snapshot: t_nbs sorted; t_cls 1=FULL 2=row 3=D-GAP runs; t_slot is
+// a row index into t_words for cls==2, a block index into
+// t_gap_offs/t_gap_first for cls==3 (run ends in t_gap_ends[offs[k]..offs[k+1])).
+// Run-coded targets fold in the run domain for COUNT_* shortcuts and expand
+// into O(1-block) scratch only for record shapes that need a dense combine.
 // Result (count_mode=0): per-record outputs in blob order; out_cls 1=FULL,
 // 2=row (row appended to out_words).  Blocks of the target that the BLOB
 // does not mention are NOT emitted here — the caller merges them per op.
@@ -1200,11 +1203,68 @@ int64_t bm_bmt1_record_index(const uint8_t* blob, int64_t len,
     }
 }
 
+// --- run-coded (D-GAP) target-block helpers ------------------------------
+// A target block may arrive as alternating-run ends (block-local, last end
+// 65535, first run's value in `first`) instead of a dense row, so succinct
+// targets never expand outside O(1-block) scratch (reference keeps GAP
+// blocks compressed through operation_deserializer too, src/bmserial.h:1006).
+
+static int64_t gap_ones(const int32_t* ends, int64_t n, int first) {
+    int64_t c = 0, prev = -1;
+    int val = first;
+    for (int64_t i = 0; i < n; ++i) {
+        if (val) c += ends[i] - prev;
+        prev = ends[i]; val ^= 1;
+    }
+    return c;
+}
+
+// AND-popcount of two run-coded blocks (record runs int64, target int32)
+static int64_t gap_run_overlap(const int64_t* ae, int64_t an, int af,
+                               const int32_t* be, int64_t bn, int bf) {
+    int64_t c = 0, i = 0, j = 0, at = 0;
+    int av = af, bv = bf;
+    while (i < an && j < bn) {
+        int64_t ea = ae[i], eb = (int64_t)be[j];
+        int64_t e = ea < eb ? ea : eb;
+        if (av & bv) c += e - at + 1;
+        at = e + 1;
+        if (ea == e) { ++i; av ^= 1; }
+        if (eb == e) { ++j; bv ^= 1; }
+    }
+    return c;
+}
+
+// expand one run-coded block into a dense row (word-level span fills)
+static void gap_expand_dense(const int32_t* ends, int64_t n, int first,
+                             uint32_t* out) {
+    memset(out, 0, 8192);
+    int64_t prev = -1;
+    int val = first;
+    for (int64_t i = 0; i < n; ++i) {
+        if (val) {
+            int64_t lo = prev + 1, hi = ends[i];
+            int64_t wl = lo >> 5, wh = hi >> 5;
+            uint32_t ml = ~0u << (lo & 31);
+            uint32_t mh = ~0u >> (31 - (hi & 31));
+            if (wl == wh) out[wl] |= ml & mh;
+            else {
+                out[wl] |= ml;
+                for (int64_t w = wl + 1; w < wh; ++w) out[w] = ~0u;
+                out[wh] |= mh;
+            }
+        }
+        prev = ends[i]; val ^= 1;
+    }
+}
+
 int bm_bmt1_stream_op(const uint8_t* blob, int64_t len, int64_t off,
                       int64_t max_rec, int64_t nb_prev,
                       int op, int count_mode,
                       const int64_t* t_nbs, const uint8_t* t_cls,
                       const int64_t* t_slot, const uint32_t* t_words,
+                      const int32_t* t_gap_ends, const int64_t* t_gap_offs,
+                      const uint8_t* t_gap_first,
                       int64_t nt,
                       int64_t* out_nbs, uint8_t* out_cls,
                       uint32_t* out_words,
@@ -1217,6 +1277,7 @@ int bm_bmt1_stream_op(const uint8_t* blob, int64_t len, int64_t off,
     int compact = bmt1_is_compact(blob, len);
     int64_t* scratch = new int64_t[65537];
     uint32_t* bw = new uint32_t[2048];
+    uint32_t* bw2 = new uint32_t[2048];   // run-coded target expansion row
     // max_rec > 0: stop (successfully) after that many records — the
     // chunked driver in opdeser.py restricts the target view to each
     // chunk's blocks so host high-water stays O(chunk), not O(target)
@@ -1228,16 +1289,19 @@ int bm_bmt1_stream_op(const uint8_t* blob, int64_t len, int64_t off,
                               &nb, &code, &plen);
         if (r < 0) break;
         if (r == 1) {
-            delete[] scratch; delete[] bw;
+            delete[] scratch; delete[] bw; delete[] bw2;
             if (out_nrec) *out_nrec = nrec;
             if (out_nrows) *out_nrows = nrows;
             if (count_out) *count_out = count;
             return 0;
         }
-        if (pos + plen > len) { delete[] scratch; delete[] bw; return -1; }
-        // locate target block state: 0 absent, 1 FULL, 2 row
+        if (pos + plen > len) { delete[] scratch; delete[] bw; delete[] bw2; return -1; }
+        // locate target block state: 0 absent, 1 FULL, 2 row, 3 runs
         int tstate = 0;
         const uint32_t* tw = nullptr;
+        const int32_t* g_ends = nullptr;
+        int64_t g_n = 0;
+        int g_first = 0;
         {
             int64_t lo = 0, hi = nt;
             while (lo < hi) {
@@ -1247,6 +1311,12 @@ int bm_bmt1_stream_op(const uint8_t* blob, int64_t len, int64_t off,
             if (lo < nt && (uint64_t)t_nbs[lo] == nb) {
                 tstate = t_cls[lo];
                 if (tstate == 2) tw = t_words + t_slot[lo] * 2048;
+                else if (tstate == 3) {
+                    int64_t k = t_slot[lo];
+                    g_ends = t_gap_ends + t_gap_offs[k];
+                    g_n = t_gap_offs[k + 1] - t_gap_offs[k];
+                    g_first = t_gap_first[k];
+                }
             }
         }
         int rec_full = (code == BMT1_FULL);
@@ -1290,7 +1360,7 @@ int bm_bmt1_stream_op(const uint8_t* blob, int64_t len, int64_t off,
             (code == BMT1_ARR16 || code == BMT1_ARR_BIC) && plen >= 4) {
             uint32_t n = rd32(blob + pos);
             if (n <= 65536) {
-                if (tstate != 2) {
+                if (tstate == 0 || tstate == 1) {
                     // symbolic target: FULL (ops 0/2/3 reach here) or
                     // absent (ops 1/2/4) — OR+absent emits the record's
                     // own bits: count += n, same as XOR+absent
@@ -1319,13 +1389,23 @@ int bm_bmt1_stream_op(const uint8_t* blob, int64_t len, int64_t off,
                                              0, 65535, scratch);
                 }
                 if (decoded) {
+                    if (tstate == 3) {
+                        // run-coded target: one O(1-block) scratch
+                        // expansion, then the same branchless bit tests
+                        // (a position-vs-runs merge walk measured slower:
+                        // data-dependent branches per run)
+                        gap_expand_dense(g_ends, g_n, g_first, bw2);
+                        tw = bw2;
+                    }
                     int64_t c = 0;
                     for (uint32_t i = 0; i < n; ++i) {
                         uint32_t pp = (uint32_t)scratch[i];
                         c += (tw[pp >> 5] >> (pp & 31)) & 1u;
                     }
-                    int64_t pc_t = (op == 1 || op == 2 || op == 3)
-                                   ? bm_block_popcount(tw) : 0;
+                    int64_t pc_t = !(op == 1 || op == 2 || op == 3) ? 0
+                                   : (tstate == 3
+                                      ? gap_ones(g_ends, g_n, g_first)
+                                      : bm_block_popcount(tw));
                     switch (op) {
                     case 0: count += c; break;                  // AND
                     case 1: count += pc_t + n - c; break;       // OR
@@ -1361,13 +1441,18 @@ int bm_bmt1_stream_op(const uint8_t* blob, int64_t len, int64_t off,
                     prev = e;
                     val ^= 1;
                 }
-                if (tstate != 2) {
+                if (tstate == 3)         // run-vs-run overlap popcount
+                    c = gap_run_overlap(scratch, n_ends, first,
+                                        g_ends, g_n, g_first);
+                if (tstate == 0 || tstate == 1) {
                     count += (tstate == 1)
                              ? ((op == 0) ? nset : 65536 - nset)
                              : nset;
                 } else {
-                    int64_t pc_t = (op == 1 || op == 2 || op == 3)
-                                   ? bm_block_popcount(tw) : 0;
+                    int64_t pc_t = !(op == 1 || op == 2 || op == 3) ? 0
+                                   : (tstate == 3
+                                      ? gap_ones(g_ends, g_n, g_first)
+                                      : bm_block_popcount(tw));
                     switch (op) {
                     case 0: count += c; break;
                     case 1: count += pc_t + nset - c; break;
@@ -1379,6 +1464,13 @@ int bm_bmt1_stream_op(const uint8_t* blob, int64_t len, int64_t off,
                 pos += plen; ++nrec; continue;
             }
         }
+        // remaining shapes combine densely: expand a run-coded target
+        // block into the O(1-block) scratch row first
+        if (tstate == 3) {
+            gap_expand_dense(g_ends, g_n, g_first, bw2);
+            tw = bw2;
+            tstate = 2;
+        }
         // decode the record payload (dense) unless the record is FULL
         const uint32_t* bp;
         if (rec_full) {
@@ -1386,7 +1478,7 @@ int bm_bmt1_stream_op(const uint8_t* blob, int64_t len, int64_t off,
         } else {
             memset(bw, 0, 8192);
             if (bmt1_payload(code, blob + pos, plen, bw, scratch)) {
-                delete[] scratch; delete[] bw; return -1;
+                delete[] scratch; delete[] bw; delete[] bw2; return -1;
             }
             bp = bw;
         }
@@ -1427,7 +1519,7 @@ int bm_bmt1_stream_op(const uint8_t* blob, int64_t len, int64_t off,
         pos += plen;
         ++nrec;
     }
-    delete[] scratch; delete[] bw;
+    delete[] scratch; delete[] bw; delete[] bw2;
     if (max_rec > 0 && nrec >= max_rec) {   // chunk boundary: success
         if (out_nrec) *out_nrec = nrec;
         if (out_nrows) *out_nrows = nrows;

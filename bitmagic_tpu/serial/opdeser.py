@@ -128,27 +128,49 @@ class _TargetReader:
             np.asarray([self._gslots[pos]]))[0]
 
 
-def _target_view(bv: BitVector, nbs: np.ndarray):
-    """Dense target view RESTRICTED to blocks in ``nbs`` — the native
-    engine's per-chunk snapshot.  GAP blocks expand only when mentioned,
-    so host high-water is O(len(nbs)); the stored representation is
-    untouched.  Returns (nb_r, cls_r in {FULL, BIT}, rows)."""
+def _target_view(bv: BitVector, nbs: np.ndarray, runs: bool = False):
+    """Target view RESTRICTED to blocks in ``nbs`` — the native engine's
+    per-chunk snapshot.  ``runs=False``: GAP blocks expand to dense rows
+    (host high-water O(len(nbs))).  ``runs=True``: GAP blocks stay
+    run-coded — the native engine folds COUNT_* in the run domain and
+    expands at most ONE block of scratch for dense combines, so the
+    target side never leaves O(1-block) host scratch beyond the runs
+    themselves.  Returns (nb_r, cls_r, rows[, gap_ends, gap_offs,
+    gap_first])."""
     st = bv._struct
     sel = np.isin(st.nb, nbs)
     nb_r = st.nb[sel]
     src_cls = st.cls[sel]
-    cls_r = np.where(src_cls == C.CLS_GAP, C.CLS_BIT,
-                     src_cls).astype(np.uint8)
+    gapm = src_cls == C.CLS_GAP
+    if runs and gapm.any():
+        bitm = src_cls == C.CLS_BIT
+        nrows = int(bitm.sum())
+        rows = np.zeros((nrows, C.SET_BLOCK_SIZE), np.uint32)
+        if nrows:
+            rows[:] = bv._pool_host()[st.slots()[sel][bitm]]
+        gsl = st.gslots()[sel][gapm]
+        store = bv._gaps
+        if gsl.size == store.n_blocks:
+            # whole store mentioned (gslots are dense 0..n-1 in nb order):
+            # hand the cached arrays over with no per-call copies
+            ge, go, gf = store.ends_i32(), store.offs, store.first
+        else:
+            gs = store.subset(gsl)
+            ge, go, gf = gs.ends.astype(np.int32), gs.offs, gs.first
+        return nb_r, src_cls.astype(np.uint8), rows, ge, go, gf
+    cls_r = np.where(gapm, C.CLS_BIT, src_cls).astype(np.uint8)
     nrows = int((cls_r == C.CLS_BIT).sum())
     rows = np.zeros((nrows, C.SET_BLOCK_SIZE), np.uint32)
     if nrows:
         dst = np.cumsum(cls_r == C.CLS_BIT) - 1
         bitm = src_cls == C.CLS_BIT
-        gapm = src_cls == C.CLS_GAP
         if bitm.any():
             rows[dst[bitm]] = bv._pool_host()[st.slots()[sel][bitm]]
         if gapm.any():
             rows[dst[gapm]] = bv._gaps.to_dense(st.gslots()[sel][gapm])
+    if runs:
+        return (nb_r, cls_r, rows, np.zeros(0, np.int32),
+                np.zeros(1, np.int64), np.zeros(0, np.uint8))
     return nb_r, cls_r, rows
 
 
@@ -445,15 +467,23 @@ class OperationDeserializer:
     @staticmethod
     def _stream_chunks(bv, data, opc, count_mode, rec_nbs, rec_offs):
         """Drive the native engine over the BLOB's records with the target
-        view restricted to the mentioned blocks.  Small targets (dense, or
-        a GAP store whose bounded cache already exists / fits) run as ONE
-        native call; large succinct targets stream in _CHUNK-record
-        windows so host high-water stays O(chunk).  Returns the total
-        count (count_mode) or a list of (nbs, cls, rows) batches; None
-        when the native library is unavailable or rejects the stream."""
+        view restricted to the mentioned blocks.  GAP-resident target
+        blocks travel RUN-CODED (cls 3): COUNT_* fold in the run domain
+        and dense combines expand at most one block of C scratch, so the
+        GAP side of the target never expands on the host at all.  One
+        native call covers the stream unless the target's DENSE rows are
+        themselves unbounded (set-op outputs / dense row gathers), in
+        which case _CHUNK-record windows bound host high-water.  Returns
+        the total count (count_mode) or a list of (nbs, cls, rows)
+        batches; None when the native library is unavailable or rejects
+        the stream."""
         if native.load() is None:
             return None
         small = bv._gaps is None or bv._gaps.n_blocks <= 1024
+        if not small and count_mode:
+            # run-coded targets make the GAP side free; one call is fine
+            # while the mentioned DENSE rows stay bounded
+            small = int((bv._struct.cls == C.CLS_BIT).sum()) <= 4096
         if bv._snap is not None:
             # a dense snapshot already exists (e.g. the serializer just
             # built it): using it costs nothing extra
@@ -462,19 +492,23 @@ class OperationDeserializer:
                                         nb_a, cls_a, pool)
             return res if res is None or count_mode else [res]
         if small:
-            nb_r, cls_r, rows = _target_view(bv, rec_nbs)
+            nb_r, cls_r, rows, ge, go, gf = _target_view(bv, rec_nbs,
+                                                         runs=True)
             res = native.bmt1_stream_op(data, _REC_OFFSET, opc, count_mode,
-                                        nb_r, cls_r, rows)
+                                        nb_r, cls_r, rows, t_gap_ends=ge,
+                                        t_gap_offs=go, t_gap_first=gf)
             return res if res is None or count_mode else [res]
         total = 0
         batches = []
         for lo in range(0, rec_nbs.size, _CHUNK):
             hi = min(lo + _CHUNK, rec_nbs.size)
-            nb_r, cls_r, rows = _target_view(bv, rec_nbs[lo:hi])
+            nb_r, cls_r, rows, ge, go, gf = _target_view(
+                bv, rec_nbs[lo:hi], runs=True)
             res = native.bmt1_stream_op(
                 data, int(rec_offs[lo]), opc, count_mode,
                 nb_r, cls_r, rows, n_rec=hi - lo,
-                nb_prev=int(rec_nbs[lo - 1]) if lo else -1)
+                nb_prev=int(rec_nbs[lo - 1]) if lo else -1,
+                t_gap_ends=ge, t_gap_offs=go, t_gap_first=gf)
             if res is None:
                 return None
             if count_mode:

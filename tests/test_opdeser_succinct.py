@@ -76,8 +76,13 @@ def test_count_ops_bounded_expansion(setup, monkeypatch, op, metric,
     g = _Guard(monkeypatch)
     got = OperationDeserializer().deserialize(a.copy(), blob, op)
     assert got == want
-    # expansion bounded by the streaming window, not the target size
-    assert 0 < g.max_expand <= od_mod._CHUNK
+    if use_native:
+        # run-coded target view: COUNT_* never expand the GAP side at all
+        # (the native engine folds counts in the run domain / one scratch
+        # block); the Python fallback streams with the bounded window
+        assert g.max_expand == 0
+    else:
+        assert 0 < g.max_expand <= od_mod._CHUNK
 
 
 @pytest.mark.parametrize("op,pyop", [
@@ -123,3 +128,54 @@ def test_ref_format_blob_bounded(setup, monkeypatch):
     assert g.max_expand <= od_mod._CHUNK
     assert tgt.equal(want_or)
     assert int((tgt._struct.cls == C.CLS_BIT).sum()) <= od_mod._CHUNK
+
+
+@pytest.mark.parametrize("gap_target", [True, False])
+def test_mixed_target_full_op_matrix(gap_target):
+    """Run-coded target plumbing (cls 3 in the native engine): every
+    count + set op over a target that mixes GAP, dense and FULL blocks,
+    cross-checked against a numpy golden.  gap_target=False pins the
+    dense-row path through the same plumbing."""
+    rng = np.random.default_rng(1234)
+    size = 64 * C.BITS_PER_BLOCK
+    idx_b = np.unique(rng.integers(0, size, size // 120))
+    bv_b = BitVector.from_indices(idx_b, size)
+    bv_b.set_range(2 * C.BITS_PER_BLOCK, 4 * C.BITS_PER_BLOCK - 1)
+    bv_b.optimize()
+    blob = Serializer(6).serialize(bv_b)
+
+    idx_a = np.unique(rng.integers(0, size, size // 180))
+    tgt0 = BitVector.from_indices(idx_a, size)
+    tgt0.set_range(3 * C.BITS_PER_BLOCK, 5 * C.BITS_PER_BLOCK - 1)
+    # one genuinely dense block so the target mixes classes
+    dense_ids = np.arange(0, C.BITS_PER_BLOCK, 2, dtype=np.int64) \
+        + 7 * C.BITS_PER_BLOCK
+    tgt0.set_many(dense_ids)
+
+    a = np.zeros(size, bool)
+    a[idx_a] = True
+    a[3 * C.BITS_PER_BLOCK:5 * C.BITS_PER_BLOCK] = True
+    a[dense_ids] = True
+    b = np.zeros(size, bool)
+    b[idx_b] = True
+    b[2 * C.BITS_PER_BLOCK:4 * C.BITS_PER_BLOCK] = True
+
+    od = OperationDeserializer()
+    counts = {C.SET_COUNT_AND: (a & b), C.SET_COUNT_OR: (a | b),
+              C.SET_COUNT_XOR: (a ^ b), C.SET_COUNT_SUB_AB: (a & ~b),
+              C.SET_COUNT_SUB_BA: (b & ~a)}
+    for op, ref in counts.items():
+        t = tgt0.copy()
+        if gap_target:
+            t.optimize()
+            assert t._gaps is not None and t._gaps.n_blocks > 0
+        assert od.deserialize(t, blob, op) == int(ref.sum()), op
+    sets = {C.SET_AND: (a & b), C.SET_OR: (a | b),
+            C.SET_XOR: (a ^ b), C.SET_SUB: (a & ~b)}
+    for op, ref in sets.items():
+        t = tgt0.copy()
+        if gap_target:
+            t.optimize()
+        od.deserialize(t, blob, op)
+        assert np.array_equal(np.asarray(t.indices()),
+                              np.flatnonzero(ref)), op
