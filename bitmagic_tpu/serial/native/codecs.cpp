@@ -239,8 +239,8 @@ struct RBitW {
     uint8_t* buf;
     int64_t cap;
     int64_t pos = 0;
-    uint64_t acc;
-    int nbits;
+    uint64_t acc = 0;
+    int nbits = 0;
     int ok = 1;
 
     inline void put_bits(uint64_t v, int n) {
