@@ -303,7 +303,10 @@ def bench_serialization(rng):
     od = OperationDeserializer()
     t_op, cnt = best(
         lambda: od.deserialize(bv, blob, C.SET_COUNT_AND))  # COUNT_* are
-    # read-only on the target — no defensive copy in the timed lambda
+    # read-only on the target — no defensive copy in the timed lambda.
+    # MEASUREMENT CHANGE (round 3): rounds 1-2 timed bv.copy() + COUNT
+    # inside the lambda; 5_count_and_on_blob numbers before BENCH_r03 are
+    # not directly comparable to later rounds (they include the copy).
     log(f"[5 serial] {raw_mb:.1f} MB bitmap -> {len(blob)/1e3:.1f} KB blob "
         f"({raw_mb*1e6/len(blob):.0f}x); ser {raw_mb/t_ser:.1f} MB/s, "
         f"deser {raw_mb/t_deser:.1f} MB/s, count-AND-on-blob {t_op*1e3:.1f} ms "

@@ -23,6 +23,7 @@ over the same pools).
 from __future__ import annotations
 
 import dataclasses
+import enum
 import functools
 
 import jax
@@ -127,6 +128,19 @@ def _shift_and_chain(k, first_mask, *args):
     return acc
 
 
+class OperationStatus(enum.IntEnum):
+    """Staged-execution states (reference aggregator::operation_status,
+    src/bmaggregator.h:147-153)."""
+    op_undefined = 0
+    op_prepared = 1
+    op_in_progress = 2
+    op_done = 3
+
+
+BM_NOT_DEFINED = 0      # reference aggregator::operation (src/bmaggregator.h:141)
+BM_SHIFT_R_AND = 1
+
+
 @dataclasses.dataclass
 class AggOptions:
     """Run options (reference agg_run_options, src/bmaggregator.h:65):
@@ -150,10 +164,89 @@ class Aggregator:
     def reset(self):
         """Clear added argument groups (reference reset, :386)."""
         self._groups = ([], [])
+        self._operation = BM_NOT_DEFINED
+        self._op_status = OperationStatus.op_undefined
+        self._op_k = 0
+        self._bv_target: BitVector | None = None
 
     def add(self, bv, group: int = 0) -> int:
         self._groups[group].append(bv)
         return len(self._groups[group])
+
+    # ------------------------------------------------------------------
+    # staged execution (reference pipeline-operations API,
+    # src/bmaggregator.h:595-622 + the interleaved run_step pattern
+    # documented at :867-898): set_operation -> stage -> run_step*,
+    # so many aggregations can be time-sliced against each other.
+    # ------------------------------------------------------------------
+    def set_operation(self, op_code: int):
+        """src/bmaggregator.h:609."""
+        if op_code not in (BM_NOT_DEFINED, BM_SHIFT_R_AND):
+            raise ValueError(f"unknown aggregator operation {op_code}")
+        self._operation = op_code
+        return self
+
+    def get_operation(self) -> int:
+        """src/bmaggregator.h:606."""
+        return self._operation
+
+    def get_operation_status(self) -> OperationStatus:
+        """src/bmaggregator.h:622."""
+        return self._op_status
+
+    def get_target(self) -> BitVector | None:
+        """Result vector of the staged operation (src/bmaggregator.h:623)."""
+        return self._bv_target
+
+    def stage(self, temp_block=None):
+        """Prepare the staged operation (src/bmaggregator.h:615).  The
+        TPU design steps per OPERAND (each step is one fused full-width
+        device op) rather than per (i,j) block pair — block-pair stepping
+        would serialize what one XLA pass already covers."""
+        if self._operation != BM_SHIFT_R_AND:
+            raise ValueError("set_operation(BM_SHIFT_R_AND) first")
+        if not self._groups[0]:
+            raise ValueError("no argument vectors added")
+        self._op_k = 0
+        self._bv_target = None
+        self._op_status = OperationStatus.op_prepared
+        return self
+
+    def run_step(self, i: int | None = None, j: int | None = None
+                 ) -> OperationStatus:
+        """One step of the staged operation (src/bmaggregator.h:620).
+        The (i, j) coordinates are accepted for signature parity and
+        ignored — steps are operand-ordered here (see stage())."""
+        if self._op_status not in (OperationStatus.op_prepared,
+                                   OperationStatus.op_in_progress):
+            raise RuntimeError("stage() the operation first")
+        vecs = self._groups[0]
+        if self._op_k == 0:
+            self._bv_target = vecs[0].copy()
+        else:
+            self._bv_target.shift_right()
+            self._bv_target.bit_and(vecs[self._op_k])
+        self._op_k += 1
+        self._op_status = (OperationStatus.op_done
+                           if self._op_k >= len(vecs)
+                           else OperationStatus.op_in_progress)
+        return self._op_status
+
+    def run(self, i_from: int = 0, j_from: int = 0) -> OperationStatus:
+        """Run the staged operation to completion (src/bmaggregator.h:618)
+        as ONE fused device chain (combine_shift_right_and) — stepping is
+        only for interleaving."""
+        if self._op_status == OperationStatus.op_undefined:
+            self.stage()
+        if self._op_status in (OperationStatus.op_prepared,) \
+                and self._op_k == 0:
+            self._bv_target = self.combine_shift_right_and(self._groups[0])
+            self._op_k = len(self._groups[0])
+            self._op_status = OperationStatus.op_done
+            return self._op_status
+        while self._op_status != OperationStatus.op_done:
+            self.run_step()
+        return self._op_status
 
     def combine_or(self, vectors=None) -> BitVector:
         """OR(v1..vN) (reference combine_or, src/bmaggregator.h:404)."""

@@ -627,6 +627,49 @@ class BitVector:
         per_block = np.asarray(blockops.block_counts(self._pool))
         return full + int(per_block.astype(np.int64).sum())
 
+    def count_blocks(self) -> np.ndarray:
+        """Running (cumulative) per-block popcounts up to the last present
+        block (reference count_blocks, src/bm.h:1328/2637 — fills arr[nb]
+        with running counts, the building block of rs_index)."""
+        self._flush()
+        if self._struct.nb.size == 0:
+            return np.zeros(0, np.int64)
+        last = int(self._struct.nb[-1])
+        per = np.zeros(last + 1, np.int64)
+        full = self._struct.cls == C.CLS_FULL
+        per[self._struct.nb[full]] = C.BITS_PER_BLOCK
+        gapm = self._struct.cls == C.CLS_GAP
+        if gapm.any():
+            per[self._struct.nb[gapm]] = self._gap_bc()
+        bitm = self._struct.cls == C.CLS_BIT
+        if bitm.any():
+            if self._pool_np is not None:
+                cnt = np.bitwise_count(self._pool_np).sum(
+                    axis=1, dtype=np.int64)
+            else:
+                cnt = np.asarray(blockops.block_counts(self._pool),
+                                 np.int64)
+            per[self._struct.nb[bitm]] = cnt[self._struct.slots()[bitm]]
+        return np.cumsum(per)
+
+    def import_sorted(self, ids):
+        """Bulk set of sorted unique indices (reference import_sorted,
+        src/bm.h:2080) — same device scatter as set_many, skipping the
+        sort."""
+        ids = np.asarray(ids, _I64)
+        if ids.size and (np.diff(ids) <= 0).any():
+            raise ValueError("import_sorted needs strictly increasing ids")
+        return self.set_many(ids)
+
+    def move_from(self, other: "BitVector"):
+        """Adopt other's content, leaving it empty (reference move_from,
+        src/bm.h)."""
+        other._flush()
+        self._flush()
+        self.__dict__, other.__dict__ = other.__dict__, self.__dict__
+        other.clear()
+        return self
+
     def count_range(self, lo, hi) -> int:
         """popcount of closed range [lo, hi] (reference src/bm.h:1341)."""
         self._flush()

@@ -1464,6 +1464,20 @@ int bm_bmt1_stream_op(const uint8_t* blob, int64_t len, int64_t off,
                 pos += plen; ++nrec; continue;
             }
         }
+        // count-mode shortcut for FULL records: only AND/XOR/SUB_BA reach
+        // here with rec_full (the skip/emit_full table resolves the rest),
+        // and each is pure arithmetic on the target popcount — no dense
+        // expansion needed for either dense or run-coded targets
+        if (count_mode && rec_full && (tstate == 2 || tstate == 3)) {
+            int64_t pc_t = (tstate == 3) ? gap_ones(g_ends, g_n, g_first)
+                                         : bm_block_popcount(tw);
+            switch (op) {
+            case 0: count += pc_t; break;            // AND: t & FULL
+            case 2: count += 65536 - pc_t; break;    // XOR: ~t
+            default: count += 65536 - pc_t; break;   // SUB_BA: FULL & ~t
+            }
+            pos += plen; ++nrec; continue;
+        }
         // remaining shapes combine densely: expand a run-coded target
         // block into the O(1-block) scratch row first
         if (tstate == 3) {

@@ -127,6 +127,146 @@ class FloatSparseVector:
         self.null_plane.set(int(i), False)
         return self
 
+    def at(self, i):
+        if not (0 <= int(i) < self._size):
+            raise IndexError(i)
+        return self.get(i)
+
+    def try_get(self, i):
+        """(found, value) — found is False at NULL positions."""
+        if self.nullable and not self.null_plane.test(i):
+            return False, self.dtype.type(0)
+        return True, self.get(i)
+
+    def empty(self) -> bool:
+        """src/bmsparsevec_float.h:279."""
+        return self._size == 0
+
+    def clear(self):
+        """Drop all content (reference clear, src/bmsparsevec_float.h:302)."""
+        self.sign = BitVector(C.ID_MAX48)
+        self.exponent.clear()
+        self.mantissa.clear()
+        if self.nullable:
+            self.null_plane = BitVector(C.ID_MAX48)
+        self._size = 0
+        return self
+
+    clear_all = clear
+
+    def resize(self, n: int):
+        n = int(n)
+        if n < self._size:
+            self.exponent.resize(n)
+            self.mantissa.resize(n)
+            if n > 0:
+                self.sign.set_range(n, max(self._size - 1, n), False)
+                if self.nullable:
+                    self.null_plane.set_range(n, max(self._size - 1, n),
+                                              False)
+            else:
+                self.sign.clear()
+                if self.nullable:
+                    self.null_plane.clear()
+        self._size = n
+        return self
+
+    def swap(self, other: "FloatSparseVector"):
+        """Container swap (reference swap, src/bmsparsevec_float.h:269)."""
+        self.__dict__, other.__dict__ = other.__dict__, self.__dict__
+        return self
+
+    def copy_range(self, other: "FloatSparseVector", lo, hi):
+        """Copy [lo, hi] from other, clearing everything else (reference
+        copy_range, src/bmsparsevec_float.h:371)."""
+        if other.dtype != self.dtype:
+            raise ValueError("dtype mismatch")
+        lo, hi = int(lo), int(hi)
+        self.clear()
+        self.exponent.copy_range(other.exponent, lo, hi)
+        self.mantissa.copy_range(other.mantissa, lo, hi)
+        bv = BitVector(other.sign.size)
+        bv.copy_range(other.sign, lo, hi)
+        self.sign = bv
+        if self.nullable:
+            src_null = other.null_plane
+            if src_null is None:
+                src_null = BitVector(C.ID_MAX48)
+                if other._size:
+                    src_null.set_range(0, other._size - 1)
+            nv = BitVector(src_null.size)
+            nv.copy_range(src_null, lo, hi)
+            self.null_plane = nv
+        self._size = other._size
+        return self
+
+    def extract(self, n, offset=0):
+        """src/bmsparsevec_float.h:426."""
+        return self.decode(int(offset), int(n))
+
+    def extract_range(self, lo, hi):
+        """src/bmsparsevec_float.h:435."""
+        return self.decode(int(lo), int(hi) - int(lo) + 1)
+
+    def sync(self, force: bool = False, sync_size: bool = False):
+        """Reference sync (src/bmsparsevec_float.h:407) — size bookkeeping
+        only; the TPU layout keeps planes always consistent."""
+        self._size = max(self._size, self.exponent.size, self.mantissa.size)
+        return self
+
+    def freeze(self):
+        """src/bmsparsevec_float.h:500."""
+        self.sign.freeze()
+        self.exponent.freeze()
+        self.mantissa.freeze()
+        if self.nullable:
+            self.null_plane.freeze()
+        self._ro = True
+        return self
+
+    def is_ro(self) -> bool:
+        return getattr(self, "_ro", False)
+
+    def is_nullable(self) -> bool:
+        return self.nullable
+
+    def get_null_bvector(self) -> BitVector | None:
+        return self.null_plane
+
+    def is_compressed(self) -> bool:
+        return False
+
+    def is_str(self) -> bool:
+        return False
+
+    # -- iterators (reference const_iterator / back_insert_iterator) ----
+    def get_const_iterator(self, pos: int = 0):
+        """src/bmsparsevec_float.h:161."""
+        from .iterators import ConstIterator
+        return ConstIterator(self, pos)
+
+    def begin(self):
+        return self.get_const_iterator(0)
+
+    def get_back_inserter(self):
+        """src/bmsparsevec_float.h:225."""
+        from .iterators import BackInsertIterator
+        return BackInsertIterator(self)
+
+    def _append_bulk(self, buf):
+        has_null = any(v is None for v in buf)
+        if has_null and not self.nullable:
+            raise ValueError("add_null on a non-nullable vector")
+        off = self._size
+        vals = np.asarray([0.0 if v is None else v for v in buf],
+                          self.dtype)
+        self.import_values(vals, offset=off)
+        if has_null:
+            nulls = np.flatnonzero([v is None for v in buf]) + off
+            self.null_plane.clear_many(nulls.astype(_I64))
+
+    import_ = import_values      # reference name is `import` (a keyword)
+
     # ------------------------------------------------------------------
     def optimize(self):
         self.sign.optimize()

@@ -209,6 +209,124 @@ class RSCSparseVector:
         self._flush()
         return self.count() == self._size
 
+    def at(self, i):
+        """Bounds-checked access (reference at, src/bmsparsevec_compr.h:426)."""
+        if not (0 <= int(i) < self._size):
+            raise IndexError(i)
+        return self.get(i)
+
+    def try_get_sync(self, i):
+        """try_get that requires a built rs_index (reference try_get_sync,
+        src/bmsparsevec_compr.h:461).  Raises if not in sync."""
+        if self._rs is None and not self._staged:
+            raise RuntimeError("rsc vector is not in sync (call sync())")
+        return self.try_get(i)
+
+    def is_nullable(self) -> bool:
+        return True         # reference: always (src/bmsparsevec_compr.h:653)
+
+    def clear(self):
+        """Drop all content (reference clear_all,
+        src/bmsparsevec_compr.h:739)."""
+        self._staged = {}
+        self.dense = SparseVector(self.dtype)
+        self.null_bv = BitVector(C.ID_MAX48)
+        self._size = 0
+        self._rs = None
+        return self
+
+    clear_all = clear
+
+    def resize(self, n: int):
+        """Truncate/extend the logical size (reference resize)."""
+        self._flush_no_sync()
+        n = int(n)
+        if n < self._size:
+            keep_ids = self.null_bv.indices()
+            keep_ids = keep_ids[keep_ids < n]
+            vals = (self.dense.decode(0, keep_ids.size) if keep_ids.size
+                    else np.zeros(0, self.dtype))
+            self.dense = SparseVector(self.dtype)
+            if vals.size:
+                self.dense.import_values(vals, 0)
+            self.null_bv = (BitVector.from_indices(keep_ids, C.ID_MAX48)
+                            if keep_ids.size else BitVector(C.ID_MAX48))
+            self._rs = None
+        self._size = n
+        return self
+
+    def copy_range(self, other: "RSCSparseVector", lo, hi):
+        """Copy assigned values of other's [lo, hi], clearing the rest
+        (reference copy_range, src/bmsparsevec_compr.h:789)."""
+        other._flush()
+        lo, hi = int(lo), int(hi)
+        self.clear()
+        ids = other.null_bv.indices()
+        ids = ids[(ids >= lo) & (ids <= hi) & (ids < other._size)]
+        if ids.size:
+            vals = other.gather(ids)
+            self.dense.import_values(vals, 0)
+            self.null_bv = BitVector.from_indices(ids, C.ID_MAX48)
+        self._size = other._size
+        self.sync()
+        return self
+
+    def merge_not_null(self, other: "RSCSparseVector"):
+        """Merge other's assigned values into self; the reference requires
+        the assigned sets be disjoint (merge_not_null,
+        src/bmsparsevec_compr.h) — enforced here."""
+        self._flush()
+        other._flush()
+        if (self.null_bv & other.null_bv).any():
+            raise ValueError("merge_not_null: assigned sets overlap")
+        ids = other.null_bv.indices()
+        ids = ids[ids < other._size]
+        if ids.size:
+            vals = other.gather(ids)
+            for i, v in zip(ids, vals):
+                self.set(int(i), v)
+        self._size = max(self._size, other._size)
+        other.clear()
+        self.sync()
+        return self
+
+    def freeze(self):
+        """Immutable residency (reference freeze)."""
+        self._flush()
+        self.dense.freeze()
+        self.null_bv.freeze()
+        self._ro = True
+        return self
+
+    def is_ro(self) -> bool:
+        return getattr(self, "_ro", False)
+
+    # -- iterators (reference const_iterator / back_insert_iterator) ----
+    def get_const_iterator(self, pos: int = 0):
+        """src/bmsparsevec_compr.h:700."""
+        from .iterators import ConstIterator
+        self._flush()
+        return ConstIterator(self, pos)
+
+    def begin(self):
+        return self.get_const_iterator(0)
+
+    def get_back_inserter(self):
+        """src/bmsparsevec_compr.h:717."""
+        from .iterators import BackInsertIterator
+        self._flush()
+        return BackInsertIterator(self)
+
+    def _append_bulk(self, buf):
+        for v in buf:
+            if v is None:
+                self.set_null(self._size)
+            else:
+                self.push_back(v)
+
+    def __iter__(self):
+        return self.get_const_iterator(0)
+
     # -- reference-name conveniences (src/bmsparsevec_compr.h) ----------
     def load_from(self, sv: SparseVector):
         """Rebuild from a plain (nullable) sparse vector (reference

@@ -494,6 +494,100 @@ class SparseVector:
             raise IndexError(i)
         return self.get(i)
 
+    def try_get(self, i):
+        """(found, value) pair — found is False at NULL positions
+        (reference try_get, src/bmsparsevec.h:473)."""
+        self._flush()
+        if self.nullable and not self.null_plane.test(i):
+            return False, self.dtype.type(0)
+        return True, self.get(i)
+
+    def compare(self, i, val) -> int:
+        """Three-way compare of element i against a value: -1/0/1
+        (reference compare, src/bmsparsevec.h:778)."""
+        mine = self.get(i)
+        val = self.dtype.type(val)
+        return int(mine > val) - int(mine < val)
+
+    def is_nullable(self) -> bool:
+        return self.nullable
+
+    def swap(self, a, b=None):
+        """Container swap (one arg, reference src/bmsparsevec.h:695) or
+        element swap of positions a and b (two args, :525)."""
+        if b is None:
+            if not isinstance(a, SparseVector):
+                raise TypeError("swap(other) needs a SparseVector")
+            self._flush()
+            a._flush()
+            self.__dict__, a.__dict__ = a.__dict__, self.__dict__
+            return self
+        va, vb = self.get(a), self.get(b)
+        na = self.nullable and not self.null_plane.test(a)
+        nb = self.nullable and not self.null_plane.test(b)
+        self.set_null(a) if nb else self.set(a, vb)
+        self.set_null(b) if na else self.set(b, va)
+        return self
+
+    def keep_range(self, lo, hi):
+        """Zero (and NULL) everything outside [lo, hi] (reference
+        keep_range, src/bmsparsevec.h:883)."""
+        self._flush()
+        lo, hi = int(lo), int(hi)
+        rng = BitVector(C.ID_MAX48)
+        rng.set_range(lo, hi)
+        return self.filter(rng)
+
+    def extract(self, n, offset=0):
+        """Dense export of n values from offset (reference extract,
+        src/bmsparsevec.h — decode with explicit offset arg)."""
+        return self.decode(int(offset), int(n))
+
+    def extract_range(self, lo, hi):
+        """Values of [lo, hi] inclusive (reference extract_range)."""
+        return self.decode(int(lo), int(hi) - int(lo) + 1)
+
+    def optimize_gap_size(self):
+        """Per-plane GAP level tuning (reference optimize_gap_size)."""
+        self._flush()
+        for p in self.planes:
+            if p is not None:
+                p.optimize_gap_size()
+        if self.nullable:
+            self.null_plane.optimize_gap_size()
+        return self
+
+    # -- iterators (reference const_iterator / back_insert_iterator) ----
+    def get_const_iterator(self, pos: int = 0):
+        """Window-buffered iterator (reference get_const_iterator,
+        src/bmsparsevec.h:571-580)."""
+        from .iterators import ConstIterator
+        self._flush()
+        return ConstIterator(self, pos)
+
+    def begin(self):
+        return self.get_const_iterator(0)
+
+    def get_back_inserter(self):
+        """Buffered appender: add/add_null/flush land bulk imports
+        (reference get_back_inserter, src/bmsparsevec.h:587)."""
+        from .iterators import BackInsertIterator
+        self._flush()
+        return BackInsertIterator(self)
+
+    def _append_bulk(self, buf):
+        """Back-inserter flush sink: one bulk import per flush; None
+        entries become NULL positions."""
+        has_null = any(v is None for v in buf)
+        if has_null and not self.nullable:
+            raise ValueError("add_null on a non-nullable vector")
+        off = self._size
+        vals = np.asarray([0 if v is None else v for v in buf], self.dtype)
+        self.import_values(vals, offset=off)
+        if has_null:
+            nulls = np.flatnonzero([v is None for v in buf]) + off
+            self.null_plane.clear_many(nulls.astype(_I64))
+
     def empty(self) -> bool:
         return self._size == 0
 

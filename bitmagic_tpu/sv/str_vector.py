@@ -321,6 +321,142 @@ class StrSparseVector:
             n += 1
         return n
 
+    def try_get(self, i):
+        """(found, string) — found is False at NULL positions (reference
+        try_get, src/bmstrsparsevec.h:711)."""
+        if self.nullable and not self.null_plane.test(i):
+            return False, ""
+        return True, self.get(i)
+
+    def at(self, i):
+        if not (0 <= int(i) < self._size):
+            raise IndexError(i)
+        return self.get(i)
+
+    def is_nullable(self) -> bool:
+        return self.nullable
+
+    def swap(self, a, b=None):
+        """Container swap (one arg, src/bmstrsparsevec.h:752) or element
+        swap of positions a and b (two args, :604)."""
+        if b is None:
+            if not isinstance(a, StrSparseVector):
+                raise TypeError("swap(other) needs a StrSparseVector")
+            self.__dict__, a.__dict__ = a.__dict__, self.__dict__
+            return self
+        sa, sb = self.get(a), self.get(b)
+        na = self.nullable and not self.null_plane.test(a)
+        nb = self.nullable and not self.null_plane.test(b)
+        self.set_null(a) if nb else self.set(a, sb)
+        self.set_null(b) if na else self.set(b, sa)
+        return self
+
+    def clear(self):
+        """Drop all content (reference clear_all,
+        src/bmstrsparsevec.h:829; remap matrices kept unless remap=True)."""
+        for k in range(self.max_str_size):
+            self.octets[k].clear()
+        if self.nullable:
+            self.null_plane = BitVector(C.ID_MAX48)
+        self._size = 0
+        return self
+
+    def clear_all(self, free_mem: bool = True, remap: bool = False):
+        self.clear()
+        if remap:
+            self.remap_matrices = None
+            self.unmap_matrices = None
+        return self
+
+    def resize(self, n: int):
+        """Truncate/extend (reference resize)."""
+        n = int(n)
+        if n < self._size:
+            for k in range(self.max_str_size):
+                self.octets[k].resize(n)
+            if self.nullable and n > 0:
+                self.null_plane.set_range(n, max(self._size - 1, n), False)
+            elif self.nullable:
+                self.null_plane.clear()
+        self._size = n
+        return self
+
+    def copy_range(self, other: "StrSparseVector", lo, hi):
+        """Copy [lo, hi] from other, clearing everything else (reference
+        copy_range, src/bmstrsparsevec.h:1315)."""
+        if other.max_str_size > self.max_str_size:
+            raise ValueError("octet capacity too small")
+        lo, hi = int(lo), int(hi)
+        self.clear_all(remap=True)
+        self.remap_matrices = (None if other.remap_matrices is None
+                               else other.remap_matrices.copy())
+        self.unmap_matrices = (None if other.unmap_matrices is None
+                               else other.unmap_matrices.copy())
+        for k in range(other.max_str_size):
+            self.octets[k].copy_range(other.octets[k], lo, hi)
+        if self.nullable:
+            src_null = other.null_plane
+            if src_null is None:
+                src_null = BitVector(C.ID_MAX48)
+                if other._size:
+                    src_null.set_range(0, other._size - 1)
+            bv = BitVector(src_null.size)
+            bv.copy_range(src_null, lo, hi)
+            self.null_plane = bv
+        self._size = other._size
+        return self
+
+    @staticmethod
+    def compare_str(s1, s2) -> int:
+        """Three-way string compare (reference compare_str,
+        src/bmstrsparsevec.h:778)."""
+        a = s1 if isinstance(s1, str) else bytes(s1).decode("latin-1")
+        b = s2 if isinstance(s2, str) else bytes(s2).decode("latin-1")
+        return (a > b) - (a < b)
+
+    def compare_elements(self, i, j) -> int:
+        """Three-way compare of elements i and j (reference compare(idx1,
+        idx2), src/bmstrsparsevec.h:792)."""
+        return self.compare_str(self.get(int(i)) or "",
+                                self.get(int(j)) or "")
+
+    def remap_from(self, other: "StrSparseVector"):
+        """Rebuild self as the remapped image of other (reference
+        remap_from_sv, src/bmstrsparsevec.h)."""
+        self.clear_all(remap=True)
+        self.max_str_size = other.max_str_size
+        self.octets = [SparseVector(np.uint8)
+                       for _ in range(self.max_str_size)]
+        self.nullable = other.nullable
+        self.null_plane = (BitVector(C.ID_MAX48) if self.nullable else None)
+        self.import_strings(other.to_list(), 0)
+        self.remap()
+        return self
+
+    def effective_size(self) -> int:
+        return self._size
+
+    def get_null_bvector(self) -> BitVector | None:
+        return self.null_plane
+
+    # -- iterators (reference const_iterator / back_insert_iterator) ----
+    def get_const_iterator(self, pos: int = 0):
+        """src/bmstrsparsevec.h:944."""
+        from .iterators import ConstIterator
+        return ConstIterator(self, pos)
+
+    def begin(self):
+        return self.get_const_iterator(0)
+
+    def get_back_inserter(self):
+        """src/bmstrsparsevec.h:959."""
+        from .iterators import BackInsertIterator
+        return BackInsertIterator(self)
+
+    def _append_bulk(self, buf):
+        self.import_strings([None if v is None else v for v in buf],
+                            offset=self._size)
+
     def decode(self, lo: int, n: int) -> list:
         """n strings starting at lo (reference decode)."""
         import numpy as _np

@@ -1,0 +1,298 @@
+"""Round-4 API parity extras vs numpy golden models.
+
+Covers the residual reference surface found by the round-4 audit:
+SV-family const_iterator / back_insert_iterator (src/bmsparsevec.h:178/278,
+bmstrsparsevec.h:944/959, bmsparsevec_compr.h:700/717,
+bmsparsevec_float.h:161/225), small container methods (try_get, compare,
+keep_range, swap, clear_all, copy_range, resize, merge_not_null,
+extract/extract_range), bvector count_blocks/import_sorted/move_from
+(src/bm.h:1328/2080), and the aggregator staged-execution API
+(set_operation/stage/run_step, src/bmaggregator.h:595-622).
+"""
+import numpy as np
+import pytest
+
+from bitmagic_tpu.agg.aggregator import (Aggregator, BM_SHIFT_R_AND,
+                                         OperationStatus)
+from bitmagic_tpu.core.bitvector import BitVector
+from bitmagic_tpu.sv.float_vector import FloatSparseVector
+from bitmagic_tpu.sv.rsc_vector import RSCSparseVector
+from bitmagic_tpu.sv.sparse_vector import SparseVector
+from bitmagic_tpu.sv.str_vector import StrSparseVector
+
+_I64 = np.int64
+
+
+# ---------------------------------------------------------------------------
+# iterators
+# ---------------------------------------------------------------------------
+def test_sv_const_iterator_and_back_inserter():
+    rng = np.random.default_rng(41)
+    vals = rng.integers(0, 1 << 20, 300).astype(np.uint32)
+    sv = SparseVector(np.uint32, nullable=True)
+    with sv.get_back_inserter() as bi:
+        for k, v in enumerate(vals):
+            if k % 7 == 3:
+                bi.add_null()
+            else:
+                bi.add(v)
+    assert sv.size == vals.size
+    it = sv.get_const_iterator(0)
+    out, nulls = [], []
+    while it.valid():
+        nulls.append(it.is_null())
+        out.append(0 if it.is_null() else int(it.value()))
+        it.advance()
+    want_null = np.arange(vals.size) % 7 == 3
+    assert np.array_equal(np.asarray(nulls), want_null)
+    want = np.where(want_null, 0, vals.astype(np.int64))
+    assert np.array_equal(np.asarray(out), want)
+    # go_to + pos + python iteration protocol
+    it.go_to(5)
+    assert it.pos() == 5 and it.valid()
+    assert list(sv.begin())[:10] == [None if want_null[k] else int(vals[k])
+                                     for k in range(10)]
+
+
+def test_str_iterator_and_back_inserter():
+    words = ["alpha", "beta", None, "gamma", "delta", None, "eps"]
+    sv = StrSparseVector(8, nullable=True)
+    bi = sv.get_back_inserter()
+    for w in words:
+        bi.add_null() if w is None else bi.add(w)
+    bi.flush()
+    assert list(sv.begin()) == words
+    it = sv.get_const_iterator(3)
+    assert it.value() == "gamma" and not it.is_null()
+
+
+def test_rsc_and_float_iterators():
+    sv = SparseVector(np.uint32, nullable=True)
+    for k in range(50):
+        (sv.set_null(k) if k % 3 == 0 else sv.set(k, k * 11))
+    rsc = RSCSparseVector.from_sparse_vector(sv)
+    got = list(rsc.begin())
+    want = [None if k % 3 == 0 else k * 11 for k in range(50)]
+    assert [None if g is None else int(g) for g in got] == want
+
+    fv = FloatSparseVector(np.float32)
+    with fv.get_back_inserter() as bi:
+        for k in range(20):
+            bi.add(k * 0.5)
+    assert np.allclose(list(fv.begin()), np.arange(20) * 0.5)
+
+
+# ---------------------------------------------------------------------------
+# small container methods
+# ---------------------------------------------------------------------------
+def test_sv_try_get_compare_swap_keep_range():
+    sv = SparseVector(np.int32, nullable=True)
+    sv.import_values(np.arange(-50, 50, dtype=np.int32))
+    sv.set_null(7)
+    found, v = sv.try_get(7)
+    assert not found
+    found, v = sv.try_get(8)
+    assert found and v == -42
+    assert sv.compare(60, 9) == 1 and sv.compare(60, 10) == 0 \
+        and sv.compare(60, 11) == -1
+    assert sv.is_nullable()
+    # element swap incl. a NULL side
+    sv.swap(7, 60)
+    assert sv.is_null(60) and sv.get(7) == 10
+    # container swap
+    other = SparseVector(np.int32)
+    other.import_values(np.asarray([1, 2, 3], np.int32))
+    sv.swap(other)
+    assert sv.size == 3 and other.size == 100
+    other.keep_range(10, 19)
+    got = other.to_numpy()
+    assert np.array_equal(got[10:20], np.arange(-40, -30, dtype=np.int32))
+    assert not got[:10].any() and not got[20:].any()
+    assert np.array_equal(other.extract(5, offset=10), got[10:15])
+    assert np.array_equal(other.extract_range(12, 14), got[12:15])
+    other.optimize_gap_size()
+
+
+def test_rsc_parity_methods():
+    sv = SparseVector(np.uint32, nullable=True)
+    for k in range(0, 100, 3):
+        sv.set(k, k + 1)
+    rsc = RSCSparseVector.from_sparse_vector(sv)
+    assert rsc.is_nullable()
+    assert rsc.at(3) == 4
+    with pytest.raises(IndexError):
+        rsc.at(1000)
+    found, v = rsc.try_get_sync(3)
+    assert found and v == 4
+    # copy_range
+    cp = RSCSparseVector(np.uint32)
+    cp.copy_range(rsc, 30, 60)
+    assert cp.size == rsc.size
+    assert cp.get(33) == 34 and cp.get(3) == 0 and cp.get(63) == 0
+    # resize down drops tail assignments
+    r2 = RSCSparseVector(np.uint32)
+    r2.copy_range(rsc, 0, 99)
+    r2.resize(50)
+    assert r2.size == 50 and r2.count() == len(range(0, 50, 3))
+    # merge_not_null requires disjoint assignment sets
+    a = RSCSparseVector(np.uint32)
+    a.set(1, 11).set(5, 55)
+    b = RSCSparseVector(np.uint32)
+    b.set(2, 22).set(9, 99)
+    a.merge_not_null(b)
+    assert a.get(1) == 11 and a.get(2) == 22 and a.get(9) == 99
+    assert b.count() == 0
+    c = RSCSparseVector(np.uint32)
+    c.set(1, 7)
+    with pytest.raises(ValueError):
+        a.merge_not_null(c)
+    # clear_all + freeze/is_ro
+    a.clear_all()
+    assert a.size == 0 and a.count() == 0
+    rsc.freeze()
+    assert rsc.is_ro()
+
+
+def test_str_parity_methods():
+    sv = StrSparseVector.from_strings(
+        ["kiwi", "fig", None, "plum", "apple"], nullable=True)
+    found, s = sv.try_get(2)
+    assert not found
+    found, s = sv.try_get(3)
+    assert found and s == "plum"
+    assert sv.at(0) == "kiwi"
+    assert sv.is_nullable()
+    assert StrSparseVector.compare_str("abc", "abd") == -1
+    assert sv.compare_elements(0, 0) == 0
+    assert sv.compare_elements(1, 3) == -1     # fig < plum
+    sv.swap(0, 2)
+    assert sv.is_null(0) and sv.get(2) == "kiwi"
+    # container swap
+    o = StrSparseVector.from_strings(["x"])
+    sv.swap(o)
+    assert sv.size == 1 and o.size == 5
+    # copy_range preserves remap
+    o.remap()
+    cp = StrSparseVector(o.max_str_size, nullable=True)
+    cp.copy_range(o, 1, 3)
+    assert cp.to_list()[1:4] == o.to_list()[1:4]
+    assert (cp.to_list()[0] or "") == "" and (cp.to_list()[4] or "") == ""
+    # resize + clear_all + effective_size + remap_from
+    o.resize(3)
+    assert o.size == 3 and o.effective_size() == 3
+    r = StrSparseVector(8)
+    r.remap_from(StrSparseVector.from_strings(["cc", "aa", "aa", "ba"]))
+    assert r.is_remap() and r.to_list() == ["cc", "aa", "aa", "ba"]
+    o.clear_all(remap=True)
+    assert o.size == 0 and not o.is_remap()
+
+
+def test_float_parity_methods():
+    vals = np.asarray([0.5, -1.25, 3e8, -0.0, 7.5], np.float32)
+    fv = FloatSparseVector.from_array(vals)
+    assert fv.at(2) == np.float32(3e8)
+    with pytest.raises(IndexError):
+        fv.at(99)
+    found, v = fv.try_get(1)
+    assert found and v == np.float32(-1.25)
+    assert not fv.empty()
+    assert np.array_equal(fv.extract(3, offset=1).view(np.uint32),
+                          vals[1:4].view(np.uint32))
+    assert np.array_equal(fv.extract_range(0, 2).view(np.uint32),
+                          vals[:3].view(np.uint32))
+    cp = FloatSparseVector(np.float32)
+    cp.copy_range(fv, 1, 3)
+    got = cp.to_numpy()
+    assert np.array_equal(got[1:4].view(np.uint32), vals[1:4].view(np.uint32))
+    assert got[0] == 0 and got[4] == 0
+    o = FloatSparseVector(np.float32)
+    o.push_back(9.0)
+    fv.swap(o)
+    assert fv.size == 1 and o.size == 5
+    o.resize(2)
+    assert o.size == 2 and np.array_equal(
+        o.to_numpy().view(np.uint32), vals[:2].view(np.uint32))
+    o.sync()
+    o.freeze()
+    assert o.is_ro()
+    fv.clear_all()
+    assert fv.empty() and not fv.is_str() and not fv.is_compressed()
+
+
+# ---------------------------------------------------------------------------
+# bvector extras
+# ---------------------------------------------------------------------------
+def test_bv_count_blocks_import_sorted_move_from():
+    rng = np.random.default_rng(17)
+    ids = np.unique(rng.integers(0, 1 << 22, 5000)).astype(_I64)
+    bv = BitVector(1 << 22)
+    bv.import_sorted(ids)
+    assert bv.count() == ids.size
+    with pytest.raises(ValueError):
+        bv.import_sorted(np.asarray([5, 5], _I64))
+    bv.set_range(3 << 16, (4 << 16) - 1)        # one FULL block
+    bv.optimize()
+    rc = bv.count_blocks()
+    # running counts: rc[k] == count of bits in blocks [0..k]
+    per = np.zeros(rc.size, np.int64)
+    blocks = np.concatenate([ids >> 16,
+                             np.arange(3 << 16, 4 << 16, dtype=_I64) >> 16])
+    allbits = np.unique(np.concatenate(
+        [ids, np.arange(3 << 16, 4 << 16, dtype=_I64)]))
+    np.add.at(per, (allbits >> 16), 1)
+    assert np.array_equal(rc, np.cumsum(per))
+    del blocks
+    # move_from
+    dst = BitVector(1 << 22)
+    dst.set(1)
+    want = bv.count()
+    dst.move_from(bv)
+    assert dst.count() == want and bv.count() == 0 and not dst.test(1)
+
+
+# ---------------------------------------------------------------------------
+# aggregator staged execution
+# ---------------------------------------------------------------------------
+def _random_bvs(rng, n, size=1 << 20, density=2000):
+    out = []
+    for _ in range(n):
+        ids = np.unique(rng.integers(0, size, density)).astype(_I64)
+        out.append(BitVector.from_indices(ids, size))
+    return out
+
+
+def test_aggregator_stage_run_step_matches_fused():
+    rng = np.random.default_rng(23)
+    vecs = _random_bvs(rng, 5)
+    # make overlaps likely: OR a common backbone into every vector
+    backbone = _random_bvs(rng, 1, density=50000)[0]
+    for v in vecs:
+        v.bit_or(backbone)
+    agg = Aggregator()
+    for v in vecs:
+        agg.add(v)
+    agg.set_operation(BM_SHIFT_R_AND)
+    assert agg.get_operation() == BM_SHIFT_R_AND
+    agg.stage()
+    assert agg.get_operation_status() == OperationStatus.op_prepared
+    steps = 0
+    while agg.get_operation_status() != OperationStatus.op_done:
+        agg.run_step(0, 0)
+        steps += 1
+    assert steps == len(vecs)
+    stepped = agg.get_target()
+    fused = Aggregator().combine_shift_right_and(vecs)
+    assert stepped.equal(fused)
+    # run() executes the fused chain directly
+    agg2 = Aggregator()
+    for v in vecs:
+        agg2.add(v)
+    agg2.set_operation(BM_SHIFT_R_AND)
+    agg2.stage()
+    assert agg2.run() == OperationStatus.op_done
+    assert agg2.get_target().equal(fused)
+    # misuse guards
+    with pytest.raises(RuntimeError):
+        Aggregator().run_step()
+    with pytest.raises(ValueError):
+        Aggregator().set_operation(42)
