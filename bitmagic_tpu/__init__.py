@@ -32,6 +32,26 @@ from .serial.stream_iter import (IteratorDeserializer,  # noqa: E402
 from .sv import (BitMatrix, FloatSparseVector, RSCSparseVector,  # noqa: E402
                  SparseVector, SparseVectorScanner, StrSparseVector)
 
+# free-function families of the reference ``bm::`` namespace
+# (src/bmalgo.h, bmalgo_impl.h, bmalgo_similarity.h, bmintervals.h,
+# bm3vl.h, bmrandom.h, bmbvimport.h, bmsparsevec_algo.h)
+from .algo.setops import (  # noqa: E402
+    any_and, any_or, any_sub, any_xor, bit_import, build_similarity_batch,
+    combine_and, combine_and_sorted, combine_or, combine_sub, combine_xor,
+    count_and, count_or, count_sub, count_xor, distance_and_operation,
+    distance_operation, export_array, similarity_batch)
+from .algo.traversal import (  # noqa: E402
+    for_each_bit, for_each_bit_range, rank_range_split, visit_each_bit,
+    visit_each_bit_range)
+from .algo.intervals import (  # noqa: E402
+    find_interval_end, find_interval_start, interval_enumerator, is_interval)
+from .algo.kleene import (  # noqa: E402
+    and_kleene, get_value_kleene, init_kleene, invert_kleene, or_kleene,
+    set_value_kleene)
+from .algo.sampling import random_subset  # noqa: E402
+from .algo import rank_compress  # noqa: E402
+from .sv.algo import find_first_mismatch, set2set_transform  # noqa: E402
+
 __version__ = "0.1.0"
 
 __all__ = [
@@ -46,5 +66,20 @@ __all__ = [
     "SparseVector", "RSCSparseVector", "StrSparseVector",
     "FloatSparseVector", "BitMatrix", "SparseVectorScanner",
     "algo", "agg", "parallel", "serial", "sv", "utils",
+    # free functions (reference bm:: namespace)
+    "count_and", "count_or", "count_xor", "count_sub",
+    "any_and", "any_or", "any_xor", "any_sub",
+    "distance_operation", "distance_and_operation",
+    "similarity_batch", "build_similarity_batch",
+    "combine_or", "combine_and", "combine_and_sorted", "combine_xor",
+    "combine_sub", "export_array", "bit_import",
+    "for_each_bit", "for_each_bit_range", "visit_each_bit",
+    "visit_each_bit_range", "rank_range_split",
+    "interval_enumerator", "is_interval", "find_interval_start",
+    "find_interval_end",
+    "init_kleene", "get_value_kleene", "set_value_kleene", "invert_kleene",
+    "or_kleene", "and_kleene",
+    "random_subset", "rank_compress",
+    "find_first_mismatch", "set2set_transform",
     "__version__",
 ]

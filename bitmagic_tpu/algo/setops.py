@@ -180,3 +180,101 @@ def similarity_batch(vectors, metric=COUNT_AND) -> np.ndarray:
             v = distance_operation(vectors[i], vectors[j], [metric])[metric]
             out[i, j] = out[j, i] = v
     return out
+
+
+def distance_and_operation(a: BitVector, b: BitVector) -> int:
+    """AND-distance shortcut (reference distance_and_operation,
+    src/bmalgo_impl.h:853) — the one-metric fast path of
+    distance_operation."""
+    return distance_operation(a, b, [COUNT_AND])[COUNT_AND]
+
+
+# ---------------------------------------------------------------------------
+# combine family: bvector vs integer-sequence set algebra (reference
+# src/bmalgo_impl.h:1080-1423).  The reference walks the sequence per-block;
+# here each combine is ONE bulk host-plan + device scatter (set_many /
+# clear_many / flip path), which is the batch the TPU wants anyway.
+# ---------------------------------------------------------------------------
+def combine_or(bv: BitVector, ids):
+    """bv |= set(ids) (reference combine_or, src/bmalgo_impl.h:1080)."""
+    ids = np.asarray(ids, np.int64)
+    if ids.size:
+        bv.set_many(np.unique(ids))
+    return bv
+
+
+def combine_xor(bv: BitVector, ids):
+    """bv ^= set(ids) (reference combine_xor, src/bmalgo_impl.h:1161)."""
+    ids = np.unique(np.asarray(ids, np.int64))
+    if not ids.size:
+        return bv
+    bv._flush()
+    present = bv.get_bits(ids)
+    if present.any():
+        bv.clear_many(ids[present])
+    if (~present).any():
+        bv.set_many(ids[~present])
+    return bv
+
+
+def combine_sub(bv: BitVector, ids):
+    """bv -= set(ids) (reference combine_sub, src/bmalgo_impl.h:1248)."""
+    ids = np.asarray(ids, np.int64)
+    if ids.size:
+        bv.clear_many(np.unique(ids))
+    return bv
+
+
+def combine_and(bv: BitVector, ids):
+    """bv &= set(ids) (reference combine_and, src/bmalgo_impl.h:1365)."""
+    ids = np.unique(np.asarray(ids, np.int64))
+    mask = (BitVector.from_indices(ids, bv.size or C.ID_MAX48)
+            if ids.size else BitVector(bv.size or 1))
+    bv.bit_and(mask)
+    return bv
+
+
+def combine_and_sorted(bv: BitVector, ids):
+    """Sorted-input variant (reference combine_and_sorted,
+    src/bmalgo_impl.h:1333); same bulk path, input checked sorted."""
+    ids = np.asarray(ids, np.int64)
+    if ids.size and (np.diff(ids) < 0).any():
+        raise ValueError("combine_and_sorted needs sorted ids")
+    return combine_and(bv, ids)
+
+
+def export_array(bv: BitVector, arr):
+    """Import a raw typed array as the bit image of ``bv`` (reference
+    export_array, src/bmalgo_impl.h:1423 — despite the name it exports the
+    ARRAY into the bvector).  Accepts any 8/16/32/64-bit integer dtype."""
+    arr = np.ascontiguousarray(arr)
+    if arr.dtype.kind not in "ui":
+        raise ValueError("integer array required")
+    raw = arr.view(np.uint8)
+    pad = (-raw.size) % 4
+    if pad:
+        raw = np.concatenate([raw, np.zeros(pad, np.uint8)])
+    words = raw.view(np.uint32)
+    bit_cnt = arr.size * arr.dtype.itemsize * 8
+    out = BitVector.from_words(words, size=max(bv.size, bit_cnt))
+    if bit_cnt < bv.size:
+        out.resize(bv.size)
+    bv._flush()
+    bv._adopt(out)
+    return bv
+
+
+def bit_import(bv: BitVector, words):
+    """Build from a raw dense u32 word image (reference bit_import_u32,
+    src/bmbvimport.h:52)."""
+    words = np.ascontiguousarray(words, np.uint32)
+    out = BitVector.from_words(words, size=max(bv.size, words.size * 32))
+    bv._flush()
+    bv._adopt(out)
+    return bv
+
+
+def build_similarity_batch(vectors, metric=COUNT_AND):
+    """Builder-name alias of similarity_batch (reference
+    build_similarity_batch, src/bmalgo_similarity.h:173)."""
+    return similarity_batch(vectors, metric)

@@ -296,3 +296,59 @@ def test_aggregator_stage_run_step_matches_fused():
         Aggregator().run_step()
     with pytest.raises(ValueError):
         Aggregator().set_operation(42)
+
+
+# ---------------------------------------------------------------------------
+# setops combine family + free-function namespace parity
+# ---------------------------------------------------------------------------
+def test_combine_family_vs_golden():
+    import bitmagic_tpu as bm
+    rng = np.random.default_rng(3)
+    size = 1 << 21
+    base = np.unique(rng.integers(0, size, 4000)).astype(_I64)
+    seq = np.unique(rng.integers(0, size, 3000)).astype(_I64)
+    gold = set(base.tolist())
+
+    bv = BitVector.from_indices(base, size)
+    bm.combine_or(bv, seq)
+    gold |= set(seq.tolist())
+    assert sorted(gold) == bv.indices().tolist()
+
+    bm.combine_xor(bv, seq)
+    gold ^= set(seq.tolist())
+    assert sorted(gold) == bv.indices().tolist()
+
+    bm.combine_sub(bv, seq[:1000])
+    gold -= set(seq[:1000].tolist())
+    assert sorted(gold) == bv.indices().tolist()
+
+    keep = np.unique(rng.integers(0, size, 2000)).astype(_I64)
+    bm.combine_and(bv, keep)
+    gold &= set(keep.tolist())
+    assert sorted(gold) == bv.indices().tolist()
+
+    bm.combine_and_sorted(bv, np.asarray(sorted(gold), _I64))
+    assert sorted(gold) == bv.indices().tolist()
+    with pytest.raises(ValueError):
+        bm.combine_and_sorted(bv, np.asarray([5, 3], _I64))
+
+    # export_array / bit_import: raw bit images
+    arr = rng.integers(0, 1 << 16, 64).astype(np.uint16)
+    b2 = BitVector(arr.size * 16)
+    bm.export_array(b2, arr)
+    want = np.flatnonzero(np.unpackbits(
+        arr.view(np.uint8), bitorder="little"))
+    assert np.array_equal(b2.indices(), want)
+    words = rng.integers(0, 1 << 32, 128, dtype=np.uint64).astype(np.uint32)
+    b3 = BitVector(words.size * 32)
+    bm.bit_import(b3, words)
+    want = np.flatnonzero(np.unpackbits(
+        words.view(np.uint8), bitorder="little"))
+    assert np.array_equal(b3.indices(), want)
+
+    a = BitVector.from_indices(base, size)
+    b = BitVector.from_indices(seq, size)
+    assert bm.distance_and_operation(a, b) == \
+        len(set(base.tolist()) & set(seq.tolist()))
+    m = bm.build_similarity_batch([a, b])
+    assert m[0, 1] == bm.distance_and_operation(a, b)
