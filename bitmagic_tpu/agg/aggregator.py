@@ -322,6 +322,44 @@ class Aggregator:
                 if kern_nb.size else None)
         return _assemble(nb, full_all, kern_nb, pool, size)
 
+    # -- range hint (reference set_range_hint, src/bmaggregator.h:481) --
+    _range_hint = None
+
+    def set_range_hint(self, from_, to) -> bool:
+        """Block-granular search range restriction for combine_and_sub /
+        find_first_and_sub (reference set_range_hint,
+        src/bmaggregator.h:481 — the reference also narrows at block
+        granularity).  Returns True when the range is one-block bound."""
+        lo, hi = int(from_), int(to)
+        if lo > hi:
+            lo, hi = hi, lo
+        self._range_hint = (lo, hi)
+        return (lo >> C.SET_BLOCK_SHIFT) == (hi >> C.SET_BLOCK_SHIFT)
+
+    def reset_range_hint(self) -> None:
+        """src/bmaggregator.h:486."""
+        self._range_hint = None
+
+    def _apply_range_hint(self, nb: np.ndarray) -> np.ndarray:
+        if self._range_hint is None or nb.size == 0:
+            return nb
+        lo, hi = self._range_hint
+        return nb[(nb >= (lo >> C.SET_BLOCK_SHIFT))
+                  & (nb <= (hi >> C.SET_BLOCK_SHIFT))]
+
+    # -- target optimize mode (reference set_optimization, bmaggregator) --
+    _opt_mode = False
+
+    def set_optimization(self, opt=True) -> None:
+        """Request optimize() (block re-classification) on every combine_*
+        target before it is returned (reference set_optimization)."""
+        self._opt_mode = bool(opt)
+
+    def _maybe_optimize(self, bv: BitVector) -> BitVector:
+        if self._opt_mode:
+            bv.optimize()
+        return bv
+
     def combine_and_sub(self, and_group=None, sub_group=None) -> BitVector:
         """AND(and_group) MINUS OR(sub_group) — the reference's flagship
         fused search op (combine_and_sub, src/bmaggregator.h:420)."""
@@ -335,7 +373,7 @@ class Aggregator:
             return BitVector(0)
         sa = _structures(and_group)
         ss = _structures(sub_group)
-        nb = _and_blocklist(sa)
+        nb = self._apply_range_hint(_and_blocklist(sa))
         size = max(v.size for v in and_group + sub_group)
         if nb.size == 0:
             return BitVector(size)
@@ -394,7 +432,7 @@ class Aggregator:
             return -1
         sa = _structures(and_group)
         ss = _structures(sub_group)
-        nb = _and_blocklist(sa)
+        nb = self._apply_range_hint(_and_blocklist(sa))
         if nb.size == 0:
             return -1
         keep = np.ones(nb.size, bool)
@@ -676,6 +714,27 @@ class Aggregator:
         counts = np.array(pipeline_counts(planes, jnp.asarray(sels)))
         counts[forced_zero] = 0
         return counts
+
+
+def _optimized(fn):
+    """Honor set_optimization() on combine_* targets (reference
+    aggregator set_optimization)."""
+    @functools.wraps(fn)
+    def wrap(self, *a, **kw):
+        return self._maybe_optimize(fn(self, *a, **kw))
+    return wrap
+
+
+for _n in ("combine_or", "combine_and", "combine_and_sub",
+           "combine_shift_right_and"):
+    setattr(Aggregator, _n, _optimized(getattr(Aggregator, _n)))
+
+# Reference C-style "horizontal" entry points (src/bmaggregator.h:2216+).
+# The horizontal/vertical split is a CPU cache-blocking evaluation-order
+# detail; the fused TPU pass computes the same result either way.
+Aggregator.combine_or_horizontal = Aggregator.combine_or
+Aggregator.combine_and_horizontal = Aggregator.combine_and
+Aggregator.combine_and_sub_horizontal = Aggregator.combine_and_sub
 
 
 @jax.jit

@@ -1345,6 +1345,13 @@ class BitVector:
 
     first = get_enumerator
 
+    def end(self):
+        """Invalid end-sentinel enumerator (reference bvector::end,
+        src/bm.h:1877)."""
+        e = self.get_enumerator(0)
+        e.invalidate()
+        return e
+
     def get_counted_enumerator(self, pos: int = 0):
         from .enumerator import CountedEnumerator
         return CountedEnumerator(self, pos)

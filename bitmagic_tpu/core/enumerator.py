@@ -68,6 +68,13 @@ class Enumerator:
     def valid(self) -> bool:
         return self._buf_i < self._buf.size
 
+    def invalidate(self):
+        """Turn into the end sentinel (reference iterator_base::invalidate)."""
+        self._buf = np.zeros(0, _I64)
+        self._buf_i = 0
+        self._entry = len(self._bv._struct.nb)
+        return self
+
     def value(self) -> int:
         if not self.valid():
             raise StopIteration

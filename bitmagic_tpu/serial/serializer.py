@@ -149,6 +149,34 @@ class Serializer:
             raise ValueError("level must be 0..6")
         self.level = level
 
+    def get_compression_level(self) -> int:
+        """src/bmserial.h get_compression_level()."""
+        return self.level
+
+    def get_compression_stat(self) -> dict:
+        """Per-block-code usage counts of the last serialize()
+        (reference compression_stat_, src/bmserial.h:214)."""
+        return dict(self.compression_stat)
+
+    def byte_order_serialization(self, enable: bool):
+        """Reference knob (src/bmserial.h): BMT1 is always little-endian
+        and self-describing, so there is nothing to toggle; kept for API
+        parity."""
+        self._bo_serial = bool(enable)
+
+    def gap_length_serialization(self, enable: bool):
+        """Reference knob (src/bmserial.h): BMT1 records carry their own
+        lengths, so GAP level tables never serialize; kept for API
+        parity."""
+        self._gapl_serial = bool(enable)
+
+    def set_bookmarks(self, enable: bool, bm_interval: int = 256):
+        """Reference bookmark sync marks (src/bmserial.h:246) let range
+        deserialization skip ahead; BMT1's compact self-describing records
+        already support O(records-skipped) range skip without marks, so
+        this is accepted for parity and recorded only."""
+        self._bookmarks = (bool(enable), int(bm_interval))
+
     # ------------------------------------------------------------------
     def serialize(self, bv: BitVector) -> bytes:
         bv._flush()

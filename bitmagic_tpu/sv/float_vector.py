@@ -200,6 +200,38 @@ class FloatSparseVector:
         self._size = other._size
         return self
 
+    def clear_range(self, lo, hi, set_null: bool = False):
+        """Zero values in [lo, hi]; set_null also unassigns
+        (reference clear_range, src/bmsparsevec_float.h:310)."""
+        lo, hi = int(lo), int(hi)
+        self.sign.set_range(lo, hi, False)
+        self.exponent.clear_range(lo, hi, set_null=False)
+        self.mantissa.clear_range(lo, hi, set_null=False)
+        if self.nullable and set_null:
+            self.null_plane.set_range(lo, hi, False)
+        return self
+
+    def join(self, other: "FloatSparseVector"):
+        """OR-merge another float vector in (reference join,
+        src/bmsparsevec_float.h:345 — plane-wise OR; overlapping non-zero
+        values combine bitwise, as in the reference)."""
+        if other.dtype != self.dtype:
+            raise ValueError("dtype mismatch")
+        self.sign.bit_or(other.sign)
+        self.exponent.join(other.exponent)
+        self.mantissa.join(other.mantissa)
+        if self.nullable and other.nullable:
+            self.null_plane.bit_or(other.null_plane)
+        self._size = max(self._size, other._size)
+        return self
+
+    def merge(self, other: "FloatSparseVector"):
+        """Like join but borrows from (and empties) the source
+        (reference merge, src/bmsparsevec_float.h:357)."""
+        self.join(other)
+        other.clear()
+        return self
+
     def extract(self, n, offset=0):
         """src/bmsparsevec_float.h:426."""
         return self.decode(int(offset), int(n))

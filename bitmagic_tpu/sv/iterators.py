@@ -32,6 +32,7 @@ class ConstIterator:
         self._win_vals = None
         self._win_nulls = None
         self._pos = int(pos)
+        self._substr = None
 
     # -- reference API ---------------------------------------------------
     def valid(self) -> bool:
@@ -55,7 +56,23 @@ class ConstIterator:
         if not self.valid():
             raise IndexError(self._pos)
         self._ensure_window()
-        return self._win_vals[self._pos - self._win_lo]
+        v = self._win_vals[self._pos - self._win_lo]
+        if self._substr is not None and isinstance(v, str):
+            frm, ln = self._substr
+            v = v[frm:frm + ln] if ln else v[frm:]
+        return v
+
+    def set_substr(self, frm: int, length: int = 0) -> "ConstIterator":
+        """Restrict value() to a substring window — string iterators
+        (reference const_iterator::set_substr,
+        src/bmstrsparsevec.h:257; length 0 = to end of string)."""
+        self._substr = (int(frm), int(length))
+        return self
+
+    def get_string_view(self):
+        """Current (sub)string (reference get_string_view,
+        src/bmstrsparsevec.h:290)."""
+        return self.value()
 
     def is_null(self) -> bool:
         if not self.valid():

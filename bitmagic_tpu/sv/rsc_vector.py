@@ -185,6 +185,15 @@ class RSCSparseVector:
         self._flush()
         return self.null_bv.count()
 
+    def count_range_notnull(self, left, right) -> int:
+        """Number of NOT-NULL elements in [left, right]
+        (reference count_range_notnull, src/bmsparsevec_compr.h:406)."""
+        left, right = int(left), int(right)
+        if left > right:
+            left, right = right, left
+        self._flush()
+        return self.null_bv.count_range(left, right)
+
     def optimize(self):
         self._flush()
         self.dense.optimize()

@@ -77,6 +77,25 @@ class SparseVectorScanner:
     def reset_and_mask(self) -> None:
         self._and_mask = None
 
+    #: closed-range restriction, as a range bit-vector
+    #: (reference set_search_range, src/bmsparsevec_algo.h:1238)
+    _search_range = None
+
+    def set_search_range(self, from_, to) -> None:
+        """Restrict subsequent find_* searches to the closed range
+        [from, to] (reference set_search_range,
+        src/bmsparsevec_algo.h:1238).  Composes with set_and_mask."""
+        lo, hi = int(from_), int(to)
+        if lo > hi:
+            lo, hi = hi, lo
+        bv = BitVector(C.ID_MAX48)
+        bv.set_range(lo, hi)
+        self._search_range = bv
+
+    def reset_search_range(self) -> None:
+        """src/bmsparsevec_algo.h:1241."""
+        self._search_range = None
+
     # ------------------------------------------------------------------
     def find_zero(self, sv: SparseVector) -> BitVector:
         """Positions with value 0 (assigned, if nullable) — reference
@@ -150,6 +169,8 @@ class SparseVectorScanner:
             and_group.append(sv.null_plane)
         if self._and_mask is not None:
             and_group.append(self._and_mask)
+        if self._search_range is not None:
+            and_group.append(self._search_range)
         return _agg.find_first_and_sub(and_group, sub_group)
 
     def find_ne(self, sv: SparseVector, value) -> BitVector:
@@ -438,6 +459,8 @@ class SparseVectorScanner:
             and_group.append(ssv.null_plane)
         if self._and_mask is not None:
             and_group.append(self._and_mask)
+        if self._search_range is not None:
+            and_group.append(self._search_range)
         return _agg.find_first_and_sub(and_group, sub_group)
 
     def lower_bound_str(self, ssv, s) -> int:
@@ -725,14 +748,17 @@ def _masked(fn):
     (find_lt = universe - find_ge, ...) mask exactly once, at the top."""
     @functools.wraps(fn)
     def wrap(self, *a, **kw):
-        m = self._and_mask
+        m, r = self._and_mask, self._search_range
         self._and_mask = None
+        self._search_range = None
         try:
             out = fn(self, *a, **kw)
         finally:
-            self._and_mask = m
+            self._and_mask, self._search_range = m, r
         if m is not None:
             out.bit_and(m)
+        if r is not None:
+            out.bit_and(r)
         return out
     return wrap
 

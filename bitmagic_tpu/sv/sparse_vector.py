@@ -396,23 +396,29 @@ class SparseVector:
     # vector algebra (reference join/merge/filter/clear_range)
     # ------------------------------------------------------------------
     def join(self, other: "SparseVector"):
-        """Merge values of other into self; other's assigned positions win
-        only where self is unassigned (reference join, src/bmsparsevec.h:2186)."""
+        """Plane-wise OR merge (reference join, src/bmsparsevec.h:2186):
+        every value slice (and the NULL slice) ORs in the argument's, so
+        overlapping assigned values combine bitwise exactly as the
+        reference's ``*bv |= *arg_bv`` loop does."""
+        if other.dtype != self.dtype:
+            raise ValueError("dtype mismatch")
         self._flush()
         other._flush()
         if other._size > self._size:
             self._size = other._size
-        if self.nullable and other.nullable:
-            take = other.null_plane - self.null_plane   # other-only positions
-        else:
-            take = None
-        ids = (take.indices() if take is not None
-               else np.arange(other._size, dtype=_I64))
-        if ids.size:
-            vals = other.gather(ids)
-            for i, v in zip(ids, vals):
-                self.set(int(i), v)
-            self._flush()
+        for j, p in enumerate(other.planes):
+            if p is not None:
+                mine = self.planes[j]
+                if mine is None:
+                    self.planes[j] = p.copy()
+                else:
+                    mine.bit_or(p)
+        if self.nullable:
+            if other.nullable:
+                self.null_plane.bit_or(other.null_plane)
+            elif other._size:
+                # argument assumed all-real (reference join_null_slice)
+                self.null_plane.set_range(0, other._size - 1, True)
         return self
 
     def merge(self, other: "SparseVector"):
@@ -600,7 +606,9 @@ class SparseVector:
     def is_str(self) -> bool:
         return False
 
-    def clear_range(self, lo, hi, set_null: bool = True):
+    def clear_range(self, lo, hi, set_null: bool = False):
+        """Zero values in [lo, hi]; set_null also unassigns them
+        (reference default is false — src/bmsparsevec.h:715)."""
         self._flush()
         for p in self.planes:
             if p is not None:
@@ -659,7 +667,12 @@ class SparseVector:
                 p.freeze()
         if self.nullable:
             self.null_plane.freeze()
+        self._ro = True
         return self
+
+    def is_ro(self) -> bool:
+        """src/bmbmatrix.h is_ro()."""
+        return getattr(self, "_ro", False)
 
     def effective_slices(self) -> int:
         self._flush()

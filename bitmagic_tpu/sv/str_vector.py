@@ -259,6 +259,30 @@ class StrSparseVector:
             self.null_plane.bit_and(rng)
         return self
 
+    def keep(self, bv_idx: BitVector):
+        """AND every octet plane (and the NULL plane) with an index
+        bit-vector (reference keep == bit_and_rows,
+        src/bmstrsparsevec.h:589)."""
+        for k in range(self.max_str_size):
+            self.octets[k].filter(bv_idx)
+        if self.nullable:
+            self.null_plane.bit_and(bv_idx)
+        return self
+
+    def clear_range(self, lo, hi, set_null: bool = False):
+        """Zero octets in [lo, hi]; set_null also unassigns
+        (reference clear_range, src/bmstrsparsevec.h:841)."""
+        for k in range(self.max_str_size):
+            self.octets[k].clear_range(lo, hi, set_null=False)
+        if self.nullable and set_null:
+            self.null_plane.set_range(int(lo), int(hi), False)
+        return self
+
+    def import_back(self, strings):
+        """Append a batch at the end — one bulk transpose import
+        (reference import_back, src/bmstrsparsevec.h:1289)."""
+        return self.import_strings(list(strings), offset=self._size)
+
     def optimize(self):
         for o in self.octets:
             o.optimize()
@@ -279,7 +303,11 @@ class StrSparseVector:
             o.freeze()
         if self.nullable:
             self.null_plane.freeze()
+        self._ro = True
         return self
+
+    def is_ro(self) -> bool:
+        return getattr(self, "_ro", False)
 
     def equal(self, other: "StrSparseVector") -> bool:
         return self.to_list() == other.to_list()

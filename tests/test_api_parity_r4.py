@@ -352,3 +352,177 @@ def test_combine_family_vs_golden():
         len(set(base.tolist()) & set(seq.tolist()))
     m = bm.build_similarity_batch([a, b])
     assert m[0, 1] == bm.distance_and_operation(a, b)
+
+
+# ---------------------------------------------------------------------------
+# round-4 continuation: plane-OR join semantics, str keep/clear_range/
+# import_back, float join/merge/clear_range, RSC count_range_notnull,
+# is_ro flags, iterator substring mode, end() sentinels
+# ---------------------------------------------------------------------------
+
+def test_sv_join_is_plane_or(rng):
+    """Reference join ORs value slices (src/bmsparsevec.h:2186) —
+    overlapping assigned values combine bitwise."""
+    a = SparseVector(np.uint32, nullable=True)
+    b = SparseVector(np.uint32, nullable=True)
+    a.set(0, 0b0101)
+    a.set(2, 7)
+    b.set(0, 0b0011)
+    b.set(5, 9)
+    a.join(b)
+    assert a[0] == 0b0111          # bitwise OR, not first-wins
+    assert a[2] == 7 and a[5] == 9
+    assert not a.is_null(0) and not a.is_null(5)
+    # joining a non-nullable argument marks its whole span assigned
+    c = SparseVector(np.uint32, nullable=True)
+    c.set(9, 1)
+    d = SparseVector.from_array(np.arange(4, dtype=np.uint32))
+    c.join(d)
+    assert [c.is_null(i) for i in range(4)] == [False] * 4
+    np.testing.assert_array_equal(c.to_numpy()[:4], np.arange(4))
+
+
+def test_float_join_merge_clear_range():
+    a = FloatSparseVector.from_array(np.asarray([1.5, 0.0, -2.25],
+                                                np.float32))
+    b = FloatSparseVector(np.float32)
+    b.set(4, 8.5)
+    a.join(b)
+    np.testing.assert_array_equal(
+        a.to_numpy(), np.asarray([1.5, 0.0, -2.25, 0.0, 8.5], np.float32))
+    c = FloatSparseVector(np.float32)
+    c.set(5, -1.0)
+    a.merge(c)
+    assert a[5] == -1.0 and len(c) == 0       # merge empties the source
+    a.clear_range(0, 4)
+    np.testing.assert_array_equal(
+        a.to_numpy(), np.asarray([0, 0, 0, 0, 0, -1.0], np.float32))
+    with pytest.raises(ValueError):
+        a.join(FloatSparseVector(np.float64))
+
+
+def test_str_keep_clear_range_import_back():
+    sv = StrSparseVector.from_strings(["aa", "bb", "cc", "dd"])
+    sv.import_back(["ee", "ff"])
+    assert sv.to_list() == ["aa", "bb", "cc", "dd", "ee", "ff"]
+    sv.clear_range(1, 2)
+    assert sv.to_list() == ["aa", "", "", "dd", "ee", "ff"]
+    keep = BitVector.from_indices(np.asarray([0, 3, 5], _I64), 2 ** 48)
+    sv.keep(keep)
+    assert sv.to_list() == ["aa", "", "", "dd", "", "ff"]
+    # nullable variant: clear_range(set_null=True) unassigns
+    sn = StrSparseVector.from_strings(["x", "y", "z"], nullable=True)
+    sn.clear_range(1, 1, set_null=True)
+    assert sn.is_null(1) and not sn.is_null(0)
+
+
+def test_rsc_count_range_notnull():
+    rsc = RSCSparseVector(np.uint32)
+    for i, v in [(2, 10), (5, 20), (9, 30), (100, 40)]:
+        rsc.set(i, v)
+    rsc.sync()
+    assert rsc.count_range_notnull(0, 9) == 3
+    assert rsc.count_range_notnull(3, 99) == 2
+    assert rsc.count_range_notnull(99, 3) == 2     # swapped bounds
+    assert rsc.count_range_notnull(101, 200) == 0
+
+
+def test_is_ro_flags():
+    sv = SparseVector.from_array(np.arange(5, dtype=np.uint32))
+    assert not sv.is_ro()
+    sv.freeze()
+    assert sv.is_ro()
+    st = StrSparseVector.from_strings(["q"])
+    assert not st.is_ro()
+    st.freeze()
+    assert st.is_ro()
+
+
+def test_str_iterator_substr_and_view():
+    sv = StrSparseVector.from_strings(["alpha", "beta", "gamma"])
+    it = sv.get_const_iterator(0)
+    it.set_substr(1, 3)
+    assert it.value() == "lph" and it.get_string_view() == "lph"
+    it.advance()
+    assert it.value() == "eta"
+    it.set_substr(2)                      # to end of string
+    assert it.value() == "ta"
+
+
+def test_bv_end_sentinel():
+    bv = BitVector.from_indices(np.asarray([3, 70000], _I64), 2 ** 20)
+    e = bv.end()
+    assert not e.valid()
+    it = bv.first()
+    seen = []
+    while it.valid():
+        seen.append(it.value())
+        it.go_up()
+    assert seen == [3, 70000]
+
+
+def test_scanner_set_search_range(rng):
+    from bitmagic_tpu.sv.scanner import SparseVectorScanner
+    vals = rng.integers(0, 5, 1000).astype(np.uint32)
+    sv = SparseVector.from_array(vals)
+    sc = SparseVectorScanner()
+    sc.set_search_range(100, 199)
+    got = sc.find_eq(sv, 3).indices()
+    want = np.flatnonzero(vals == 3)
+    want = want[(want >= 100) & (want <= 199)]
+    np.testing.assert_array_equal(got, want)
+    # composes with an AND mask
+    mask = BitVector.from_indices(np.arange(0, 1000, 2, dtype=_I64), 2**48)
+    sc.set_and_mask(mask)
+    got = sc.find_eq(sv, 3).indices()
+    np.testing.assert_array_equal(got, want[want % 2 == 0])
+    sc.reset_search_range()
+    sc.reset_and_mask()
+    np.testing.assert_array_equal(sc.find_eq(sv, 3).indices(),
+                                  np.flatnonzero(vals == 3))
+
+
+def test_aggregator_range_hint_and_optimization(rng):
+    size = 40 * 65536
+    a = BitVector.from_indices(
+        np.unique(rng.integers(0, size, 4000)).astype(_I64), size)
+    b = BitVector.from_indices(
+        np.unique(rng.integers(0, size, 4000)).astype(_I64), size)
+    agg = Aggregator()
+    full = agg.combine_and([a, b]).indices()
+    one_block = agg.set_range_hint(3 * 65536, 3 * 65536 + 5)
+    assert one_block
+    agg.set_range_hint(2 * 65536, 5 * 65536 - 1)
+    got = agg.combine_and_sub([a, b], []).indices()
+    # block-granular: exactly the hits whose block is in [2, 4]
+    want = full[(full >= 2 * 65536) & (full < 5 * 65536)]
+    np.testing.assert_array_equal(got, want)
+    p = agg.find_first_and_sub([a, b], [])
+    assert p == (int(want[0]) if want.size else -1)
+    agg.reset_range_hint()
+    np.testing.assert_array_equal(agg.combine_and_sub([a, b], []).indices(),
+                                  full)
+    # optimization mode reclassifies sparse result blocks
+    agg.set_optimization(True)
+    out = agg.combine_and([a, b])
+    assert out._gaps is not None and out._gaps.n_blocks > 0
+    np.testing.assert_array_equal(out.indices(), full)
+    # horizontal aliases are the same computation
+    np.testing.assert_array_equal(
+        agg.combine_and_horizontal([a, b]).indices(), full)
+    agg.set_optimization(False)
+
+
+def test_serializer_knob_accessors():
+    from bitmagic_tpu.serial.serializer import Serializer
+    s = Serializer(5)
+    assert s.get_compression_level() == 5
+    s.byte_order_serialization(False)
+    s.gap_length_serialization(True)
+    s.set_bookmarks(True, 128)
+    bv = BitVector.from_indices(np.asarray([1, 100, 70000], _I64), 2**20)
+    blob = s.serialize(bv)
+    st = s.get_compression_stat()
+    assert st and sum(st.values()) >= 1
+    from bitmagic_tpu.serial.serializer import Deserializer
+    assert Deserializer().deserialize(blob).equal(bv)

@@ -100,7 +100,9 @@ def test_join_merge_filter_clear(rng):
     a.set(1, 10); a.set(3, 30)
     b.set(2, 20); b.set(3, 99); b.set(5, 50)
     a.join(b)
-    assert a[1] == 10 and a[2] == 20 and a[3] == 30 and a[5] == 50
+    # join is a plane-wise OR (src/bmsparsevec.h:2186): overlapping
+    # assigned values combine bitwise
+    assert a[1] == 10 and a[2] == 20 and a[3] == (30 | 99) and a[5] == 50
     assert len(a) == 6
     c = SparseVector(np.uint32, nullable=True)
     c.set(0, 1)
