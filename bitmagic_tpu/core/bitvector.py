@@ -451,11 +451,13 @@ class BitVector:
             return self
         if not (0 <= lo and hi < self._size):
             raise IndexError("range out of bounds")
-        rng = _range_vector(lo, hi, self._size)
         if val:
-            self._ior(rng)
+            self._ior(_range_vector(lo, hi, self._size))
         else:
-            self._isub(rng)
+            # clearing only touches blocks this vector already has:
+            # narrow the range to them (O(own blocks) for any span)
+            self._isub(_range_vector(lo, hi, self._size,
+                                     within=self._struct.nb))
         return self
 
     def copy_range(self, other: "BitVector", lo, hi):
@@ -463,7 +465,8 @@ class BitVector:
         (reference src/bm.h:1238)."""
         self._check_writable()
         other._flush()
-        rng = _range_vector(int(lo), int(hi), other._size)
+        rng = _range_vector(int(lo), int(hi), other._size,
+                            within=other._struct.nb)
         res = _binary(other, rng, "and")
         self._adopt(res)
         return self
@@ -1010,7 +1013,8 @@ class BitVector:
             low = BitVector(self._size)
         high = self.copy()
         if i > 0:
-            high._isub(_range_vector(0, i - 1, self._size))
+            high._isub(_range_vector(0, i - 1, self._size,
+                                     within=high._struct.nb))
         high = _shifted_up(high)
         res = _binary(low, high, "or")
         self._adopt(res)
@@ -1031,13 +1035,15 @@ class BitVector:
         else:
             low = BitVector(self._size)
         high = self.copy()
-        high._isub(_range_vector(0, i, self._size))
+        high._isub(_range_vector(0, i, self._size, within=high._struct.nb))
         high = _shifted_down(high)
         self._adopt(_binary(low, high, "or"))
         return self
 
     def keep_range_struct(self, lo, hi):
-        self._iand(_range_vector(int(lo), int(hi), self._size))
+        self._flush()
+        self._iand(_range_vector(int(lo), int(hi), self._size,
+                                 within=self._struct.nb))
         return self
 
     keep_range = keep_range_struct
@@ -1412,35 +1418,52 @@ def _tail_mask_np(tail_bits: int) -> np.ndarray:
     return m
 
 
-def _range_vector(lo: int, hi: int, size: int) -> "BitVector":
+def _range_vector(lo: int, hi: int, size: int, within=None) -> "BitVector":
     """BitVector with bits [lo, hi] set, built from FULL blocks + at most two
-    dense edge blocks (host-constructed, 8KB each)."""
+    dense edge blocks (host-constructed, 8KB each).
+
+    ``within`` (sorted int64 block ids): when given, interior FULL entries
+    are emitted only for blocks present in it.  That is sufficient whenever
+    the range vector is consumed by AND or SUB against a vector whose block
+    list is ``within`` (absent blocks contribute nothing either way), and it
+    keeps 48-bit-span ranges O(len(within)) instead of O(blocks-in-range)
+    — a [2^40, 2^48) clear/keep would otherwise enumerate ~4e9 blocks."""
     b_lo, b_hi = lo >> C.SET_BLOCK_SHIFT, hi >> C.SET_BLOCK_SHIFT
-    nb, cls, rows = [], [], []
+    lo_in = lo & C.SET_BLOCK_MASK
+    hi_in = hi & C.SET_BLOCK_MASK
+    rows = []
     if b_lo == b_hi:
-        m = _edge_mask(lo & C.SET_BLOCK_MASK, hi & C.SET_BLOCK_MASK)
+        m = _edge_mask(lo_in, hi_in)
         if (m == 0xFFFFFFFF).all():
-            nb, cls = [b_lo], [C.CLS_FULL]
+            nb = np.asarray([b_lo], _I64)
+            cls = np.asarray([C.CLS_FULL], np.uint8)
         else:
-            nb, cls, rows = [b_lo], [C.CLS_BIT], [m]
+            nb = np.asarray([b_lo], _I64)
+            cls = np.asarray([C.CLS_BIT], np.uint8)
+            rows = [m]
     else:
-        lo_in = lo & C.SET_BLOCK_MASK
-        hi_in = hi & C.SET_BLOCK_MASK
+        if within is None:
+            interior = np.arange(b_lo + 1, b_hi, dtype=_I64)
+        else:
+            w = np.asarray(within, _I64)
+            interior = w[(w > b_lo) & (w < b_hi)]
+        nb_parts, cls_parts = [], []
         if lo_in == 0:
-            nb.append(b_lo); cls.append(C.CLS_FULL)
+            nb_parts.append([b_lo]); cls_parts.append([C.CLS_FULL])
         else:
-            nb.append(b_lo); cls.append(C.CLS_BIT)
+            nb_parts.append([b_lo]); cls_parts.append([C.CLS_BIT])
             rows.append(_edge_mask(lo_in, C.SET_BLOCK_MASK))
-        for b in range(b_lo + 1, b_hi):
-            nb.append(b); cls.append(C.CLS_FULL)
+        nb_parts.append(interior)
+        cls_parts.append(np.full(interior.size, C.CLS_FULL, np.uint8))
         if hi_in == C.SET_BLOCK_MASK:
-            nb.append(b_hi); cls.append(C.CLS_FULL)
+            nb_parts.append([b_hi]); cls_parts.append([C.CLS_FULL])
         else:
-            nb.append(b_hi); cls.append(C.CLS_BIT)
+            nb_parts.append([b_hi]); cls_parts.append([C.CLS_BIT])
             rows.append(_edge_mask(0, hi_in))
+        nb = np.concatenate([np.asarray(p, _I64) for p in nb_parts])
+        cls = np.concatenate([np.asarray(p, np.uint8) for p in cls_parts])
     pool = (jnp.asarray(np.stack(rows)) if rows else blockops.zero_pool(0))
-    struct = Structure(np.asarray(nb, _I64), np.asarray(cls, np.uint8))
-    return BitVector._from_parts(struct, pool, size)
+    return BitVector._from_parts(Structure(nb, cls), pool, size)
 
 
 def _edge_mask(lo_bit: int, hi_bit: int) -> np.ndarray:
