@@ -36,15 +36,18 @@ from .sv import (BitMatrix, FloatSparseVector, RSCSparseVector,  # noqa: E402
 # (src/bmalgo.h, bmalgo_impl.h, bmalgo_similarity.h, bmintervals.h,
 # bm3vl.h, bmrandom.h, bmbvimport.h, bmsparsevec_algo.h)
 from .algo.setops import (  # noqa: E402
-    any_and, any_or, any_sub, any_xor, bit_import, build_similarity_batch,
+    any_and, any_or, any_sub, any_xor, bit_import,
+    build_jaccard_similarity_batch, build_similarity_batch,
     combine_and, combine_and_sorted, combine_or, combine_sub, combine_xor,
     count_and, count_or, count_sub, count_xor, distance_and_operation,
-    distance_operation, export_array, similarity_batch)
+    distance_operation, distance_operation_any, export_array,
+    similarity_batch)
 from .algo.traversal import (  # noqa: E402
     for_each_bit, for_each_bit_range, rank_range_split, visit_each_bit,
     visit_each_bit_range)
 from .algo.intervals import (  # noqa: E402
-    find_interval_end, find_interval_start, interval_enumerator, is_interval)
+    count_intervals, find_interval_end, find_interval_start,
+    interval_enumerator, is_interval)
 from .algo.kleene import (  # noqa: E402
     and_kleene, get_value_kleene, init_kleene, invert_kleene, or_kleene,
     set_value_kleene)
@@ -69,13 +72,13 @@ __all__ = [
     # free functions (reference bm:: namespace)
     "count_and", "count_or", "count_xor", "count_sub",
     "any_and", "any_or", "any_xor", "any_sub",
-    "distance_operation", "distance_and_operation",
+    "distance_operation", "distance_operation_any", "build_jaccard_similarity_batch", "distance_and_operation",
     "similarity_batch", "build_similarity_batch",
     "combine_or", "combine_and", "combine_and_sorted", "combine_xor",
     "combine_sub", "export_array", "bit_import",
     "for_each_bit", "for_each_bit_range", "visit_each_bit",
     "visit_each_bit_range", "rank_range_split",
-    "interval_enumerator", "is_interval", "find_interval_start",
+    "count_intervals", "interval_enumerator", "is_interval", "find_interval_start",
     "find_interval_end",
     "init_kleene", "get_value_kleene", "set_value_kleene", "invert_kleene",
     "or_kleene", "and_kleene",

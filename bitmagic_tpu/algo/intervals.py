@@ -83,3 +83,17 @@ def find_interval_end(bv: BitVector, pos: int):
         else:
             hi_s = mid - 1
     return lo_s
+
+
+def count_intervals(bv: BitVector) -> int:
+    """Total number of maximal runs of EITHER value over [0, size)
+    (reference count_intervals, src/bmalgo_impl.h:1389: transition count
+    + 1, corrected when the last bit is set).  An empty vector is one
+    zero-interval.  Cost matches intervals(): O(set bits) run extraction."""
+    runs = intervals(bv)
+    r = runs.shape[0]
+    if r == 0:
+        return 1
+    first0 = int(runs[0, 0] == 0)
+    endmax = int(runs[-1, 1] == bv.size - 1)
+    return 2 * r + 1 - first0 - endmax

@@ -278,3 +278,50 @@ def build_similarity_batch(vectors, metric=COUNT_AND):
     """Builder-name alias of similarity_batch (reference
     build_similarity_batch, src/bmalgo_similarity.h:173)."""
     return similarity_batch(vectors, metric)
+
+
+def distance_operation_any(a: BitVector, b: BitVector, metrics) -> dict:
+    """Lazy boolean variant of distance_operation (reference
+    distance_operation_any, src/bmalgo_impl.h:922): per requested metric,
+    whether the corresponding combined vector has ANY bit — computed with
+    the short-circuit any_* block walks, never full counts."""
+    out = {}
+    for m in metrics:
+        if m == COUNT_AND:
+            out[m] = any_and(a, b)
+        elif m == COUNT_OR:
+            out[m] = any_or(a, b)
+        elif m == COUNT_XOR:
+            out[m] = any_xor(a, b)
+        elif m == COUNT_SUB_AB:
+            out[m] = any_sub(a, b)
+        elif m == COUNT_SUB_BA:
+            out[m] = any_sub(b, a)
+        elif m == COUNT_A:
+            out[m] = a.any()
+        elif m == COUNT_B:
+            out[m] = b.any()
+        else:
+            raise ValueError(f"unknown metric {m}")
+    return out
+
+
+def build_jaccard_similarity_batch(sv) -> list:
+    """Pairwise Jaccard similarity over the value slices of a sparse
+    vector (reference build_jaccard_similarity_batch + similarity_batch
+    calculate()/sort(), src/bmalgo_similarity.h:186): for every
+    upper-triangular plane pair, one fused (COUNT_AND, COUNT_OR) distance
+    pass; returns descriptors (i, j, count_and, count_or, jaccard) sorted
+    by descending similarity."""
+    planes = [(i, p) for i, p in enumerate(sv.planes) if p is not None]
+    out = []
+    for x in range(len(planes)):
+        i, bi = planes[x]
+        for y in range(x + 1, len(planes)):
+            j, bj = planes[y]
+            d = distance_operation(bi, bj, [COUNT_AND, COUNT_OR])
+            c_and, c_or = d[COUNT_AND], d[COUNT_OR]
+            jac = (c_and / c_or) if c_or else 0.0
+            out.append((i, j, c_and, c_or, jac))
+    out.sort(key=lambda t: t[4], reverse=True)
+    return out

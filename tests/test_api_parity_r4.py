@@ -526,3 +526,47 @@ def test_serializer_knob_accessors():
     assert st and sum(st.values()) >= 1
     from bitmagic_tpu.serial.serializer import Deserializer
     assert Deserializer().deserialize(blob).equal(bv)
+
+
+def test_count_intervals():
+    from bitmagic_tpu import count_intervals
+    bv = BitVector(100)
+    assert count_intervals(bv) == 1                # one zero-run
+    bv.set_range(0, 99)
+    assert count_intervals(bv) == 1                # one ones-run
+    bv2 = BitVector.from_indices(np.asarray([2, 3, 4, 10], _I64), 100)
+    # 00 111 00000 1 0...  -> 0,1,0,1,0 = 5 runs
+    assert count_intervals(bv2) == 5
+    bv3 = BitVector.from_indices(np.asarray([0, 99], _I64), 100)
+    # 1 0...0 1 = 3 runs
+    assert count_intervals(bv3) == 3
+
+
+def test_distance_operation_any(rng):
+    import bitmagic_tpu as bm
+    from bitmagic_tpu.algo.setops import (COUNT_A, COUNT_AND, COUNT_OR,
+                                          COUNT_SUB_AB, COUNT_SUB_BA,
+                                          COUNT_XOR)
+    a = BitVector.from_indices(np.asarray([5, 70000], _I64), 2 ** 20)
+    b = BitVector.from_indices(np.asarray([5], _I64), 2 ** 20)
+    got = bm.distance_operation_any(
+        a, b, [COUNT_AND, COUNT_OR, COUNT_XOR, COUNT_SUB_AB, COUNT_SUB_BA,
+               COUNT_A])
+    assert got[COUNT_AND] and got[COUNT_OR] and got[COUNT_XOR]
+    assert got[COUNT_SUB_AB] and not got[COUNT_SUB_BA] and got[COUNT_A]
+
+
+def test_build_jaccard_similarity_batch(rng):
+    import bitmagic_tpu as bm
+    vals = (rng.integers(0, 4, 3000) * 3).astype(np.uint32)
+    sv = SparseVector.from_array(vals)
+    batch = bm.build_jaccard_similarity_batch(sv)
+    assert batch                    # at least one plane pair
+    # descriptors sorted by descending jaccard; values verified per pair
+    jacs = [d[4] for d in batch]
+    assert jacs == sorted(jacs, reverse=True)
+    for i, j, c_and, c_or, jac in batch:
+        bi, bj = sv.planes[i], sv.planes[j]
+        assert c_and == bm.count_and(bi, bj)
+        assert c_or == bm.count_or(bi, bj)
+        assert jac == (c_and / c_or if c_or else 0.0)
