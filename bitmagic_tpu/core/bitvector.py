@@ -1621,49 +1621,71 @@ def _count_range_rows(rows, nbs_np, lo, hi):
     return int(per_row.astype(np.int64).sum())
 
 
-def _materialize_dense(bv: BitVector, first_blk: int, last_blk: int):
-    """Dense pool covering [first_blk, last_blk] inclusive."""
-    all_nb = np.arange(first_blk, last_blk + 1, dtype=_I64)
-    rows = gather_operand(*operand_args(bv, all_nb))
-    return rows, all_nb
+def _shift_rows(bv: BitVector):
+    """Dense host rows for the PRESENT blocks only (FULL/GAP expanded).
+    The shift helpers below stitch carries between adjacent blocks on the
+    host, so the old contiguous-span materialization (O(address span) —
+    4e9 blocks for ids straddling the 48-bit space) is never needed."""
+    nbs = bv._struct.nb
+    rows = np.asarray(gather_operand(*operand_args(bv, nbs)), np.uint32)
+    return nbs, rows
+
+
+def _assemble_shifted(nbs, rows, new_nb, new_rows, size) -> BitVector:
+    if new_nb.size:
+        nbs = np.concatenate([nbs, new_nb])
+        rows = np.concatenate([rows, new_rows], axis=0)
+        order = np.argsort(nbs, kind="stable")
+        nbs, rows = nbs[order], rows[order]
+    return BitVector._from_parts(
+        Structure(nbs, np.full(nbs.size, C.CLS_BIT, np.uint8)),
+        jnp.asarray(rows), size)
 
 
 def _shifted_up(bv: BitVector) -> BitVector:
-    """bv shifted one bit towards higher indices (whole vector)."""
+    """bv shifted one bit towards higher indices (whole vector).
+    Per-block shift + host carry stitching: a block's carry-out lands in
+    the adjacent successor when present, else becomes a new 1-bit block."""
+    bv._flush()
     if len(bv._struct.nb) == 0:
         return bv
-    lo_b, hi_b = int(bv._struct.nb[0]), int(bv._struct.nb[-1])
-    # carry may cross into hi_b + 1
-    rows, all_nb = _materialize_dense(bv, lo_b, hi_b)
-    pool, carry = blockops.shift_right1(rows, jnp.uint32(0))
-    structs = [all_nb]
-    pools = [pool]
-    if bool(carry != 0):
-        extra = np.zeros((1, C.SET_BLOCK_SIZE), np.uint32)
-        extra[0, 0] = 1
-        structs.append(np.asarray([hi_b + 1], _I64))
-        pools.append(jnp.asarray(extra))
-    nb = np.concatenate(structs)
-    pool = jnp.concatenate(pools, axis=0)
-    out = BitVector._from_parts(
-        Structure(nb, np.full(nb.size, C.CLS_BIT, np.uint8)), pool, bv._size)
-    out._drop_trailing(bv._size)
-    return out
+    nbs, rows = _shift_rows(bv)
+    top = (rows[:, -1] >> 31).astype(np.uint32)       # per-block carry-out
+    out = rows << np.uint32(1)
+    out[:, 1:] |= rows[:, :-1] >> 31
+    succ_present = np.append(nbs[1:] == nbs[:-1] + 1, False)
+    recv = np.flatnonzero(np.concatenate([[False], succ_present[:-1]]))
+    out[recv, 0] |= top[recv - 1]
+    make = (top == 1) & ~succ_present
+    new_nb = nbs[make] + 1
+    new_rows = np.zeros((new_nb.size, C.SET_BLOCK_SIZE), np.uint32)
+    new_rows[:, 0] = 1
+    res = _assemble_shifted(nbs, out, new_nb, new_rows, bv._size)
+    res._drop_trailing(bv._size)
+    return res
 
 
 def _shifted_down(bv: BitVector) -> BitVector:
+    """bv shifted one bit towards lower indices.  A block's bit 0 lands in
+    the adjacent predecessor's top bit when present, else becomes a new
+    block below (the contiguous-span version silently DROPPED that bit
+    whenever the predecessor was absent)."""
+    bv._flush()
     if len(bv._struct.nb) == 0:
         return bv
-    lo_b, hi_b = int(bv._struct.nb[0]), int(bv._struct.nb[-1])
-    rows, all_nb = _materialize_dense(bv, lo_b, hi_b)
-    pool, _ = blockops.shift_left1(rows, jnp.uint32(0))
-    # bit may flow from block k into k-1 across the materialized span; the
-    # span covers it, but the first block may receive from below only if
-    # lo_b > 0 and block lo_b-1 ... it is zero, nothing flows in.
-    out = BitVector._from_parts(
-        Structure(all_nb, np.full(all_nb.size, C.CLS_BIT, np.uint8)), pool,
-        bv._size)
-    return out
+    nbs, rows = _shift_rows(bv)
+    bottom = (rows[:, 0] & 1).astype(np.uint32)       # bit leaving each block
+    out = rows >> np.uint32(1)
+    out[:, :-1] |= (rows[:, 1:] & 1) << np.uint32(31)
+    succ_present = np.append(nbs[1:] == nbs[:-1] + 1, False)
+    recv = np.flatnonzero(succ_present)
+    out[recv, -1] |= bottom[recv + 1] << np.uint32(31)
+    prev_present = np.concatenate([[False], nbs[1:] == nbs[:-1] + 1])
+    make = (bottom == 1) & ~prev_present & (nbs > 0)
+    new_nb = nbs[make] - 1
+    new_rows = np.zeros((new_nb.size, C.SET_BLOCK_SIZE), np.uint32)
+    new_rows[:, -1] = np.uint32(0x80000000)
+    return _assemble_shifted(nbs, out, new_nb, new_rows, bv._size)
 
 
 def _find_in_row_np(row: np.ndarray, from_bit: int) -> int:

@@ -213,3 +213,34 @@ def test_gap_residency_48bit():
     bv.build_rs_index()
     k = ids.size // 2
     assert bv.select(k) == int(ids[k - 1])
+
+
+def test_shift_insert_erase_block_boundaries():
+    """Shift helpers stitch carries across ABSENT neighbor blocks: the old
+    contiguous-span formulation dropped a bit crossing the lowest present
+    block's boundary (erase/shift_left data loss) and was O(address span)
+    on sparse 48-bit vectors."""
+    bv = BitVector.from_indices(np.asarray([65536], _I64), 2 ** 20)
+    bv.erase(0)
+    assert bv.indices().tolist() == [65535]
+    bv2 = BitVector.from_indices(np.asarray([65536, 200000], _I64), 2 ** 20)
+    bv2.erase(5)
+    assert bv2.indices().tolist() == [65535, 199999]
+    b = BitVector.from_indices(np.asarray([65536], _I64), 2 ** 20)
+    b.shift_left()
+    assert b.indices().tolist() == [65535]
+    # far-apart blocks stay O(own blocks) and carry correctly both ways
+    b3 = BitVector.from_indices(np.asarray([0, B32, TOP - 2], _I64), TOP)
+    b3.shift_right()
+    assert b3.indices().tolist() == [1, B32 + 1, TOP - 1]
+    b3.shift_left()
+    assert b3.indices().tolist() == [0, B32, TOP - 2]
+    b4 = BitVector.from_indices(np.asarray([7, 1 << 40], _I64), TOP)
+    b4.insert(3, True)
+    assert b4.indices().tolist() == [3, 8, (1 << 40) + 1]
+    b4.erase(3)
+    assert b4.indices().tolist() == [7, 1 << 40]
+    # bit shifted past the end of the space is dropped
+    b5 = BitVector.from_indices(np.asarray([TOP - 1], _I64), TOP)
+    b5.shift_right()
+    assert b5.indices().tolist() == []

@@ -651,8 +651,105 @@ def trial_sbv(rng, seed, t):
         _fail(f"sbv group_and_exchange {cnt} != {want_cnt}", seed, t)
 
 
+def trial_bounds(rng, seed, t):
+    """48-bit address-space torture: random keep/clear/copy/set ranges,
+    inserts/erases and logic ops on vectors whose ids span every scale up
+    to 2^48, cross-checked against a pure-Python id-set golden (the ops
+    were O(blocks-in-range) before round 4 — this family pins the
+    narrowed formulation at every span size)."""
+    TOP = C.ID_MAX48
+    scales = [1 << 16, 1 << 32, 1 << 40, TOP]
+    parts = [rng.integers(0, scales[int(rng.integers(0, len(scales)))],
+                          int(rng.integers(1, 1500)))
+             for _ in range(3)]
+    ids = np.unique(np.concatenate(parts).astype(np.int64))
+    strat = C.BM_GAP if rng.integers(0, 2) else C.BM_BIT
+    bv = bm.BitVector.from_indices(ids, TOP, strategy=strat)
+    gold = set(int(x) for x in ids)
+
+    def rand_span(max_len=None):
+        lo = int(rng.integers(0, TOP - 2))
+        if max_len is None:
+            hi = int(rng.integers(lo, TOP - 1))
+        else:
+            hi = min(lo + int(rng.integers(0, max_len)), TOP - 1)
+        return lo, hi
+
+    for _ in range(int(rng.integers(2, 6))):
+        op = int(rng.integers(0, 7))
+        if op == 0:
+            lo, hi = rand_span()
+            bv.keep_range(lo, hi)
+            gold = {i for i in gold if lo <= i <= hi}
+        elif op == 1:
+            lo, hi = rand_span()
+            bv.set_range(lo, hi, False)
+            gold = {i for i in gold if not (lo <= i <= hi)}
+        elif op == 2:
+            lo, hi = rand_span(max_len=100_000)
+            bv.set_range(lo, hi, True)
+            gold |= set(range(lo, hi + 1))
+        elif op == 3:
+            src = bv.copy()
+            lo, hi = rand_span()
+            bv.copy_range(src, lo, hi)
+            gold = {i for i in gold if lo <= i <= hi}
+        elif op == 4:
+            other_ids = np.unique(rng.integers(
+                0, scales[int(rng.integers(0, len(scales)))],
+                int(rng.integers(1, 800))).astype(np.int64))
+            other = bm.BitVector.from_indices(other_ids, TOP)
+            so = set(int(x) for x in other_ids)
+            which = int(rng.integers(0, 4))
+            if which == 0:
+                bv &= other; gold &= so
+            elif which == 1:
+                bv |= other; gold |= so
+            elif which == 2:
+                bv ^= other; gold ^= so
+            else:
+                bv -= other; gold -= so
+        elif op == 5:
+            i = int(rng.integers(0, TOP - 1))
+            val = bool(rng.integers(0, 2))
+            bv.insert(i, val)
+            gold = {x + 1 if x >= i else x for x in gold if x + 1 < TOP}
+            if val:
+                gold.add(i)
+        else:
+            i = int(rng.integers(0, TOP - 1))
+            bv.erase(i)
+            gold = {x - 1 if x > i else x for x in gold if x != i}
+        if rng.integers(0, 3) == 0:
+            bv.optimize()
+    if sorted(gold) != bv.indices().tolist():
+        _fail(f"bounds id-set mismatch ({len(gold)} golden)", seed, t)
+    if len(gold) != bv.count():
+        _fail("bounds count mismatch", seed, t)
+    lo, hi = rand_span()
+    want = sum(1 for i in gold if lo <= i <= hi)
+    if bv.count_range(lo, hi) != want:
+        _fail(f"bounds count_range({lo},{hi})", seed, t)
+    if gold:
+        srt = sorted(gold)
+        bv.build_rs_index()
+        probe = srt[int(rng.integers(0, len(srt)))]
+        if bv.count_to(probe) != srt.index(probe) + 1:
+            _fail(f"bounds count_to({probe})", seed, t)
+        k = int(rng.integers(1, len(srt) + 1))
+        if bv.select(k) != srt[k - 1]:
+            _fail(f"bounds select({k})", seed, t)
+    blob = bm.Serializer(6).serialize(bv)
+    if not bm.Deserializer().deserialize(blob).equal(bv):
+        _fail("bounds blob round-trip", seed, t)
+    lo, hi = rand_span()
+    win = bm.Deserializer().deserialize_range(blob, lo, hi)
+    if win.indices().tolist() != sorted(i for i in gold if lo <= i <= hi):
+        _fail(f"bounds range-deser({lo},{hi})", seed, t)
+
+
 TRIALS = [trial_int, trial_float, trial_str, trial_rsc, trial_sorted,
-          trial_stream, trial_refbridge, trial_sbv]
+          trial_stream, trial_refbridge, trial_sbv, trial_bounds]
 
 
 def main():
@@ -660,7 +757,7 @@ def main():
     ap.add_argument("--trials", type=int, default=30)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--family", type=str, default=None,
-                    help="int|float|str|rsc|sorted|stream|refbridge|sbv")
+                    help="int|float|str|rsc|sorted|stream|refbridge|sbv|bounds")
     args = ap.parse_args()
     fams = {f.__name__.removeprefix("trial_"): f for f in TRIALS}
     for t in range(args.trials):
