@@ -748,8 +748,116 @@ def trial_bounds(rng, seed, t):
         _fail(f"bounds range-deser({lo},{hi})", seed, t)
 
 
+def trial_misc(rng, seed, t):
+    """Randomized depth for the L3 algorithm family: Kleene truth tables,
+    rank compressor round-trips, interval views, enumerator skip/rank
+    walks, random_subset exactness, and per-plane SV insert/erase —
+    all vs plain-Python goldens."""
+    size = int(rng.integers(2, 40)) * C.BITS_PER_BLOCK
+    n = int(rng.integers(1, 3000))
+    ids_a = np.unique(rng.integers(0, size, n)).astype(np.int64)
+    ids_b = np.unique(rng.integers(0, size, n)).astype(np.int64)
+    a = bm.BitVector.from_indices(ids_a, size)
+    b = bm.BitVector.from_indices(ids_b, size)
+    sa, sb = set(ids_a.tolist()), set(ids_b.tolist())
+
+    # Kleene: set random trinary values, check get/invert/and tables
+    val_a, kn_a = bm.init_kleene(a.copy(), b.copy())
+    probes = np.unique(rng.integers(0, size, 50).astype(np.int64))
+    vals = rng.integers(-1, 2, probes.size)
+    gold_tri = {}
+    for p, v in zip(probes, vals):
+        bm.set_value_kleene(val_a, kn_a, int(p), int(v))
+        gold_tri[int(p)] = int(v)
+    for p in probes:
+        if bm.get_value_kleene(val_a, kn_a, int(p)) != gold_tri[int(p)]:
+            _fail(f"kleene get({p})", seed, t)
+    ik_ = kn_a.copy()
+    iv_ = bm.invert_kleene(val_a.copy(), ik_)
+    for p in probes:
+        if bm.get_value_kleene(iv_, ik_, int(p)) != -gold_tri[int(p)]:
+            _fail(f"kleene invert({p})", seed, t)
+    # AND truth table on a second random trinary vector
+    val_b, kn_b = bm.init_kleene(b.copy(), a.copy())
+    av, ak = bm.and_kleene(val_a.copy(), kn_a.copy(), val_b, kn_b)
+    table = {(1, 1): 1, (1, 0): 0, (0, 1): 0, (0, 0): 0,
+             (1, -1): -1, (-1, 1): -1, (0, -1): -1, (-1, 0): -1,
+             (-1, -1): -1}
+    for p in probes[:20]:
+        x = bm.get_value_kleene(val_a, kn_a, int(p))
+        y = bm.get_value_kleene(val_b, kn_b, int(p))
+        if bm.get_value_kleene(av, ak, int(p)) != table[(x, y)]:
+            _fail(f"kleene and({p}): {x},{y}", seed, t)
+
+    # rank compressor round-trip: compress by index then decompress
+    idx_bv = bm.BitVector.from_indices(ids_b, size)
+    comp = bm.rank_compress.compress(a, idx_bv)
+    dec = bm.rank_compress.decompress(comp, idx_bv)
+    want_dec = sorted(sa & sb)
+    if dec.indices().tolist() != want_dec:
+        _fail("rank_compress round-trip", seed, t)
+
+    # intervals vs golden runs
+    srt = sorted(sa)
+    gold_runs = []
+    for i in srt:
+        if gold_runs and gold_runs[-1][1] == i - 1:
+            gold_runs[-1][1] = i
+        else:
+            gold_runs.append([i, i])
+    from bitmagic_tpu.algo.intervals import count_intervals, intervals as _iv
+    got_runs = _iv(a).tolist()
+    if got_runs != gold_runs:
+        _fail("intervals runs", seed, t)
+    want_ci = (2 * len(gold_runs) + 1
+               - (1 if gold_runs and gold_runs[0][0] == 0 else 0)
+               - (1 if gold_runs and gold_runs[-1][1] == size - 1 else 0))         if gold_runs else 1
+    if count_intervals(a) != want_ci:
+        _fail("count_intervals", seed, t)
+
+    # enumerator skip / skip_to_rank walks
+    if srt:
+        e = a.get_enumerator(0)
+        k = int(rng.integers(0, len(srt)))
+        e.skip(k)
+        if e.value() != srt[k]:
+            _fail(f"enumerator skip({k})", seed, t)
+        pos = int(rng.integers(0, size))
+        e2 = a.get_enumerator(0)
+        ok = e2.go_to(pos)
+        nxt = [i for i in srt if i >= pos]
+        if bool(ok and e2.valid()) != bool(nxt) or (nxt and e2.value() != nxt[0]):
+            _fail(f"enumerator go_to({pos})", seed, t)
+
+    # random_subset: exact count, subset property
+    if srt:
+        want_n = int(rng.integers(1, len(srt) + 1))
+        sub = bm.random_subset(a, want_n, seed=seed)
+        sids = sub.indices().tolist()
+        if len(sids) != want_n or not set(sids) <= sa:
+            _fail(f"random_subset({want_n})", seed, t)
+
+    # SV element insert/erase at random (incl. block-edge) positions
+    m = int(rng.integers(1, 400))
+    vals_sv = rng.integers(0, 2**16, m).astype(np.uint32)
+    sv = SparseVector.from_array(vals_sv)
+    gold_list = vals_sv.tolist()
+    for _ in range(int(rng.integers(1, 4))):
+        i = int(rng.integers(0, len(gold_list) + 1)) if gold_list else 0
+        if rng.integers(0, 2) and gold_list:
+            i = min(i, len(gold_list) - 1)
+            sv.erase(i)
+            gold_list.pop(i)
+        else:
+            v = int(rng.integers(0, 2**16))
+            sv.insert(i, v)
+            gold_list.insert(i, v)
+    if sv.to_numpy()[:len(gold_list)].tolist() != gold_list:
+        _fail("sv insert/erase", seed, t)
+
+
 TRIALS = [trial_int, trial_float, trial_str, trial_rsc, trial_sorted,
-          trial_stream, trial_refbridge, trial_sbv, trial_bounds]
+          trial_stream, trial_refbridge, trial_sbv, trial_bounds, trial_misc]
 
 
 def main():
@@ -757,7 +865,7 @@ def main():
     ap.add_argument("--trials", type=int, default=30)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--family", type=str, default=None,
-                    help="int|float|str|rsc|sorted|stream|refbridge|sbv|bounds")
+                    help="int|float|str|rsc|sorted|stream|refbridge|sbv|bounds|misc")
     args = ap.parse_args()
     fams = {f.__name__.removeprefix("trial_"): f for f in TRIALS}
     for t in range(args.trials):
