@@ -570,3 +570,44 @@ def test_build_jaccard_similarity_batch(rng):
         assert c_and == bm.count_and(bi, bj)
         assert c_or == bm.count_or(bi, bj)
         assert jac == (c_and / c_or if c_or else 0.0)
+
+
+def test_staged_aggregator_matches_fused(rng):
+    """stage()/run_step() stepping equals the fused
+    combine_shift_right_and chain, including GAP-resident operands."""
+    from bitmagic_tpu.agg.aggregator import OperationStatus
+    size = 8 * 65536
+    vs = []
+    for j in range(4):
+        ids = np.unique(rng.integers(0, size, 400)).astype(_I64)
+        v = BitVector.from_indices(ids, size)
+        if j % 2:
+            v.optimize()
+        vs.append(v)
+    agg = Aggregator()
+    for v in vs:
+        agg.add(v)
+    agg.set_operation(BM_SHIFT_R_AND)
+    agg.stage()
+    while agg.run_step() != OperationStatus.op_done:
+        pass
+    fused = Aggregator().combine_shift_right_and(vs)
+    assert agg.get_target().equal(fused)
+
+
+def test_bitap_vs_golden_block_edges(rng):
+    """combine_shift_right_and against a pure-Python golden with ids
+    pinned to block boundaries (carry crossings)."""
+    size = 6 * 65536
+    vs, sets = [], []
+    for _ in range(4):
+        ids = np.unique(np.append(
+            rng.integers(0, size, 300),
+            [65535, 65536, 131071, size - 1])).astype(_I64)
+        vs.append(BitVector.from_indices(ids, size))
+        sets.append(set(ids.tolist()))
+    acc = sets[0]
+    for s in sets[1:]:
+        acc = {x + 1 for x in acc if x + 1 < size} & s
+    got = Aggregator().combine_shift_right_and(vs)
+    assert sorted(acc) == got.indices().tolist()

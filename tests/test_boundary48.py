@@ -244,3 +244,30 @@ def test_shift_insert_erase_block_boundaries():
     b5 = BitVector.from_indices(np.asarray([TOP - 1], _I64), TOP)
     b5.shift_right()
     assert b5.indices().tolist() == []
+
+
+def test_sv_serialization_48bit_positions():
+    """Both wire formats round-trip SVs whose assigned positions span the
+    48-bit element space (NULL planes + value slices at huge block ids)."""
+    from bitmagic_tpu.serial.ref_sv import (deserialize_sv_blob,
+                                            deserialize_str_blob,
+                                            serialize_sv_blob,
+                                            serialize_str_blob)
+    from bitmagic_tpu.serial.sv_serial import (sparse_vector_deserialize,
+                                               sparse_vector_serialize)
+    sv = bm.SparseVector(np.uint32, nullable=True)
+    pos = [0, B32 - 1, B32, (1 << 44) + 7, TOP - 2]
+    vals = [9, 12345, 7, 42, 2 ** 31]
+    for p, v in zip(pos, vals):
+        sv.set(p, v)
+    back = sparse_vector_deserialize(sparse_vector_serialize(sv))
+    rback = deserialize_sv_blob(serialize_sv_blob(sv), np.uint32)
+    for p, v in zip(pos, vals):
+        assert int(back[p]) == v and int(rback[p]) == v, p
+        assert not back.is_null(p)
+    assert back.is_null(5)
+    st = bm.StrSparseVector(8, nullable=True)
+    st.set(1 << 40, "hello")
+    st.set(3, "abc")
+    stb = deserialize_str_blob(serialize_str_blob(st))
+    assert stb.get(1 << 40) == "hello" and stb.get(3) == "abc"
