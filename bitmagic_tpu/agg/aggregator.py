@@ -162,12 +162,14 @@ class Aggregator:
         self.reset()
 
     def reset(self):
-        """Clear added argument groups (reference reset, :386)."""
+        """Clear added argument groups (reference reset, :386 — which
+        also calls reset_range_hint, src/bmaggregator.h:941-946)."""
         self._groups = ([], [])
         self._operation = BM_NOT_DEFINED
         self._op_status = OperationStatus.op_undefined
         self._op_k = 0
         self._bv_target: BitVector | None = None
+        self._range_hint = None
 
     def add(self, bv, group: int = 0) -> int:
         self._groups[group].append(bv)
@@ -445,18 +447,34 @@ class Aggregator:
         args = (_operand_args(and_group, nb) + _operand_args(sub_group, nb))
         flags = np.asarray(_agg_any_kernel(len(and_group), len(sub_group),
                                            *args))
-        hit = np.flatnonzero(flags)
-        if hit.size == 0:
-            return -1
-        k = int(hit[0])
-        one = nb[k: k + 1]
-        args1 = (_operand_args(and_group, one)
-                 + _operand_args(sub_group, one))
-        row = np.asarray(_agg_kernel(len(and_group), len(sub_group),
-                                     *args1))[0]
-        bit = int(np.flatnonzero(np.unpackbits(
-            row.view(np.uint8), bitorder="little"))[0])
-        return (int(nb[k]) << C.SET_BLOCK_SHIFT) + bit
+        hits = np.flatnonzero(flags)
+        # with a range hint the edge blocks need a bit-precise scan (the
+        # reference installs a precise filter for the one-block case,
+        # src/bmaggregator.h:974-987/2006-2011); a hit block may hold only
+        # out-of-range bits, so walk hit blocks until a real in-range bit
+        for k in hits:
+            k = int(k)
+            one = nb[k: k + 1]
+            args1 = (_operand_args(and_group, one)
+                     + _operand_args(sub_group, one))
+            row = np.asarray(_agg_kernel(len(and_group), len(sub_group),
+                                         *args1))[0]
+            bits = np.unpackbits(row.view(np.uint8), bitorder="little")
+            base = int(nb[k]) << C.SET_BLOCK_SHIFT
+            if self._range_hint is not None:
+                lo, hi = self._range_hint
+                lo_in = max(lo - base, 0)
+                hi_in = min(hi - base, C.BITS_PER_BLOCK - 1)
+                if hi_in < lo_in:
+                    continue
+                nz = np.flatnonzero(bits[lo_in:hi_in + 1])
+                if nz.size == 0:
+                    continue
+                return base + lo_in + int(nz[0])
+            nz = np.flatnonzero(bits)
+            if nz.size:
+                return base + int(nz[0])
+        return -1
 
     def combine_shift_right_and(self, vectors) -> BitVector:
         """Bitap-style fingerprint combine: acc = v0; acc = (acc shifted one
@@ -724,6 +742,34 @@ def _optimized(fn):
         return self._maybe_optimize(fn(self, *a, **kw))
     return wrap
 
+
+def _range_hinted(fn):
+    """Enforce the range hint on the combine_and_sub result regardless of
+    internal path (the succinct run-domain fold ignores the block-list
+    narrowing).  One-block hints are BIT-precise, matching the reference's
+    gap_init_range_block filter (src/bmaggregator.h:974-987, 2006-2011);
+    wider hints stay block-granular like the reference."""
+    @functools.wraps(fn)
+    def wrap(self, *a, **kw):
+        out = fn(self, *a, **kw)
+        rh = self._range_hint
+        if rh is not None and isinstance(out, BitVector) and out.size:
+            lo, hi = rh
+            blo, bhi = lo >> C.SET_BLOCK_SHIFT, hi >> C.SET_BLOCK_SHIFT
+            if blo == bhi:
+                lo2, hi2 = lo, min(hi, out.size - 1)
+            else:
+                lo2 = blo << C.SET_BLOCK_SHIFT
+                hi2 = min(((bhi + 1) << C.SET_BLOCK_SHIFT) - 1, out.size - 1)
+            if hi2 < lo2:
+                out.clear()
+            else:
+                out.keep_range(lo2, hi2)
+        return out
+    return wrap
+
+
+Aggregator.combine_and_sub = _range_hinted(Aggregator.combine_and_sub)
 
 for _n in ("combine_or", "combine_and", "combine_and_sub",
            "combine_shift_right_and"):

@@ -465,7 +465,10 @@ class BitVector:
         (reference src/bm.h:1238)."""
         self._check_writable()
         other._flush()
-        rng = _range_vector(int(lo), int(hi), other._size,
+        lo, hi = int(lo), int(hi)
+        if lo > hi:                     # reference xor_swap (src/bm.h:8006)
+            lo, hi = hi, lo
+        rng = _range_vector(lo, hi, other._size,
                             within=other._struct.nb)
         res = _binary(other, rng, "and")
         self._adopt(res)
@@ -1042,7 +1045,10 @@ class BitVector:
 
     def keep_range_struct(self, lo, hi):
         self._flush()
-        self._iand(_range_vector(int(lo), int(hi), self._size,
+        lo, hi = int(lo), int(hi)
+        if lo > hi:                     # reference xor_swap (bm.h keep_range)
+            lo, hi = hi, lo
+        self._iand(_range_vector(lo, hi, self._size,
                                  within=self._struct.nb))
         return self
 
@@ -1353,10 +1359,10 @@ class BitVector:
 
     def end(self):
         """Invalid end-sentinel enumerator (reference bvector::end,
-        src/bm.h:1877)."""
-        e = self.get_enumerator(0)
-        e.invalidate()
-        return e
+        src/bm.h:1877).  Constructed directly — no block decode or
+        device fetch happens for a sentinel."""
+        from .enumerator import Enumerator
+        return Enumerator.end_sentinel(self)
 
     def get_counted_enumerator(self, pos: int = 0):
         from .enumerator import CountedEnumerator

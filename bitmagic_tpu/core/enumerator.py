@@ -75,6 +75,17 @@ class Enumerator:
         self._entry = len(self._bv._struct.nb)
         return self
 
+    @classmethod
+    def end_sentinel(cls, bv):
+        """Invalid enumerator without the position-0 decode a normal
+        construction performs (bvector.end() support)."""
+        e = object.__new__(cls)
+        e._bv = bv
+        e._buf = np.zeros(0, _I64)
+        e._buf_i = 0
+        e._entry = len(bv._struct.nb)
+        return e
+
     def value(self) -> int:
         if not self.valid():
             raise StopIteration

@@ -220,8 +220,16 @@ class FloatSparseVector:
         self.sign.bit_or(other.sign)
         self.exponent.join(other.exponent)
         self.mantissa.join(other.mantissa)
-        if self.nullable and other.nullable:
-            self.null_plane.bit_or(other.null_plane)
+        if self.nullable:
+            if other.nullable:
+                self.null_plane.bit_or(other.null_plane)
+            elif other._size:
+                # non-nullable argument: all its positions are real
+                # (reference join_null_slice, src/bmsparsevec.h:2244)
+                self.null_plane.set_range(0, other._size - 1, True)
+        elif other.nullable:
+            self.nullable = True
+            self.null_plane = other.null_plane.copy()
         self._size = max(self._size, other._size)
         return self
 

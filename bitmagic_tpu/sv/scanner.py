@@ -77,8 +77,11 @@ class SparseVectorScanner:
     def reset_and_mask(self) -> None:
         self._and_mask = None
 
-    #: closed-range restriction, as a range bit-vector
-    #: (reference set_search_range, src/bmsparsevec_algo.h:1238)
+    #: closed-range restriction, held LAZILY as an (lo, hi) pair — an
+    #: eager range vector would enumerate O(blocks-in-range) metadata for
+    #: wide 48-bit ranges; results are trimmed with the block-narrowed
+    #: keep_range instead (reference set_search_range,
+    #: src/bmsparsevec_algo.h:1238)
     _search_range = None
 
     def set_search_range(self, from_, to) -> None:
@@ -88,13 +91,22 @@ class SparseVectorScanner:
         lo, hi = int(from_), int(to)
         if lo > hi:
             lo, hi = hi, lo
-        bv = BitVector(C.ID_MAX48)
-        bv.set_range(lo, hi)
-        self._search_range = bv
+        self._search_range = (lo, hi)
 
     def reset_search_range(self) -> None:
         """src/bmsparsevec_algo.h:1241."""
         self._search_range = None
+
+    def _range_operand(self, and_group) -> None:
+        """Append the search range as an AND operand for the find-first
+        paths, narrowed to the first operand's own blocks (absent blocks
+        contribute nothing to an AND)."""
+        if self._search_range is None or not and_group:
+            return
+        from ..core.bitvector import _range_vector
+        lo, hi = self._search_range
+        and_group.append(_range_vector(
+            lo, hi, C.ID_MAX48, within=and_group[0]._struct.nb))
 
     # ------------------------------------------------------------------
     def find_zero(self, sv: SparseVector) -> BitVector:
@@ -169,8 +181,7 @@ class SparseVectorScanner:
             and_group.append(sv.null_plane)
         if self._and_mask is not None:
             and_group.append(self._and_mask)
-        if self._search_range is not None:
-            and_group.append(self._search_range)
+        self._range_operand(and_group)
         return _agg.find_first_and_sub(and_group, sub_group)
 
     def find_ne(self, sv: SparseVector, value) -> BitVector:
@@ -459,8 +470,7 @@ class SparseVectorScanner:
             and_group.append(ssv.null_plane)
         if self._and_mask is not None:
             and_group.append(self._and_mask)
-        if self._search_range is not None:
-            and_group.append(self._search_range)
+        self._range_operand(and_group)
         return _agg.find_first_and_sub(and_group, sub_group)
 
     def lower_bound_str(self, ssv, s) -> int:
@@ -758,7 +768,7 @@ def _masked(fn):
         if m is not None:
             out.bit_and(m)
         if r is not None:
-            out.bit_and(r)
+            out.keep_range(*r)          # block-narrowed, O(result blocks)
         return out
     return wrap
 

@@ -419,6 +419,12 @@ class SparseVector:
             elif other._size:
                 # argument assumed all-real (reference join_null_slice)
                 self.null_plane.set_range(0, other._size - 1, True)
+        elif other.nullable:
+            # non-nullable target adopts the argument's NULL slice, which
+            # the main loop OR-copied (reference join_null_slice else
+            # branch: set_null_idx, src/bmsparsevec.h:2238-2243)
+            self.nullable = True
+            self.null_plane = other.null_plane.copy()
         return self
 
     def merge(self, other: "SparseVector"):

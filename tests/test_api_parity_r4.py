@@ -611,3 +611,99 @@ def test_bitap_vs_golden_block_edges(rng):
         acc = {x + 1 for x in acc if x + 1 < size} & s
     got = Aggregator().combine_shift_right_and(vs)
     assert sorted(acc) == got.indices().tolist()
+
+
+# ---------------------------------------------------------------------------
+# self-review regressions (round 4): join NULL semantics, range-hint
+# precision + reset, reversed bounds, lazy scanner range, cheap end()
+# ---------------------------------------------------------------------------
+
+def test_join_null_slice_adoption():
+    """Reference join_null_slice both branches (src/bmsparsevec.h:2238):
+    a nullable target marks a non-nullable argument's span real; a
+    non-nullable target adopts the argument's NULL slice."""
+    a = FloatSparseVector(np.float32, nullable=True)
+    b = FloatSparseVector.from_array(np.asarray([2.5, 3.5], np.float32))
+    a.join(b)
+    assert not a.is_null(1) and a[1] == 3.5
+    c = SparseVector(np.uint32)                 # non-nullable target
+    c.set(0, 7)
+    d = SparseVector(np.uint32, nullable=True)
+    d.set(2, 9)
+    c.join(d)
+    assert c.is_nullable() and not c.is_null(2) and c[2] == 9
+    f = FloatSparseVector(np.float32)
+    f.set(0, 1.0)
+    g = FloatSparseVector(np.float32, nullable=True)
+    g.set(1, -4.0)
+    f.join(g)
+    assert f.is_nullable() and not f.is_null(1) and f[1] == -4.0
+
+
+def test_range_hint_one_block_bit_precise_and_reset():
+    """One-block hints filter at BIT precision (reference
+    gap_init_range_block, src/bmaggregator.h:974-987); reset() clears the
+    hint (reference reset -> reset_range_hint, :941-946); the succinct
+    run-domain fold honors the hint too."""
+    v = BitVector.from_indices(np.asarray([5, 150], _I64), 2 ** 20)
+    agg = Aggregator()
+    assert agg.set_range_hint(100, 200)
+    assert agg.find_first_and_sub([v, v], []) == 150
+    assert agg.combine_and_sub([v, v], []).indices().tolist() == [150]
+    agg.reset()                                  # clears the hint
+    a5 = BitVector.from_indices(np.asarray([5], _I64), 2 ** 20)
+    assert agg.find_first_and_sub([a5, a5], []) == 5
+    # GAP-resident operands take the run-domain fold; hint still applies
+    import bitmagic_tpu.constants as C
+    ids = np.unique(
+        np.random.default_rng(0).integers(0, 2 ** 24, 200)).astype(_I64)
+    g1 = BitVector.from_indices(ids, 2 ** 24, strategy=C.BM_GAP)
+    agg2 = Aggregator()
+    agg2.set_range_hint(65536 * 3, 65536 * 8 - 1)
+    res = agg2.combine_and_sub([g1, g1.copy()], []).indices()
+    want = ids[(ids >= 65536 * 3) & (ids < 65536 * 8)]
+    np.testing.assert_array_equal(res, want)
+
+
+def test_reversed_bounds_swap():
+    """copy_range/keep_range swap reversed bounds (reference xor_swap,
+    src/bm.h:8006 / keep_range)."""
+    src = BitVector.from_indices(np.asarray([3, 70000, 200000], _I64),
+                                 2 ** 20)
+    dst = BitVector(2 ** 20)
+    dst.copy_range(src, 200000, 3)
+    assert dst.indices().tolist() == [3, 70000, 200000]
+    k = src.copy()
+    k.keep_range(70000, 3)
+    assert k.indices().tolist() == [3, 70000]
+
+
+def test_scanner_search_range_is_lazy():
+    """set_search_range holds (lo, hi) lazily — a 48-bit-wide range must
+    not enumerate blocks-in-range (the eager range vector did)."""
+    import time
+    sc = __import__("bitmagic_tpu").SparseVectorScanner()
+    vals = (np.arange(3000) % 7).astype(np.uint32)
+    sv = SparseVector.from_array(vals)
+    t0 = time.time()
+    sc.set_search_range(0, 2 ** 47)
+    got = sc.find_eq(sv, 3).indices()
+    assert time.time() - t0 < 10
+    np.testing.assert_array_equal(got, np.flatnonzero(vals == 3))
+    sc.set_search_range(10, 20)
+    assert sc.find_first_eq(sv, 3) == 10
+    sc.reset_search_range()
+
+
+def test_end_sentinel_is_cheap():
+    """end() must not decode block 0 (a sentinel costs no device fetch)."""
+    from bitmagic_tpu.core.enumerator import Enumerator
+    bv = BitVector.from_indices(np.asarray([1], _I64), 2 ** 20)
+    called = []
+    orig = Enumerator._load_entry
+    Enumerator._load_entry = lambda self, k: called.append(k) or orig(self, k)
+    try:
+        e = bv.end()
+    finally:
+        Enumerator._load_entry = orig
+    assert not e.valid() and called == []

@@ -10,6 +10,12 @@ all through the PUBLIC container APIs.
 Run on the real chip:      python tools/microbench.py
 Run on the CPU backend:    python tools/microbench.py --cpu
 Subset:                    python tools/microbench.py --only count,logic
+
+Timing discipline: memcpy/count use bench.timeit's slope method (repeat
+loop inside one jitted fori_loop, RTT-free).  The container-API families
+time whole public calls synchronized by a SCALAR result fetch (min of 5),
+so through the axon tunnel they include one dispatch+RTT (~29 ms) — they
+measure the API, not the bare kernel; read them relative to each other.
 """
 import argparse
 import os
@@ -83,20 +89,26 @@ def fam_count():
 
 
 def fam_logic():
+    # synchronize on a SCALAR count fetch (one RTT), never the result
+    # pool — fetching the pool would time the tunnel transfer, and
+    # block_until_ready does not actually wait through the tunnel
+    # (see CLAUDE.md / bench.py).  Numbers include one dispatch+RTT;
+    # bench.py's slope method is the RTT-free reference for config 1.
     a, b = _mk(), _mk()
-    for name, fn in [("and", lambda: a & b), ("or", lambda: a | b),
-                     ("xor", lambda: a ^ b), ("sub", lambda: a - b),
+    for name, fn in [("and", lambda: (a & b).count()),
+                     ("or", lambda: (a | b).count()),
+                     ("xor", lambda: (a ^ b).count()),
+                     ("sub", lambda: (a - b).count()),
                      ("and_cnt", lambda: bm.count_and(a, b)),
                      ("or_cnt", lambda: bm.count_or(a, b))]:
         for _ in range(2):
             fn()
-        t0 = time.perf_counter()
-        n = 5
-        for _ in range(n):
-            r = fn()
-        if hasattr(r, "_pool"):
-            np.asarray(r._pool)
-        t = (time.perf_counter() - t0) / n
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        t = min(ts)
         _report(name, t, 2 * MB / 1e3 / t, "GB/s")
 
 
