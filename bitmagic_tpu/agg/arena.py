@@ -135,8 +135,14 @@ def narrow_survivors(nb_union, present, sels: np.ndarray):
     there.  Pure host symbolic math (the run-domain analog of the
     aggregator's digest pre-pass, src/bmaggregator.h:1764)."""
     need = (sels == 1).astype(np.int32)
+    n_need = need.sum(axis=1, keepdims=True)
     got = need @ present
-    surv = (got == need.sum(axis=1, keepdims=True)).any(axis=0)
+    # all-zero selector rows are fallback/impossible requests resolved
+    # outside the fused sweep (forced-zero counts); without the n_need>0
+    # guard one such row would vacuously mark EVERY union block a
+    # survivor and re-expand the full dense stack the succinct mode
+    # exists to avoid
+    surv = ((got == n_need) & (n_need > 0)).any(axis=0)
     return nb_union[surv], int(nb_union.size)
 
 

@@ -137,20 +137,11 @@ class ShardedBitVector:
         return int(per_block.astype(np.int64).sum())
 
     def count_shardmap(self) -> int:
-        """Explicit-collective variant: local popcount + psum."""
-        mesh = self.mesh
-
-        @functools.partial(shard_map, mesh=mesh,
-                           in_specs=P(BLOCK_AXIS, None),
-                           out_specs=P(BLOCK_AXIS))
-        def _cnt(local):
-            # u32 local partial (one shard holds < 2^32 set bits by HBM
-            # bounds); per-shard partials combine on host in int64 —
-            # a u32 psum would wrap past 2^32 total set bits
-            c = jnp.sum(jax.lax.population_count(local), dtype=jnp.uint32)
-            return c[None]
-
-        return int(_host_fetch(_cnt(self.pool), np.int64).sum())
+        """Explicit-collective variant: local popcount partials (cached
+        jitted program — CLAUDE.md: shard_map programs must be wrapped in
+        jax.jit or every call re-traces)."""
+        return int(_host_fetch(_count_prog(self.mesh)(self.pool),
+                               np.int64).sum())
 
     def count_range(self, lo: int, hi: int) -> int:
         return blockops.count_range_pool(self.pool, lo, hi)
@@ -197,37 +188,13 @@ class ShardedBitVector:
             # wraps, so route through the rs_index path, which combines
             # everything cross-shard on host in int64
             return self.build_rs_index().select_batch(ranks)
-        mesh = self.mesh
-        n_shards = mesh.devices.size
         ranks64 = np.asarray(ranks, np.int64)
         # clip into int32 before the device sees them; clipped values stay
         # > total (capacity < 2^31 bounds total), so they resolve to -1
         ranks_a = jnp.asarray(
             np.clip(ranks64, -1, 2**31 - 1).astype(np.int32))
-
-        @functools.partial(shard_map, mesh=mesh,
-                           in_specs=(P(BLOCK_AXIS, None), P()),
-                           out_specs=P())
-        def _sel(local, rk):
-            from ..ops.select import global_wave_prefix, select_flat
-            gwc = global_wave_prefix(local)
-            total = gwc[-1]
-            sid = jax.lax.axis_index(BLOCK_AXIS)
-            totals = jax.lax.all_gather(total, BLOCK_AXIS)   # [n_shards]
-            before = jnp.sum(
-                jnp.where(jnp.arange(n_shards) < sid, totals, 0))
-            local_rank = rk - before
-            mine = (local_rank >= 1) & (local_rank <= total)
-            safe = jnp.clip(local_rank, 1, jnp.maximum(total, 1))
-            pos = select_flat(local, gwc, safe.astype(jnp.int32))
-            base = sid.astype(jnp.int32) * jnp.int32(
-                local.shape[0] * C.BITS_PER_BLOCK)
-            out = jnp.where(mine, base + pos, 0)
-            # tack the global total onto the answers: ONE fetch on return
-            out = jnp.concatenate([out, total[None]])
-            return jax.lax.psum(out, BLOCK_AXIS)
-
-        fetched = _host_fetch(_sel(self.pool, ranks_a), np.int64)
+        prog = _select_fused_prog(self.mesh, self.mesh.devices.size)
+        fetched = _host_fetch(prog(self.pool, ranks_a), np.int64)
         out, total = fetched[:-1], int(fetched[-1])
         out[(ranks64 < 1) | (ranks64 > total)] = -1
         return out
@@ -356,6 +323,47 @@ class ShardedRSIndex:
 
     def count(self) -> int:
         return self.total
+
+
+@functools.lru_cache(maxsize=16)
+def _count_prog(mesh):
+    def _cnt(local):
+        # u32 local partial (one shard holds < 2^32 set bits by HBM
+        # bounds); per-shard partials combine on host in int64 —
+        # a u32 psum would wrap past 2^32 total set bits
+        c = jnp.sum(jax.lax.population_count(local), dtype=jnp.uint32)
+        return c[None]
+
+    return jax.jit(shard_map(
+        _cnt, mesh=mesh,
+        in_specs=P(BLOCK_AXIS, None), out_specs=P(BLOCK_AXIS)))
+
+
+@functools.lru_cache(maxsize=16)
+def _select_fused_prog(mesh, n_shards):
+    from ..ops.select import global_wave_prefix, select_flat
+
+    def _sel(local, rk):
+        gwc = global_wave_prefix(local)
+        total = gwc[-1]
+        sid = jax.lax.axis_index(BLOCK_AXIS)
+        totals = jax.lax.all_gather(total, BLOCK_AXIS)   # [n_shards]
+        before = jnp.sum(
+            jnp.where(jnp.arange(n_shards) < sid, totals, 0))
+        local_rank = rk - before
+        mine = (local_rank >= 1) & (local_rank <= total)
+        safe = jnp.clip(local_rank, 1, jnp.maximum(total, 1))
+        pos = select_flat(local, gwc, safe.astype(jnp.int32))
+        base = sid.astype(jnp.int32) * jnp.int32(
+            local.shape[0] * C.BITS_PER_BLOCK)
+        out = jnp.where(mine, base + pos, 0)
+        # tack the global total onto the answers: ONE fetch on return
+        out = jnp.concatenate([out, total[None]])
+        return jax.lax.psum(out, BLOCK_AXIS)
+
+    return jax.jit(shard_map(
+        _sel, mesh=mesh,
+        in_specs=(P(BLOCK_AXIS, None), P()), out_specs=P()))
 
 
 @functools.lru_cache(maxsize=16)

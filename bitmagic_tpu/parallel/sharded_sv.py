@@ -696,28 +696,11 @@ class ShardedStrSparseVector(_SelectorSearchBase):
         sel[self.UNI] = 1
         return sel
 
-    def _empty_result(self) -> ShardedBitVector:
-        pool = _zeros_row_prog()(self.stack)
-        out = ShardedBitVector(pool, self.size, self.mesh)
-        out.last_narrowing = (0, self.n_blocks)
-        return out
-
     def find_eq_str(self, s) -> ShardedBitVector:
         """All positions holding string ``s``: digest narrowing + one
-        shard-local survivor AND-SUB pass (same programs as the int
-        container)."""
-        sel = self._selector(s)
-        if sel is None:
-            return self._empty_result()
-        sel_j = jnp.asarray(sel)
-        alive = _host_fetch(_sel_alive_prog(self.mesh, self.K)(
-            sel_j, self.stack)).reshape(-1)
-        idx, valid = _survivor_slots(alive, self.mesh.devices.size)
-        pool = _sel_survivors_prog(self.mesh, self.K)(
-            sel_j, jnp.asarray(idx), jnp.asarray(valid), self.stack)
-        out = ShardedBitVector(pool, self.size, self.mesh)
-        out.last_narrowing = (int(alive.sum()), int(alive.size))
-        return out
+        shard-local survivor AND-SUB pass (the shared
+        _SelectorSearchBase flow — same programs as the int container)."""
+        return self._search(s)
 
     def _selector_prefix(self, s):
         """Prefix selector: only octet positions < len(s) constrained
@@ -752,38 +735,13 @@ class ShardedStrSparseVector(_SelectorSearchBase):
         return self._search_sel(self._selector_prefix(s))
 
     def find_eq_str_count(self, s) -> int:
-        sel = self._selector(s)
-        if sel is None:
-            return 0
-        sel_j = jnp.asarray(sel)
-        alive = _host_fetch(_sel_alive_prog(self.mesh, self.K)(
-            sel_j, self.stack)).reshape(-1)
-        if not alive.any():
-            return 0
-        idx, valid = _survivor_slots(alive, self.mesh.devices.size)
-        cnt = _sel_count_prog(self.mesh, self.K)(
-            sel_j, jnp.asarray(idx), jnp.asarray(valid), self.stack)
-        return int(_host_fetch(cnt, np.int64).sum())
+        return self._search_count(s)
 
     def pipeline_find_eq_str(self, strings) -> list:
         """Hit counts for a string batch through the sharded VMEM-batch
-        pipeline — one sweep per batch per shard; per-shard partials
-        combine on host in int64."""
-        from .sharded import pipeline_counts_host
-        sels = np.zeros((len(strings), self.K), np.int32)
-        known_zero = []
-        for i, s in enumerate(strings):
-            sel = self._selector(s)
-            if sel is None:
-                known_zero.append(i)
-            else:
-                sels[i] = sel
-        counts = pipeline_counts_host(self.mesh, self.stack,
-                                      jnp.asarray(sels))
-        out = [int(c) for c in counts]
-        for i in known_zero:
-            out[i] = 0
-        return out
+        pipeline (the shared _SelectorSearchBase flow) — one sweep per
+        batch per shard; per-shard partials combine on host in int64."""
+        return self._pipeline(strings)
 
     # ------------------------------------------------------------------
     def gather(self, ids) -> list:

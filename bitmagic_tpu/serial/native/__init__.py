@@ -144,14 +144,24 @@ def block_gap_boundaries(words: np.ndarray):
     return int(start.value), out[:n].astype(np.int64)
 
 
+def padded_blob(blob) -> "np.ndarray":
+    """Zero-pad a BLOB for the native readers (BitR's fast path reads one
+    64-bit word past the cursor; contract in codecs.cpp).  An already-
+    padded uint8 array passes through unchanged, so chunked drivers that
+    call the engine once per record window pad ONCE instead of re-copying
+    the whole blob every call."""
+    if isinstance(blob, np.ndarray) and blob.dtype == np.uint8:
+        return blob
+    return np.frombuffer(bytes(blob) + b"\0" * 8, np.uint8)
+
+
 def bmt1_decode(blob: bytes, rec_offset: int):
     """Whole-BLOB BMT1 decode in C: returns (nbs int64, cls uint8,
     words uint32[n_rows, 2048]) or None when unavailable/malformed."""
     lib = load()
     if lib is None:
         return None
-    # +8 zero bytes: BitR's fast path reads one 64-bit word past the cursor
-    buf = np.frombuffer(bytes(blob) + b"\0" * 8, np.uint8)
+    buf = padded_blob(blob)
     bp = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
     n_rec = ctypes.c_int64(0)
     n_rows = ctypes.c_int64(0)
@@ -226,7 +236,7 @@ def bmt1_record_index(blob: bytes, rec_offset: int):
     lib = load()
     if lib is None:
         return None
-    buf = np.frombuffer(bytes(blob) + b"\0" * 8, np.uint8)
+    buf = padded_blob(blob)
     bp = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
     n_rec = ctypes.c_int64(0)
     n_rows = ctypes.c_int64(0)
@@ -266,7 +276,7 @@ def bmt1_stream_op(blob: bytes, rec_offset: int, op: int, count_mode: bool,
     lib = load()
     if lib is None:
         return None
-    buf = np.frombuffer(bytes(blob) + b"\0" * 8, np.uint8)
+    buf = padded_blob(blob)
     bp = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
     if n_rec is None:
         nr = ctypes.c_int64(0)
@@ -340,7 +350,7 @@ def bic_encode_bytes(arr: np.ndarray, lo: int, hi: int) -> bytes:
 def bic_decode_bytes(data: bytes, n: int, lo: int, hi: int) -> np.ndarray:
     lib = load()
     # +8 zero bytes: BitR's fast path reads one 64-bit word past the cursor
-    buf = np.frombuffer(bytes(data) + b"\0" * 8, np.uint8)
+    buf = padded_blob(data)
     out = np.zeros(n, np.int64)
     lib.bm_bic_decode(
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), 0, int(n),
@@ -361,7 +371,7 @@ def gamma_encode_bytes(arr: np.ndarray) -> bytes:
 
 def gamma_decode_bytes(data: bytes, n: int) -> np.ndarray:
     lib = load()
-    buf = np.frombuffer(bytes(data) + b"\0" * 8, np.uint8)
+    buf = padded_blob(data)
     out = np.zeros(n, np.uint64)
     lib.bm_gamma_decode(
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), 0, int(n),

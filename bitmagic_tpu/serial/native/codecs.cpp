@@ -525,6 +525,10 @@ enum {
 const uint64_t BMT1_END_NB = (1ull << 48) - 1;
 const uint8_t BMT1_FLAG_COMPACT = 2;   // varint record headers
 
+// Returns UINT64_MAX on a malformed varint (>=10 continuation bytes would
+// shift past 63 bits — undefined behavior on untrusted blob input).
+const uint64_t LEB_BAD = ~0ull;
+
 inline uint64_t rd_leb(const uint8_t* p, int64_t* pos) {
     uint64_t v = 0;
     int sh = 0;
@@ -533,6 +537,7 @@ inline uint64_t rd_leb(const uint8_t* p, int64_t* pos) {
         v |= (uint64_t)(b & 0x7F) << sh;
         if (!(b & 0x80)) return v;
         sh += 7;
+        if (sh > 63) return LEB_BAD;
     }
 }
 
@@ -554,10 +559,13 @@ inline int bmt1_read_rec(const uint8_t* blob, int64_t len, int compact,
         if (*pos >= len) return -1;
         uint64_t delta = rd_leb(blob, pos);
         if (delta == 0) return 1;
+        if (delta == LEB_BAD || *pos > len) return -1;
         *nb = (uint64_t)(*prev_nb + (int64_t)delta);
         if (*pos >= len) return -1;
         *code = blob[(*pos)++];
-        *plen = (uint32_t)rd_leb(blob, pos);
+        uint64_t pl = rd_leb(blob, pos);
+        if (pl == LEB_BAD || pl > 0xFFFFFFFFull) return -1;
+        *plen = (uint32_t)pl;
         if (*pos > len) return -1;
         *prev_nb = (int64_t)*nb;
         return 0;

@@ -128,21 +128,19 @@ class _TargetReader:
             np.asarray([self._gslots[pos]]))[0]
 
 
-def _target_view(bv: BitVector, nbs: np.ndarray, runs: bool = False):
+def _target_view(bv: BitVector, nbs: np.ndarray):
     """Target view RESTRICTED to blocks in ``nbs`` — the native engine's
-    per-chunk snapshot.  ``runs=False``: GAP blocks expand to dense rows
-    (host high-water O(len(nbs))).  ``runs=True``: GAP blocks stay
-    run-coded — the native engine folds COUNT_* in the run domain and
-    expands at most ONE block of scratch for dense combines, so the
-    target side never leaves O(1-block) host scratch beyond the runs
-    themselves.  Returns (nb_r, cls_r, rows[, gap_ends, gap_offs,
-    gap_first])."""
+    per-chunk snapshot.  GAP blocks stay RUN-CODED (cls 3): the native
+    engine folds COUNT_* in the run domain and expands at most ONE block
+    of scratch for dense combines, so the target side never leaves
+    O(1-block) host scratch beyond the runs themselves.  Returns
+    (nb_r, cls_r, rows, gap_ends, gap_offs, gap_first)."""
     st = bv._struct
     sel = np.isin(st.nb, nbs)
     nb_r = st.nb[sel]
     src_cls = st.cls[sel]
     gapm = src_cls == C.CLS_GAP
-    if runs and gapm.any():
+    if gapm.any():
         bitm = src_cls == C.CLS_BIT
         nrows = int(bitm.sum())
         rows = np.zeros((nrows, C.SET_BLOCK_SIZE), np.uint32)
@@ -158,20 +156,13 @@ def _target_view(bv: BitVector, nbs: np.ndarray, runs: bool = False):
             gs = store.subset(gsl)
             ge, go, gf = gs.ends.astype(np.int32), gs.offs, gs.first
         return nb_r, src_cls.astype(np.uint8), rows, ge, go, gf
-    cls_r = np.where(gapm, C.CLS_BIT, src_cls).astype(np.uint8)
-    nrows = int((cls_r == C.CLS_BIT).sum())
+    # no GAP blocks mentioned: dense rows only, empty run arrays
+    nrows = int((src_cls == C.CLS_BIT).sum())
     rows = np.zeros((nrows, C.SET_BLOCK_SIZE), np.uint32)
     if nrows:
-        dst = np.cumsum(cls_r == C.CLS_BIT) - 1
-        bitm = src_cls == C.CLS_BIT
-        if bitm.any():
-            rows[dst[bitm]] = bv._pool_host()[st.slots()[sel][bitm]]
-        if gapm.any():
-            rows[dst[gapm]] = bv._gaps.to_dense(st.gslots()[sel][gapm])
-    if runs:
-        return (nb_r, cls_r, rows, np.zeros(0, np.int32),
-                np.zeros(1, np.int64), np.zeros(0, np.uint8))
-    return nb_r, cls_r, rows
+        rows[:] = bv._pool_host()[st.slots()[sel][src_cls == C.CLS_BIT]]
+    return (nb_r, src_cls.astype(np.uint8), rows, np.zeros(0, np.int32),
+            np.zeros(1, np.int64), np.zeros(0, np.uint8))
 
 
 class _ResultAccum:
@@ -479,6 +470,7 @@ class OperationDeserializer:
         the stream."""
         if native.load() is None:
             return None
+        data = native.padded_blob(data)   # pad ONCE; windows reuse it
         small = bv._gaps is None or bv._gaps.n_blocks <= 1024
         if not small and count_mode:
             # run-coded targets make the GAP side free; one call is fine
@@ -492,8 +484,7 @@ class OperationDeserializer:
                                         nb_a, cls_a, pool)
             return res if res is None or count_mode else [res]
         if small:
-            nb_r, cls_r, rows, ge, go, gf = _target_view(bv, rec_nbs,
-                                                         runs=True)
+            nb_r, cls_r, rows, ge, go, gf = _target_view(bv, rec_nbs)
             res = native.bmt1_stream_op(data, _REC_OFFSET, opc, count_mode,
                                         nb_r, cls_r, rows, t_gap_ends=ge,
                                         t_gap_offs=go, t_gap_first=gf)
@@ -503,7 +494,7 @@ class OperationDeserializer:
         for lo in range(0, rec_nbs.size, _CHUNK):
             hi = min(lo + _CHUNK, rec_nbs.size)
             nb_r, cls_r, rows, ge, go, gf = _target_view(
-                bv, rec_nbs[lo:hi], runs=True)
+                bv, rec_nbs[lo:hi])
             res = native.bmt1_stream_op(
                 data, int(rec_offs[lo]), opc, count_mode,
                 nb_r, cls_r, rows, n_rec=hi - lo,

@@ -64,15 +64,17 @@ def _report(name, secs, unit_val, unit):
 
 
 def fam_memcpy():
+    # XOR-by-salt before the reduction forces a full pass per iteration
+    # (sum(p + salt) would algebraically simplify to sum(p) + salt*N and
+    # the whole loop constant-folds — observed on the real chip)
     pool = bench.make_pool(rng, args.blocks)
     pool_gb = args.blocks * 2048 * 4 / 1e9
 
     def step(salt, p):
-        q = p + salt                      # forced copy + dependency
-        return q[0, 0]
+        return jnp.sum(p ^ salt, dtype=jnp.uint32) + salt
 
     t = bench.timeit(step, pool, iters=10)
-    _report("memcpy", t, 2 * pool_gb / t, "GB/s")   # read + write
+    _report("stream", t, pool_gb / t, "GB/s")       # one full read
 
 
 def fam_count():
@@ -81,8 +83,8 @@ def fam_count():
     pool = a._pool
 
     def step(salt, p):
-        return jnp.sum(jax.lax.population_count(p + salt // 2)).astype(
-            jnp.uint32)
+        return jnp.sum(jax.lax.population_count(p ^ salt),
+                       dtype=jnp.uint32) + salt
 
     t = bench.timeit(step, pool, iters=10)
     _report("count", t, MB / 1e3 / t, "GB/s")
