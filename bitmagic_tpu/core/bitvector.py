@@ -641,6 +641,13 @@ class BitVector:
         if self._struct.nb.size == 0:
             return np.zeros(0, np.int64)
         last = int(self._struct.nb[-1])
+        if last + 1 > (1 << 26):
+            # the running-counts ARRAY is indexed by block id — a sparse
+            # vector high in the 48-bit space would allocate O(span);
+            # same guard as invert()
+            raise MemoryError("count_blocks() on an address span this "
+                              "large would materialize too much metadata; "
+                              "use build_rs_index()/count_to instead")
         per = np.zeros(last + 1, np.int64)
         full = self._struct.cls == C.CLS_FULL
         per[self._struct.nb[full]] = C.BITS_PER_BLOCK
@@ -659,17 +666,21 @@ class BitVector:
         return np.cumsum(per)
 
     def import_sorted(self, ids):
-        """Bulk set of sorted unique indices (reference import_sorted,
-        src/bm.h:2080) — same device scatter as set_many, skipping the
-        sort."""
+        """Bulk set of SORTED indices (reference import_sorted,
+        src/bm.h:2080 — duplicates are legal; import_block ORs bits) —
+        same device scatter as set_many, skipping the sort."""
         ids = np.asarray(ids, _I64)
-        if ids.size and (np.diff(ids) <= 0).any():
-            raise ValueError("import_sorted needs strictly increasing ids")
-        return self.set_many(ids)
+        if ids.size and (np.diff(ids) < 0).any():
+            raise ValueError("import_sorted needs non-decreasing ids")
+        return self.set_many(np.unique(ids) if ids.size else ids)
 
     def move_from(self, other: "BitVector"):
         """Adopt other's content, leaving it empty (reference move_from,
-        src/bm.h)."""
+        src/bm.h:2342 — self-move is a guarded no-op there too)."""
+        if other is self:
+            return self
+        self._check_writable()
+        other._check_writable()
         other._flush()
         self._flush()
         self.__dict__, other.__dict__ = other.__dict__, self.__dict__
@@ -1044,6 +1055,7 @@ class BitVector:
         return self
 
     def keep_range_struct(self, lo, hi):
+        self._check_writable()     # reference keep_range asserts !is_ro()
         self._flush()
         lo, hi = int(lo), int(hi)
         if lo > hi:                     # reference xor_swap (bm.h keep_range)
@@ -1627,41 +1639,36 @@ def _count_range_rows(rows, nbs_np, lo, hi):
     return int(per_row.astype(np.int64).sum())
 
 
-def _shift_rows(bv: BitVector):
-    """Dense host rows for the PRESENT blocks only (FULL/GAP expanded).
-    The shift helpers below stitch carries between adjacent blocks on the
-    host, so the old contiguous-span materialization (O(address span) —
-    4e9 blocks for ids straddling the 48-bit space) is never needed."""
-    nbs = bv._struct.nb
-    rows = np.asarray(gather_operand(*operand_args(bv, nbs)), np.uint32)
-    return nbs, rows
-
-
-def _assemble_shifted(nbs, rows, new_nb, new_rows, size) -> BitVector:
+def _assemble_shifted(nbs, rows_dev, new_nb, new_rows, size) -> BitVector:
     if new_nb.size:
-        nbs = np.concatenate([nbs, new_nb])
-        rows = np.concatenate([rows, new_rows], axis=0)
-        order = np.argsort(nbs, kind="stable")
-        nbs, rows = nbs[order], rows[order]
+        all_nb = np.concatenate([nbs, new_nb])
+        order = np.argsort(all_nb, kind="stable")
+        rows_dev = jnp.concatenate(
+            [rows_dev, jnp.asarray(new_rows)], axis=0)[jnp.asarray(order)]
+        nbs = all_nb[order]
     return BitVector._from_parts(
-        Structure(nbs, np.full(nbs.size, C.CLS_BIT, np.uint8)),
-        jnp.asarray(rows), size)
+        Structure(nbs.copy(), np.full(nbs.size, C.CLS_BIT, np.uint8)),
+        rows_dev, size)
 
 
 def _shifted_up(bv: BitVector) -> BitVector:
     """bv shifted one bit towards higher indices (whole vector).
-    Per-block shift + host carry stitching: a block's carry-out lands in
-    the adjacent successor when present, else becomes a new 1-bit block."""
+    The rows shift ON DEVICE (per-row kernel); the host sees only the
+    8 B/block edge bits to stitch cross-block carries: a block's carry-out
+    lands in the adjacent successor when present, else becomes a new
+    1-bit block.  O(own blocks) for any address span."""
     bv._flush()
-    if len(bv._struct.nb) == 0:
+    nbs = bv._struct.nb
+    if len(nbs) == 0:
         return bv
-    nbs, rows = _shift_rows(bv)
-    top = (rows[:, -1] >> 31).astype(np.uint32)       # per-block carry-out
-    out = rows << np.uint32(1)
-    out[:, 1:] |= rows[:, :-1] >> 31
+    rows = gather_operand(*operand_args(bv, nbs))     # device, present only
+    _, top_dev = blockops.edge_bits(rows)
+    top = np.asarray(top_dev, np.uint32)              # tiny fetch
     succ_present = np.append(nbs[1:] == nbs[:-1] + 1, False)
+    carry = np.zeros(nbs.size, np.uint32)
     recv = np.flatnonzero(np.concatenate([[False], succ_present[:-1]]))
-    out[recv, 0] |= top[recv - 1]
+    carry[recv] = top[recv - 1]
+    out = blockops.shift_rows_up1(rows, jnp.asarray(carry))
     make = (top == 1) & ~succ_present
     new_nb = nbs[make] + 1
     new_rows = np.zeros((new_nb.size, C.SET_BLOCK_SIZE), np.uint32)
@@ -1672,20 +1679,23 @@ def _shifted_up(bv: BitVector) -> BitVector:
 
 
 def _shifted_down(bv: BitVector) -> BitVector:
-    """bv shifted one bit towards lower indices.  A block's bit 0 lands in
-    the adjacent predecessor's top bit when present, else becomes a new
-    block below (the contiguous-span version silently DROPPED that bit
-    whenever the predecessor was absent)."""
+    """bv shifted one bit towards lower indices (device rows + host edge
+    stitching, as in _shifted_up).  A block's bit 0 lands in the adjacent
+    predecessor's top bit when present, else becomes a new block below
+    (the old contiguous-span version silently DROPPED that bit whenever
+    the predecessor was absent)."""
     bv._flush()
-    if len(bv._struct.nb) == 0:
+    nbs = bv._struct.nb
+    if len(nbs) == 0:
         return bv
-    nbs, rows = _shift_rows(bv)
-    bottom = (rows[:, 0] & 1).astype(np.uint32)       # bit leaving each block
-    out = rows >> np.uint32(1)
-    out[:, :-1] |= (rows[:, 1:] & 1) << np.uint32(31)
+    rows = gather_operand(*operand_args(bv, nbs))
+    bottom_dev, _ = blockops.edge_bits(rows)
+    bottom = np.asarray(bottom_dev, np.uint32)        # tiny fetch
     succ_present = np.append(nbs[1:] == nbs[:-1] + 1, False)
+    carry = np.zeros(nbs.size, np.uint32)
     recv = np.flatnonzero(succ_present)
-    out[recv, -1] |= bottom[recv + 1] << np.uint32(31)
+    carry[recv] = bottom[recv + 1]
+    out = blockops.shift_rows_down1(rows, jnp.asarray(carry))
     prev_present = np.concatenate([[False], nbs[1:] == nbs[:-1] + 1])
     make = (bottom == 1) & ~prev_present & (nbs > 0)
     new_nb = nbs[make] - 1

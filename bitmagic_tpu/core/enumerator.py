@@ -25,8 +25,6 @@ class Enumerator:
     def __init__(self, bv, pos: int = 0):
         self._bv = bv
         bv._flush()
-        self._block_cache = {}
-        self._pos = -1            # current bit position (valid after first next)
         self._buf = np.zeros(0, _I64)
         self._buf_i = 0
         self._entry = -1          # index into struct.nb
@@ -69,10 +67,12 @@ class Enumerator:
         return self._buf_i < self._buf.size
 
     def invalidate(self):
-        """Turn into the end sentinel (reference iterator_base::invalidate)."""
+        """Turn into the end sentinel (reference iterator_base::invalidate).
+        _entry is pinned past any possible block count so the sentinel
+        stays invalid even if the vector grows new blocks afterwards."""
         self._buf = np.zeros(0, _I64)
         self._buf_i = 0
-        self._entry = len(self._bv._struct.nb)
+        self._entry = 1 << 62
         return self
 
     @classmethod
@@ -81,10 +81,7 @@ class Enumerator:
         construction performs (bvector.end() support)."""
         e = object.__new__(cls)
         e._bv = bv
-        e._buf = np.zeros(0, _I64)
-        e._buf_i = 0
-        e._entry = len(bv._struct.nb)
-        return e
+        return e.invalidate()
 
     def value(self) -> int:
         if not self.valid():

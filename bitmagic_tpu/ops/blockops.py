@@ -263,33 +263,39 @@ def find_last_in_blocks(pool):
 
 
 # ---------------------------------------------------------------------------
-# whole-pool 1-bit shifts with cross-word carry (reference
-# bit_block_shift_r1_unr src/bmfunc.h:6459, _l1_unr :6559) — generalized to
-# the full flattened vector so cross-block carries are free.
+# per-row 1-bit shifts with cross-word carry (reference
+# bit_block_shift_r1_unr src/bmfunc.h:6459, _l1_unr :6559); cross-BLOCK
+# carries come in/out through tiny edge-bit vectors so sparse vectors
+# shift O(own blocks) with adjacency stitched from host metadata.
 # ---------------------------------------------------------------------------
 @jax.jit
-def shift_right1(pool, carry_in):
-    """Shift the whole bitset towards higher indices by 1.  carry_in becomes
-    bit 0.  Returns (pool, carry_out)."""
-    n = pool.shape[0]
-    flat = pool.reshape(-1)
-    prev = jnp.concatenate([jnp.asarray([carry_in], U32) << U32(31),
-                            (flat[:-1] >> U32(31)) << U32(31)])
-    # prev holds the incoming bit in position 31; move to position 0 after or
-    out = (flat << U32(1)) | (prev >> U32(31))
-    carry_out = flat[-1] >> U32(31)
-    return out.reshape(n, SET_BLOCK_SIZE), carry_out
+def shift_rows_up1(pool, carry_bits):
+    """PER-ROW shift towards higher bit indices by 1; carry_bits uint32[n]
+    (0/1) becomes each row's bit 0.  Cross-block carries are stitched by
+    the caller (adjacency is a host-metadata fact, not a pool-layout one:
+    consecutive pool rows need not be consecutive blocks)."""
+    hi = pool >> U32(31)
+    prev = jnp.concatenate([carry_bits[:, None] & U32(1), hi[:, :-1]],
+                           axis=1)
+    return (pool << U32(1)) | prev
 
 
 @jax.jit
-def shift_left1(pool, carry_in):
-    """Shift towards lower indices by 1; carry_in becomes the top bit."""
-    n = pool.shape[0]
-    flat = pool.reshape(-1)
-    nxt = jnp.concatenate([flat[1:] & U32(1), jnp.asarray([carry_in], U32) & U32(1)])
-    out = (flat >> U32(1)) | (nxt << U32(31))
-    carry_out = flat[0] & U32(1)
-    return out.reshape(n, SET_BLOCK_SIZE), carry_out
+def shift_rows_down1(pool, carry_bits):
+    """PER-ROW shift towards lower bit indices by 1; carry_bits uint32[n]
+    (0/1) becomes each row's top bit."""
+    lo = pool & U32(1)
+    nxt = jnp.concatenate([lo[:, 1:], carry_bits[:, None] & U32(1)],
+                          axis=1)
+    return (pool >> U32(1)) | (nxt << U32(31))
+
+
+@jax.jit
+def edge_bits(pool):
+    """(bottom, top) uint32[n]: each row's bit 0 and bit 65535 — the only
+    host-visible data a cross-block shift stitch needs (8 B/block instead
+    of fetching the 8 KB rows)."""
+    return pool[:, 0] & U32(1), pool[:, -1] >> U32(31)
 
 
 # ---------------------------------------------------------------------------

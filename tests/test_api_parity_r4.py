@@ -228,8 +228,12 @@ def test_bv_count_blocks_import_sorted_move_from():
     bv = BitVector(1 << 22)
     bv.import_sorted(ids)
     assert bv.count() == ids.size
+    # duplicates are LEGAL (reference import_sorted ORs bits); only a
+    # decreasing sequence is rejected
+    bv.import_sorted(np.asarray([5, 5], _I64))
+    assert bv.test(5)
     with pytest.raises(ValueError):
-        bv.import_sorted(np.asarray([5, 5], _I64))
+        bv.import_sorted(np.asarray([9, 5], _I64))
     bv.set_range(3 << 16, (4 << 16) - 1)        # one FULL block
     bv.optimize()
     rc = bv.count_blocks()
@@ -238,7 +242,8 @@ def test_bv_count_blocks_import_sorted_move_from():
     blocks = np.concatenate([ids >> 16,
                              np.arange(3 << 16, 4 << 16, dtype=_I64) >> 16])
     allbits = np.unique(np.concatenate(
-        [ids, np.arange(3 << 16, 4 << 16, dtype=_I64)]))
+        [ids, np.asarray([5], _I64),
+         np.arange(3 << 16, 4 << 16, dtype=_I64)]))
     np.add.at(per, (allbits >> 16), 1)
     assert np.array_equal(rc, np.cumsum(per))
     del blocks
@@ -707,3 +712,38 @@ def test_end_sentinel_is_cheap():
     finally:
         Enumerator._load_entry = orig
     assert not e.valid() and called == []
+
+
+def test_move_from_guards_and_self_move():
+    """Reference move_from guards self-move (src/bm.h:2342) and mutators
+    respect freeze(); stale end sentinels stay invalid after growth."""
+    bv = BitVector(100)
+    bv.set_many(np.asarray([1, 2, 3], _I64))
+    bv.move_from(bv)                         # guarded no-op
+    assert bv.count() == 3
+    src = BitVector(100)
+    src.set_many(np.asarray([4, 5], _I64))
+    src.freeze()
+    dst = BitVector(100)
+    import bitmagic_tpu as bm
+    with pytest.raises(bm.ReadOnlyError):
+        dst.move_from(src)
+    assert src.count() == 2 and dst.count() == 0
+    frozen = BitVector(100)
+    frozen.set_many(np.asarray([1, 5], _I64))
+    frozen.freeze()
+    with pytest.raises(bm.ReadOnlyError):
+        frozen.keep_range(0, 2)
+    assert frozen.count() == 2
+    # count_blocks refuses an O(address-span) allocation
+    huge = BitVector(2 ** 48)
+    huge.set(2 ** 47)
+    with pytest.raises(MemoryError):
+        huge.count_blocks()
+    # a stale end sentinel never resurrects
+    empty = BitVector(2 ** 20)
+    e = empty.end()
+    empty.set(5)
+    empty.set(65536 + 7)
+    empty.count()                            # flush
+    assert not e.go_up() and not e.valid()
