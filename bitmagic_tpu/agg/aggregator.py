@@ -40,7 +40,10 @@ _I64 = np.int64
 def _structures(vectors):
     for v in vectors:
         v._flush()
-    return [v._struct for v in vectors]
+    # flat per-block views: FULL runs expand to per-block FULL entries for
+    # the aggregator's block-list enumeration (bounded materialization;
+    # lookups on the original structs stay run-aware and consistent)
+    return [v._struct.materialized() for v in vectors]
 
 
 def _and_blocklist(structs):
@@ -494,15 +497,15 @@ class Aggregator:
         for v in vectors:
             v._flush()
         size = max(v.size for v in vectors)
-        nbs = [v._struct.nb for v in vectors if len(v._struct.nb)]
-        if not nbs or not len(vectors[0]._struct.nb):
+        nbs = [v._flat_nb() for v in vectors if len(v._flat_nb())]
+        if not nbs or not len(vectors[0]._flat_nb()):
             return BitVector(size)
         hi = min(int(max(x[-1] for x in nbs)) + 1,      # shift spill
                  (size - 1) >> C.SET_BLOCK_SHIFT)
         if len(vectors) - 1 <= C.BITS_PER_BLOCK:
             cand = None
             for v in vectors:
-                nbv = v._struct.nb
+                nbv = v._flat_nb()
                 ext = np.union1d(nbv, nbv + 1)
                 cand = ext if cand is None else np.intersect1d(
                     cand, ext, assume_unique=True)
@@ -661,7 +664,7 @@ class Aggregator:
             if planes is None:
                 return None
             nb_union = np.unique(np.concatenate(
-                [v._struct.nb for v in operands]))
+                [v._flat_nb() for v in operands]))
             if V * nb_union.size * C.SET_BLOCK_SIZE * 4 \
                     > self._PIPE_RESULT_BUDGET_BYTES:
                 return None

@@ -87,7 +87,7 @@ def build_dense_stack(arena: OperandArena):
     None when no operand holds any payload."""
     K = len(arena.vectors)
     nb_union = np.unique(np.concatenate(
-        [v._struct.nb for v in arena.vectors] or [np.zeros(0, np.int64)]))
+        [v._flat_nb() for v in arena.vectors] or [np.zeros(0, np.int64)]))
     if nb_union.size == 0:
         return None
     pool = arena.pool
@@ -121,7 +121,7 @@ def presence_table(vectors):
     that re-narrow many batches over the same operands cache this pair
     (scanner prepared pipelines) instead of rebuilding it per batch."""
     nb_union = np.unique(np.concatenate(
-        [v._struct.nb for v in vectors] or [np.zeros(0, _I64)]))
+        [v._flat_nb() for v in vectors] or [np.zeros(0, _I64)]))
     if not vectors or nb_union.size == 0:
         return nb_union, np.zeros((len(vectors), nb_union.size), np.int32)
     present = np.stack([v._struct.lookup(nb_union)[0] != 0

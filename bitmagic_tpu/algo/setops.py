@@ -87,6 +87,18 @@ def distance_operation(a: BitVector, b: BitVector, metrics) -> dict:
     n_ff = int(((st_a == 1) & (st_b == 1) & sym).sum())
     n_fz = int(((st_a == 1) & (st_b == 0) & sym).sum())
     n_zf = int(((st_a == 0) & (st_b == 1) & sym).sum())
+    # FULL-run coverage outside any allocated point block resolves by pure
+    # interval arithmetic (point blocks inside the other side's runs are in
+    # ``cand`` and see state FULL via lookup; runs are disjoint from nb)
+    if a._struct.has_runs or b._struct.has_runs:
+        from ..core.blocks import (runs_diff, runs_intersect,
+                                   runs_subtract_points, runs_total)
+        ra, rb = a._struct.runs, b._struct.runs
+        n_ff += runs_total(runs_intersect(ra, rb))
+        n_fz += runs_total(runs_subtract_points(runs_diff(ra, rb),
+                                                b._struct.nb))
+        n_zf += runs_total(runs_subtract_points(runs_diff(rb, ra),
+                                                a._struct.nb))
     BB = C.BITS_PER_BLOCK
     table = {
         COUNT_AND: n_ff * BB,

@@ -30,8 +30,10 @@ import numpy as np
 from .. import constants as C
 from ..config import config
 from ..ops import blockops
-from .blocks import (Structure, expand_gap_operand, gather_operand,
-                     operand_args, plan_binary)
+from .blocks import (RUN_MIN, Structure, expand_gap_operand, gather_operand,
+                     operand_args, plan_binary, points_in_runs, runs_clip,
+                     runs_diff, runs_normalize, runs_overlap_bits,
+                     runs_subtract_points, runs_total, split_runs)
 from .gapstore import GapStore, gap_binary_op
 
 _I64 = np.int64
@@ -94,6 +96,7 @@ class BitVector:
         self._ro = False
         self._rs = None           # cached RSIndex
         self._snap = None         # cached dense snapshot (host)
+        self._snap_pt = None      # cached point snapshot (runs excluded)
         self._glevel = tuple(config.gap_levels)
         self.strategy = strategy
 
@@ -111,6 +114,7 @@ class BitVector:
         bv._ro = False
         bv._rs = None
         bv._snap = None
+        bv._snap_pt = None
         bv._glevel = tuple(config.gap_levels)
         bv.strategy = C.BM_BIT
         return bv
@@ -186,11 +190,13 @@ class BitVector:
     def copy(self) -> "BitVector":
         self._flush()
         bv = BitVector._from_parts(
-            Structure(self._struct.nb.copy(), self._struct.cls.copy()),
+            Structure(self._struct.nb.copy(), self._struct.cls.copy(),
+                      self._struct.runs.copy()),
             blockops.zero_pool(0), self._size, self._gaps)
         bv._pool_dev = self._pool_dev  # share BOTH residencies as-is
         bv._pool_np = self._pool_np
         bv._snap = self._snap          # content-identical; cache carries over
+        bv._snap_pt = self._snap_pt
         return bv
 
     # ------------------------------------------------------------------
@@ -217,12 +223,35 @@ class BitVector:
             self._pool = blockops.zero_pool(0)
             return
         last_blk = (size - 1) >> C.SET_BLOCK_SHIFT
+        if self._struct.has_runs:
+            clipped = runs_clip(self._struct.runs, 0, last_blk + 1)
+            if clipped.shape[0] != self._struct.runs.shape[0] or (
+                    clipped.size and not np.array_equal(
+                        clipped, self._struct.runs)):
+                self._struct = Structure(self._struct.nb,
+                                         self._struct.cls, clipped)
         keep = self._struct.nb <= last_blk
         if not keep.all():
             self._select_blocks(keep)
         # partial last block mask
         tail_bits = size & C.SET_BLOCK_MASK
         if tail_bits == 0:
+            return
+        if self._struct.has_runs and points_in_runs(
+                np.asarray([last_blk], _I64), self._struct.runs)[0]:
+            # split the run: the tail block becomes one masked dense row
+            # (runs are disjoint from nb, so it appends past all entries)
+            new_runs = runs_subtract_points(self._struct.runs,
+                                            np.asarray([last_blk], _I64))
+            row = _tail_mask_np(tail_bits)[None, :]
+            self._pool = (jnp.concatenate(
+                [self._pool, jnp.asarray(row)], axis=0)
+                if self._pool.shape[0] else jnp.asarray(row))
+            self._struct = Structure(
+                np.concatenate([self._struct.nb, [last_blk]]).astype(_I64),
+                np.concatenate([self._struct.cls,
+                                [C.CLS_BIT]]).astype(np.uint8),
+                new_runs)
             return
         pos = np.searchsorted(self._struct.nb, last_blk)
         if pos < len(self._struct.nb) and self._struct.nb[pos] == last_blk:
@@ -250,7 +279,8 @@ class BitVector:
                 keep_mask & (self._struct.cls == C.CLS_GAP)]
             self._gaps = self._gaps.subset(gkeep) if gkeep.size else None
         self._struct = Structure(self._struct.nb[keep_mask].copy(),
-                                 self._struct.cls[keep_mask].copy())
+                                 self._struct.cls[keep_mask].copy(),
+                                 self._struct.runs)
 
     def _materialize_block(self, pos: int):
         """Convert the FULL block at metadata position pos into a dense row
@@ -308,7 +338,8 @@ class BitVector:
                       if keep_gap.any() else None)
         new_cls = self._struct.cls.copy()
         new_cls[conv] = C.CLS_BIT
-        self._struct = Structure(self._struct.nb, new_cls)
+        self._struct = Structure(self._struct.nb, new_cls,
+                                 self._struct.runs)
         self._rs = None
 
     def _block_words_host(self, k: int) -> np.ndarray:
@@ -321,21 +352,23 @@ class BitVector:
                 np.asarray([self._struct.gslots()[k]]))[0]
         return np.asarray(self._pool[int(self._struct.slots()[k])])
 
-    def _dense_snapshot(self):
-        """(nb, cls in {FULL, BIT}, words[n_bit_rows, 2048] host array in nb
-        order) — transient dense view for serializers; GAP blocks expand
-        host-side, the stored representation is untouched.  Cached until
-        the next mutation (serializers and BLOB ops re-read it)."""
+    def _snapshot_with_runs(self):
+        """(nb, cls in {FULL, BIT}, words[n_bit_rows, 2048], runs) —
+        point-entry dense view for serializers WITHOUT materializing FULL
+        runs (the serializer emits runs as single records; round-2
+        residency contract: serializing a succinct vector never expands
+        its compact spans).  GAP blocks expand host-side; cached until the
+        next mutation."""
         self._flush()
-        if self._snap is not None:
-            return self._snap
+        if self._snap_pt is not None:
+            return (*self._snap_pt, self._struct.runs)
         struct = self._struct
         if self._gaps is None:
             words = (self._pool_host()
                      if (struct.cls == C.CLS_BIT).any()
                      else np.zeros((0, C.SET_BLOCK_SIZE), np.uint32))
-            self._snap = (struct.nb, struct.cls, words)
-            return self._snap
+            self._snap_pt = (struct.nb, struct.cls, words)
+            return (*self._snap_pt, struct.runs)
         cls2 = np.where(struct.cls == C.CLS_GAP, C.CLS_BIT,
                         struct.cls).astype(np.uint8)
         nrows = int((cls2 == C.CLS_BIT).sum())
@@ -346,7 +379,22 @@ class BitVector:
         if bitm.any():
             words[dst[bitm]] = self._pool_host()[struct.slots()[bitm]]
         words[dst[gapm]] = self._gaps.to_dense()
-        self._snap = (struct.nb, cls2, words)
+        self._snap_pt = (struct.nb, cls2, words)
+        return (*self._snap_pt, struct.runs)
+
+    def _dense_snapshot(self):
+        """(nb, cls in {FULL, BIT}, words[n_bit_rows, 2048] host array in nb
+        order) — flat per-block transient dense view (FULL runs expand to
+        per-block FULL class entries; no dense rows for them).  Cached
+        until the next mutation (BLOB ops re-read it)."""
+        if self._snap is not None:
+            return self._snap
+        nb, cls, words, runs = self._snapshot_with_runs()
+        if runs.shape[0]:
+            st = Structure(nb, cls, runs).materialized()
+            self._snap = (st.nb, st.cls, words)
+        else:
+            self._snap = (nb, cls, words)
         return self._snap
 
     # ------------------------------------------------------------------
@@ -359,6 +407,7 @@ class BitVector:
     def _dirty(self):
         self._rs = None
         self._snap = None
+        self._snap_pt = None
 
     def set(self, i, val: bool = True):
         self._check_writable()
@@ -397,6 +446,15 @@ class BitVector:
 
     def __setitem__(self, i, val):
         self.set(i, val)
+
+    def _flat_nb(self) -> np.ndarray:
+        """Sorted per-block ids including run-covered blocks — the flat
+        candidate list for consumers that enumerate blocks (aggregator
+        arenas, SV planes).  Bounded: very wide runs raise MemoryError
+        instead of silently expanding."""
+        if not self._struct.has_runs:
+            return self._struct.nb
+        return self._struct.materialized().nb
 
     def _flush(self):
         if not self._staged:
@@ -457,7 +515,7 @@ class BitVector:
             # clearing only touches blocks this vector already has:
             # narrow the range to them (O(own blocks) for any span)
             self._isub(_range_vector(lo, hi, self._size,
-                                     within=self._struct.nb))
+                                     within=self._struct))
         return self
 
     def copy_range(self, other: "BitVector", lo, hi):
@@ -469,7 +527,7 @@ class BitVector:
         if lo > hi:                     # reference xor_swap (src/bm.h:8006)
             lo, hi = hi, lo
         rng = _range_vector(lo, hi, other._size,
-                            within=other._struct.nb)
+                            within=other._struct)
         res = _binary(other, rng, "and")
         self._adopt(res)
         return self
@@ -516,27 +574,36 @@ class BitVector:
         return 0
 
     def invert(self):
-        """Flip all bits in [0, size) (reference src/bm.h:1837)."""
+        """Flip all bits in [0, size) (reference src/bm.h:1837).
+        O(own structure) for any address span: absent spans become FULL
+        *runs* (compact interval metadata — the sub-tree sentinel analog,
+        src/bm.h:6628), FULL entries/runs drop, BIT rows complement on
+        device, GAP blocks complement their run lists on host."""
         self._check_writable()
         self._flush()
-        self._deoptimize_gaps()
         nblk = C.blocks_for_bits(self._size)
-        if nblk > (1 << 26):
-            raise MemoryError("invert() on an address space this large would "
-                              "materialize too much block metadata")
-        all_nb = np.arange(nblk, dtype=_I64)
-        st, slot = self._struct.lookup(all_nb)
-        new_cls = np.empty(nblk, np.uint8)
-        new_cls[st == 0] = C.CLS_FULL       # zero -> full
-        new_cls[st == 1] = C.CLS_ZERO       # full -> zero (drop)
-        new_cls[st == 2] = C.CLS_BIT
-        keep = new_cls != C.CLS_ZERO
-        bit_mask = new_cls == C.CLS_BIT
-        rows = slot[bit_mask]
+        st = self._struct
+        # present block-id intervals = per-block points + FULL runs
+        pts_iv = (np.stack([st.nb, st.nb + 1], axis=1)
+                  if st.nb.size else np.zeros((0, 2), _I64))
+        present = runs_normalize(np.concatenate([pts_iv, st.runs]))
+        absent = runs_diff(np.asarray([[0, nblk]], _I64), present)
+        new_runs, full_pts = split_runs(absent, RUN_MIN)
+        bitm = st.cls == C.CLS_BIT
+        gapm = st.cls == C.CLS_GAP
+        rows = st.slots()[bitm]
         pool = (~jnp.take(self._pool, jnp.asarray(rows), axis=0)
                 if rows.size else blockops.zero_pool(0))
-        self._struct = Structure(all_nb[keep].copy(), new_cls[keep].copy())
+        gaps = None
+        if self._gaps is not None and gapm.any():
+            gaps = self._gaps.complement()
+        nb = np.concatenate([st.nb[bitm | gapm], full_pts])
+        cls = np.concatenate([st.cls[bitm | gapm],
+                              np.full(full_pts.size, C.CLS_FULL, np.uint8)])
+        order = np.argsort(nb, kind="stable")
+        self._struct = Structure(nb[order], cls[order], new_runs)
         self._pool = pool
+        self._gaps = gaps
         self._drop_trailing(self._size)
         self._dirty()
         return self
@@ -551,7 +618,7 @@ class BitVector:
 
     def swap(self, other: "BitVector"):
         for attr in ("_size", "_struct", "_pool_dev", "_pool_np", "_gaps",
-                     "_staged", "_ro", "_rs", "_snap"):
+                     "_staged", "_ro", "_rs", "_snap", "_snap_pt"):
             a, b = getattr(self, attr), getattr(other, attr)
             setattr(self, attr, b)
             setattr(other, attr, a)
@@ -603,6 +670,8 @@ class BitVector:
 
     def any(self) -> bool:
         self._flush()
+        if self._struct.has_runs:
+            return True
         if (self._struct.cls == C.CLS_FULL).any():
             return True
         if self._gaps is not None and (self._gap_bc() > 0).any():
@@ -623,6 +692,7 @@ class BitVector:
         """Global popcount (reference src/bm.h:1320)."""
         self._flush()
         full = int((self._struct.cls == C.CLS_FULL).sum()) * C.BITS_PER_BLOCK
+        full += self._struct.run_block_count() * C.BITS_PER_BLOCK
         full += int(self._gap_bc().sum())     # GAP blocks answer on host
         if not (self._struct.cls == C.CLS_BIT).any():
             return full
@@ -638,9 +708,11 @@ class BitVector:
         block (reference count_blocks, src/bm.h:1328/2637 — fills arr[nb]
         with running counts, the building block of rs_index)."""
         self._flush()
-        if self._struct.nb.size == 0:
+        if self._struct.nb.size == 0 and not self._struct.has_runs:
             return np.zeros(0, np.int64)
-        last = int(self._struct.nb[-1])
+        last = int(self._struct.nb[-1]) if self._struct.nb.size else -1
+        if self._struct.has_runs:
+            last = max(last, int(self._struct.runs[-1, 1]) - 1)
         if last + 1 > (1 << 26):
             # the running-counts ARRAY is indexed by block id — a sparse
             # vector high in the 48-bit space would allocate O(span);
@@ -649,6 +721,8 @@ class BitVector:
                               "large would materialize too much metadata; "
                               "use build_rs_index()/count_to instead")
         per = np.zeros(last + 1, np.int64)
+        for s, e in self._struct.runs:
+            per[s:min(e, last + 1)] = C.BITS_PER_BLOCK
         full = self._struct.cls == C.CLS_FULL
         per[self._struct.nb[full]] = C.BITS_PER_BLOCK
         gapm = self._struct.cls == C.CLS_GAP
@@ -696,7 +770,8 @@ class BitVector:
             return 0
         b_lo, b_hi = lo >> C.SET_BLOCK_SHIFT, hi >> C.SET_BLOCK_SHIFT
         inside = (self._struct.nb >= b_lo) & (self._struct.nb <= b_hi)
-        total = 0
+        total = runs_overlap_bits(self._struct.runs, lo, hi,
+                                  C.SET_BLOCK_SHIFT)
         # FULL blocks: overlap length with [lo, hi]
         for nb in self._struct.nb[inside & (self._struct.cls == C.CLS_FULL)]:
             base = int(nb) << C.SET_BLOCK_SHIFT
@@ -728,6 +803,8 @@ class BitVector:
         if hi < lo:
             return False
         b_lo, b_hi = lo >> C.SET_BLOCK_SHIFT, hi >> C.SET_BLOCK_SHIFT
+        if runs_clip(self._struct.runs, b_lo, b_hi + 1).shape[0]:
+            return True
         inside = (self._struct.nb >= b_lo) & (self._struct.nb <= b_hi)
         if (inside & (self._struct.cls == C.CLS_FULL)).any():
             return True
@@ -762,8 +839,25 @@ class BitVector:
     # -- find family (reference src/bm.h:1577-1705) ---------------------
     def find(self, frm: int = 0) -> int:
         """First set bit at position >= frm, or -1."""
-        self._flush()
         frm = max(0, int(frm))
+        r_e = self._find_entries(frm)
+        if not self._struct.has_runs:
+            return r_e
+        # candidate from FULL runs (pure interval arithmetic)
+        b0 = frm >> C.SET_BLOCK_SHIFT
+        r = self._struct.runs
+        i = int(np.searchsorted(r[:, 0], b0, side="right")) - 1
+        if i >= 0 and b0 < r[i, 1]:
+            r_r = frm
+        elif i + 1 < r.shape[0]:
+            r_r = int(r[i + 1, 0]) << C.SET_BLOCK_SHIFT
+        else:
+            r_r = -1
+        cands = [x for x in (r_e, r_r) if x >= 0]
+        return min(cands) if cands else -1
+
+    def _find_entries(self, frm: int) -> int:
+        self._flush()
         if frm >= self._size:
             return -1
         b0 = frm >> C.SET_BLOCK_SHIFT
@@ -813,8 +907,23 @@ class BitVector:
 
     def find_reverse(self, frm: int | None = None) -> int:
         """Last set bit at position <= frm (or global last), or -1."""
-        self._flush()
         hi = self._size - 1 if frm is None else min(int(frm), self._size - 1)
+        r_e = self._find_reverse_entries(hi)
+        if not self._struct.has_runs:
+            return r_e
+        b1 = hi >> C.SET_BLOCK_SHIFT
+        r = self._struct.runs
+        i = int(np.searchsorted(r[:, 0], b1, side="right")) - 1
+        if i >= 0 and b1 < r[i, 1]:
+            r_r = hi
+        elif i >= 0:
+            r_r = (int(r[i, 1]) << C.SET_BLOCK_SHIFT) - 1
+        else:
+            r_r = -1
+        return max(r_e, r_r)
+
+    def _find_reverse_entries(self, hi: int) -> int:
+        self._flush()
         b1 = hi >> C.SET_BLOCK_SHIFT
         cand = self._struct.nb <= b1
         if not cand.any():
@@ -1028,7 +1137,7 @@ class BitVector:
         high = self.copy()
         if i > 0:
             high._isub(_range_vector(0, i - 1, self._size,
-                                     within=high._struct.nb))
+                                     within=high._struct))
         high = _shifted_up(high)
         res = _binary(low, high, "or")
         self._adopt(res)
@@ -1049,7 +1158,7 @@ class BitVector:
         else:
             low = BitVector(self._size)
         high = self.copy()
-        high._isub(_range_vector(0, i, self._size, within=high._struct.nb))
+        high._isub(_range_vector(0, i, self._size, within=high._struct))
         high = _shifted_down(high)
         self._adopt(_binary(low, high, "or"))
         return self
@@ -1061,7 +1170,7 @@ class BitVector:
         if lo > hi:                     # reference xor_swap (bm.h keep_range)
             lo, hi = hi, lo
         self._iand(_range_vector(lo, hi, self._size,
-                                 within=self._struct.nb))
+                                 within=self._struct))
         return self
 
     keep_range = keep_range_struct
@@ -1074,6 +1183,9 @@ class BitVector:
         reference src/bm.h:602)."""
         self._flush()
         out = []
+        for s, e in self._struct.runs:      # inherently O(bits) to list
+            out.append(np.arange(int(s) << C.SET_BLOCK_SHIFT,
+                                 int(e) << C.SET_BLOCK_SHIFT, dtype=_I64))
         fm = self._struct.cls == C.CLS_FULL
         for nb in self._struct.nb[fm]:
             base = int(nb) << C.SET_BLOCK_SHIFT
@@ -1106,10 +1218,20 @@ class BitVector:
         return iter(self.indices())
 
     def to_numpy(self, size=None) -> np.ndarray:
-        """Dense bool export."""
+        """Dense bool export of [0, size).  Content beyond ``size`` is
+        clipped BEFORE position materialization (run-aware copy_range), so
+        a narrow window of a vector with wide FULL runs stays O(window)."""
         size = self._size if size is None else size
+        src = self
+        st = self._struct
+        lastw = (size - 1) >> C.SET_BLOCK_SHIFT
+        beyond = ((st.nb.size and st.nb[-1] > lastw)
+                  or (st.has_runs and st.runs[-1, 1] - 1 > lastw))
+        if size < self._size and size > 0 and beyond:
+            src = BitVector(self._size)
+            src.copy_range(self, 0, size - 1)
         b = np.zeros(size, bool)
-        idx = self.indices()
+        idx = src.indices()
         idx = idx[idx < size]
         b[idx] = True
         return b
@@ -1119,6 +1241,8 @@ class BitVector:
         nblk = C.blocks_for_bits(self._size)
         words = np.zeros((nblk, C.SET_BLOCK_SIZE), np.uint32)
         self._flush()
+        for s, e in self._struct.runs:
+            words[int(s):min(int(e), nblk)] = 0xFFFFFFFF
         fm = self._struct.cls == C.CLS_FULL
         for nb in self._struct.nb[fm]:
             words[int(nb)] = 0xFFFFFFFF
@@ -1199,7 +1323,8 @@ class BitVector:
                 self._gaps = self._gaps.subset(
                     self._struct.gslots()[gap_keep])
             self._struct = Structure(self._struct.nb[keep].copy(),
-                                     new_cls[keep].copy())
+                                     new_cls[keep].copy(),
+                                     self._struct.runs)
         self._dirty()
         if opt_mode >= C.OPT_COMPRESS and (self._struct.cls
                                            == C.CLS_BIT).any():
@@ -1240,7 +1365,8 @@ class BitVector:
                 src[conv] = n_old + np.cumsum(conv)[conv] - 1
                 merged = GapStore.concat(old_store, new_store)
                 self._gaps = merged.subset(src[new_cls == C.CLS_GAP])
-                self._struct = Structure(self._struct.nb, new_cls)
+                self._struct = Structure(self._struct.nb, new_cls,
+                                         self._struct.runs)
         return self
 
     def optimize_range(self, lo, hi, opt_mode: int = C.OPT_COMPRESS):
@@ -1297,7 +1423,8 @@ class BitVector:
         self._flush()
         from . import gaps
         n_bit = int((self._struct.cls == C.CLS_BIT).sum())
-        n_full = int((self._struct.cls == C.CLS_FULL).sum())
+        n_full = (int((self._struct.cls == C.CLS_FULL).sum())
+                  + self._struct.run_block_count())
         gaps_by_level = [0, 0, 0, 0]
         gap_mem = gap_cap_overhead = gap_serial = 0
         n_gap = 0
@@ -1437,19 +1564,24 @@ def _tail_mask_np(tail_bits: int) -> np.ndarray:
 
 
 def _range_vector(lo: int, hi: int, size: int, within=None) -> "BitVector":
-    """BitVector with bits [lo, hi] set, built from FULL blocks + at most two
-    dense edge blocks (host-constructed, 8KB each).
+    """BitVector with bits [lo, hi] set, built from at most two dense edge
+    blocks (host-constructed, 8KB each) + a compact interior.
 
-    ``within`` (sorted int64 block ids): when given, interior FULL entries
-    are emitted only for blocks present in it.  That is sufficient whenever
-    the range vector is consumed by AND or SUB against a vector whose block
-    list is ``within`` (absent blocks contribute nothing either way), and it
-    keeps 48-bit-span ranges O(len(within)) instead of O(blocks-in-range)
-    — a [2^40, 2^48) clear/keep would otherwise enumerate ~4e9 blocks."""
+    ``within=None``: a wide interior (>= RUN_MIN blocks) is stored as ONE
+    FULL run entry — set_range over any 48-bit span is O(1) metadata (the
+    reference's FULL sub-tree fast path, src/bm.h:6628-6650).
+
+    ``within`` (a Structure, or legacy sorted int64 block ids): interior
+    FULL coverage is narrowed to blocks that Structure actually has —
+    per-block entries for its nb points in range plus the clip of its own
+    FULL runs.  Sufficient whenever the range vector is consumed by AND or
+    SUB against that same vector (absent blocks contribute nothing either
+    way) and O(own structure) for any span."""
     b_lo, b_hi = lo >> C.SET_BLOCK_SHIFT, hi >> C.SET_BLOCK_SHIFT
     lo_in = lo & C.SET_BLOCK_MASK
     hi_in = hi & C.SET_BLOCK_MASK
     rows = []
+    runs = None
     if b_lo == b_hi:
         m = _edge_mask(lo_in, hi_in)
         if (m == 0xFFFFFFFF).all():
@@ -1461,7 +1593,19 @@ def _range_vector(lo: int, hi: int, size: int, within=None) -> "BitVector":
             rows = [m]
     else:
         if within is None:
-            interior = np.arange(b_lo + 1, b_hi, dtype=_I64)
+            n_int = b_hi - (b_lo + 1)
+            if n_int >= RUN_MIN:
+                interior = np.zeros(0, _I64)
+                runs = np.asarray([[b_lo + 1, b_hi]], _I64)
+            else:
+                interior = np.arange(b_lo + 1, b_hi, dtype=_I64)
+        elif isinstance(within, Structure):
+            w = within.nb
+            interior = w[(w > b_lo) & (w < b_hi)]
+            if within.has_runs:
+                runs = runs_clip(within.runs, b_lo + 1, b_hi)
+                if runs.shape[0] == 0:
+                    runs = None
         else:
             w = np.asarray(within, _I64)
             interior = w[(w > b_lo) & (w < b_hi)]
@@ -1481,7 +1625,9 @@ def _range_vector(lo: int, hi: int, size: int, within=None) -> "BitVector":
         nb = np.concatenate([np.asarray(p, _I64) for p in nb_parts])
         cls = np.concatenate([np.asarray(p, np.uint8) for p in cls_parts])
     pool = (jnp.asarray(np.stack(rows)) if rows else blockops.zero_pool(0))
-    return BitVector._from_parts(Structure(nb, cls), pool, size)
+    struct = (Structure(nb, cls) if runs is None
+              else Structure(nb, cls, runs))
+    return BitVector._from_parts(struct, pool, size)
 
 
 def _edge_mask(lo_bit: int, hi_bit: int) -> np.ndarray:
@@ -1524,7 +1670,7 @@ def _binary(a: BitVector, b: BitVector, op: str) -> BitVector:
     k = kpos.size
     size = max(a._size, b._size)
     if k == 0:
-        return BitVector._from_parts(Structure(nb_all, cls_all),
+        return BitVector._from_parts(Structure(nb_all, cls_all, plan.runs),
                                      blockops.zero_pool(0), size)
 
     def _state(slot, full, gap):
@@ -1605,9 +1751,10 @@ def _binary(a: BitVector, b: BitVector, op: str) -> BitVector:
         keep = ~drop
         nb_all = nb_all[keep]
         cls_all = cls_all[keep]
-        return BitVector._from_parts(Structure(nb_all, cls_all), pool,
-                                     size, gaps)
-    return BitVector._from_parts(Structure(nb_all, cls_all), pool, size)
+        return BitVector._from_parts(
+            Structure(nb_all, cls_all, plan.runs), pool, size, gaps)
+    return BitVector._from_parts(Structure(nb_all, cls_all, plan.runs),
+                                 pool, size)
 
 
 @jax.jit
@@ -1658,6 +1805,8 @@ def _shifted_up(bv: BitVector) -> BitVector:
     lands in the adjacent successor when present, else becomes a new
     1-bit block.  O(own blocks) for any address span."""
     bv._flush()
+    if bv._struct.has_runs:      # flat per-block view (bounded)
+        bv._struct = bv._struct.materialized()
     nbs = bv._struct.nb
     if len(nbs) == 0:
         return bv
@@ -1685,6 +1834,8 @@ def _shifted_down(bv: BitVector) -> BitVector:
     (the old contiguous-span version silently DROPPED that bit whenever
     the predecessor was absent)."""
     bv._flush()
+    if bv._struct.has_runs:      # flat per-block view (bounded)
+        bv._struct = bv._struct.materialized()
     nbs = bv._struct.nb
     if len(nbs) == 0:
         return bv

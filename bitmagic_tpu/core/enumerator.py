@@ -7,7 +7,9 @@ bulk_insert_iterator (:464 — buffered bulk loading).
 
 TPU-idiomatic decoding: the enumerator decodes one *block* of positions at a
 time (a single device fetch + host unpack), then iterates on the host — the
-analog of the reference's per-wave decode-ahead buffers.
+analog of the reference's per-wave decode-ahead buffers.  It walks the
+structure's *segment* view, so FULL runs stream block-by-block without ever
+materializing per-block metadata.
 """
 
 from __future__ import annotations
@@ -25,40 +27,50 @@ class Enumerator:
     def __init__(self, bv, pos: int = 0):
         self._bv = bv
         bv._flush()
+        self._segs = bv._struct.segments()
         self._buf = np.zeros(0, _I64)
         self._buf_i = 0
-        self._entry = -1          # index into struct.nb
+        self._entry = -1          # index into the segment view
+        self._seg_off = 0         # block offset within a multi-block segment
         self.go_to(pos)
 
     # -- internals ---------------------------------------------------------
-    def _load_entry(self, k: int):
-        """Decode all set positions of metadata entry k."""
-        st = self._bv._struct
-        nb = int(st.nb[k])
+    def _n_segs(self) -> int:
+        return self._segs[0].size
+
+    def _load_entry(self, k: int, off: int = 0):
+        """Decode all set positions of block ``off`` of segment k."""
+        start, span, cls, slot, gslot = self._segs
+        nb = int(start[k]) + off
         base = nb << C.SET_BLOCK_SHIFT
-        if st.cls[k] == C.CLS_FULL:
+        if cls[k] == C.CLS_FULL:
             self._buf = np.arange(base, base + C.BITS_PER_BLOCK, dtype=_I64)
-        elif st.cls[k] == C.CLS_GAP:
-            g = self._bv._gaps.subset(np.asarray([st.gslots()[k]]))
+        elif cls[k] == C.CLS_GAP:
+            g = self._bv._gaps.subset(np.asarray([gslot[k]]))
             self._buf = g.indices_concat(np.asarray([base], _I64))
         else:
-            slot = int(st.slots()[k])
-            row = np.asarray(self._bv._pool[slot])
+            row = np.asarray(self._bv._pool[int(slot[k])])
             bits = np.unpackbits(row.view(np.uint8), bitorder="little")
             self._buf = np.flatnonzero(bits).astype(_I64) + base
         self._buf_i = 0
         self._entry = k
+        self._seg_off = off
 
     def _advance_entry(self):
-        st = self._bv._struct
+        start, span, cls, slot, gslot = self._segs
+        m = start.size
         while True:
-            k = self._entry + 1
-            if k >= len(st.nb):
-                self._buf = np.zeros(0, _I64)
-                self._buf_i = 0
-                self._entry = k
-                return False
-            self._load_entry(k)
+            if (0 <= self._entry < m
+                    and self._seg_off + 1 < span[self._entry]):
+                self._load_entry(self._entry, self._seg_off + 1)
+            else:
+                k = self._entry + 1
+                if k >= m:
+                    self._buf = np.zeros(0, _I64)
+                    self._buf_i = 0
+                    self._entry = k
+                    return False
+                self._load_entry(k)
             if self._buf.size:
                 return True
 
@@ -73,6 +85,7 @@ class Enumerator:
         self._buf = np.zeros(0, _I64)
         self._buf_i = 0
         self._entry = 1 << 62
+        self._seg_off = 0
         return self
 
     @classmethod
@@ -81,6 +94,7 @@ class Enumerator:
         construction performs (bvector.end() support)."""
         e = object.__new__(cls)
         e._bv = bv
+        e._segs = (np.zeros(0, _I64),) * 5
         return e.invalidate()
 
     def value(self) -> int:
@@ -99,19 +113,23 @@ class Enumerator:
 
     def go_to(self, pos: int) -> bool:
         """Position at the first set bit >= pos (reference go_to)."""
-        st = self._bv._struct
+        start, span, cls, slot, gslot = self._segs
+        m = start.size
         blk = int(pos) >> C.SET_BLOCK_SHIFT
-        k = int(np.searchsorted(st.nb, blk))
-        if k >= len(st.nb):
-            self._buf = np.zeros(0, _I64)
-            self._entry = k
-            return False
-        self._load_entry(k)
-        if int(st.nb[k]) == blk:
+        i = int(np.searchsorted(start, blk, side="right")) - 1
+        if i >= 0 and blk < start[i] + span[i]:
+            self._load_entry(i, blk - int(start[i]))
             self._buf_i = int(np.searchsorted(self._buf, int(pos)))
             if self._buf_i >= self._buf.size:
                 return self._advance_entry()
             return True
+        k = i + 1
+        if k >= m:
+            self._buf = np.zeros(0, _I64)
+            self._buf_i = 0
+            self._entry = k
+            return False
+        self._load_entry(k)
         self._buf_i = 0
         return self._buf.size > 0 or self._advance_entry()
 
@@ -132,6 +150,34 @@ class Enumerator:
         """Skip forward so that `rank` more set bits (1-based from the
         current one) have been consumed (reference skip_to_rank)."""
         return self.skip(int(rank) - 1)
+
+    # -- comparisons (reference iterator_base operators; two invalid
+    # enumerators over the same vector compare equal, so the canonical
+    # `while en != bv.end()` idiom terminates) ----------------------------
+    def _cmp_key(self):
+        if not self.valid():
+            return None
+        return self.value()
+
+    def __eq__(self, other):
+        if not isinstance(other, Enumerator):
+            return NotImplemented
+        if self._bv is not other._bv:
+            return False
+        return self._cmp_key() == other._cmp_key()
+
+    def __ne__(self, other):
+        r = self.__eq__(other)
+        return r if r is NotImplemented else not r
+
+    def __lt__(self, other):
+        a, b = self._cmp_key(), other._cmp_key()
+        if a is None:
+            return False
+        return b is None or a < b
+
+    def __hash__(self):
+        return hash((id(self._bv), self._cmp_key()))
 
     def __iter__(self):
         return self

@@ -36,10 +36,13 @@ _I64 = np.int64
 class RSIndex:
     """Rank/select index over one BitVector snapshot."""
 
-    def __init__(self, nb, cls, cum, pool, size, gaps=None):
-        self.nb = nb                   # int64[n_alloc]
-        self.cls = cls                 # uint8[n_alloc]
-        self.cum = cum                 # int64[n_alloc] inclusive prefix
+    def __init__(self, nb, cls, cum, pool, size, gaps=None, span=None,
+                 slots=None, gslots=None):
+        self.nb = nb                   # int64[m] segment start block ids
+        self.cls = cls                 # uint8[m]
+        self.span = (span if span is not None
+                     else np.ones(len(nb), _I64))  # blocks per segment
+        self.cum = cum                 # int64[m] inclusive popcount prefix
         self.pool = pool               # device uint32[r, 2048]
         self.gaps = gaps               # host GapStore (CLS_GAP blocks)
         # global wave popcount prefix (the rs3 sub-count analog, 256 B/row,
@@ -49,25 +52,33 @@ class RSIndex:
         self._gwc_cache = None
         self.size = size
         self.total = int(cum[-1]) if cum.size else 0
-        is_bit = cls == C.CLS_BIT
-        s = np.cumsum(is_bit) - 1
-        self.slots = np.where(is_bit, s, -1).astype(_I64)
-        is_gap = cls == C.CLS_GAP
-        g = np.cumsum(is_gap) - 1
-        self.gslots = np.where(is_gap, g, -1).astype(_I64)
+        if slots is None:
+            is_bit = cls == C.CLS_BIT
+            s = np.cumsum(is_bit) - 1
+            slots = np.where(is_bit, s, -1).astype(_I64)
+        if gslots is None:
+            is_gap = cls == C.CLS_GAP
+            g = np.cumsum(is_gap) - 1
+            gslots = np.where(is_gap, g, -1).astype(_I64)
+        self.slots = slots
+        self.gslots = gslots
 
     # ------------------------------------------------------------------
     @classmethod
     def build(cls_, bv) -> "RSIndex":
-        """Build from a BitVector (reference build_rs_index, src/bm.h:2501)."""
+        """Build from a BitVector (reference build_rs_index, src/bm.h:2501).
+        FULL runs join as single multi-block segments — their rank/select
+        contribution is pure arithmetic, O(1) metadata per run (the
+        reference's FULL super-block encoding, src/bmrs.h:70-73)."""
         bv._flush()
-        struct, pool = bv._struct, bv._pool
-        counts = np.zeros(len(struct.nb), _I64)
-        counts[struct.cls == C.CLS_FULL] = C.BITS_PER_BLOCK
-        is_bit = struct.cls == C.CLS_BIT
+        pool = bv._pool
+        start, span, seg_cls, slots, gslots = bv._struct.segments()
+        counts = span * C.BITS_PER_BLOCK          # FULL segments (and runs)
+        counts[seg_cls != C.CLS_FULL] = 0
+        is_bit = seg_cls == C.CLS_BIT
         if pool.shape[0]:
             bc = np.asarray(blockops.block_counts(pool)).astype(_I64)
-            counts[is_bit] = bc[struct.slots()[is_bit]]
+            counts[is_bit] = bc[slots[is_bit]]
             # the select descent carries pool-global ranks as device int32
             # (ops/select.py contract); enforce the documented bound
             # loudly instead of wrapping silently
@@ -76,12 +87,12 @@ class RSIndex:
                     "rs_index: device pool holds >= 2^31 set bits — beyond "
                     "the int32 select-descent bound; split the vector "
                     "(rank_range_split) or shard it over a mesh")
-        is_gap = struct.cls == C.CLS_GAP
+        is_gap = seg_cls == C.CLS_GAP
         if bv._gaps is not None and is_gap.any():
-            counts[is_gap] = bv._gaps.popcounts()[struct.gslots()[is_gap]]
+            counts[is_gap] = bv._gaps.popcounts()[gslots[is_gap]]
         cum = np.cumsum(counts)
-        return cls_(struct.nb.copy(), struct.cls.copy(), cum, pool, bv.size,
-                    bv._gaps)
+        return cls_(start, seg_cls, cum, pool, bv.size, bv._gaps,
+                    span=span, slots=slots, gslots=gslots)
 
     def _gwc_host(self):
         if self._gwc_cache is None:
@@ -100,14 +111,21 @@ class RSIndex:
         if len(self.nb) == 0:
             return out
         blocks = ids >> C.SET_BLOCK_SHIFT
-        pos = np.searchsorted(self.nb, blocks)
-        out += np.where(pos > 0, self.cum[np.maximum(pos - 1, 0)], 0)
-        pos_c = np.minimum(pos, len(self.nb) - 1)
-        hit = self.nb[pos_c] == blocks
+        # segment at or before each block (segments may span many blocks)
+        pos = np.searchsorted(self.nb, blocks, side="right") - 1
+        pos_c = np.maximum(pos, 0)
+        hit = (pos >= 0) & (blocks < self.nb[pos_c] + self.span[pos_c])
+        # whole segments strictly before the queried block
+        out += np.where(hit,
+                        np.where(pos_c > 0,
+                                 self.cum[np.maximum(pos_c - 1, 0)], 0),
+                        np.where(pos >= 0, self.cum[pos_c], 0))
         cls_at = self.cls[pos_c]
-        # FULL block containing i: add in-block offset + 1
+        # FULL segment containing i: in-segment offset + 1 (pure arithmetic,
+        # valid across multi-block runs)
         fullm = hit & (cls_at == C.CLS_FULL)
-        out[fullm] += (ids[fullm] & C.SET_BLOCK_MASK) + 1
+        out[fullm] += (ids[fullm]
+                       - (self.nb[pos_c[fullm]] << C.SET_BLOCK_SHIFT)) + 1
         # GAP block containing i: host run arithmetic (gap_bfind analog)
         gapm = hit & (cls_at == C.CLS_GAP)
         if gapm.any():
@@ -137,11 +155,12 @@ class RSIndex:
         r = ranks[ok]
         entry = np.searchsorted(self.cum, r, side="left")
         base_rank = np.where(entry > 0, self.cum[np.maximum(entry - 1, 0)], 0)
-        rem = (r - base_rank).astype(np.int32)            # 1-based in block
+        rem64 = r - base_rank                # 1-based in segment (int64:
+        rem = rem64.astype(np.int32)         # FULL runs can exceed 2^31 bits)
         blk_base = self.nb[entry] << C.SET_BLOCK_SHIFT
         res = np.empty(r.shape, _I64)
         fullm = self.cls[entry] == C.CLS_FULL
-        res[fullm] = blk_base[fullm] + rem[fullm] - 1
+        res[fullm] = blk_base[fullm] + rem64[fullm] - 1
         gapm = self.cls[entry] == C.CLS_GAP
         if gapm.any():
             g = self.gslots[entry[gapm]]

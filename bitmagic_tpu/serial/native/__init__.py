@@ -73,10 +73,13 @@ def load():
         lib.bm_bmt1_decode.restype = ctypes.c_int
         lib.bm_bmt1_decode.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64,
                                        i64p, ctypes.POINTER(ctypes.c_uint8),
-                                       u32p]
+                                       i64p, u32p]
         lib.bm_bmt1_encode.restype = ctypes.c_int64
         lib.bm_bmt1_encode.argtypes = [u32p, i64p,
+                                       ctypes.POINTER(ctypes.c_uint8), i64p,
+                                       i32p, i64p,
                                        ctypes.POINTER(ctypes.c_uint8),
+                                       ctypes.c_int64, ctypes.c_int,
                                        ctypes.c_int64, ctypes.c_int,
                                        u8p, ctypes.c_int64, i64p]
         lib.bmref_bic_decode_cm.restype = ctypes.c_int
@@ -144,20 +147,40 @@ def block_gap_boundaries(words: np.ndarray):
     return int(start.value), out[:n].astype(np.int64)
 
 
+class RunCodedBlob(Exception):
+    """The BMT1 blob holds FULL_RUN span records — the per-record stream
+    engines route to decode-then-apply (runs decode to O(1) interval
+    metadata, so that path stays cheap)."""
+
+
+class PaddedBlob(np.ndarray):
+    """uint8 view marking a blob whose trailing 8-zero-byte pad was applied
+    by padded_blob itself.  Only this marker skips re-padding: a plain
+    uint8 ndarray from the caller (np.fromfile etc.) is NOT trusted to be
+    padded — treating it as such would drop its last 8 real bytes and let
+    BitR's fast path read past the allocation."""
+
+
 def padded_blob(blob) -> "np.ndarray":
     """Zero-pad a BLOB for the native readers (BitR's fast path reads one
-    64-bit word past the cursor; contract in codecs.cpp).  An already-
-    padded uint8 array passes through unchanged, so chunked drivers that
+    64-bit word past the cursor; contract in codecs.cpp).  Returns a
+    PaddedBlob; passing one back in is a no-op, so chunked drivers that
     call the engine once per record window pad ONCE instead of re-copying
     the whole blob every call."""
-    if isinstance(blob, np.ndarray) and blob.dtype == np.uint8:
+    if isinstance(blob, PaddedBlob):
         return blob
-    return np.frombuffer(bytes(blob) + b"\0" * 8, np.uint8)
+    if isinstance(blob, np.ndarray):
+        raw = np.ascontiguousarray(blob).view(np.uint8).tobytes()
+    else:
+        raw = bytes(blob)
+    return np.frombuffer(raw + b"\0" * 8, np.uint8).view(PaddedBlob)
 
 
 def bmt1_decode(blob: bytes, rec_offset: int):
     """Whole-BLOB BMT1 decode in C: returns (nbs int64, cls uint8,
-    words uint32[n_rows, 2048]) or None when unavailable/malformed."""
+    spans int64, words uint32[n_rows, 2048]) or None when unavailable/
+    malformed.  spans[k] > 1 marks a FULL_RUN record covering that many
+    consecutive blocks starting at nbs[k]."""
     lib = load()
     if lib is None:
         return None
@@ -170,36 +193,59 @@ def bmt1_decode(blob: bytes, rec_offset: int):
         return None
     nbs = np.empty(max(n_rec.value, 1), np.int64)
     cls = np.empty(max(n_rec.value, 1), np.uint8)
+    spans = np.empty(max(n_rec.value, 1), np.int64)
     words = np.empty((max(n_rows.value, 1), 2048), np.uint32)
     rc = lib.bm_bmt1_decode(
         bp, buf.size - 8, rec_offset,
         nbs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         cls.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        spans.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
     if rc != 0:
         return None
-    return (nbs[:n_rec.value], cls[:n_rec.value], words[:n_rows.value])
+    return (nbs[:n_rec.value], cls[:n_rec.value], spans[:n_rec.value],
+            words[:n_rows.value])
 
 
 def bmt1_encode(words: np.ndarray, nbs: np.ndarray, cls: np.ndarray,
-                level: int):
+                level: int, spans: np.ndarray = None,
+                prev_nb: int = -1, emit_end: bool = True,
+                gap_ends=None, gap_offs=None, gap_first=None):
     """Whole-BLOB BMT1 record encoding in C: returns (records_bytes,
-    code_counts int64[9]) or None when unavailable."""
+    code_counts int64[11]) or None when unavailable.  spans[k] > 1 on a
+    FULL entry emits one FULL_RUN record covering that many blocks.
+    cls==3 records encode straight from the D-GAP store layout
+    (gap_ends/gap_offs/gap_first) with no dense expansion."""
     lib = load()
     if lib is None:
         return None
     words = np.ascontiguousarray(words, np.uint32)
     nbs = np.ascontiguousarray(nbs, np.int64)
     cls = np.ascontiguousarray(cls, np.uint8)
+    if spans is None:
+        spans = np.ones(nbs.size, np.int64)
+    spans = np.ascontiguousarray(spans, np.int64)
+    if gap_ends is None:
+        gap_ends = np.zeros(0, np.int32)
+        gap_offs = np.zeros(1, np.int64)
+        gap_first = np.zeros(0, np.uint8)
+    gap_ends = np.ascontiguousarray(gap_ends, np.int32)
+    gap_offs = np.ascontiguousarray(gap_offs, np.int64)
+    gap_first = np.ascontiguousarray(gap_first, np.uint8)
     n_rec = nbs.size
-    cap = n_rec * 11 + words.shape[0] * 8400 + 64
+    n_payload_rows = words.shape[0] + int(gap_first.size)
+    cap = n_rec * 22 + n_payload_rows * 8400 + 64
     out = np.empty(cap, np.uint8)
-    counts = np.zeros(9, np.int64)
+    counts = np.zeros(11, np.int64)
     n = lib.bm_bmt1_encode(
         words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         nbs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         cls.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        n_rec, int(level),
+        spans.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        gap_ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        gap_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        gap_first.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n_rec, int(level), int(prev_nb), int(bool(emit_end)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
         counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     if n < 0:
@@ -326,6 +372,9 @@ def bmt1_stream_op(blob: bytes, rec_offset: int, op: int, count_mode: bool,
         out_cls.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         out_words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         ctypes.byref(o_nrec), ctypes.byref(o_nrows), ctypes.byref(cnt))
+    if rc == -2:
+        raise RunCodedBlob("BMT1 blob contains FULL_RUN records; "
+                           "use decode-then-apply")
     if rc != 0:
         return None
     if count_mode:

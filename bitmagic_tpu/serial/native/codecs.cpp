@@ -521,6 +521,12 @@ enum {
     BMT1_ARR16 = 3, BMT1_ARR16_INV = 4,
     BMT1_ARR_BIC = 5, BMT1_ARR_BIC_INV = 6,
     BMT1_GAP_GAMMA = 7, BMT1_GAP_BIC = 8,
+    // N consecutive FULL blocks as ONE record: payload = varint(N).
+    // After a run record, prev_nb advances to the run's LAST block, so the
+    // next record's delta stays >= 1 (reference multi-scale one-run codes,
+    // src/bmserial.h:1183-1199; zero runs are implicit in BMT1 because
+    // record block-ids are explicit).
+    BMT1_FULL_RUN = 10,   // 9 = group-level XOR_REF (xor_group.py)
 };
 const uint64_t BMT1_END_NB = (1ull << 48) - 1;
 const uint8_t BMT1_FLAG_COMPACT = 2;   // varint record headers
@@ -582,6 +588,20 @@ inline int bmt1_read_rec(const uint8_t* blob, int64_t len, int compact,
 
 inline int bmt1_is_compact(const uint8_t* blob, int64_t len) {
     return len > 4 && (blob[4] & BMT1_FLAG_COMPACT);
+}
+
+// Parse a FULL_RUN payload (varint span >= 1) and advance *prev_nb to the
+// run's LAST block (the delta base of the following record).  Returns the
+// span, or 0 on malformed input.
+inline uint64_t bmt1_run_span(const uint8_t* blob, int64_t pos, int64_t len,
+                              uint32_t plen, uint64_t nb, int64_t* prev_nb) {
+    if (plen < 1 || pos + (int64_t)plen > len) return 0;
+    int64_t p = pos;
+    uint64_t span = rd_leb(blob, &p);
+    if (span == LEB_BAD || span == 0 || p > pos + (int64_t)plen) return 0;
+    if (nb + span - 1 >= BMT1_END_NB) return 0;
+    *prev_nb = (int64_t)(nb + span - 1);
+    return span;
 }
 
 inline void set_bit_blk(uint32_t* w, uint32_t pos) {
@@ -865,23 +885,42 @@ int64_t positions_from_runs(const uint16_t* bnd, int64_t L, int32_t start,
 
 extern "C" {
 
+static int64_t gap_ones(const int32_t* ends, int64_t n, int first);
+static void gap_expand_dense(const int32_t* ends, int64_t n, int first,
+                             uint32_t* out);
+
 // Whole-BLOB BMT1 encoder: mirror of serializer.Serializer._encode_block
 // (size-estimate chooser + payload emitters).  words holds the CLS_BIT rows
-// in nb order; cls uses the package codes (1=FULL, 2=BIT).  Returns bytes
-// written (records + END trailer), or -1 on overflow.  code_counts[9]
-// accumulates the per-code histogram for compression_stat.
+// in nb order; cls uses the package codes (1=FULL, 2=BIT, 3=GAP).
+// spans[rec] > 1 (FULL entries only) emits ONE FULL_RUN record covering
+// that many blocks.  cls==3 records encode STRAIGHT from the succinct
+// D-GAP store layout (g_ends/g_offs/g_first, same convention as
+// bm_bmt1_stream_op targets): boundaries, popcount and gamma cost derive
+// from the run list, so a GAP-resident vector serializes with O(1-block)
+// dense scratch (the reference's gamma_gap_block encodes the gap buffer
+// directly, src/bmserial.h:1960).  Bytes are identical to the dense path.
+// prev_nb_in / emit_end let the Python driver stitch segments (it may
+// interleave its own records); pass -1 / 1 for a whole blob.  Returns bytes
+// written, or -1 on overflow.  code_counts[11] accumulates the per-code
+// histogram for compression_stat.
 int64_t bm_bmt1_encode(const uint32_t* words, const int64_t* nbs,
-                       const uint8_t* cls, int64_t n_rec, int level,
+                       const uint8_t* cls, const int64_t* spans,
+                       const int32_t* g_ends, const int64_t* g_offs,
+                       const uint8_t* g_first,
+                       int64_t n_rec, int level,
+                       int64_t prev_nb_in, int emit_end,
                        uint8_t* out, int64_t cap, int64_t* code_counts) {
     int64_t pos = 0;
     int64_t row = 0;
-    int64_t prev_nb = -1;                 // compact records delta-code nb
+    int64_t grec = 0;                     // index among cls==3 records
+    int64_t prev_nb = prev_nb_in;         // compact records delta-code nb
     const int64_t PCAP = 1 << 18;         // payload scratch (BIC worst case)
     uint16_t* pos_buf = new uint16_t[65536];
     uint16_t* bnd_buf = new uint16_t[65537];
     int64_t* arr64 = new int64_t[65537];
     uint32_t* gam = new uint32_t[65537];
     uint8_t* pbuf = new uint8_t[PCAP];
+    uint32_t* gexp = new uint32_t[2048];  // GAP->dense scratch (RAW only)
 
     // payload writers target the scratch buffer: the compact header's
     // varint length precedes the payload, so it must be known first
@@ -890,7 +929,7 @@ int64_t bm_bmt1_encode(const uint32_t* words, const int64_t* nbs,
     auto pput32 = [&](uint32_t v) { memcpy(pbuf + wpos, &v, 4); wpos += 4; };
     auto fail = [&]() {
         delete[] pos_buf; delete[] bnd_buf; delete[] arr64; delete[] gam;
-        delete[] pbuf;
+        delete[] pbuf; delete[] gexp;
         return (int64_t)-1;
     };
     auto emit = [&](uint64_t nb, uint8_t code) {
@@ -907,15 +946,40 @@ int64_t bm_bmt1_encode(const uint32_t* words, const int64_t* nbs,
     for (int64_t rec = 0; rec < n_rec; ++rec) {
         if (pos + 16 + 8192 + 64 > cap) return fail();
         if (cls[rec] == 1) {                       // FULL
-            emit((uint64_t)nbs[rec], BMT1_FULL);
-            ++code_counts[BMT1_FULL];
+            int64_t span = spans ? spans[rec] : 1;
+            if (span > 1) {
+                wr_leb(pbuf, &wpos, (uint64_t)span);
+                emit((uint64_t)nbs[rec], BMT1_FULL_RUN);
+                prev_nb = nbs[rec] + span - 1;     // delta base = run end
+                ++code_counts[BMT1_FULL_RUN];
+            } else {
+                emit((uint64_t)nbs[rec], BMT1_FULL);
+                ++code_counts[BMT1_FULL];
+            }
             continue;
         }
-        const uint32_t* w = words + (row++) * 2048;
+        const uint32_t* w = nullptr;
         int32_t start = 0;
-        int64_t bc = 0, run_gamma_bits = 0;
-        int64_t L = block_scan_fused(w, bnd_buf, &start, &bc,
-                                     &run_gamma_bits);  // incl. final 65535
+        int64_t bc = 0, run_gamma_bits = 0, L = 0;
+        if (cls[rec] == 3) {                       // GAP: straight from runs
+            int64_t k = grec++;
+            const int32_t* ge = g_ends + g_offs[k];
+            int64_t n = g_offs[k + 1] - g_offs[k];
+            start = g_first[k];
+            int64_t prevb = -1;
+            for (int64_t i = 0; i < n; ++i) {
+                bnd_buf[i] = (uint16_t)ge[i];
+                run_gamma_bits +=
+                    2 * bit_length_u64((uint64_t)(ge[i] - prevb)) - 1;
+                prevb = ge[i];
+            }
+            L = n;
+            bc = gap_ones(ge, n, start);
+        } else {
+            w = words + (row++) * 2048;
+            L = block_scan_fused(w, bnd_buf, &start, &bc,
+                                 &run_gamma_bits);  // incl. final 65535
+        }
         if (bc == 0)
             continue;                              // zero: implicit
         if (bc == 65536) {
@@ -964,6 +1028,13 @@ int64_t bm_bmt1_encode(const uint32_t* words, const int64_t* nbs,
 
         switch (best_code) {
         case BMT1_RAW:
+            if (!w) {                              // GAP record chose RAW
+                int64_t k = grec - 1;
+                gap_expand_dense(g_ends + g_offs[k],
+                                 g_offs[k + 1] - g_offs[k],
+                                 (int)g_first[k], gexp);
+                w = gexp;
+            }
             memcpy(pbuf + wpos, w, 8192); wpos += 8192;
             break;
         case BMT1_ARR16:
@@ -1028,10 +1099,11 @@ int64_t bm_bmt1_encode(const uint32_t* words, const int64_t* nbs,
         if (pos + 16 + wpos > cap) return fail();
         emit((uint64_t)nbs[rec], (uint8_t)best_code);
     }
-    // END trailer: a single zero delta byte
-    out[pos++] = 0;
+    // END trailer: a single zero delta byte (suppressed for segment calls)
+    if (emit_end)
+        out[pos++] = 0;
     delete[] pos_buf; delete[] bnd_buf; delete[] arr64; delete[] gam;
-    delete[] pbuf;
+    delete[] pbuf; delete[] gexp;
     return pos;
 }
 
@@ -1052,17 +1124,22 @@ int bm_bmt1_scan(const uint8_t* blob, int64_t len, int64_t rec_offset,
             *n_rows = rows;
             return 0;
         }
+        if (code == BMT1_FULL_RUN) {
+            if (!bmt1_run_span(blob, pos, len, plen, nb, &prev)) return -1;
+        }
         pos += plen;
         if (pos > len) return -1;
         ++recs;
-        if (code != BMT1_FULL) ++rows;
+        if (code != BMT1_FULL && code != BMT1_FULL_RUN) ++rows;
     }
 }
 
 // Pass 2: decode every record.  nbs[n_records], cls[n_records],
+// spans[n_records] (1 for plain records, run length for FULL_RUN),
 // words[n_rows][2048] (rows in record order for non-FULL records).
 int bm_bmt1_decode(const uint8_t* blob, int64_t len, int64_t rec_offset,
-                   int64_t* nbs, uint8_t* cls, uint32_t* words) {
+                   int64_t* nbs, uint8_t* cls, int64_t* spans,
+                   uint32_t* words) {
     int64_t pos = rec_offset, rec = 0, row = 0, prev = -1;
     int compact = bmt1_is_compact(blob, len);
     int64_t* scratch = new int64_t[65537];
@@ -1079,7 +1156,13 @@ int bm_bmt1_decode(const uint8_t* blob, int64_t len, int64_t rec_offset,
         }
         if (pos + plen > len) { delete[] scratch; return -1; }
         nbs[rec] = (int64_t)nb;
-        if (code == BMT1_FULL) {
+        spans[rec] = 1;
+        if (code == BMT1_FULL_RUN) {
+            uint64_t span = bmt1_run_span(blob, pos, len, plen, nb, &prev);
+            if (!span) { delete[] scratch; return -1; }
+            cls[rec] = 1;                       // CLS_FULL (span-coded)
+            spans[rec] = (int64_t)span;
+        } else if (code == BMT1_FULL) {
             cls[rec] = 1;                       // CLS_FULL
         } else {
             cls[rec] = 2;                       // CLS_BIT
@@ -1203,6 +1286,9 @@ int64_t bm_bmt1_record_index(const uint8_t* blob, int64_t len,
                               &nb, &code, &plen);
         if (r < 0) return -1;
         if (r == 1) return recs;
+        if (code == BMT1_FULL_RUN) {
+            if (!bmt1_run_span(blob, pos, len, plen, nb, &prev)) return -1;
+        }
         out_nbs[recs] = (int64_t)nb;
         out_offs[recs] = rec_at;
         pos += plen;
@@ -1304,6 +1390,14 @@ int bm_bmt1_stream_op(const uint8_t* blob, int64_t len, int64_t off,
             return 0;
         }
         if (pos + plen > len) { delete[] scratch; delete[] bw; delete[] bw2; return -1; }
+        if (code == BMT1_FULL_RUN) {
+            // run-coded blobs route to decode-then-apply: runs decode to
+            // O(1) interval metadata, set-mode outputs here are per-record
+            // arrays, and the count-mode pass-through accounting upstream
+            // assumes single-block mentions — signal the driver
+            delete[] scratch; delete[] bw; delete[] bw2;
+            return -2;
+        }
         // locate target block state: 0 absent, 1 FULL, 2 row, 3 runs
         int tstate = 0;
         const uint32_t* tw = nullptr;

@@ -38,9 +38,9 @@ from ..core.blocks import Structure
 from ..core.gapstore import GapStore
 from ..core import gaps as gaps_mod
 from .encoding import ByteDecoder
-from .serializer import (CODE_END, CODE_FULL, Deserializer, MAGIC,
-                         _decode_payload, read_blob_header,
-                         read_record_header)
+from .serializer import (CODE_END, CODE_FULL, CODE_FULL_RUN, Deserializer,
+                         MAGIC, _decode_payload, read_blob_header,
+                         read_record_header, run_span)
 from . import native
 
 _I64 = np.int64
@@ -61,6 +61,10 @@ def _stream_blocks(data: bytes, want=None):
         nb, code, plen = read_record_header(dec, prev_nb, compact)
         if code == CODE_END:
             return
+        if code == CODE_FULL_RUN:
+            # span records don't fit the one-block-per-record engines
+            raise native.RunCodedBlob(
+                "FULL_RUN record in stream; decode-then-apply")
         prev_nb = nb
         if want is not None and nb not in want:
             dec.pos += plen
@@ -96,7 +100,10 @@ def _blob_record_index(data: bytes):
         nb, code, plen = read_record_header(dec, prev_nb, compact)
         if code == CODE_END:
             return np.asarray(nbs, _I64), np.asarray(offs, _I64)
-        prev_nb = nb
+        if code == CODE_FULL_RUN:
+            prev_nb = nb + run_span(dec.data[dec.pos:dec.pos + plen]) - 1
+        else:
+            prev_nb = nb
         nbs.append(nb)
         offs.append(off)
         dec.pos += plen
@@ -425,19 +432,37 @@ def _passthrough_count_bv(bv: BitVector, mentioned) -> int:
 
 
 class OperationDeserializer:
-    """bm::operation_deserializer equivalent (streamed, no materialize)."""
+    """bm::operation_deserializer equivalent (streamed, no materialize).
+
+    ``ref_vectors``: (row_id, BitVector) pairs — the bv_ref_vector
+    collection needed to stream reference-format BLOBs compressed with
+    the XOR filter (reference deserialize_xor, src/bmserial.h:1093;
+    set_ref_vectors API)."""
+
+    def __init__(self, ref_vectors=None):
+        self.ref_vectors = list(ref_vectors or [])
+
+    def set_ref_vectors(self, ref_vectors):
+        """Reference set_ref_vectors (src/bmserial.h:1060)."""
+        self.ref_vectors = list(ref_vectors or [])
+        return self
 
     def deserialize(self, bv: BitVector, data: bytes, op: int):
         """Apply ``op`` (constants.SET_*) between bv (in place) and the BLOB;
         COUNT_* ops return the count without modifying bv.  Accepts both the
         native BMT1 format and reference-format BLOBs (sniffed by magic)."""
+        if bv._struct.has_runs:
+            # the stream engine's target reader / pass-through walker use
+            # the flat per-block view (bounded materialization)
+            bv._flush()
+            bv._struct = bv._struct.materialized()
         if bytes(data[:4]) != MAGIC:
             # reference-format BLOB: the block-sequential decoder streams
             # finalized blocks into a combining sink (serial_stream_iterator
             # mode) — no materialization for set/count ops
             if op == C.SET_ASSIGN:
                 from .refcodec import ref_deserialize
-                bv.swap(ref_deserialize(data))
+                bv.swap(ref_deserialize(data, ref_vectors=self.ref_vectors))
                 return bv
             if op in _SET_TO_OPC:
                 return self._ref_stream_apply(bv, data, _SET_TO_OPC[op])
@@ -448,9 +473,15 @@ class OperationDeserializer:
         if op == C.SET_ASSIGN:
             bv.swap(Deserializer().deserialize(data))
             return bv
-        if op in _SET_TO_OPC:
-            return self._stream_apply(bv, data, _SET_TO_OPC[op])
-        return self._count_op(bv, data, op)
+        try:
+            if op in _SET_TO_OPC:
+                return self._stream_apply(bv, data, _SET_TO_OPC[op])
+            return self._count_op(bv, data, op)
+        except native.RunCodedBlob:
+            # FULL_RUN span records: decode (runs -> O(1) interval
+            # metadata) and apply through the run-aware set algebra
+            return self._apply_decoded(bv, Deserializer().deserialize(data),
+                                       op)
 
     # ------------------------------------------------------------------
     # BMT1 chunked streaming (native engine over record windows)
@@ -566,7 +597,8 @@ class OperationDeserializer:
         def sink(nb, words):
             eng.feed(nb, words is None, lambda: words)
 
-        size = RefDeserializer().deserialize(data, sink=sink)
+        size = RefDeserializer(self.ref_vectors).deserialize(
+            data, sink=sink)
         cnt = eng.finish()
         return eng.mentioned, size, (cnt if count_mode else accum)
 

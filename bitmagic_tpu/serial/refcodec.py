@@ -865,12 +865,21 @@ class RefDeserializer:
 
         def _flush_to(limit):
             """Deliver finalized blocks (< limit) to the sink, ascending.
+            A pending XOR block caps the limit: its decode completes only
+            when the NEXT xor-family record (or stream end) triggers
+            xor_decode, so flushing past it would deliver higher blocks
+            first and break the sink's ascending-order contract (the
+            trial_stream xor fuzz caught exactly that, seed 5104).
             Tail/range clamping happens at delivery time."""
             nonlocal flush_mark
+            if x_nb >= 0:
+                limit = min(limit, x_nb)
+            if limit <= flush_mark:
+                return
             last_nb_ = (max(int(size), 1) - 1) >> 16
             tail_bits_ = max(int(size), 1) - (last_nb_ << 16)
-            pend = [k for k in blocks if k < limit and k != x_nb] + \
-                   [k for k in full if k < limit and k != x_nb]
+            pend = [k for k in blocks if k < limit] + \
+                   [k for k in full if k < limit]
             for nb in sorted(pend):
                 if nb in full:
                     full.discard(nb)

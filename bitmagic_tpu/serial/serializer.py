@@ -127,13 +127,58 @@ CODE_ARR_BIC = 5        # BIC-coded set-bit positions
 CODE_ARR_BIC_INV = 6    # BIC-coded clear-bit positions
 CODE_GAP_GAMMA = 7      # gamma-coded D-GAP run lengths
 CODE_GAP_BIC = 8        # BIC-coded D-GAP boundaries
+CODE_FULL_RUN = 10      # N consecutive FULL blocks; payload = varint(N)
+#   (9 is the group-level XOR_REF code, xor_group.py)
+#   After a FULL_RUN record the delta base (prev_nb) is the run's LAST
+#   block.  The reference encodes such runs with its multi-scale one-run
+#   codes (src/bmserial.h:1183-1199); BMT1 zero runs are implicit because
+#   record ids are explicit.
 
 _CODE_NAMES = {
     CODE_FULL: "full", CODE_RAW: "raw", CODE_ARR16: "arr16",
     CODE_ARR16_INV: "arr16_inv", CODE_ARR_BIC: "arr_bic",
     CODE_ARR_BIC_INV: "arr_bic_inv", CODE_GAP_GAMMA: "gap_gamma",
-    CODE_GAP_BIC: "gap_bic",
+    CODE_GAP_BIC: "gap_bic", CODE_FULL_RUN: "full_run",
 }
+
+
+def run_span(payload: bytes) -> int:
+    """Decode a FULL_RUN record's span (varint payload)."""
+    span = ByteDecoder(payload).get_varint()
+    if span <= 0:
+        raise ValueError("malformed FULL_RUN record")
+    return span
+
+
+def _coalesce_records(nb: np.ndarray, cls: np.ndarray, runs: np.ndarray):
+    """Merge per-block FULL entries + FULL runs into span-coded records:
+    (rec_nb, rec_cls, rec_span) sorted by block id; BIT entries keep their
+    relative order (their rows align 1:1 with the snapshot words).
+
+    Spans below RUN_MIN stay per-block FULL records: they cost ~3 B each
+    anyway, and keeping them single-block preserves the streamed
+    operation_deserializer's no-materialize contract (span records route
+    to decode-then-apply)."""
+    from ..core.blocks import RUN_MIN, runs_normalize, split_runs
+    fm = cls == C.CLS_FULL
+    parts = []
+    if fm.any():
+        f = nb[fm]
+        parts.append(np.stack([f, f + 1], axis=1))
+    if runs.shape[0]:
+        parts.append(runs)
+    if not parts:
+        return (nb, cls, np.ones(nb.size, np.int64))
+    iv, pts = split_runs(runs_normalize(np.concatenate(parts)), RUN_MIN)
+    bit_nb = nb[~fm]
+    rec_nb = np.concatenate([bit_nb, pts, iv[:, 0]])
+    rec_cls = np.concatenate([
+        cls[~fm],                      # BIT / GAP classes pass through
+        np.full(pts.size + iv.shape[0], C.CLS_FULL, np.uint8)])
+    rec_span = np.concatenate([np.ones(bit_nb.size + pts.size, np.int64),
+                               iv[:, 1] - iv[:, 0]])
+    order = np.argsort(rec_nb, kind="stable")
+    return rec_nb[order], rec_cls[order], rec_span[order]
 
 
 class Serializer:
@@ -186,12 +231,37 @@ class Serializer:
         enc.put_64(bv.size)
         self.compression_stat = {}
         self._prev_nb = -1
-        # transient dense view: GAP blocks expand host-side; bytes are
-        # identical whether a block is GAP- or BIT-resident in memory
-        nb_a, cls_a, words_all = bv._dense_snapshot()
-        struct = Structure(nb_a, cls_a)
+        if bv._gaps is not None and native.load() is not None:
+            # succinct fast path: GAP blocks encode STRAIGHT from their
+            # run lists (no dense expansion — reference gamma_gap_block,
+            # src/bmserial.h:1960); FULL runs stay interval-coded.  Bytes
+            # identical to the dense path (same chooser inputs).
+            st = bv._struct
+            rec_nb, rec_cls, rec_span = _coalesce_records(
+                st.nb, st.cls, st.runs)
+            store = bv._gaps
+            words_bit = (bv._pool_host()
+                         if (st.cls == C.CLS_BIT).any()
+                         else np.zeros((0, C.SET_BLOCK_SIZE), np.uint32))
+            res = native.bmt1_encode(
+                words_bit, rec_nb, rec_cls, self.level, spans=rec_span,
+                gap_ends=store.ends_i32(), gap_offs=store.offs,
+                gap_first=store.first)
+            if res is not None:
+                records, counts = res
+                for code, cnt in enumerate(counts):
+                    if cnt:
+                        self.compression_stat[
+                            _CODE_NAMES.get(code, str(code))] = int(cnt)
+                return enc.get_bytes() + records
+        # transient dense view: GAP blocks expand host-side; FULL runs
+        # stay interval-coded end to end (one record per run — the
+        # serializer never materializes a wide span)
+        nb_a, cls_a, words_all, runs = bv._snapshot_with_runs()
+        rec_nb, rec_cls, rec_span = _coalesce_records(nb_a, cls_a, runs)
         # whole-BLOB fast path: encode every record in one C call
-        res = native.bmt1_encode(words_all, nb_a, cls_a, self.level)
+        res = native.bmt1_encode(words_all, rec_nb, rec_cls, self.level,
+                                 spans=rec_span)
         if res is not None:
             records, counts = res
             for code, cnt in enumerate(counts):
@@ -206,13 +276,21 @@ class Serializer:
             gc_all = np.asarray(blockops.gap_counts(wj))
         else:
             bc_all = gc_all = np.zeros(0, np.int64)
-        slots = struct.slots()
-        for k in range(len(struct.nb)):
-            nb = int(struct.nb[k])
-            if struct.cls[k] == C.CLS_FULL:
-                self._record(enc, nb, CODE_FULL, b"")
+        row = 0
+        for k in range(rec_nb.size):
+            nb = int(rec_nb[k])
+            if rec_cls[k] == C.CLS_FULL:
+                span = int(rec_span[k])
+                if span > 1:
+                    e = ByteEncoder()
+                    e.put_varint(span)
+                    self._record(enc, nb, CODE_FULL_RUN, e.get_bytes(),
+                                 prev_to=nb + span - 1)
+                else:
+                    self._record(enc, nb, CODE_FULL, b"")
                 continue
-            s = slots[k]
+            s = row
+            row += 1
             words = words_all[s]
             bc, gc = int(bc_all[s]), int(gc_all[s])
             if bc == 0:
@@ -225,10 +303,10 @@ class Serializer:
         write_end_record(enc, True)
         return enc.get_bytes()
 
-    def _record(self, enc, nb, code, payload):
+    def _record(self, enc, nb, code, payload, prev_to=None):
         write_record_header(enc, nb, self._prev_nb, code, len(payload),
                             True)
-        self._prev_nb = nb
+        self._prev_nb = nb if prev_to is None else prev_to
         enc.put_bytes(payload)
         name = _CODE_NAMES.get(code, str(code))
         self.compression_stat[name] = self.compression_stat.get(name, 0) + 1
@@ -354,22 +432,34 @@ class Deserializer:
             # whole-BLOB fast path: one native call decodes every record
             res = native.bmt1_decode(data, dec.pos)
             if res is not None:
-                nbs_a, cls_a, words = res
+                nbs_a, cls_a, spans_a, words = res
+                struct = _struct_from_spans(nbs_a, cls_a, spans_a)
                 # host-resident pool: the device upload is deferred to the
                 # first device op (lazy residency, BitVector._pool)
-                struct = Structure(nbs_a, cls_a)
                 return BitVector._from_parts(struct, words, size)
         lo_blk, hi_blk = 0, (1 << 48)
         if range_ is not None:
             lo_blk = int(range_[0]) >> C.SET_BLOCK_SHIFT
             hi_blk = int(range_[1]) >> C.SET_BLOCK_SHIFT
-        nbs, clss, rows = [], [], []
+        nbs, clss, spans, rows = [], [], [], []
         prev_nb = -1
         while True:
             nb, code, plen = read_record_header(dec, prev_nb, compact)
             if code == CODE_END:
                 break
             prev_nb = nb
+            if code == CODE_FULL_RUN:
+                payload = dec.get_bytes(plen)
+                span = run_span(payload)
+                prev_nb = nb + span - 1
+                # clip the run to the requested block window
+                s = max(nb, lo_blk)
+                e = min(nb + span, hi_blk + 1)
+                if e > s:
+                    nbs.append(s)
+                    clss.append(C.CLS_FULL)
+                    spans.append(e - s)
+                continue
             if not (lo_blk <= nb <= hi_blk):
                 dec.pos += plen            # skip payload (bookmark jump)
                 continue
@@ -377,15 +467,18 @@ class Deserializer:
             if code == CODE_FULL:
                 nbs.append(nb)
                 clss.append(C.CLS_FULL)
+                spans.append(1)
                 continue
             words = _decode_payload(code, payload)
             nbs.append(nb)
             clss.append(C.CLS_BIT)
+            spans.append(1)
             rows.append(words)
         pool = (np.stack(rows) if rows
                 else np.zeros((0, C.SET_BLOCK_SIZE), np.uint32))
-        struct = Structure(np.asarray(nbs, np.int64),
-                           np.asarray(clss, np.uint8))
+        struct = _struct_from_spans(np.asarray(nbs, np.int64),
+                                    np.asarray(clss, np.uint8),
+                                    np.asarray(spans, np.int64))
         bv = BitVector._from_parts(struct, pool, size)
         if range_ is not None:
             bv.keep_range(int(range_[0]), int(range_[1]))
@@ -393,6 +486,32 @@ class Deserializer:
 
     def deserialize_range(self, data: bytes, lo: int, hi: int) -> BitVector:
         return self.deserialize(data, range_=(lo, hi))
+
+
+def _struct_from_spans(nbs: np.ndarray, cls: np.ndarray,
+                       spans: np.ndarray) -> Structure:
+    """Structure from decoded span-coded records: wide FULL spans
+    (>= RUN_MIN blocks) stay interval-coded as Structure runs — a 2^32-bit
+    FULL span deserializes to O(1) metadata; narrower spans expand to
+    per-block FULL entries (BIT row order is preserved by stable sort)."""
+    from ..core.blocks import RUN_MIN, runs_normalize
+    wide = spans > 1
+    if not wide.any():
+        return Structure(nbs, cls)
+    big = wide & (spans >= RUN_MIN)
+    small = wide & ~big
+    pts = [nbs[~wide]]
+    pcls = [cls[~wide]]
+    for s, sp in zip(nbs[small], spans[small]):
+        pts.append(np.arange(s, s + sp, dtype=np.int64))
+        pcls.append(np.full(int(sp), C.CLS_FULL, np.uint8))
+    nb = np.concatenate(pts)
+    cl = np.concatenate(pcls)
+    order = np.argsort(nb, kind="stable")
+    runs = (runs_normalize(np.stack(
+        [nbs[big], nbs[big] + spans[big]], axis=1))
+        if big.any() else np.zeros((0, 2), np.int64))
+    return Structure(nb[order], cl[order], runs)
 
 
 def _decode_payload(code, payload) -> np.ndarray:

@@ -20,8 +20,9 @@ import numpy as np
 
 from .. import constants as C
 from .encoding import ByteDecoder
-from .serializer import (CODE_END, CODE_FULL, _decode_payload,
-                         read_blob_header, read_record_header)
+from .serializer import (CODE_END, CODE_FULL, CODE_FULL_RUN,
+                         _decode_payload, read_blob_header,
+                         read_record_header)
 
 _I64 = np.int64
 
@@ -57,11 +58,19 @@ class SerialStreamIterator:
         self._plen = 0
         self._payload_at = -1
         self._consumed = True
+        self._run_left = 0     # remaining blocks of a FULL_RUN record
 
     def next(self) -> bool:
-        """Advance to the next record; False once the END record is hit."""
+        """Advance to the next record; False once the END record is hit.
+        FULL_RUN records present block-by-block as E_FULL states (the
+        pull-parser view of a span-coded record)."""
         if self.state == E_END:
             return False
+        if self._run_left > 1:
+            self._run_left -= 1
+            self.block_idx += 1
+            return True
+        self._run_left = 0
         if not self._consumed:
             self._dec.pos = self._payload_at + self._plen
         nb, code, plen = read_record_header(self._dec, self._prev_nb,
@@ -72,6 +81,18 @@ class SerialStreamIterator:
             self.code = CODE_END
             self._consumed = True
             return False
+        if code == CODE_FULL_RUN:
+            from .serializer import run_span
+            span = run_span(self._dec.get_bytes(plen))
+            self._prev_nb = nb + span - 1
+            self._run_left = span
+            self.block_idx = int(nb)
+            self.code = CODE_FULL          # callers see plain FULL blocks
+            self._plen = 0
+            self._payload_at = self._dec.pos
+            self._consumed = True
+            self.state = E_FULL
+            return True
         self._prev_nb = nb
         self.block_idx = int(nb)
         self.code = int(code)
@@ -134,6 +155,8 @@ class IteratorDeserializer:
         if not count_mode:
             bv._check_writable()
         bv._flush()
+        if bv._struct.has_runs:       # flat per-block target view (bounded)
+            bv._struct = bv._struct.materialized()
         accum = None if count_mode else _ResultAccum(
             bv._gaps is not None, bv._glevel)
         eng = _StreamCombiner(opc, _TargetReader(bv), count_mode, accum)

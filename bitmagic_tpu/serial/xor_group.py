@@ -27,10 +27,10 @@ import numpy as np
 from .. import constants as C
 from ..core.bitvector import BitVector
 from .encoding import ByteDecoder, ByteEncoder
-from .serializer import (CODE_END, CODE_FULL, Deserializer, MAGIC,
-                         Serializer, _decode_payload, read_blob_header,
-                         read_record_header, write_end_record,
-                         write_record_header)
+from .serializer import (CODE_END, CODE_FULL, CODE_FULL_RUN, Deserializer,
+                         MAGIC, Serializer, _decode_payload,
+                         read_blob_header, read_record_header, run_span,
+                         write_end_record, write_record_header)
 
 GROUP_MAGIC = b"BMX1"
 CODE_XOR_REF = 9
@@ -106,14 +106,16 @@ def _rewrite_with_xor(blob: bytes, best: dict, ser: Serializer) -> bytes:
         if code == CODE_END:
             write_end_record(out, compact)
             break
-        prev_r = nb
         payload = dec.get_bytes(plen)
+        # FULL_RUN records delta-base on the run's LAST block
+        prev_r = (nb + run_span(payload) - 1 if code == CODE_FULL_RUN
+                  else nb)
 
         def emit(c, p):
             nonlocal prev_w
             write_record_header(out, nb, prev_w, c, len(p), compact)
             out.put_bytes(p)
-            prev_w = nb
+            prev_w = prev_r
 
         ent = best.get(nb)
         if ent is None or code == CODE_FULL:
@@ -167,9 +169,15 @@ def _decode_plain(blob, deser, sel):
         return deser.deserialize(blob)
     if sel[0] == "range":
         return deser.deserialize(blob, range_=sel[1])
+    from . import native
     from .opdeser import _materialize_subset, _stream_blocks
     _, size, _ = next(_stream_blocks(blob))
-    return _materialize_subset(blob, sel[1], size)
+    try:
+        return _materialize_subset(blob, sel[1], size)
+    except native.RunCodedBlob:
+        # span-coded blob: full decode is O(records) anyway (runs are
+        # interval metadata); a superset result is semantically fine here
+        return deser.deserialize(blob)
 
 
 def _deserialize_with_xor(blob, group, deser, sel=None) -> BitVector:
@@ -189,12 +197,13 @@ def _deserialize_with_xor(blob, group, deser, sel=None) -> BitVector:
         if code == CODE_END:
             write_end_record(out, compact)
             break
-        prev_r = nb
         payload = d.get_bytes(plen)
+        prev_r = (nb + run_span(payload) - 1 if code == CODE_FULL_RUN
+                  else nb)
         if code != CODE_XOR_REF:
             write_record_header(out, nb, prev_w, code, plen, compact)
             out.put_bytes(payload)
-            prev_w = nb
+            prev_w = prev_r
             continue
         pd = ByteDecoder(payload)
         ref_idx = pd.get_32()
@@ -250,6 +259,9 @@ def _codes_present(blob) -> set:
         nb, code, plen = read_record_header(d, prev, compact)
         if code == CODE_END:
             return codes
-        prev = nb
+        if code == CODE_FULL_RUN:
+            prev = nb + run_span(d.data[d.pos:d.pos + plen]) - 1
+        else:
+            prev = nb
         codes.add(code)
         d.pos += plen

@@ -106,7 +106,7 @@ class SparseVectorScanner:
         from ..core.bitvector import _range_vector
         lo, hi = self._search_range
         and_group.append(_range_vector(
-            lo, hi, C.ID_MAX48, within=and_group[0]._struct.nb))
+            lo, hi, C.ID_MAX48, within=and_group[0]._struct))
 
     # ------------------------------------------------------------------
     def find_zero(self, sv: SparseVector) -> BitVector:

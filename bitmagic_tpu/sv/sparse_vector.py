@@ -355,7 +355,8 @@ class SparseVector:
             p = self.planes[s]
             if p is None:
                 continue
-            has_full = (p._struct.cls == C.CLS_FULL).any()
+            has_full = ((p._struct.cls == C.CLS_FULL).any()
+                        or p._struct.has_runs)
             if not has_full and p._gaps is None:
                 continue
             st, slot = p._struct.lookup(blocks)

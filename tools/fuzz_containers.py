@@ -410,7 +410,9 @@ def trial_sorted(rng, seed, t):
 
 
 def trial_stream(rng, seed, t):
-    size = int(rng.integers(1, 40) * C.BITS_PER_BLOCK
+    # up to 120 blocks so set_range spans can exceed RUN_MIN — blobs then
+    # carry FULL_RUN records and fuzz the decode-then-apply route
+    size = int(rng.integers(1, 120) * C.BITS_PER_BLOCK
                + rng.integers(0, C.BITS_PER_BLOCK))
     dens = rng.choice([5, 500, 20_000])
     ids_b = np.unique(rng.integers(0, size, dens))
@@ -491,6 +493,85 @@ def trial_stream(rng, seed, t):
     rpart = RefDeserializer().deserialize_range(blobs[1], lo, hi)
     if not np.array_equal(np.asarray(rpart.indices()), want_rng):
         _fail(f"ref range deser [{lo},{hi}]", seed, t)
+    # XOR-ref reference blobs through the streamed op deserializer
+    # (reference deserialize_xor, src/bmserial.h:1093): build a ref
+    # vector similar to b so the XOR filter actually fires
+    from bitmagic_tpu.serial.refcodec import RefSerializer
+    ref_ids = np.asarray(b.indices())
+    if ref_ids.size:
+        drop = rng.random(ref_ids.size) < 0.02
+        extra = np.unique(rng.integers(0, size, 200))
+        ref_ids = np.union1d(ref_ids[~drop], extra)
+    bv_ref = bm.BitVector.from_indices(ref_ids, size)
+    xser = RefSerializer(6, ref_vectors=[(0, bv_ref)])
+    xblob = xser.serialize(b)
+    odx = OperationDeserializer(ref_vectors=[(0, bv_ref)])
+    for op, gold in ((C.SET_AND, lambda x, y: x & y),
+                     (C.SET_OR, lambda x, y: x | y),
+                     (C.SET_XOR, lambda x, y: x ^ y),
+                     (C.SET_SUB, lambda x, y: x - y)):
+        tgt = a.copy()
+        odx.deserialize(tgt, xblob, op)
+        if not tgt.equal(gold(a.copy(), b)):
+            _fail(f"opdeser xor-ref set op {op} size={size}", seed, t)
+    for op, gold in ((C.SET_COUNT_AND, lambda x, y: (x & y).count()),
+                     (C.SET_COUNT_OR, lambda x, y: (x | y).count()),
+                     (C.SET_COUNT_XOR, lambda x, y: (x ^ y).count()),
+                     (C.SET_COUNT_SUB_AB, lambda x, y: (x - y).count()),
+                     (C.SET_COUNT_SUB_BA, lambda x, y: (y - x).count())):
+        got = odx.deserialize(a.copy(), xblob, op)
+        want = gold(a.copy(), b)
+        if got != want:
+            _fail(f"opdeser xor-ref count {op}: {got} vs {want}", seed, t)
+
+
+def trial_stress_serial(rng, seed, t):
+    """The reference StressTest pattern (tests/stress/t.cpp:11378):
+    randomized mutations mirrored into a numpy golden, with a FULL
+    serialization round-trip + streamed op INSIDE the mutation loop."""
+    from bitmagic_tpu.serial.opdeser import OperationDeserializer
+    size = int(rng.integers(2, 80) * C.BITS_PER_BLOCK
+               + rng.integers(1, C.BITS_PER_BLOCK))
+    bv = bm.BitVector(size)
+    gold = np.zeros(size, bool)
+    od = OperationDeserializer()
+    for step in range(int(rng.integers(6, 14))):
+        act = rng.integers(0, 6)
+        if act == 0:
+            ids = rng.integers(0, size, int(rng.integers(1, 2000)))
+            bv.set_many(ids); gold[ids] = True
+        elif act == 1:
+            ids = rng.integers(0, size, int(rng.integers(1, 2000)))
+            bv.clear_many(ids); gold[ids] = False
+        elif act == 2:
+            lo = int(rng.integers(0, size)); hi = int(rng.integers(lo, size))
+            val = bool(rng.integers(0, 2))
+            bv.set_range(lo, hi, val); gold[lo:hi + 1] = val
+        elif act == 3:
+            bv.invert(); gold = ~gold
+        elif act == 4:
+            bv.optimize()
+        else:
+            i = int(rng.integers(0, size))
+            bv.flip_bit(i); gold[i] ^= True
+        if step % 3 == 2:
+            level = int(rng.choice([0, 5, 6]))
+            blob = bm.serialize(bv, level=level)
+            back = bm.deserialize(blob)
+            if not np.array_equal(back.to_numpy(size), gold):
+                _fail(f"stress-serial round-trip step={step} "
+                      f"level={level} size={size}", seed, t)
+            if bv.count() != int(gold.sum()):
+                _fail(f"stress-serial count step={step}", seed, t)
+            other = bm.BitVector.from_indices(
+                np.unique(rng.integers(0, size, 500)), size)
+            got = od.deserialize(other.copy(), blob, C.SET_COUNT_AND)
+            want = int((gold & other.to_numpy(size)).sum())
+            if got != want:
+                _fail(f"stress-serial blob-count step={step}: "
+                      f"{got} vs {want}", seed, t)
+    if not np.array_equal(bv.to_numpy(size), gold):
+        _fail("stress-serial final content", seed, t)
 
 
 def trial_refbridge(rng, seed, t):
@@ -857,7 +938,8 @@ def trial_misc(rng, seed, t):
 
 
 TRIALS = [trial_int, trial_float, trial_str, trial_rsc, trial_sorted,
-          trial_stream, trial_refbridge, trial_sbv, trial_bounds, trial_misc]
+          trial_stream, trial_refbridge, trial_sbv, trial_bounds,
+          trial_misc, trial_stress_serial]
 
 
 def main():
@@ -865,9 +947,25 @@ def main():
     ap.add_argument("--trials", type=int, default=30)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--family", type=str, default=None,
-                    help="int|float|str|rsc|sorted|stream|refbridge|sbv|bounds|misc")
+                    help="int|float|str|rsc|sorted|stream|refbridge|sbv|"
+                         "bounds|misc|stress_serial")
+    ap.add_argument("--soak", action="store_true",
+                    help="long soak: EVERY family x --trials trials "
+                         "(>=200 recommended), seeds logged for replay "
+                         "(the reference StressTest shape)")
     args = ap.parse_args()
     fams = {f.__name__.removeprefix("trial_"): f for f in TRIALS}
+    if args.soak:
+        n = max(args.trials, 200)
+        for name, fn in fams.items():
+            for t in range(n):
+                seed = args.seed + t
+                rng = np.random.default_rng(seed)
+                fn(rng, seed, t)
+            print(f"soak family {name}: {n} trials ok "
+                  f"(seeds {args.seed}..{args.seed + n - 1})", flush=True)
+        print(f"SOAK PASSED: {len(fams)} families x {n} trials")
+        return
     for t in range(args.trials):
         seed = args.seed + t
         rng = np.random.default_rng(seed)
