@@ -33,7 +33,8 @@ from ..ops import blockops
 from .blocks import (RUN_MIN, Structure, expand_gap_operand, gather_operand,
                      operand_args, plan_binary, points_in_runs, runs_clip,
                      runs_diff, runs_normalize, runs_overlap_bits,
-                     runs_subtract_points, runs_total, split_runs)
+                     runs_subtract_points, runs_total, runs_union,
+                     split_runs)
 from .gapstore import GapStore, gap_binary_op
 
 _I64 = np.int64
@@ -1287,6 +1288,7 @@ class BitVector:
                 sel[sel] &= bad[gsl[sel]]
                 self._deoptimize_gaps(sel)
         if not (self._struct.cls == C.CLS_BIT).any():
+            self._coalesce_full_runs(_nb_range)
             self._dirty()
             return self
         host = self._pool_np is not None
@@ -1367,7 +1369,38 @@ class BitVector:
                 self._gaps = merged.subset(src[new_cls == C.CLS_GAP])
                 self._struct = Structure(self._struct.nb, new_cls,
                                          self._struct.runs)
+        self._coalesce_full_runs(_nb_range)
         return self
+
+    def _coalesce_full_runs(self, nb_range=None):
+        """Fold maximal spans of >= RUN_MIN consecutive FULL entries (or
+        any FULL span abutting an existing run) into ``Structure.runs`` —
+        the organic producer of run coverage: ops and range fills leave
+        per-block FULL entries, optimize() compacts them the way the
+        reference grows FULL sub-tree sentinels (src/bmblocks.h:644)."""
+        st = self._struct
+        full = st.cls == C.CLS_FULL
+        if nb_range is not None:
+            full &= (st.nb >= nb_range[0]) & (st.nb <= nb_range[1])
+        if not full.any():
+            return
+        fnb = st.nb[full]
+        brk = np.concatenate([[True], np.diff(fnb) != 1])
+        starts = fnb[brk]
+        ends = fnb[np.concatenate([brk[1:], [True]])] + 1
+        lens = ends - starts
+        keep = lens >= RUN_MIN
+        if st.has_runs:
+            # a short span that abuts an existing run extends it for free
+            keep |= (np.isin(ends, st.runs[:, 0])
+                     | np.isin(starts, st.runs[:, 1]))
+        if not keep.any():
+            return
+        ivals = np.stack([starts[keep], ends[keep]], axis=1)
+        new_runs = runs_union(st.runs, ivals)
+        covered = points_in_runs(st.nb, new_runs)
+        self._struct = Structure(st.nb[~covered].copy(),
+                                 st.cls[~covered].copy(), new_runs)
 
     def optimize_range(self, lo, hi, opt_mode: int = C.OPT_COMPRESS):
         """optimize() restricted to blocks intersecting [lo, hi]

@@ -212,6 +212,40 @@ def test_consecutive_full_entries_coalesce():
     assert Deserializer().deserialize(blob2).equal(sm)
 
 
+def test_optimize_coalesces_full_entries():
+    # organic run coverage: ops/fills leave per-block FULL entries;
+    # optimize() folds maximal consecutive spans >= RUN_MIN into runs
+    # (the reference grows FULL sub-tree sentinels the same way,
+    # src/bmblocks.h:644)
+    bv = BitVector(1 << 24)
+    for k in range(40):                     # 40 single-block FULL entries
+        bv.set_range(k << 16, ((k + 1) << 16) - 1)
+    bv.set(50 << 16)                        # isolated BIT block after a gap
+    assert not bv._struct.has_runs
+    g = bv.copy()
+    bv.optimize()
+    assert bv._struct.runs.tolist() == [[0, 40]]
+    assert (bv._struct.cls != C.CLS_FULL).all()   # all FULLs absorbed
+    assert bv.equal(g)
+    assert bv.count() == (40 << 16) + 1
+    # a short FULL span abutting the run extends it for free
+    bv.set_range(40 << 16, (42 << 16) - 1)  # 2 more FULL entries
+    bv.optimize()
+    assert bv._struct.runs.tolist() == [[0, 42]]
+    assert bv.count() == (42 << 16) + 1
+    # short spans NOT touching a run stay per-block entries
+    bv.set_range(100 << 16, (102 << 16) - 1)
+    bv.optimize()
+    assert bv._struct.runs.tolist() == [[0, 42]]
+    assert (bv._struct.cls == C.CLS_FULL).sum() == 2
+    # spans that bridge into the run coalesce in the same optimize() call
+    for k in range(42, 44):
+        bv.set_range(k << 16, ((k + 1) << 16) - 1)
+    bv.optimize()
+    assert bv._struct.runs.tolist() == [[0, 44]]
+    assert bv.count() == (44 << 16) + (2 << 16) + 1
+
+
 def test_range_deserialize_clips_runs():
     bv = _mixed_vector()
     blob = Serializer(6).serialize(bv)
