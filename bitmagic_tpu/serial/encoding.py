@@ -65,9 +65,15 @@ class ByteEncoder:
 
 
 class ByteDecoder:
-    """Byte-stream decoder (reference bm::decoder, src/encoding.h:128)."""
+    """Byte-stream decoder (reference bm::decoder, src/encoding.h:128).
 
-    def __init__(self, data: bytes, pos: int = 0):
+    Accepts bytes-like input OR a uint8 ndarray (e.g. np.fromfile of a
+    saved blob): arrays are viewed through a zero-copy memoryview so
+    slices compare content-wise against bytes literals."""
+
+    def __init__(self, data, pos: int = 0):
+        if isinstance(data, np.ndarray):
+            data = memoryview(np.ascontiguousarray(data, np.uint8))
         self.data = data
         self.pos = pos
 

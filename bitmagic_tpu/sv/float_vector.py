@@ -72,6 +72,13 @@ class FloatSparseVector:
     def push_back(self, v):
         return self.import_values(np.asarray([v], self.dtype), self._size)
 
+    def push_back_null(self, count: int = 1):
+        """Append ``count`` NULL elements (reference push_back_null,
+        src/bmsparsevec.h:498 via the float container)."""
+        if not self.is_nullable():
+            raise ValueError("push_back_null requires a nullable vector")
+        return self.resize(self._size + int(count))
+
     def set(self, i, v):
         i = int(i)
         u = np.asarray([v], self.dtype).view(self._uint)[0]

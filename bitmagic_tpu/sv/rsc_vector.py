@@ -130,6 +130,11 @@ class RSCSparseVector:
     def push_back(self, v):
         return self.set(self._size, v)
 
+    def push_back_null(self, count: int = 1):
+        """Append ``count`` NULL (unassigned) elements (reference
+        push_back_null, src/bmsparsevec_compr.h:487)."""
+        return self.resize(self._size + int(count))
+
     def inc(self, i):
         self.set(i, self.get(i) + 1)
         return self

@@ -288,6 +288,13 @@ class SparseVector:
     def push_back(self, v):
         return self.set(self._size, v)
 
+    def push_back_null(self, count: int = 1):
+        """Append ``count`` NULL (unassigned) elements (reference
+        push_back_null, src/bmsparsevec.h:498)."""
+        if not self.is_nullable():
+            raise ValueError("push_back_null requires a nullable vector")
+        return self.resize(self._size + int(count))
+
     def inc(self, i):
         """Increment element i (reference inc)."""
         self.set(i, self.get(i) + 1)

@@ -78,6 +78,13 @@ class StrSparseVector:
     def push_back(self, s):
         return self.import_strings([s], offset=self._size)
 
+    def push_back_null(self, count: int = 1):
+        """Append ``count`` NULL elements (reference push_back_null,
+        src/bmstrsparsevec.h:696)."""
+        if not self.is_nullable():
+            raise ValueError("push_back_null requires a nullable vector")
+        return self.resize(self._size + int(count))
+
     def set(self, i, s):
         i = int(i)
         b = s.encode() if isinstance(s, str) else bytes(s)

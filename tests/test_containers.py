@@ -184,3 +184,37 @@ def test_str_substr_mode():
     ssv.remap()
     assert ssv.substr(0, 1, 3) == "bcd"
     assert ssv.gather_substr([2], 2, 4) == ["llo"]
+
+
+def test_push_back_null_all_containers():
+    """push_back_null(count) parity (reference src/bmsparsevec.h:498,
+    src/bmstrsparsevec.h:696, src/bmsparsevec_compr.h:487)."""
+    import numpy as np
+    import pytest
+    from bitmagic_tpu import (FloatSparseVector, RSCSparseVector,
+                              SparseVector, StrSparseVector)
+    sv = SparseVector(np.uint32, nullable=True)
+    sv.push_back(7)
+    sv.push_back_null(2)
+    sv.push_back(9)
+    assert len(sv) == 4
+    assert sv.is_null(1) and sv.is_null(2) and not sv.is_null(3)
+    assert sv.get(3) == 9
+    # non-nullable vectors refuse (the reference asserts)
+    with pytest.raises(ValueError):
+        SparseVector(np.uint32).push_back_null()
+    ssv = StrSparseVector(nullable=True)
+    ssv.push_back("a")
+    ssv.push_back_null()
+    ssv.push_back("c")
+    assert ssv.is_null(1) and ssv.get(2) == "c"
+    fv = FloatSparseVector(np.float32, nullable=True)
+    fv.push_back(1.5)
+    fv.push_back_null(3)
+    assert fv.is_null(2) and not fv.is_null(0)
+    rsc = RSCSparseVector()
+    rsc.push_back(4)
+    rsc.push_back_null(5)
+    rsc.push_back(6)
+    assert rsc.at(0) == 4 and rsc.is_null(3) and rsc.at(6) == 6
+    assert rsc.count() == 2

@@ -286,3 +286,24 @@ def test_compact_blob_corruption_rejected():
     # the record-index scanner rejects truncation
     assert native.bmt1_record_index(blob[: len(blob) - 1], 13) is None \
         or native.load() is None
+
+
+def test_deserialize_accepts_uint8_ndarray(tmp_path):
+    """The np.fromfile path: a plain uint8 ndarray (no padding, not a
+    PaddedBlob) must decode identically to bytes — ByteDecoder views
+    arrays through a zero-copy memoryview (round-5 fix; the header magic
+    compare previously raised on ndarray slices)."""
+    from bitmagic_tpu import BitVector, deserialize, serialize
+    bv = BitVector.from_indices([5, 70000, (1 << 22) + 3], size=1 << 23)
+    bv.set_range(100000, 300000)
+    blob = serialize(bv)
+    p = tmp_path / "bv.blob"
+    p.write_bytes(bytes(blob))
+    arr = np.fromfile(p, np.uint8)
+    assert deserialize(arr).equal(bv)
+    # and through the range deserializer (python record walk)
+    from bitmagic_tpu.serial.serializer import Deserializer
+    d = Deserializer().deserialize_range(arr, 100000, 200000)
+    g = bv.copy()
+    g.keep_range(100000, 200000)
+    assert d.equal(g)
