@@ -47,15 +47,20 @@ def _structures(vectors):
 
 
 def _and_blocklist(structs):
-    """Intersection of operand block sets, ignoring FULL-only restriction
-    (FULL blocks participate but never restrict)."""
+    """Intersection of operand block sets.  Run-aware without expanding
+    every operand: the flat candidate list comes from the SMALLEST
+    operand only (bounded materialization), then the others restrict it
+    via the run-aware lookup — O(min operand), so one wide run-coded
+    operand ANDed with a sparse one never materializes the run."""
     if not structs:
         return np.zeros(0, _I64)
-    nb = structs[0].nb
-    for s in structs[1:]:
-        nb = np.intersect1d(nb, s.nb)
-        if nb.size == 0:
-            break
+    base = min(structs, key=lambda s: len(s.nb) + s.run_block_count())
+    nb = base.materialized().nb if base.has_runs else base.nb
+    for s in structs:
+        if s is base or nb.size == 0:
+            continue
+        st, _ = s.lookup(nb)
+        nb = nb[st != 0]
     return nb
 
 
@@ -497,15 +502,15 @@ class Aggregator:
         for v in vectors:
             v._flush()
         size = max(v.size for v in vectors)
-        nbs = [v._flat_nb() for v in vectors if len(v._flat_nb())]
-        if not nbs or not len(vectors[0]._flat_nb()):
+        flat = [v._flat_nb() for v in vectors]   # materialize runs ONCE
+        nbs = [x for x in flat if len(x)]
+        if not nbs or not len(flat[0]):
             return BitVector(size)
         hi = min(int(max(x[-1] for x in nbs)) + 1,      # shift spill
                  (size - 1) >> C.SET_BLOCK_SHIFT)
         if len(vectors) - 1 <= C.BITS_PER_BLOCK:
             cand = None
-            for v in vectors:
-                nbv = v._flat_nb()
+            for nbv in flat:
                 ext = np.union1d(nbv, nbv + 1)
                 cand = ext if cand is None else np.intersect1d(
                     cand, ext, assume_unique=True)

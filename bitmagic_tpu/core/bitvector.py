@@ -457,6 +457,16 @@ class BitVector:
             return self._struct.nb
         return self._struct.materialized().nb
 
+    def _materialize_runs(self):
+        """Replace runs with flat per-block FULL entries (bounded) AND
+        invalidate structure-derived caches: the serializer snapshot
+        (_snap_pt) keys off the struct object, so swapping the struct
+        without _dirty() would let a later serialize() emit a stale
+        point-only snapshot that silently drops the run content."""
+        if self._struct.has_runs:
+            self._struct = self._struct.materialized()
+            self._dirty()
+
     def _flush(self):
         if not self._staged:
             return
@@ -1838,8 +1848,7 @@ def _shifted_up(bv: BitVector) -> BitVector:
     lands in the adjacent successor when present, else becomes a new
     1-bit block.  O(own blocks) for any address span."""
     bv._flush()
-    if bv._struct.has_runs:      # flat per-block view (bounded)
-        bv._struct = bv._struct.materialized()
+    bv._materialize_runs()       # flat per-block view (bounded) + _dirty
     nbs = bv._struct.nb
     if len(nbs) == 0:
         return bv
@@ -1867,8 +1876,7 @@ def _shifted_down(bv: BitVector) -> BitVector:
     (the old contiguous-span version silently DROPPED that bit whenever
     the predecessor was absent)."""
     bv._flush()
-    if bv._struct.has_runs:      # flat per-block view (bounded)
-        bv._struct = bv._struct.materialized()
+    bv._materialize_runs()       # flat per-block view (bounded) + _dirty
     nbs = bv._struct.nb
     if len(nbs) == 0:
         return bv

@@ -27,12 +27,24 @@ class Enumerator:
     def __init__(self, bv, pos: int = 0):
         self._bv = bv
         bv._flush()
+        self._struct_ref = bv._struct
         self._segs = bv._struct.segments()
         self._buf = np.zeros(0, _I64)
         self._buf_i = 0
         self._entry = -1          # index into the segment view
         self._seg_off = 0         # block offset within a multi-block segment
         self.go_to(pos)
+
+    def _sync(self):
+        """Re-read the segment view when the vector's structure object was
+        replaced by a mutation since this enumerator cached it — stale
+        slot indices would decode the wrong pool rows (reference iterators
+        are simply invalidated by mutation; go_to() is the re-anchoring
+        entry point, so it re-syncs instead)."""
+        self._bv._flush()
+        if self._struct_ref is not self._bv._struct:
+            self._struct_ref = self._bv._struct
+            self._segs = self._bv._struct.segments()
 
     # -- internals ---------------------------------------------------------
     def _n_segs(self) -> int:
@@ -94,6 +106,7 @@ class Enumerator:
         construction performs (bvector.end() support)."""
         e = object.__new__(cls)
         e._bv = bv
+        e._struct_ref = bv._struct
         e._segs = (np.zeros(0, _I64),) * 5
         return e.invalidate()
 
@@ -113,6 +126,7 @@ class Enumerator:
 
     def go_to(self, pos: int) -> bool:
         """Position at the first set bit >= pos (reference go_to)."""
+        self._sync()
         start, span, cls, slot, gslot = self._segs
         m = start.size
         blk = int(pos) >> C.SET_BLOCK_SHIFT

@@ -57,6 +57,13 @@ def _plane_words(bv, nblk: int) -> np.ndarray:
         return words
     bv._flush()
     st = bv._struct
+    if st.has_runs:
+        # run-covered FULL spans (e.g. a plane coalesced by optimize())
+        # are not in st.nb — span-fill them; clipped to nblk so the fill
+        # is bounded by the dense image being built anyway
+        from ..core.blocks import runs_clip
+        for s, e in runs_clip(st.runs, 0, nblk):
+            words[int(s):int(e)] = 0xFFFFFFFF
     keep = st.nb < nblk
     fm = keep & (st.cls == C.CLS_FULL)
     words[st.nb[fm]] = 0xFFFFFFFF

@@ -451,11 +451,17 @@ class OperationDeserializer:
         """Apply ``op`` (constants.SET_*) between bv (in place) and the BLOB;
         COUNT_* ops return the count without modifying bv.  Accepts both the
         native BMT1 format and reference-format BLOBs (sniffed by magic)."""
-        if bv._struct.has_runs:
+        if bv._struct.has_runs and op not in (
+                C.SET_ASSIGN, C.SET_COUNT, C.SET_COUNT_B, C.SET_COUNT_A):
             # the stream engine's target reader / pass-through walker use
-            # the flat per-block view (bounded materialization)
+            # the flat per-block view (bounded materialization + cache
+            # invalidation).  Ops that never read the target's flat view
+            # (assign discards it; COUNT/COUNT_B stream the blob against
+            # an empty target; COUNT_A is the run-aware bv.count()) keep
+            # wide run-coded targets intact instead of raising a spurious
+            # MemoryError.
             bv._flush()
-            bv._struct = bv._struct.materialized()
+            bv._materialize_runs()
         if bytes(data[:4]) != MAGIC:
             # reference-format BLOB: the block-sequential decoder streams
             # finalized blocks into a combining sink (serial_stream_iterator

@@ -155,8 +155,7 @@ class IteratorDeserializer:
         if not count_mode:
             bv._check_writable()
         bv._flush()
-        if bv._struct.has_runs:       # flat per-block target view (bounded)
-            bv._struct = bv._struct.materialized()
+        bv._materialize_runs()        # flat per-block target view (bounded)
         accum = None if count_mode else _ResultAccum(
             bv._gaps is not None, bv._glevel)
         eng = _StreamCombiner(opc, _TargetReader(bv), count_mode, accum)

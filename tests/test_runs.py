@@ -346,3 +346,94 @@ def test_run_vector_through_sv_null_plane():
     sv2 = SparseVectorDeserializer().deserialize(blob)
     assert sv2.size == sv.size
     assert np.array_equal(sv2.decode(0, n), vals)
+
+
+# ---------------------------------------------------------------------------
+# round-5 self-review regressions (all five were verified live bugs)
+# ---------------------------------------------------------------------------
+def test_sharded_plane_words_sees_runs():
+    """A run-coalesced SV plane must shard with its FULL span intact
+    (review finding: _plane_words read st.nb only and zeroed the span)."""
+    from bitmagic_tpu import SparseVector
+    from bitmagic_tpu.parallel.sharded_sv import ShardedSparseVector
+    n = 40 * 65536
+    sv = SparseVector.from_array(np.ones(n, np.uint32))
+    sv.optimize()
+    assert any(p is not None and p._struct.has_runs for p in sv.planes)
+    ssv = ShardedSparseVector.from_sparse_vector(sv)
+    got = ssv.gather(np.asarray([0, 5 << 16, n - 1]))
+    assert got.tolist() == [1, 1, 1]
+    assert int(ssv.find_eq(1).count()) == n
+
+
+def test_serialize_after_opdeser_count_not_stale():
+    """OperationDeserializer materializing a run-coded target must
+    invalidate the serializer snapshot cache (review finding: a later
+    serialize() emitted the stale point-only snapshot — silent loss)."""
+    from bitmagic_tpu.serial.serializer import Deserializer, Serializer
+    bv = BitVector(1 << 24)
+    bv.set_range(0, (1 << 22) - 1)
+    assert bv._struct.has_runs
+    blob1 = Serializer(6).serialize(bv)      # caches the snapshot
+    other = BitVector(1 << 24)
+    other.set(3)
+    oblob = Serializer(6).serialize(other)
+    od = OperationDeserializer()
+    cnt = od.deserialize(bv, oblob, C.SET_COUNT_AND)
+    assert cnt == 1
+    blob2 = Serializer(6).serialize(bv)      # struct was materialized
+    back = Deserializer().deserialize(blob2)
+    assert back.count() == 1 << 22
+    assert back.equal(Deserializer().deserialize(blob1))
+
+
+def test_arena_and_sub_sees_runs():
+    """combine_and_sub_arena over a run-coded operand (review finding:
+    _and_blocklist read raw structs, dropping run-covered blocks)."""
+    from bitmagic_tpu.agg.aggregator import Aggregator
+    from bitmagic_tpu.agg.arena import OperandArena
+    a = BitVector(1 << 24)
+    a.set_range(0, 40 * 65536 - 1)
+    a.optimize()
+    assert a._struct.has_runs
+    ids = np.arange(0, 40 * 65536, 1009, dtype=np.int64)
+    b = BitVector.from_indices(ids, size=1 << 24)
+    res = Aggregator().combine_and_sub_arena(OperandArena([a, b]), [0, 1])
+    assert res.count() == ids.size
+    # wide-run x wide-run still raises the bounded-materialization error
+    c = BitVector(1 << 48)
+    c.set_range(0, (1 << 47) - 1)
+    d = BitVector(1 << 48)
+    d.set_range(0, (1 << 47) - 1)
+    with pytest.raises(MemoryError):
+        Aggregator().combine_and_sub_arena(OperandArena([c, d]), [0, 1])
+
+
+def test_opdeser_nontarget_ops_keep_wide_runs():
+    """SET_ASSIGN / COUNT / COUNT_B / COUNT_A never read the target's
+    flat view — no spurious MemoryError on a 2^47-bit run-coded target
+    (review finding)."""
+    from bitmagic_tpu.serial.serializer import Serializer
+    bv = BitVector(1 << 48)
+    bv.set_range(0, (1 << 47) - 1)
+    small = BitVector.from_indices([7, 70000], size=1 << 18)
+    blob = Serializer(6).serialize(small)
+    od = OperationDeserializer()
+    assert od.deserialize(bv.copy(), blob, C.SET_COUNT_B) == 2
+    assert od.deserialize(bv.copy(), blob, C.SET_COUNT) == 2
+    assert od.deserialize(bv.copy(), blob, C.SET_COUNT_A) == 1 << 47
+    t = bv.copy()
+    od.deserialize(t, blob, C.SET_ASSIGN)
+    assert t.equal(small) or t.count() == 2
+
+
+def test_enumerator_resyncs_after_mutation():
+    """go_to() after a structural mutation must not answer from the stale
+    cached segment view (review finding)."""
+    bv = BitVector(1 << 20)
+    bv.set(5 * 65536 + 7)
+    en = bv.get_enumerator(0)
+    bv.set(2 * 65536 + 3)
+    en.go_to(0)
+    assert en.value() == 2 * 65536 + 3
+    assert en.go_up() and en.value() == 5 * 65536 + 7
