@@ -584,6 +584,26 @@ class BitVector:
             return nxt
         return 0
 
+    def check_or_next(self, prev) -> int:
+        """First set bit AT or after ``prev``, 0 if none (reference
+        check_or_next, src/bm.h:2112; get_first/get_next build on it)."""
+        return max(self.find(int(prev)), 0)
+
+    def check_or_next_extract(self, prev) -> int:
+        """check_or_next() that also CLEARS the found bit (reference
+        check_or_next_extract, src/bm.h:2126)."""
+        self._check_writable()
+        pos = self.find(int(prev))
+        if pos >= 0:
+            self.set(pos, False)
+            return pos
+        return 0
+
+    def init(self):
+        """Explicit init for deferred-construction parity (reference
+        bvector::init, src/bm.h — storage here is always initialized)."""
+        return self
+
     def invert(self):
         """Flip all bits in [0, size) (reference src/bm.h:1837).
         O(own structure) for any address span: absent spans become FULL

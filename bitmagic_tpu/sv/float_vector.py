@@ -79,6 +79,37 @@ class FloatSparseVector:
             raise ValueError("push_back_null requires a nullable vector")
         return self.resize(self._size + int(count))
 
+    def end(self):
+        """Invalid const_iterator sentinel (reference end())."""
+        it = self.get_const_iterator(0)
+        it.invalidate()
+        return it
+
+    def find_rank(self, rank: int) -> int:
+        """Dense address space: rank-th element IS position rank-1
+        (reference base find_rank)."""
+        rank = int(rank)
+        if rank < 1:
+            raise ValueError("rank is 1-based")
+        return rank - 1
+
+    def sync(self, force: bool = False):
+        return self
+
+    def sync_size(self):
+        return self
+
+    def is_remap(self) -> bool:
+        return False
+
+    def effective_slices(self) -> int:
+        """Used bit planes across the sign/exponent/mantissa split
+        (reference base effective_slices over the IEEE slice matrix)."""
+        n = 1 if self.sign.any() else 0
+        n += self.exponent.effective_slices()
+        n += self.mantissa.effective_slices()
+        return n
+
     def set(self, i, v):
         i = int(i)
         u = np.asarray([v], self.dtype).view(self._uint)[0]

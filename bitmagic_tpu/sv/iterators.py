@@ -82,6 +82,25 @@ class ConstIterator:
             return False
         return bool(self._win_nulls[self._pos - self._win_lo])
 
+    # -- comparisons: two invalid iterators over the same vector compare
+    # equal, so `while it != sv.end()` terminates (mirrors the bvector
+    # enumerator semantics) -----------------------------------------------
+    def __eq__(self, other):
+        if not isinstance(other, ConstIterator):
+            return NotImplemented
+        if self._v is not other._v:
+            return False
+        a = self._pos if self.valid() else None
+        b = other._pos if other.valid() else None
+        return a == b
+
+    def __ne__(self, other):
+        r = self.__eq__(other)
+        return r if r is NotImplemented else not r
+
+    def __hash__(self):
+        return hash((id(self._v), self._pos if self.valid() else None))
+
     # -- python protocol ---------------------------------------------------
     def __iter__(self):
         return self

@@ -71,6 +71,38 @@ class RSCSparseVector:
     def in_sync(self) -> bool:
         return self._rs is not None
 
+    def unsync(self):
+        """Drop the rank index (reference unsync,
+        src/bmsparsevec_compr.h:832)."""
+        self._rs = None
+        return self
+
+    def sync_size(self):
+        return self.sync()
+
+    def inc_not_null(self, i, v=1):
+        """Add ``v`` to a known-NOT-NULL element (reference inc_not_null,
+        src/bmsparsevec_compr.h:522 — the fast path that skips the NULL
+        resolution the caller already guarantees)."""
+        if self.is_null(i):
+            raise ValueError("inc_not_null at a NULL position")
+        self.set(i, self.get(i) + v)
+        return self
+
+    def is_remap(self) -> bool:
+        return False
+
+    def effective_slices(self) -> int:
+        """Used value slices of the compressed-domain matrix (reference
+        base effective_slices)."""
+        return self.dense.effective_slices()
+
+    def end(self):
+        """Invalid const_iterator sentinel (reference end())."""
+        it = self.get_const_iterator(0)
+        it.invalidate()
+        return it
+
     def _flush(self):
         if self._staged:
             self._flush_no_sync()

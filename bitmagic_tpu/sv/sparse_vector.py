@@ -441,6 +441,34 @@ class SparseVector:
         other.clear()
         return self
 
+    def end(self):
+        """Invalid const_iterator sentinel (reference end(); compares
+        equal to any exhausted iterator over this vector)."""
+        it = self.get_const_iterator(0)
+        it.invalidate()
+        return it
+
+    def find_rank(self, rank: int) -> int:
+        """Dense address space: the rank-th element IS position rank-1
+        (reference sparse_vector::find_rank, src/bmsparsevec.h:2110)."""
+        rank = int(rank)
+        if rank < 1:
+            raise ValueError("rank is 1-based")
+        return rank - 1
+
+    def sync(self, force: bool = False):
+        """Structure sync for parity (reference sync; deferred state here
+        is only the staged writes — flush them)."""
+        self._flush()
+        return self
+
+    def sync_size(self):
+        return self.sync()
+
+    def is_remap(self) -> bool:
+        """Only string vectors remap (reference base is_remap)."""
+        return False
+
     def filter(self, keep: BitVector):
         """Zero out (and NULL) all positions not in keep (reference filter)."""
         self._flush()

@@ -386,6 +386,71 @@ class StrSparseVector:
         self.set_null(b) if na else self.set(b, sa)
         return self
 
+    def join(self, other: "StrSparseVector"):
+        """Plane-wise OR merge of the octet slices (reference str join,
+        src/bmstrsparsevec.h — overlapping assigned strings combine
+        bitwise, exactly as the reference's slice loop does).  Joining
+        across DIFFERENT remap tables is undefined in the reference
+        ("we only need to copy remap flags once ... otherwise undefined
+        behavior"); here it raises instead."""
+        a, b = self.remap_matrices, other.remap_matrices
+        if (a is None) != (b is None) or (
+                a is not None and not all(
+                    np.array_equal(x, y) for x, y in zip(a, b))):
+            raise ValueError(
+                "str join/merge across different remap tables is undefined "
+                "in the reference; remap() after merging instead")
+        while len(self.octets) < len(other.octets):
+            self.octets.append(SparseVector(np.uint8))
+        self.max_str_size = max(self.max_str_size, other.max_str_size)
+        for k, o in enumerate(other.octets):
+            self.octets[k].join(o)
+        if other._size > self._size:
+            self._size = other._size
+        if self.nullable:
+            if other.nullable:
+                self.null_plane.bit_or(other.null_plane)
+            elif other._size:
+                self.null_plane.set_range(0, other._size - 1, True)
+        return self
+
+    def merge(self, other: "StrSparseVector"):
+        """join + clear other (reference str merge — the destructive
+        join, src/bmstrsparsevec.h:1329)."""
+        self.join(other)
+        other.clear()
+        return self
+
+    def find_rank(self, rank: int) -> int:
+        """Dense address space: rank-th element IS position rank-1
+        (reference base find_rank)."""
+        rank = int(rank)
+        if rank < 1:
+            raise ValueError("rank is 1-based")
+        return rank - 1
+
+    def sync(self, force: bool = False):
+        return self
+
+    def sync_size(self):
+        return self.sync()
+
+    def effective_slices(self) -> int:
+        """Top used bit-plane of the octet matrix + 1 (reference base
+        effective_slices over the 8*STR_SIZE-row bit-matrix)."""
+        n = 0
+        for k, o in enumerate(self.octets):
+            s = o.effective_slices()
+            if s:
+                n = 8 * k + s
+        return n
+
+    def end(self):
+        """Invalid const_iterator sentinel (reference end())."""
+        it = self.get_const_iterator(0)
+        it.invalidate()
+        return it
+
     def clear(self):
         """Drop all content (reference clear_all,
         src/bmstrsparsevec.h:829; remap matrices kept unless remap=True)."""
