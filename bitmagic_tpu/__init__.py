@@ -24,7 +24,7 @@ from .serial.serializer import deserialize, serialize  # noqa: E402
 # Everything a reference user reaches through the single ``bm::`` namespace
 # is also reachable here at the top level (full module paths stay canonical;
 # these are aliases, see MIGRATING.md).
-from .agg.aggregator import Aggregator  # noqa: E402
+from .agg.aggregator import AggOptions, Aggregator  # noqa: E402
 from .serial.opdeser import OperationDeserializer  # noqa: E402
 from .serial.serializer import Deserializer, Serializer  # noqa: E402
 from .serial.stream_iter import (IteratorDeserializer,  # noqa: E402
@@ -53,7 +53,8 @@ from .algo.kleene import (  # noqa: E402
     set_value_kleene)
 from .algo.sampling import random_subset  # noqa: E402
 from .algo import rank_compress  # noqa: E402
-from .sv.algo import find_first_mismatch, set2set_transform  # noqa: E402
+from .sv.algo import (Set2SetTransform, find_first_mismatch,  # noqa: E402
+                      set2set_transform)
 
 __version__ = "0.1.0"
 
@@ -65,6 +66,7 @@ __all__ = [
     "serialize", "deserialize",
     "Serializer", "Deserializer", "OperationDeserializer",
     "SerialStreamIterator", "IteratorDeserializer",
+    "AggOptions",
     "Aggregator",
     "SparseVector", "RSCSparseVector", "StrSparseVector",
     "FloatSparseVector", "BitMatrix", "SparseVectorScanner",
@@ -83,6 +85,6 @@ __all__ = [
     "init_kleene", "get_value_kleene", "set_value_kleene", "invert_kleene",
     "or_kleene", "and_kleene",
     "random_subset", "rank_compress",
-    "find_first_mismatch", "set2set_transform",
+    "find_first_mismatch", "set2set_transform", "Set2SetTransform",
     "__version__",
 ]

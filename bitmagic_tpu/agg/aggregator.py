@@ -152,9 +152,27 @@ BM_SHIFT_R_AND = 1
 @dataclasses.dataclass
 class AggOptions:
     """Run options (reference agg_run_options, src/bmaggregator.h:65):
-    counts-only / masks-only modes for pipelines."""
+    counts-only / masks-only modes for pipelines, plus the reference
+    pipeline knobs (set_or_target / set_search_count_limit,
+    src/bmaggregator.h:251/260)."""
     make_results: bool = True
     compute_counts: bool = False
+    or_target: object = None            # BitVector to OR all results into
+    search_count_limit: int | None = None
+
+    def set_compute_count(self, count_mode: bool = True):
+        """reference pipeline set_compute_count (src/bmaggregator.h:363)."""
+        self.compute_counts = bool(count_mode)
+        self.make_results = not count_mode
+        return self
+
+    def set_or_target(self, bv_or):
+        self.or_target = bv_or
+        return self
+
+    def set_search_count_limit(self, limit):
+        self.search_count_limit = None if limit is None else int(limit)
+        return self
 
 
 class Aggregator:
@@ -590,14 +608,21 @@ class Aggregator:
         pipeline's shared block cache, src/bmaggregator.h:197, as a kernel);
         result-producing batches fall back to per-request combines with
         XLA-deduplicated gathers."""
-        norm = [(req if isinstance(req, tuple) else (req, ()))
+        norm = [((*req, ())[:2] if isinstance(req, tuple) else (req, ()))
                 for req in requests]
+        lim = options.search_count_limit
+
+        def _cap(c):
+            return c if lim is None else min(c, lim)
+
         if (options.compute_counts and not options.make_results
+                and options.or_target is None
                 and len(norm) > 1 and all(len(a) for a, _ in norm)):
             counts = self._pipeline_counts_fused(norm)
             if counts is not None:
-                return [{"count": int(c)} for c in counts]
-        if (options.make_results and len(norm) > 1
+                return [{"count": _cap(int(c))} for c in counts]
+        if (options.make_results and options.or_target is None
+                and lim is None and len(norm) > 1
                 and all(len(a) for a, _ in norm)):
             out = self._pipeline_results_fused(norm, options)
             if out is not None:
@@ -605,11 +630,13 @@ class Aggregator:
         out = []
         for and_g, sub_g in norm:
             bv = self.combine_and_sub(and_g, sub_g)
+            if options.or_target is not None:
+                options.or_target.bit_or(bv)
             entry = {}
             if options.make_results:
                 entry["bv"] = bv
             if options.compute_counts:
-                entry["count"] = bv.count()
+                entry["count"] = _cap(bv.count())
             out.append(entry)
         return out
 

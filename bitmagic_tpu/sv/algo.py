@@ -72,3 +72,30 @@ def set2set_transform(sv: SparseVector, bv_in: BitVector) -> BitVector:
         return BitVector(C.ID_MAX48)
     vals = np.asarray(sv.gather(ids), np.int64)
     return BitVector.from_indices(np.unique(vals), C.ID_MAX48)
+
+
+class Set2SetTransform:
+    """Stateful front of set2set_transform, mirroring the reference
+    set2set_11_transform class (src/bmsparsevec_algo.h:1609): attach the
+    translation sparse-vector once, run many remaps against it."""
+
+    def __init__(self):
+        self._sv = None
+
+    def attach_sv(self, sv, compute_stats: bool = False):
+        """Attach (or detach with None) the translation function
+        (reference attach_sv, src/bmsparsevec_algo.h:1670)."""
+        self._sv = sv
+        return self
+
+    def attached(self):
+        return self._sv
+
+    def run(self, bv_in: BitVector) -> BitVector:
+        """one_pass_run / run (reference :1799)."""
+        if self._sv is None:
+            raise ValueError("attach_sv() first")
+        return set2set_transform(self._sv, bv_in)
+
+    one_pass_run = run
+    remap = run

@@ -324,6 +324,20 @@ class SparseVectorScanner:
     def unbind(self) -> None:
         self._bound = None
 
+    def reset_binding(self) -> None:
+        """Alias of unbind (reference reset_binding,
+        src/bmsparsevec_algo.h:1974)."""
+        self.unbind()
+
+    def bfind(self, sv, value) -> int:
+        """Binary search for ``value`` in a SORTED sv: position of the
+        first occurrence, or -1 (reference bfind,
+        src/bmsparsevec_algo.h:819)."""
+        pos = self.lower_bound(sv, value)
+        if pos < len(sv) and sv.get(pos) == value:
+            return pos
+        return -1
+
     def _bound_lower_bound(self, sv, value, cmp_lt) -> int:
         """Sample-index descent shared by the int and str paths:
         binary-search the samples, then linear-scan one decoded window."""
@@ -797,11 +811,18 @@ class _PreparedPipeline:
     is bounded by survivors; dense SVs keep the prebuilt-stack fast path."""
 
     def __init__(self, sc, sv, arena, pos_of):
-        from ..agg.arena import (build_dense_stack, operands_succinct,
-                                 presence_table)
         self.sc = sc
         self.sv = sv
         self.pos_of = pos_of
+        self._base_vectors = list(arena.vectors)
+        self._mask = None
+        self._count_limit = None
+        self._or_target = None
+        self._rebuild(arena)
+
+    def _rebuild(self, arena):
+        from ..agg.arena import (build_dense_stack, operands_succinct,
+                                 presence_table)
         self.K = len(arena.vectors)
         self.arena = arena
         self.succinct = operands_succinct(arena.vectors)
@@ -814,6 +835,34 @@ class _PreparedPipeline:
         else:
             self.planes = build_dense_stack(arena)
             self.ok = self.planes is not None
+
+    # -- reference pipeline options (scanner::pipeline<Opt>,
+    # src/bmsparsevec_algo.h:678-695 / bmaggregator.h:245-260) ----------
+    def set_search_mask(self, bv_mask):
+        """AND-mask every request against ``bv_mask`` (reference
+        set_search_mask).  The mask joins the operand stack as one more
+        always-AND column, so the fused batch path is preserved."""
+        from ..agg.arena import OperandArena
+        self._mask = bv_mask
+        ops = list(self._base_vectors)
+        if bv_mask is not None:
+            ops.append(bv_mask)
+        self._rebuild(OperandArena(ops))
+        return self
+
+    def set_search_count_limit(self, limit):
+        """Stop counting a request past ``limit`` (reference
+        set_search_count_limit — reported counts cap at the limit)."""
+        self._count_limit = None if limit is None else int(limit)
+        return self
+
+    def set_or_target(self, bv_or):
+        """Accumulate the union of every request's hits into ``bv_or``
+        (reference set_or_target).  Forces per-request result vectors, so
+        batches run the (slower) result path, not the fused count
+        kernel."""
+        self._or_target = bv_or
+        return self
 
     def _narrowed_counts(self, sels):
         """Survivor-narrowed batch: host-expand only blocks where some
@@ -832,11 +881,28 @@ class _PreparedPipeline:
                                           jnp.asarray(sels)))
 
     def counts(self, values) -> list:
-        """Hit counts per value — ONE device call for the whole batch."""
+        """Hit counts per value — ONE device call for the whole batch
+        (per-request result path when an or-target is attached)."""
         import jax.numpy as jnp
 
         from ..ops.pallas_kernels import pipeline_counts
         sv, K, pos_of = self.sv, self.K, self.pos_of
+        lim = self._count_limit
+
+        def _cap(c):
+            return c if lim is None else min(c, lim)
+
+        if self._or_target is not None:
+            out = []
+            for v in values:
+                res = self.sc.find_eq(sv, v)
+                if self._mask is not None:
+                    res = res & self._mask
+                self._or_target.bit_or(res)
+                out.append(_cap(res.count()))
+            return out
+        null_col = (len(self._base_vectors) - 1 if sv.nullable else None)
+        mask_col = (K - 1 if self._mask is not None else None)
         sels = np.zeros((len(values), K), np.int32)
         fallback = {}
         fits = [value_fits(v, sv.dtype) for v in values]
@@ -865,8 +931,10 @@ class _PreparedPipeline:
                 sels[i] = 0
                 fallback[i] = None          # known-zero count
                 continue
-            if sv.nullable:
-                sels[i, K - 1] = 1
+            if null_col is not None:
+                sels[i, null_col] = 1
+            if mask_col is not None:
+                sels[i, mask_col] = 1
         if self.succinct:
             cts = self._narrowed_counts(sels)
         else:
@@ -876,10 +944,15 @@ class _PreparedPipeline:
         for i in range(len(values)):
             if i in fallback:
                 fv = fallback[i]
-                out.append(0 if fv is None else
-                           self.sc.find_eq(sv, fv).count())
+                if fv is None:
+                    out.append(0)
+                else:
+                    res = self.sc.find_eq(sv, fv)
+                    if self._mask is not None:
+                        res = res & self._mask
+                    out.append(_cap(res.count()))
             else:
-                out.append(int(cts[i]))
+                out.append(_cap(int(cts[i])))
         return out
 
 

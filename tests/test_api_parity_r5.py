@@ -95,3 +95,64 @@ def test_float_parity_extras():
         it.advance()
         n += 1
     assert n == 2
+
+
+def test_scanner_pipeline_knobs():
+    """Reference pipeline options (src/bmsparsevec_algo.h:678-695):
+    set_search_mask joins the fused operand stack, set_search_count_limit
+    caps reported counts, set_or_target accumulates the union."""
+    sc = bm.SparseVectorScanner()
+    sv = bm.SparseVector.from_array(np.asarray([1, 2, 2, 3, 2, 1],
+                                               np.uint32))
+    p = sc.prepare_pipeline(sv)
+    assert p.counts([2, 1, 9]) == [3, 2, 0]
+    mask = bm.BitVector.from_indices([0, 1, 2], size=100)
+    p.set_search_mask(mask)
+    assert p.counts([2, 1, 9]) == [2, 1, 0]
+    p.set_search_count_limit(1)
+    assert p.counts([2, 1, 9]) == [1, 1, 0]
+    tgt = bm.BitVector(100)
+    p.set_or_target(tgt).set_search_count_limit(None)
+    assert p.counts([2, 1]) == [2, 1]
+    assert sorted(tgt.indices().tolist()) == [0, 1, 2]
+    p.set_search_mask(None)            # knobs reset back to the full view
+    p.set_or_target(None)
+    assert p.counts([2, 1, 9]) == [3, 2, 0]
+
+
+def test_scanner_bfind_reset_binding():
+    sc = bm.SparseVectorScanner()
+    srt = bm.SparseVector.from_array(np.asarray([10, 20, 20, 30],
+                                                np.uint32))
+    assert sc.bfind(srt, 20) == 1
+    assert sc.bfind(srt, 25) == -1
+    sc.bind(srt)
+    assert sc.bfind(srt, 30) == 3
+    sc.reset_binding()
+
+
+def test_aggregator_pipeline_knobs():
+    """AggOptions setter parity (src/bmaggregator.h:251/260/363)."""
+    a = bm.BitVector.from_indices([1, 2, 3], size=100)
+    b = bm.BitVector.from_indices([2, 3, 4], size=100)
+    c = bm.BitVector.from_indices([3, 4, 5], size=100)
+    opts = bm.AggOptions().set_compute_count(True).set_search_count_limit(1)
+    res = bm.Aggregator().pipeline([([a, b],), ([b, c],)], opts)
+    assert [r["count"] for r in res] == [1, 1]
+    tgt = bm.BitVector(100)
+    opts2 = bm.AggOptions().set_or_target(tgt)
+    bm.Aggregator().pipeline([([a, b],), ([b, c],)], opts2)
+    assert sorted(tgt.indices().tolist()) == [2, 3, 4]
+
+
+def test_set2set_transform_class():
+    tr = bm.Set2SetTransform()
+    with pytest.raises(ValueError):
+        tr.run(bm.BitVector(10))
+    tr.attach_sv(bm.SparseVector.from_array(
+        np.asarray([100, 200, 300], np.uint32)))
+    out = tr.run(bm.BitVector.from_indices([0, 2], size=10))
+    assert sorted(out.indices().tolist()) == [100, 300]
+    assert tr.one_pass_run is tr.run or tr.one_pass_run.__func__ is not None
+    tr.attach_sv(None)
+    assert tr.attached() is None
