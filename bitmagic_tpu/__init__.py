@@ -24,7 +24,8 @@ from .serial.serializer import deserialize, serialize  # noqa: E402
 # Everything a reference user reaches through the single ``bm::`` namespace
 # is also reachable here at the top level (full module paths stay canonical;
 # these are aliases, see MIGRATING.md).
-from .agg.aggregator import AggOptions, Aggregator  # noqa: E402
+from .agg.aggregator import (AggOptions, Aggregator,  # noqa: E402
+                             aggregator_pipeline_execute)
 from .serial.opdeser import OperationDeserializer  # noqa: E402
 from .serial.serializer import Deserializer, Serializer  # noqa: E402
 from .serial.stream_iter import (IteratorDeserializer,  # noqa: E402
@@ -36,7 +37,7 @@ from .sv import (BitMatrix, FloatSparseVector, RSCSparseVector,  # noqa: E402
 # (src/bmalgo.h, bmalgo_impl.h, bmalgo_similarity.h, bmintervals.h,
 # bm3vl.h, bmrandom.h, bmbvimport.h, bmsparsevec_algo.h)
 from .algo.setops import (  # noqa: E402
-    any_and, any_or, any_sub, any_xor, bit_import,
+    any_and, any_or, any_sub, any_xor, bit_import, bit_import_u32,
     build_jaccard_similarity_batch, build_similarity_batch,
     combine_and, combine_and_sorted, combine_or, combine_sub, combine_xor,
     count_and, count_or, count_sub, count_xor, distance_and_operation,
@@ -68,6 +69,8 @@ __all__ = [
     "SerialStreamIterator", "IteratorDeserializer",
     "AggOptions",
     "Aggregator",
+    "aggregator_pipeline_execute",
+    "bit_import_u32",
     "SparseVector", "RSCSparseVector", "StrSparseVector",
     "FloatSparseVector", "BitMatrix", "SparseVectorScanner",
     "algo", "agg", "parallel", "serial", "sv", "utils",

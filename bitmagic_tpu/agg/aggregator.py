@@ -857,3 +857,23 @@ def _assemble(nb, full_mask, kern_nb, pool, size):
 # module-level convenience instance (the reference is also used as a
 # stateless engine most of the time)
 aggregator = Aggregator()
+
+
+def aggregator_pipeline_execute(aggregators):
+    """Interleaved execution of several staged aggregators (reference
+    free function aggregator_pipeline_execute, src/bmaggregator.h:874):
+    stage every aggregator, then round-robin run_step until all report
+    op_done.  Each aggregator's result is then available via
+    get_target()."""
+    aggs = list(aggregators)
+    for a in aggs:
+        a.stage()
+    pending = set(range(len(aggs)))
+    while pending:
+        done = set()
+        for k in pending:
+            st = aggs[k].run_step()
+            if st == OperationStatus.op_done:
+                done.add(k)
+        pending -= done
+    return aggs

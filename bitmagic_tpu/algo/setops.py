@@ -337,3 +337,13 @@ def build_jaccard_similarity_batch(sv) -> list:
             out.append((i, j, c_and, c_or, jac))
     out.sort(key=lambda t: t[4], reverse=True)
     return out
+
+
+def bit_import_u32(bv: BitVector, words, size=None, optimize=False):
+    """Name-parity front of bit_import (the reference free function
+    bit_import_u32, src/bmbvimport.h:46): build bv from a raw dense LE
+    u32 word image; ``size`` defaults to 32*len(words) bits."""
+    bit_import(bv, words)
+    if optimize:
+        bv.optimize()
+    return bv

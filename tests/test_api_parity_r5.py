@@ -156,3 +156,23 @@ def test_set2set_transform_class():
     assert tr.one_pass_run is tr.run or tr.one_pass_run.__func__ is not None
     tr.attach_sv(None)
     assert tr.attached() is None
+
+
+def test_free_function_parity_extras():
+    """bit_import_u32 (src/bmbvimport.h:46) and
+    aggregator_pipeline_execute (src/bmaggregator.h:874)."""
+    from bitmagic_tpu.agg.aggregator import BM_SHIFT_R_AND
+    bv = bm.BitVector(64)
+    bm.bit_import_u32(bv, np.asarray([0b101, 0], np.uint32), optimize=True)
+    assert sorted(bv.indices().tolist()) == [0, 2]
+    aggs = []
+    for _ in range(2):
+        a = bm.Aggregator()
+        a.set_operation(BM_SHIFT_R_AND)
+        a.add(bm.BitVector.from_indices([10, 20], size=100))
+        a.add(bm.BitVector.from_indices([11, 50], size=100))
+        aggs.append(a)
+    bm.aggregator_pipeline_execute(aggs)
+    for a in aggs:
+        assert a.get_operation_status().name == "op_done"
+        assert sorted(a.get_target().indices().tolist()) == [11]
