@@ -447,6 +447,30 @@ class OperationDeserializer:
         self.ref_vectors = list(ref_vectors or [])
         return self
 
+    def set_compression_level(self, level: int):
+        """Accepted for parity (reference set_compression_level on the
+        internal serializer; decode here is self-describing per record)."""
+        self._level = int(level)
+        return self
+
+    def deserialize_range(self, bv: BitVector, data: bytes,
+                          idx_from: int, idx_to: int):
+        """Range extraction: bv &= decode(blob) clipped to
+        [idx_from, idx_to]; an empty target adopts the window directly
+        (reference operation_deserializer::deserialize_range,
+        src/bmserial.h:8142 — the SV gather/range deserialization
+        workhorse).  Works for both formats, XOR-ref blobs included."""
+        from .serializer import Deserializer
+        d = Deserializer()
+        if self.ref_vectors:
+            d.set_ref_vectors(self.ref_vectors)
+        win = d.deserialize_range(data, int(idx_from), int(idx_to))
+        if bv.any():
+            bv.bit_and(win)
+        else:
+            bv.swap(win)
+        return bv
+
     def deserialize(self, bv: BitVector, data: bytes, op: int):
         """Apply ``op`` (constants.SET_*) between bv (in place) and the BLOB;
         COUNT_* ops return the count without modifying bv.  Accepts both the

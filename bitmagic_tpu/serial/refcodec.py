@@ -1656,6 +1656,57 @@ class RefSerializer:
         self.bm_interval = max(4, min(512, int(bm_interval)))
         return self
 
+    def set_ref_vectors(self, ref_vectors):
+        """(Re)attach the XOR similarity reference collection (reference
+        set_ref_vectors, src/bmserial.h:270): (row_id, BitVector) pairs;
+        drops any cached similarity model."""
+        self.ref_vectors = list(ref_vectors or [])
+        self._ref_maps = None
+        self._ref_maps_injected = False
+        return self
+
+    def set_curr_ref_idx(self, idx: int):
+        """Current vector's row in the reference collection (reference
+        set_curr_ref_idx, src/bmserial.h:277).  The emitter here matches
+        candidate refs by content automatically; the index is stored so a
+        frame writer can exclude self-references."""
+        self._curr_ref_idx = int(idx)
+        return self
+
+    def compute_sim_model(self, ref_vectors=None, params=None):
+        """Precompute the block-map similarity model for a frame
+        (reference compute_sim_model, src/bmserial.h:281 — one
+        xor_sim_model shared across the frame's serializations).  Returns
+        an opaque model for set_sim_model(); ``params`` accepted for
+        signature parity."""
+        refs = (list(ref_vectors) if ref_vectors is not None
+                else self.ref_vectors)
+        return {int(r): _bv_block_map(bv) for r, bv in refs}
+
+    def set_sim_model(self, model):
+        """Inject a model from compute_sim_model() so serialize() skips
+        re-snapshotting the reference collection (reference set_sim_model,
+        src/bmserial.h:289)."""
+        self._ref_maps = dict(model) if model is not None else None
+        self._ref_maps_injected = model is not None
+        return self
+
+    def get_compression_level(self) -> int:
+        return self.level
+
+    def set_compression_level(self, level: int):
+        if not (0 <= int(level) <= 6):
+            raise ValueError("level must be 0..6")
+        self.level = int(level)
+        return self
+
+    def get_compression_stat(self) -> dict:
+        return dict(self.compression_stat)
+
+    def reset_compression_stats(self):
+        self.compression_stat = {}
+        return self
+
     def serialize(self, bv) -> bytes:
         bv._flush()
         if not self._ref_maps_injected:

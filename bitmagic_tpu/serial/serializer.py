@@ -222,6 +222,39 @@ class Serializer:
         this is accepted for parity and recorded only."""
         self._bookmarks = (bool(enable), int(bm_interval))
 
+    def reset_compression_stats(self):
+        """src/bmserial.h reset_compression_stats()."""
+        self.compression_stat = {}
+        return self
+
+    def allow_stat_reset(self, allow: bool = True):
+        """Reference knob (src/bmserial.h:207): when False, serialize()
+        accumulates code counts across calls instead of resetting."""
+        self._stat_reset = bool(allow)
+        return self
+
+    def set_bic_coeff(self, coeff: int):
+        """Reference BIC tuning knob (src/bmserial.h): the BMT1 BIC
+        admission is cost-model driven per record, so the coefficient is
+        recorded for parity only."""
+        self._bic_coeff = int(coeff)
+        return self
+
+    def set_bic_dynamic_range_reduce(self, enable: bool):
+        """Reference BIC dynamic-range knob; recorded for parity (BMT1's
+        coder always narrows ranges per record)."""
+        self._bic_drr = bool(enable)
+        return self
+
+    def optimize_serialize_destroy(self, bv) -> bytes:
+        """optimize + serialize + free the vector's payload in one call
+        (reference optimize_serialize_destroy, src/bmserial.h:189 — the
+        memory-frugal bulk export path)."""
+        bv.optimize()
+        blob = self.serialize(bv)
+        bv.clear()
+        return blob
+
     # ------------------------------------------------------------------
     def serialize(self, bv: BitVector) -> bytes:
         bv._flush()
@@ -229,7 +262,8 @@ class Serializer:
         enc.put_bytes(MAGIC)
         enc.put_8(FLAG_64BIT | FLAG_COMPACT)
         enc.put_64(bv.size)
-        self.compression_stat = {}
+        if getattr(self, "_stat_reset", True):
+            self.compression_stat = {}
         self._prev_nb = -1
         if bv._gaps is not None and native.load() is not None:
             # succinct fast path: GAP blocks encode STRAIGHT from their
@@ -251,8 +285,9 @@ class Serializer:
                 records, counts = res
                 for code, cnt in enumerate(counts):
                     if cnt:
-                        self.compression_stat[
-                            _CODE_NAMES.get(code, str(code))] = int(cnt)
+                        name = _CODE_NAMES.get(code, str(code))
+                        self.compression_stat[name] = (
+                            self.compression_stat.get(name, 0) + int(cnt))
                 return enc.get_bytes() + records
         # transient dense view: GAP blocks expand host-side; FULL runs
         # stay interval-coded end to end (one record per run — the
@@ -266,8 +301,9 @@ class Serializer:
             records, counts = res
             for code, cnt in enumerate(counts):
                 if cnt:
-                    self.compression_stat[_CODE_NAMES.get(code, str(code))] \
-                        = int(cnt)
+                    name = _CODE_NAMES.get(code, str(code))
+                    self.compression_stat[name] = (
+                        self.compression_stat.get(name, 0) + int(cnt))
             return enc.get_bytes() + records
         # batched stats for every BIT block
         if words_all.shape[0]:
@@ -423,9 +459,39 @@ class Serializer:
 class Deserializer:
     """bm::deserializer equivalent with range support (deserialize_range
     uses the per-record lengths the way the reference uses bookmarks,
-    src/bmserial.h:647)."""
+    src/bmserial.h:647).  Reference-format BLOBs are sniffed by magic and
+    routed through the standalone refcodec decoder (with any attached
+    ref_vectors), so this is a drop-in decode entry for both formats."""
+
+    def set_range(self, lo: int, hi: int):
+        """Pre-set a [lo, hi] clip window applied by plain deserialize()
+        (reference set_range, src/bmserial.h:647)."""
+        self._range = (int(lo), int(hi))
+        return self
+
+    def unset_range(self):
+        """Clear the set_range window (reference unset_range)."""
+        self._range = None
+        return self
+
+    def set_ref_vectors(self, ref_vectors):
+        """XOR reference collection for decoding reference-format BLOBs
+        compressed with XOR refs (reference set_ref_vectors,
+        src/bmserial.h:672)."""
+        self._ref_vectors = list(ref_vectors or [])
+        return self
 
     def deserialize(self, data: bytes, range_=None) -> BitVector:
+        if range_ is None:
+            range_ = getattr(self, "_range", None)
+        if bytes(data[:4]) != MAGIC:
+            # reference-format BLOB
+            from .refcodec import ref_deserialize
+            bv = ref_deserialize(
+                data, ref_vectors=getattr(self, "_ref_vectors", None))
+            if range_ is not None:
+                bv.keep_range(int(range_[0]), int(range_[1]))
+            return bv
         dec = ByteDecoder(data)
         size, compact = read_blob_header(dec)
         if range_ is None:

@@ -176,3 +176,77 @@ def test_free_function_parity_extras():
     for a in aggs:
         assert a.get_operation_status().name == "op_done"
         assert sorted(a.get_target().indices().tolist()) == [11]
+
+
+def test_serializer_knob_parity():
+    """reset_compression_stats / allow_stat_reset /
+    optimize_serialize_destroy (src/bmserial.h:189/207) + recorded BIC
+    knobs."""
+    from bitmagic_tpu.serial.serializer import Deserializer, Serializer
+    ser = bm.Serializer(6)
+    bv = bm.BitVector.from_indices([1, 70000], size=1 << 18)
+    ser.serialize(bv)
+    s1 = ser.get_compression_stat()
+    assert s1
+    ser.allow_stat_reset(False)
+    ser.serialize(bv)
+    s2 = ser.get_compression_stat()
+    assert all(s2[k] == 2 * v for k, v in s1.items())   # accumulated
+    ser.allow_stat_reset(True)
+    ser.reset_compression_stats()
+    assert ser.get_compression_stat() == {}
+    ser.set_bic_coeff(64)
+    ser.set_bic_dynamic_range_reduce(True)
+    t = bv.copy()
+    blob = ser.optimize_serialize_destroy(t)
+    assert t.count() == 0                      # destroyed
+    assert Deserializer().deserialize(blob).equal(bv)
+
+
+def test_deserializer_set_range_and_ref_format():
+    """Deserializer set_range/unset_range (src/bmserial.h:647) + drop-in
+    decode of reference-format BLOBs (sniffed by magic) with
+    set_ref_vectors."""
+    from bitmagic_tpu.serial.refcodec import RefSerializer, ref_serialize
+    bv = bm.BitVector.from_indices([5, 100, 200000], size=1 << 18)
+    blob = bm.serialize(bv)
+    d = bm.Deserializer()
+    d.set_range(50, 150000)
+    got = d.deserialize(blob)
+    assert sorted(got.indices().tolist()) == [100]
+    d.unset_range()
+    assert d.deserialize(blob).equal(bv)
+    # reference-format blob through the same entry point
+    rblob = ref_serialize(bv, level=6)
+    assert d.deserialize(rblob).equal(bv)
+    # XOR-ref-compressed reference blob via set_ref_vectors
+    ref = bm.BitVector.from_indices([5, 100, 200000, 300000], size=1 << 19)
+    rs = RefSerializer(6)
+    rs.set_ref_vectors([(0, bv), (1, ref)])
+    rs.set_curr_ref_idx(0)
+    model = rs.compute_sim_model()
+    rs.set_sim_model(model)
+    xblob = rs.serialize(bv)
+    d2 = bm.Deserializer()
+    d2.set_ref_vectors([(0, bv), (1, ref)])
+    assert d2.deserialize(xblob).equal(bv)
+    assert rs.get_compression_level() == 6
+    rs.reset_compression_stats()
+    assert rs.get_compression_stat() == {}
+
+
+def test_opdeser_deserialize_range():
+    """operation_deserializer::deserialize_range semantics
+    (src/bmserial.h:8142): target &= windowed decode; empty target
+    adopts the window."""
+    from bitmagic_tpu import constants as C
+    src = bm.BitVector.from_indices([5, 100, 70000, 200000], size=1 << 18)
+    blob = bm.serialize(src)
+    od = bm.OperationDeserializer()
+    empty = bm.BitVector(1 << 18)
+    od.deserialize_range(empty, blob, 50, 100000)
+    assert sorted(empty.indices().tolist()) == [100, 70000]
+    tgt = bm.BitVector.from_indices([100, 300], size=1 << 18)
+    od.deserialize_range(tgt, blob, 50, 100000)
+    assert sorted(tgt.indices().tolist()) == [100]
+    od.set_compression_level(5)
