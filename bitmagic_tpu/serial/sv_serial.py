@@ -45,6 +45,46 @@ class SparseVectorSerializer:
         self.level = level
         self.xor_filter = xor_filter
 
+    # -- XOR compression knobs (reference sparse_vector_serializer,
+    # src/bmsparsevec_serial.h: set_xor_ref / enable_xor_compression /
+    # disable_xor_compression / is_xor_ref).  Here the XOR model is the
+    # internal cross-plane group (xor_group.py), so the knobs toggle it.
+    def enable_xor_compression(self):
+        self.xor_filter = True
+        return self
+
+    def disable_xor_compression(self):
+        self.xor_filter = False
+        return self
+
+    def is_xor_ref(self) -> bool:
+        return bool(self.xor_filter)
+
+    def set_xor_ref(self, ref=True):
+        """reference set_xor_ref: a collection (or True) enables the XOR
+        filter, None/False disables it.  The plane group itself is the
+        reference collection here (cross-plane XOR), so an external
+        collection is not needed and only the toggle is meaningful."""
+        self.xor_filter = bool(ref) if not isinstance(ref, (list, tuple)) \
+            else True
+        return self
+
+    def set_sim_model(self, model):
+        """Accepted for parity: the plane-group XOR scan recomputes its
+        match model per frame (see xor_group.serialize_group)."""
+        self._sim_model = model
+        return self
+
+    def compute_sim_model(self, *a, **k):
+        """Accepted for parity; returns None (model is internal)."""
+        return None
+
+    def set_bookmarks(self, enable: bool, bm_interval: int = 256):
+        """Recorded for parity: per-record lengths already provide
+        O(records-skipped) range skip (see Serializer.set_bookmarks)."""
+        self._bookmarks = (bool(enable), int(bm_interval))
+        return self
+
     # ------------------------------------------------------------------
     def serialize(self, sv: SparseVector) -> bytes:
         sv._flush()
@@ -164,8 +204,21 @@ class SparseVectorDeserializer:
     """bm::sparse_vector_deserializer equivalent (full and range decode,
     deserialize_range analog of src/bmsparsevec_serial.h:341)."""
 
+    def set_finalization(self, mode):
+        """reference set_finalization (bm::finalization::READONLY freezes
+        every deserialized container).  Accepts the string "READONLY" /
+        "open" or a truthy flag."""
+        self._finalize_ro = (str(mode).lower() == "readonly"
+                             if isinstance(mode, str) else bool(mode))
+        return self
+
+    def _finalize(self, sv):
+        if getattr(self, "_finalize_ro", False):
+            sv.freeze()
+        return sv
+
     def deserialize(self, data: bytes):
-        return self._dispatch(data, None)
+        return self._finalize(self._dispatch(data, None))
 
     def deserialize_range(self, data: bytes, lo: int, hi: int):
         """Materialize only elements in [lo, hi]; per-plane BLOB records

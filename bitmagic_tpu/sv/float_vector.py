@@ -51,6 +51,7 @@ class FloatSparseVector:
         return fv
 
     def import_values(self, values, offset: int = 0):
+        self._check_writable()
         values = np.asarray(values, self.dtype)
         n = values.size
         if n == 0:
@@ -111,6 +112,7 @@ class FloatSparseVector:
         return n
 
     def set(self, i, v):
+        self._check_writable()
         i = int(i)
         u = np.asarray([v], self.dtype).view(self._uint)[0]
         self.sign.set(i, bool(u >> (self._eb + self._mb)))
@@ -160,6 +162,7 @@ class FloatSparseVector:
         return self.nullable and not self.null_plane.test(i)
 
     def set_null(self, i):
+        self._check_writable()
         if not self.nullable:
             raise ValueError("not nullable")
         self.null_plane.set(int(i), False)
@@ -182,6 +185,7 @@ class FloatSparseVector:
 
     def clear(self):
         """Drop all content (reference clear, src/bmsparsevec_float.h:302)."""
+        self._check_writable()
         self.sign = BitVector(C.ID_MAX48)
         self.exponent.clear()
         self.mantissa.clear()
@@ -193,6 +197,7 @@ class FloatSparseVector:
     clear_all = clear
 
     def resize(self, n: int):
+        self._check_writable()
         n = int(n)
         if n < self._size:
             self.exponent.resize(n)
@@ -217,6 +222,7 @@ class FloatSparseVector:
     def copy_range(self, other: "FloatSparseVector", lo, hi):
         """Copy [lo, hi] from other, clearing everything else (reference
         copy_range, src/bmsparsevec_float.h:371)."""
+        self._check_writable()
         if other.dtype != self.dtype:
             raise ValueError("dtype mismatch")
         lo, hi = int(lo), int(hi)
@@ -241,6 +247,7 @@ class FloatSparseVector:
     def clear_range(self, lo, hi, set_null: bool = False):
         """Zero values in [lo, hi]; set_null also unassigns
         (reference clear_range, src/bmsparsevec_float.h:310)."""
+        self._check_writable()
         lo, hi = int(lo), int(hi)
         self.sign.set_range(lo, hi, False)
         self.exponent.clear_range(lo, hi, set_null=False)
@@ -253,6 +260,7 @@ class FloatSparseVector:
         """OR-merge another float vector in (reference join,
         src/bmsparsevec_float.h:345 — plane-wise OR; overlapping non-zero
         values combine bitwise, as in the reference)."""
+        self._check_writable()
         if other.dtype != self.dtype:
             raise ValueError("dtype mismatch")
         self.sign.bit_or(other.sign)
@@ -291,6 +299,13 @@ class FloatSparseVector:
         only; the TPU layout keeps planes always consistent."""
         self._size = max(self._size, self.exponent.size, self.mantissa.size)
         return self
+
+    def _check_writable(self):
+        if getattr(self, "_ro", False):
+            from ..core.bitvector import ReadOnlyError
+            raise ReadOnlyError(
+                "container is read-only (frozen); writes are rejected "
+                "eagerly (reference RO semantics)")
 
     def freeze(self):
         """src/bmsparsevec_float.h:500."""

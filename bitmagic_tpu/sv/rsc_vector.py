@@ -142,6 +142,7 @@ class RSCSparseVector:
         return self._size
 
     def set(self, i, v):
+        self._check_writable()
         i = int(i)
         self._staged[i] = v
         self._rs = None
@@ -152,6 +153,7 @@ class RSCSparseVector:
     __setitem__ = set
 
     def set_null(self, i):
+        self._check_writable()
         i = int(i)
         self._staged[i] = None
         self._rs = None
@@ -168,6 +170,7 @@ class RSCSparseVector:
         return self.resize(self._size + int(count))
 
     def inc(self, i):
+        self._check_writable()
         self.set(i, self.get(i) + 1)
         return self
 
@@ -274,6 +277,7 @@ class RSCSparseVector:
     def clear(self):
         """Drop all content (reference clear_all,
         src/bmsparsevec_compr.h:739)."""
+        self._check_writable()
         self._staged = {}
         self.dense = SparseVector(self.dtype)
         self.null_bv = BitVector(C.ID_MAX48)
@@ -285,6 +289,7 @@ class RSCSparseVector:
 
     def resize(self, n: int):
         """Truncate/extend the logical size (reference resize)."""
+        self._check_writable()
         self._flush_no_sync()
         n = int(n)
         if n < self._size:
@@ -304,6 +309,7 @@ class RSCSparseVector:
     def copy_range(self, other: "RSCSparseVector", lo, hi):
         """Copy assigned values of other's [lo, hi], clearing the rest
         (reference copy_range, src/bmsparsevec_compr.h:789)."""
+        self._check_writable()
         other._flush()
         lo, hi = int(lo), int(hi)
         self.clear()
@@ -321,6 +327,7 @@ class RSCSparseVector:
         """Merge other's assigned values into self; the reference requires
         the assigned sets be disjoint (merge_not_null,
         src/bmsparsevec_compr.h) — enforced here."""
+        self._check_writable()
         self._flush()
         other._flush()
         if (self.null_bv & other.null_bv).any():
@@ -335,6 +342,13 @@ class RSCSparseVector:
         other.clear()
         self.sync()
         return self
+
+    def _check_writable(self):
+        if getattr(self, "_ro", False):
+            from ..core.bitvector import ReadOnlyError
+            raise ReadOnlyError(
+                "container is read-only (frozen); writes are rejected "
+                "eagerly (reference RO semantics)")
 
     def freeze(self):
         """Immutable residency (reference freeze)."""
@@ -377,6 +391,7 @@ class RSCSparseVector:
     def load_from(self, sv: SparseVector):
         """Rebuild from a plain (nullable) sparse vector (reference
         load_from, src/bmsparsevec_compr.h)."""
+        self._check_writable()
         other = RSCSparseVector.from_sparse_vector(sv)
         self.__dict__.update(other.__dict__)
         return self

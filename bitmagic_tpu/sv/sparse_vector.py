@@ -158,6 +158,7 @@ class SparseVector:
 
     def import_values(self, values, offset: int = 0):
         """Bulk import at offset (reference import, src/bmsparsevec.h:1185)."""
+        self._check_writable()
         self._flush()
         values = np.asarray(values)
         n = values.size
@@ -225,6 +226,7 @@ class SparseVector:
 
     def import_back(self, values):
         """Append at the end (reference import_back)."""
+        self._check_writable()
         return self.import_values(values, offset=self._size)
 
     def extend(self, values):
@@ -242,6 +244,7 @@ class SparseVector:
         return self.size
 
     def resize(self, n: int):
+        self._check_writable()
         self._flush()
         n = int(n)
         if n < self._size:
@@ -259,6 +262,7 @@ class SparseVector:
 
     def set(self, i, v):
         """Single set (staged; reference set, src/bmsparsevec.h)."""
+        self._check_writable()
         self._staged[int(i)] = v
         if int(i) >= self._size:
             self._size = int(i) + 1
@@ -267,6 +271,7 @@ class SparseVector:
     __setitem__ = set
 
     def set_null(self, i):
+        self._check_writable()
         if not self.nullable:
             raise ValueError("vector is not nullable")
         self._staged[int(i)] = None
@@ -297,6 +302,7 @@ class SparseVector:
 
     def inc(self, i):
         """Increment element i (reference inc)."""
+        self._check_writable()
         self.set(i, self.get(i) + 1)
         return self
 
@@ -408,6 +414,7 @@ class SparseVector:
         every value slice (and the NULL slice) ORs in the argument's, so
         overlapping assigned values combine bitwise exactly as the
         reference's ``*bv |= *arg_bv`` loop does."""
+        self._check_writable()
         if other.dtype != self.dtype:
             raise ValueError("dtype mismatch")
         self._flush()
@@ -471,6 +478,7 @@ class SparseVector:
 
     def filter(self, keep: BitVector):
         """Zero out (and NULL) all positions not in keep (reference filter)."""
+        self._check_writable()
         self._flush()
         for s, p in enumerate(self.planes):
             if p is not None:
@@ -485,6 +493,7 @@ class SparseVector:
         """Insert value at i, shifting elements right (reference
         sparse_vector insert, src/bmsparsevec.h).  Each bit-slice plane
         insert-shifts on device; the NULL plane marks i assigned."""
+        self._check_writable()
         self._flush()
         i = int(i)
         for s, p in enumerate(self.planes):
@@ -499,6 +508,7 @@ class SparseVector:
     def erase(self, i):
         """Erase element i, shifting elements left (reference erase,
         src/bmsparsevec.h)."""
+        self._check_writable()
         self._flush()
         i = int(i)
         for p in self.planes:
@@ -513,6 +523,7 @@ class SparseVector:
     def copy_range(self, other: "SparseVector", lo, hi):
         """Copy [lo, hi] from another vector of the same dtype, clearing
         everything else (reference copy_range, src/bmsparsevec.h)."""
+        self._check_writable()
         other._flush()
         self._flush()
         if other.dtype != self.dtype:
@@ -580,6 +591,7 @@ class SparseVector:
     def keep_range(self, lo, hi):
         """Zero (and NULL) everything outside [lo, hi] (reference
         keep_range, src/bmsparsevec.h:883)."""
+        self._check_writable()
         self._flush()
         lo, hi = int(lo), int(hi)
         rng = BitVector(C.ID_MAX48)
@@ -651,6 +663,7 @@ class SparseVector:
     def clear_range(self, lo, hi, set_null: bool = False):
         """Zero values in [lo, hi]; set_null also unassigns them
         (reference default is false — src/bmsparsevec.h:715)."""
+        self._check_writable()
         self._flush()
         for p in self.planes:
             if p is not None:
@@ -660,6 +673,7 @@ class SparseVector:
         return self
 
     def clear(self):
+        self._check_writable()
         self._staged = {}
         self.planes = [None] * self.n_slices
         if self.nullable:
@@ -701,6 +715,13 @@ class SparseVector:
         return bool(np.array_equal(self.to_numpy(), other.to_numpy()) and
                     (not (self.nullable and other.nullable) or
                      self.null_plane.equal(other.null_plane)))
+
+    def _check_writable(self):
+        if getattr(self, "_ro", False):
+            from ..core.bitvector import ReadOnlyError
+            raise ReadOnlyError(
+                "container is read-only (frozen); writes are rejected "
+                "eagerly (reference RO semantics)")
 
     def freeze(self):
         self._flush()

@@ -50,6 +50,7 @@ class StrSparseVector:
 
     def import_strings(self, strings, offset: int = 0):
         """Bulk import: one device transpose per octet position."""
+        self._check_writable()
         n = len(strings)
         if n == 0:
             return self
@@ -86,6 +87,7 @@ class StrSparseVector:
         return self.resize(self._size + int(count))
 
     def set(self, i, s):
+        self._check_writable()
         i = int(i)
         b = s.encode() if isinstance(s, str) else bytes(s)
         if len(b) > self.max_str_size:
@@ -105,6 +107,7 @@ class StrSparseVector:
     __setitem__ = set
 
     def set_null(self, i):
+        self._check_writable()
         if not self.nullable:
             raise ValueError("not nullable")
         for k in range(self.max_str_size):
@@ -194,6 +197,7 @@ class StrSparseVector:
         (reference recalc_remap_matrix2 / remap_from_sv,
         src/bmstrsparsevec.h:97-108).  Code 0 is reserved for the string
         terminator."""
+        self._check_writable()
         if self.remap_matrices is not None:
             return self
         ids = np.arange(self._size, dtype=_I64)
@@ -256,6 +260,7 @@ class StrSparseVector:
 
     # ------------------------------------------------------------------
     def keep_range(self, lo, hi):
+        self._check_writable()
         for k in range(self.max_str_size):
             rng = BitVector(C.ID_MAX48)
             rng.set_range(int(lo), int(hi))
@@ -270,6 +275,7 @@ class StrSparseVector:
         """AND every octet plane (and the NULL plane) with an index
         bit-vector (reference keep == bit_and_rows,
         src/bmstrsparsevec.h:589)."""
+        self._check_writable()
         for k in range(self.max_str_size):
             self.octets[k].filter(bv_idx)
         if self.nullable:
@@ -279,6 +285,7 @@ class StrSparseVector:
     def clear_range(self, lo, hi, set_null: bool = False):
         """Zero octets in [lo, hi]; set_null also unassigns
         (reference clear_range, src/bmstrsparsevec.h:841)."""
+        self._check_writable()
         for k in range(self.max_str_size):
             self.octets[k].clear_range(lo, hi, set_null=False)
         if self.nullable and set_null:
@@ -288,6 +295,7 @@ class StrSparseVector:
     def import_back(self, strings):
         """Append a batch at the end — one bulk transpose import
         (reference import_back, src/bmstrsparsevec.h:1289)."""
+        self._check_writable()
         return self.import_strings(list(strings), offset=self._size)
 
     def optimize(self):
@@ -304,6 +312,13 @@ class StrSparseVector:
             st["memory_used"] += s["memory_used"]
             st["bit_blocks"] += s["bit_blocks"]
         return st
+
+    def _check_writable(self):
+        if getattr(self, "_ro", False):
+            from ..core.bitvector import ReadOnlyError
+            raise ReadOnlyError(
+                "container is read-only (frozen); writes are rejected "
+                "eagerly (reference RO semantics)")
 
     def freeze(self):
         for o in self.octets:
@@ -325,6 +340,7 @@ class StrSparseVector:
     def insert(self, i, s):
         """Insert a string at i, shifting elements right (reference
         insert, src/bmstrsparsevec.h) — per-octet plane insert-shifts."""
+        self._check_writable()
         i = int(i)
         for k in range(self.max_str_size):
             self.octets[k].insert(i, 0)
@@ -336,6 +352,7 @@ class StrSparseVector:
 
     def erase(self, i):
         """Erase element i, shifting elements left (reference erase)."""
+        self._check_writable()
         i = int(i)
         for k in range(self.max_str_size):
             self.octets[k].erase(i)
@@ -393,6 +410,7 @@ class StrSparseVector:
         across DIFFERENT remap tables is undefined in the reference
         ("we only need to copy remap flags once ... otherwise undefined
         behavior"); here it raises instead."""
+        self._check_writable()
         a, b = self.remap_matrices, other.remap_matrices
         if (a is None) != (b is None) or (
                 a is not None and not all(
@@ -454,6 +472,7 @@ class StrSparseVector:
     def clear(self):
         """Drop all content (reference clear_all,
         src/bmstrsparsevec.h:829; remap matrices kept unless remap=True)."""
+        self._check_writable()
         for k in range(self.max_str_size):
             self.octets[k].clear()
         if self.nullable:
@@ -470,6 +489,7 @@ class StrSparseVector:
 
     def resize(self, n: int):
         """Truncate/extend (reference resize)."""
+        self._check_writable()
         n = int(n)
         if n < self._size:
             for k in range(self.max_str_size):
@@ -484,6 +504,7 @@ class StrSparseVector:
     def copy_range(self, other: "StrSparseVector", lo, hi):
         """Copy [lo, hi] from other, clearing everything else (reference
         copy_range, src/bmstrsparsevec.h:1315)."""
+        self._check_writable()
         if other.max_str_size > self.max_str_size:
             raise ValueError("octet capacity too small")
         lo, hi = int(lo), int(hi)

@@ -250,3 +250,30 @@ def test_opdeser_deserialize_range():
     od.deserialize_range(tgt, blob, 50, 100000)
     assert sorted(tgt.indices().tolist()) == [100]
     od.set_compression_level(5)
+
+
+def test_sv_serializer_knobs():
+    """sparse_vector_serializer XOR knobs + deserializer finalization
+    (src/bmsparsevec_serial.h)."""
+    import bitmagic_tpu.serial as serial
+    s = serial.SparseVectorSerializer()
+    assert s.is_xor_ref()
+    s.disable_xor_compression()
+    sv = bm.SparseVector.from_array(np.arange(1000, dtype=np.uint32))
+    blob_plain = s.serialize(sv)
+    s.enable_xor_compression()
+    blob_xor = s.serialize(sv)
+    d = serial.SparseVectorDeserializer()
+    assert d.deserialize(blob_plain).equal(sv)
+    assert d.deserialize(blob_xor).equal(sv)
+    s.set_xor_ref(None)
+    assert not s.is_xor_ref()
+    s.set_xor_ref(True)
+    assert s.is_xor_ref()
+    d.set_finalization("READONLY")
+    ro = d.deserialize(blob_xor)
+    assert ro.is_ro()
+    with pytest.raises(Exception):
+        ro.set(0, 5)
+    d.set_finalization("open")
+    assert not d.deserialize(blob_xor).is_ro()
