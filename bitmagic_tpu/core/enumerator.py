@@ -124,6 +124,10 @@ class Enumerator:
 
     advance = go_up
 
+    def go_first(self) -> bool:
+        """Rewind to the first set bit (reference go_first, src/bm.h)."""
+        return self.go_to(0)
+
     def go_to(self, pos: int) -> bool:
         """Position at the first set bit >= pos (reference go_to)."""
         self._sync()
@@ -206,16 +210,23 @@ class Enumerator:
 
 class CountedEnumerator(Enumerator):
     """Enumerator that tracks how many set bits were consumed
-    (bm::bvector::counted_enumerator, src/bm.h:733)."""
+    (bm::bvector::counted_enumerator, src/bm.h:733).  ``bit_count`` is
+    the number of fully consumed bits; ``count()`` is the reference
+    semantics — bits up to AND including the current position (1 at the
+    first set bit)."""
 
     def __init__(self, bv, pos: int = 0):
         super().__init__(bv, pos)
         self.bit_count = 0
 
-    def __next__(self):
-        v = super().__next__()
+    def go_up(self) -> bool:
+        ok = super().go_up()
         self.bit_count += 1
-        return v
+        return ok
+
+    def count(self) -> int:
+        """reference counted_enumerator::count (src/bm.h:760)."""
+        return self.bit_count + (1 if self.valid() else 0)
 
 
 class BulkInsertIterator:

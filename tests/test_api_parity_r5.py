@@ -277,3 +277,26 @@ def test_sv_serializer_knobs():
         ro.set(0, 5)
     d.set_finalization("open")
     assert not d.deserialize(blob_xor).is_ro()
+
+
+def test_counted_enumerator_count_and_go_first():
+    """counted_enumerator::count() (src/bm.h:760) is 1-based-inclusive;
+    go_first rewinds."""
+    bv = bm.BitVector.from_indices([4, 9, 70000], size=1 << 18)
+    cen = bv.get_counted_enumerator()
+    assert cen.count() == 1 and cen.value() == 4
+    cen.go_up()
+    assert cen.count() == 2 and cen.value() == 9
+    cen.go_up()
+    assert cen.count() == 3 and cen.value() == 70000
+    assert not cen.go_up() and cen.count() == 3      # exhausted
+    en = bv.get_enumerator(0)
+    en.go_to(9)
+    assert en.value() == 9
+    en.go_first()
+    assert en.value() == 4
+    # consumed-bit semantics preserved for the iteration protocol
+    cen2 = bv.get_counted_enumerator()
+    for _ in range(3):
+        next(cen2)
+    assert cen2.bit_count == 3
