@@ -38,12 +38,12 @@ _I64 = np.int64
 
 
 def _structures(vectors):
+    """Flushed raw structures — NOT materialized: every consumer reads
+    them through the run-aware lookup() or the run-aware blocklist
+    helpers below, so wide FULL runs stay interval-coded end to end."""
     for v in vectors:
         v._flush()
-    # flat per-block views: FULL runs expand to per-block FULL entries for
-    # the aggregator's block-list enumeration (bounded materialization;
-    # lookups on the original structs stay run-aware and consistent)
-    return [v._struct.materialized() for v in vectors]
+    return [v._struct for v in vectors]
 
 
 def _and_blocklist(structs):
@@ -65,9 +65,15 @@ def _and_blocklist(structs):
 
 
 def _or_blocklist(structs):
+    """Union of operand block sets.  An OR result over a wide FULL run is
+    inherently wide, so runs expand here (bounded materialization) —
+    combine_or routes run-coded operands through the symbolic left-fold
+    before reaching this dense-kernel path."""
     if not structs:
         return np.zeros(0, _I64)
-    return functools.reduce(np.union1d, (s.nb for s in structs))
+    return functools.reduce(
+        np.union1d,
+        ((s.materialized().nb if s.has_runs else s.nb) for s in structs))
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
@@ -282,9 +288,23 @@ class Aggregator:
             vectors = self._groups[0]
         if not vectors:
             return BitVector(0)
+        size = max(v.size for v in vectors)
+        for v in vectors:
+            v._flush()
+        if any(v._struct.has_runs for v in vectors):
+            # run-coded operand: left-fold through the run-aware planner —
+            # the result keeps wide spans interval-coded instead of
+            # expanding them for the dense kernel
+            acc = vectors[0]
+            for v in vectors[1:]:
+                acc = acc | v
+            if acc is vectors[0]:
+                acc = acc.copy()          # never alias an input
+            if acc.size != size:
+                acc.resize(size)
+            return acc
         structs = _structures(vectors)
         nb = _or_blocklist(structs)
-        size = max(v.size for v in vectors)
         if nb.size == 0:
             return BitVector(size)
         if len(vectors) > 1 and self._all_succinct(vectors, nb):

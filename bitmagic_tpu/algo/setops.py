@@ -342,7 +342,19 @@ def build_jaccard_similarity_batch(sv) -> list:
 def bit_import_u32(bv: BitVector, words, size=None, optimize=False):
     """Name-parity front of bit_import (the reference free function
     bit_import_u32, src/bmbvimport.h:46): build bv from a raw dense LE
-    u32 word image; ``size`` defaults to 32*len(words) bits."""
+    u32 word image.  ``size`` clips the import to the first ``size`` bits
+    (the reference's bits_size handling for non-word-multiple imports);
+    default is 32*len(words)."""
+    words = np.ascontiguousarray(words, np.uint32)
+    if size is not None:
+        n_bits = int(size)
+        if n_bits > words.size * 32:
+            raise ValueError("size exceeds the provided word image")
+        full, rem = divmod(n_bits, 32)
+        w = words[:full + (1 if rem else 0)].copy()
+        if rem:
+            w[-1] &= np.uint32((1 << rem) - 1)
+        words = w
     bit_import(bv, words)
     if optimize:
         bv.optimize()

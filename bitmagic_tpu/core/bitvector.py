@@ -56,6 +56,14 @@ class ReadOnlyError(RuntimeError):
     pass
 
 
+def check_writable(obj, what: str = "container"):
+    """Shared eager read-only guard: every frozen container rejects
+    writes at the call site (reference RO semantics), instead of failing
+    lazily at the next staged flush."""
+    if getattr(obj, "_ro", False):
+        raise ReadOnlyError(f"{what} is read-only (frozen)")
+
+
 class BitVector:
     """Block-structured succinct bit-vector (bm::bvector equivalent)."""
 

@@ -209,24 +209,40 @@ class Enumerator:
 
 
 class CountedEnumerator(Enumerator):
-    """Enumerator that tracks how many set bits were consumed
-    (bm::bvector::counted_enumerator, src/bm.h:733).  ``bit_count`` is
-    the number of fully consumed bits; ``count()`` is the reference
-    semantics — bits up to AND including the current position (1 at the
-    first set bit)."""
+    """Enumerator that tracks the running rank
+    (bm::bvector::counted_enumerator, src/bm.h:733).  ``count()`` is the
+    reference semantics: set bits up to AND including the current one —
+    1 at the first set bit, unchanged by ++ past the end (the reference
+    does ``bit_count_ += valid()``).  ``bit_count`` is the legacy
+    consumed-bits accessor (count() minus the current unconsumed bit).
 
-    def __init__(self, bv, pos: int = 0):
-        super().__init__(bv, pos)
-        self.bit_count = 0
+    Unlike the reference (which declares go_to "closed for usage"),
+    go_to()/go_first() are allowed here and recompute the running rank
+    via the run-aware rank() — O(rs_index build) on first use."""
 
     def go_up(self) -> bool:
         ok = super().go_up()
-        self.bit_count += 1
+        self._ref_count += 1 if self.valid() else 0
         return ok
+
+    def go_to(self, pos: int) -> bool:
+        ok = super().go_to(pos)
+        # rank at the landing position; past-the-end = total population
+        if not self.valid():
+            self._ref_count = self._bv.count()
+        elif int(pos) == 0:
+            self._ref_count = 1          # first set bit, no rank needed
+        else:
+            self._ref_count = self._bv.rank(self.value())
+        return ok
+
+    @property
+    def bit_count(self) -> int:
+        return self._ref_count - (1 if self.valid() else 0)
 
     def count(self) -> int:
         """reference counted_enumerator::count (src/bm.h:760)."""
-        return self.bit_count + (1 if self.valid() else 0)
+        return self._ref_count
 
 
 class BulkInsertIterator:

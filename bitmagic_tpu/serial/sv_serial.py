@@ -227,7 +227,8 @@ class SparseVectorDeserializer:
         unassigned/zero; the logical size is preserved."""
         if hi < lo:
             raise ValueError("empty range")
-        return self._dispatch(data, ("range", (int(lo), int(hi))))
+        return self._finalize(self._dispatch(data,
+                                             ("range", (int(lo), int(hi)))))
 
     def deserialize_gather(self, data: bytes, ids):
         """Selective (gather) deserialization: materialize only the blocks
@@ -238,7 +239,7 @@ class SparseVectorDeserializer:
         if ids.size == 0:
             raise ValueError("empty id list")
         want = frozenset((ids >> C.SET_BLOCK_SHIFT).tolist())
-        return self._dispatch(data, ("blocks", want, ids))
+        return self._finalize(self._dispatch(data, ("blocks", want, ids)))
 
     def _dispatch(self, data, sel):
         dec = ByteDecoder(data)

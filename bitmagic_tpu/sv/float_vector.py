@@ -301,11 +301,8 @@ class FloatSparseVector:
         return self
 
     def _check_writable(self):
-        if getattr(self, "_ro", False):
-            from ..core.bitvector import ReadOnlyError
-            raise ReadOnlyError(
-                "container is read-only (frozen); writes are rejected "
-                "eagerly (reference RO semantics)")
+        from ..core.bitvector import check_writable
+        check_writable(self)
 
     def freeze(self):
         """src/bmsparsevec_float.h:500."""

@@ -329,15 +329,6 @@ class SparseVectorScanner:
         src/bmsparsevec_algo.h:1974)."""
         self.unbind()
 
-    def bfind(self, sv, value) -> int:
-        """Binary search for ``value`` in a SORTED sv: position of the
-        first occurrence, or -1 (reference bfind,
-        src/bmsparsevec_algo.h:819)."""
-        pos = self.lower_bound(sv, value)
-        if pos < len(sv) and sv.get(pos) == value:
-            return pos
-        return -1
-
     def _bound_lower_bound(self, sv, value, cmp_lt) -> int:
         """Sample-index descent shared by the int and str paths:
         binary-search the samples, then linear-scan one decoded window."""
@@ -380,11 +371,14 @@ class SparseVectorScanner:
         return lo
 
     def bfind_eq(self, sv: SparseVector, value) -> int:
-        """Index of value in a sorted vector, or -1 (reference bfind)."""
+        """Index of value in a sorted vector, or -1 (reference bfind,
+        src/bmsparsevec_algo.h:819)."""
         i = self.lower_bound(sv, value)
         if i < len(sv) and sv.get(i) == value:
             return i
         return -1
+
+    bfind = bfind_eq           # reference method name
 
     # ------------------------------------------------------------------
     # string searches (reference find_eq_str, src/bmsparsevec_algo.h:2245:

@@ -717,11 +717,8 @@ class SparseVector:
                      self.null_plane.equal(other.null_plane)))
 
     def _check_writable(self):
-        if getattr(self, "_ro", False):
-            from ..core.bitvector import ReadOnlyError
-            raise ReadOnlyError(
-                "container is read-only (frozen); writes are rejected "
-                "eagerly (reference RO semantics)")
+        from ..core.bitvector import check_writable
+        check_writable(self)
 
     def freeze(self):
         self._flush()

@@ -300,3 +300,46 @@ def test_counted_enumerator_count_and_go_first():
     for _ in range(3):
         next(cen2)
     assert cen2.bit_count == 3
+
+
+def test_review2_regressions():
+    """Second self-review pass findings, pinned."""
+    # bit_import_u32 honors size (reference bits_size clip)
+    bv = bm.BitVector(64)
+    bm.bit_import_u32(bv, np.asarray([0xFFFFFFFF, 0xFFFFFFFF], np.uint32),
+                      size=4)
+    assert sorted(bv.indices().tolist()) == [0, 1, 2, 3]
+    # counted enumerator: go_to/go_first recompute the rank; past-end ++
+    # does not inflate
+    v = bm.BitVector.from_indices([4, 9, 70000], size=1 << 18)
+    cen = v.get_counted_enumerator()
+    cen.go_up()
+    cen.go_up()
+    assert cen.count() == 3
+    assert not cen.go_up() and cen.count() == 3
+    cen.go_first()
+    assert cen.count() == 1 and cen.value() == 4
+    cen.go_to(9)
+    assert cen.count() == 2 and cen.value() == 9
+    # finalization applies to range/gather deserialization too
+    import bitmagic_tpu.serial as serial
+    sv = bm.SparseVector.from_array(np.arange(1000, dtype=np.uint32))
+    blob = serial.sparse_vector_serialize(sv)
+    d = serial.SparseVectorDeserializer().set_finalization("READONLY")
+    assert d.deserialize_range(blob, 10, 20).is_ro()
+    assert d.deserialize_gather(blob, np.asarray([5])).is_ro()
+    # wide-run AND through the plain aggregator (no arena) is symbolic
+    a = bm.BitVector(1 << 48)
+    a.set_range(0, (1 << 40) - 1)
+    b = bm.BitVector.from_indices([7, (1 << 39) + 3, (1 << 41) + 5],
+                                  size=1 << 48)
+    res = bm.Aggregator().combine_and([a, b])
+    assert sorted(res.indices().tolist()) == [7, (1 << 39) + 3]
+    # run-coded OR keeps spans interval-coded (no MemoryError)
+    res_or = bm.Aggregator().combine_or([a, b])
+    assert res_or.count() == (1 << 40) + 1
+    assert res_or._struct.has_runs
+    # and-sub with run operand
+    res_as = bm.Aggregator().combine_and_sub([a, b], [bm.BitVector
+                                            .from_indices([7], 1 << 48)])
+    assert sorted(res_as.indices().tolist()) == [(1 << 39) + 3]
