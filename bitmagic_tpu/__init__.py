@@ -47,12 +47,13 @@ from .algo.traversal import (  # noqa: E402
     for_each_bit, for_each_bit_range, rank_range_split, visit_each_bit,
     visit_each_bit_range)
 from .algo.intervals import (  # noqa: E402
+    IntervalEnumerator,
     count_intervals, find_interval_end, find_interval_start,
     interval_enumerator, is_interval)
 from .algo.kleene import (  # noqa: E402
     and_kleene, get_value_kleene, init_kleene, invert_kleene, or_kleene,
     set_value_kleene)
-from .algo.sampling import random_subset  # noqa: E402
+from .algo.sampling import RandomSubset, random_subset  # noqa: E402
 from .algo import rank_compress  # noqa: E402
 from .sv.algo import (Set2SetTransform, find_first_mismatch,  # noqa: E402
                       set2set_transform)
@@ -83,7 +84,8 @@ __all__ = [
     "combine_sub", "export_array", "bit_import",
     "for_each_bit", "for_each_bit_range", "visit_each_bit",
     "visit_each_bit_range", "rank_range_split",
-    "count_intervals", "interval_enumerator", "is_interval", "find_interval_start",
+    "count_intervals", "interval_enumerator", "IntervalEnumerator",
+    "RandomSubset", "is_interval", "find_interval_start",
     "find_interval_end",
     "init_kleene", "get_value_kleene", "set_value_kleene", "invert_kleene",
     "or_kleene", "and_kleene",

@@ -30,9 +30,60 @@ def intervals(bv: BitVector) -> np.ndarray:
 
 def interval_enumerator(bv: BitVector):
     """Generator over (start, end) runs (reference interval_enumerator,
-    src/bmintervals.h:52)."""
+    src/bmintervals.h:52).  For the reference's stateful iterator shape
+    (valid/start/end/advance/go_to), use IntervalEnumerator."""
     for s, e in intervals(bv):
         yield int(s), int(e)
+
+
+class IntervalEnumerator:
+    """Stateful run iterator mirroring bm::interval_enumerator<BV>
+    (src/bmintervals.h:52): valid()/start()/end()/advance()/go_to().
+    go_to(pos, extend_start) lands on the interval containing pos —
+    clipped to start at pos unless extend_start — or the next one."""
+
+    def __init__(self, bv: BitVector, start_pos: int = 0,
+                 extend_start: bool = True):
+        self._runs = [(int(s), int(e)) for s, e in intervals(bv)]
+        self.go_to(start_pos, extend_start)
+
+    def valid(self) -> bool:
+        return 0 <= self._i < len(self._runs)
+
+    def start(self) -> int:
+        if not self.valid():
+            raise StopIteration
+        return self._cur[0]
+
+    def end(self) -> int:
+        if not self.valid():
+            raise StopIteration
+        return self._cur[1]
+
+    def advance(self) -> bool:
+        self._i += 1
+        if self.valid():
+            self._cur = self._runs[self._i]
+            return True
+        return False
+
+    go_up = advance
+
+    def go_to(self, pos: int, extend_start: bool = True) -> bool:
+        pos = int(pos)
+        for i, (s, e) in enumerate(self._runs):
+            if e >= pos:
+                self._i = i
+                self._cur = (s if extend_start or s >= pos else pos, e)
+                return True
+        self._i = len(self._runs)
+        self._cur = None
+        return False
+
+    def __iter__(self):
+        while self.valid():
+            yield self._cur
+            self.advance()
 
 
 def is_interval(bv: BitVector, lo: int, hi: int) -> bool:

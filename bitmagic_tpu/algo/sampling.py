@@ -26,3 +26,19 @@ def random_subset(bv: BitVector, n: int, seed=None) -> BitVector:
     rs = bv.build_rs_index()
     pos = rs.select_batch(ranks)
     return BitVector.from_indices(pos, bv.size)
+
+
+class RandomSubset:
+    """Stateful front of random_subset, mirroring bm::random_subset<BV>
+    (src/bmrandom.h:58): construct once, sample() many times."""
+
+    def __init__(self, seed=None):
+        self._rng = np.random.default_rng(seed)
+
+    def sample(self, bv_out: BitVector, bv_in: BitVector,
+               sample_count: int) -> BitVector:
+        """Pick ``sample_count`` random set bits of bv_in into bv_out
+        (reference sample, src/bmrandom.h:71)."""
+        res = random_subset(bv_in, sample_count, seed=self._rng)
+        bv_out.swap(res)
+        return bv_out

@@ -343,3 +343,26 @@ def test_review2_regressions():
     res_as = bm.Aggregator().combine_and_sub([a, b], [bm.BitVector
                                             .from_indices([7], 1 << 48)])
     assert sorted(res_as.indices().tolist()) == [(1 << 39) + 3]
+
+
+def test_interval_enumerator_class_and_random_subset_class():
+    """bm::interval_enumerator<BV> (src/bmintervals.h:52) and
+    bm::random_subset<BV> (src/bmrandom.h:58) class shapes."""
+    bv = bm.BitVector(1000)
+    bv.set_range(10, 20)
+    bv.set_range(100, 110)
+    ie = bm.IntervalEnumerator(bv)
+    assert ie.valid() and (ie.start(), ie.end()) == (10, 20)
+    assert ie.advance() and (ie.start(), ie.end()) == (100, 110)
+    assert not ie.advance() and not ie.valid()
+    assert (bm.IntervalEnumerator(bv, 15, extend_start=False).start()
+            == 15)
+    assert bm.IntervalEnumerator(bv, 15, extend_start=True).start() == 10
+    assert bm.IntervalEnumerator(bv, 21).start() == 100  # next interval
+    assert not bm.IntervalEnumerator(bv, 111).valid()
+    assert list(bm.IntervalEnumerator(bv)) == [(10, 20), (100, 110)]
+    src = bm.BitVector.from_indices(list(range(0, 5000, 5)), size=10000)
+    rs = bm.RandomSubset(seed=3)
+    out = bm.BitVector(10000)
+    rs.sample(out, src, 50)
+    assert out.count() == 50 and (out & src).equal(out)
