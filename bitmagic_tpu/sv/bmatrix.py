@@ -113,3 +113,65 @@ class BitMatrix:
             if not a.equal(b):
                 return False
         return True
+
+
+    def set_octet(self, idx: int, octet: int, value: int):
+        """Write byte ``octet`` of column idx across the 8 planes
+        (reference set_octet, src/bmbmatrix.h:990)."""
+        for k in range(8):
+            j = octet * 8 + k
+            if (value >> k) & 1:
+                r = self.row(j, construct=True)
+                r.set(idx)
+            elif j < len(self.rows) and self.rows[j] is not None:
+                self.rows[j].set(idx, False)
+        return self
+
+    def clear_column(self, idx: int):
+        """Clear column idx in every row (reference clear_column,
+        src/bmbmatrix.h:232)."""
+        for r in self.rows:
+            if r is not None:
+                r.set(int(idx), False)
+        return self
+
+    def insert_column(self, idx: int, value: int = 0):
+        """Insert column ``value`` at idx, shifting higher columns up
+        (reference insert_column / insert_octet shape).  Rows needed by
+        set bits of ``value`` are constructed on demand."""
+        for j in range(int(value).bit_length()):
+            if (value >> j) & 1:
+                if j >= len(self.rows):
+                    self.allocate_rows(j + 1)
+                self.row(j, construct=True)
+        for j, r in enumerate(self.rows):
+            if r is not None:
+                r.insert(int(idx), bool((value >> j) & 1))
+        return self
+
+    def erase_column(self, idx: int):
+        """Erase column idx, shifting higher columns down (reference
+        erase_column, src/bmbmatrix.h:239)."""
+        for r in self.rows:
+            if r is not None:
+                r.erase(int(idx))
+        return self
+
+    def copy_from(self, other: "BitMatrix"):
+        """Deep copy (reference copy_from, src/bmbmatrix.h:207)."""
+        self._size = other._size
+        self.rows = [None if r is None else r.copy() for r in other.rows]
+        return self
+
+    def is_same_structure(self, other: "BitMatrix") -> bool:
+        """Same row allocation pattern (reference is_same_structure)."""
+        return (len(self.rows) == len(other.rows)
+                and all((a is None) == (b is None)
+                        for a, b in zip(self.rows, other.rows)))
+
+    def clear(self):
+        """Drop all rows (reference clear/clear_all)."""
+        self.rows = [None] * len(self.rows)
+        return self
+
+    clear_all = clear

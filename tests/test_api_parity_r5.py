@@ -366,3 +366,22 @@ def test_interval_enumerator_class_and_random_subset_class():
     out = bm.BitVector(10000)
     rs.sample(out, src, 50)
     assert out.count() == 50 and (out & src).equal(out)
+
+
+def test_bmatrix_column_ops():
+    """basic_bmatrix column/copy parity (src/bmbmatrix.h:207-239/990)."""
+    from bitmagic_tpu.sv.bmatrix import BitMatrix
+    m = BitMatrix(8, 1000)
+    m.set_octet(5, 0, 0xA5)
+    assert m.get_octet(5, 0) == 0xA5
+    m2 = BitMatrix(8, 1000).copy_from(m)
+    assert m2.is_same_structure(m)
+    m.insert_column(5, 0x0F)
+    assert m.get_octet(5, 0) == 0x0F and m.get_octet(6, 0) == 0xA5
+    m.erase_column(5)
+    assert m.get_octet(5, 0) == 0xA5
+    m.clear_column(5)
+    assert m.get_octet(5, 0) == 0
+    assert m2.get_octet(5, 0) == 0xA5      # deep copy unaffected
+    m.clear_all()
+    assert all(r is None for r in m.rows)
