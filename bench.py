@@ -368,6 +368,66 @@ def bench_serialization(rng):
 
 # Reference ground truth on this host: tools/ref_perf.cpp (g++ -O3
 # -march=native against /root/reference headers), measured round 1; see
+def bench_gap_corpus(rng):
+    """Config 5b: run/GAP-structured corpus — the inv_list/Gov2 shape the
+    reference was built for (wide FULL spans + bursty clustered runs +
+    sparse arrays).  Round-5 work under test: Structure.runs + BMT1
+    FULL_RUN records + GAP-direct serialization.  Same-session live A/B
+    against the reference's own codec on identical content."""
+    from bitmagic_tpu import BitVector
+    from bitmagic_tpu.serial import Serializer, Deserializer
+    import bitmagic_tpu.constants as C
+
+    n_blk = 512
+    size = n_blk * C.BITS_PER_BLOCK
+    lo, hi = 100 * C.BITS_PER_BLOCK, 300 * C.BITS_PER_BLOCK - 1
+    # sparse array section (blocks 0-99)
+    ids = np.unique(rng.integers(0, 100 * C.BITS_PER_BLOCK, 20_000))
+    # bursty cluster section (blocks 300-511): 2000 runs of 30-300 bits
+    starts = rng.integers(300 * C.BITS_PER_BLOCK, size - 400, 2000)
+    lens = rng.integers(30, 300, 2000)
+    burst = np.concatenate([np.arange(s, s + l)
+                            for s, l in zip(starts, lens)])
+    all_ids = np.unique(np.concatenate([ids, burst]))
+    bv = BitVector.from_indices(all_ids, size)
+    bv.set_range(lo, hi)
+    bv.optimize()                       # GAP-classify + run-coalesce
+
+    def best(fn, n=11):
+        fn()
+        b, r = float("inf"), None
+        for _ in range(n):
+            t0 = time.perf_counter()
+            r = fn()
+            b = min(b, time.perf_counter() - t0)
+        return b, r
+
+    ser = Serializer(6)
+    t_ser, blob = best(lambda: ser.serialize(bv))
+    t_deser, back = best(lambda: Deserializer().deserialize(blob))
+    assert back.equal(bv)
+    raw_mb = size / 8 / 1e6
+    out = {"ser_mbps": raw_mb / t_ser, "deser_mbps": raw_mb / t_deser,
+           "blob_kb": len(blob) / 1e3}
+    log(f"[5b gap-corpus] {raw_mb:.1f} MB -> {len(blob)/1e3:.1f} KB; "
+        f"ser {out['ser_mbps']:.1f} MB/s, deser {out['deser_mbps']:.1f} MB/s")
+    try:
+        from bitmagic_tpu.serial import refformat
+        live = refformat.bench_reference_codec(all_ids, size, lo, hi,
+                                               level=6, iters=7)
+    except Exception:
+        live = None
+    if live:
+        out["ref_live_ser_mbps"] = raw_mb / live["ser_s"]
+        out["ref_live_deser_mbps"] = raw_mb / live["deser_s"]
+        out["ref_live_blob_kb"] = live["blob_bytes"] / 1e3
+        log(f"[5b gap-corpus] reference live: "
+            f"ser {out['ref_live_ser_mbps']:.1f} MB/s, "
+            f"deser {out['ref_live_deser_mbps']:.1f} MB/s, "
+            f"blob {out['ref_live_blob_kb']:.1f} KB")
+    return out
+
+
 # BASELINE.md "Measured ground truth".
 REF = {
     "1_and_count_gbps": 22.0,
@@ -506,6 +566,22 @@ def main():
             "value": round(s5["blob_kb"], 1), "unit": "KB",
             "ref": round(ref_blob, 1), "ref_mode": mode,
             "vs_ref": round(ref_blob / s5["blob_kb"], 3)}
+        _arm()
+        s5b = bench_gap_corpus(rng)
+        e = {"ser_mbps": round(s5b["ser_mbps"], 1),
+             "deser_mbps": round(s5b["deser_mbps"], 1),
+             "blob_kb": round(s5b["blob_kb"], 1), "unit": "MB/s,KB"}
+        if "ref_live_ser_mbps" in s5b:
+            e["ref_ser"] = round(s5b["ref_live_ser_mbps"], 1)
+            e["ref_deser"] = round(s5b["ref_live_deser_mbps"], 1)
+            e["ref_blob_kb"] = round(s5b["ref_live_blob_kb"], 1)
+            e["vs_ref_ser"] = round(s5b["ser_mbps"]
+                                    / s5b["ref_live_ser_mbps"], 2)
+            e["vs_ref_deser"] = round(s5b["deser_mbps"]
+                                      / s5b["ref_live_deser_mbps"], 2)
+            e["vs_ref_size"] = round(s5b["ref_live_blob_kb"]
+                                     / s5b["blob_kb"], 3)
+        configs["5b_gap_corpus"] = e
     except Exception as e:          # detail benches must not kill the headline
         log("detail bench failed:", repr(e))
     t = timer_box.pop("t", None)

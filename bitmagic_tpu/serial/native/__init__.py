@@ -74,6 +74,15 @@ def load():
         lib.bm_bmt1_decode.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64,
                                        i64p, ctypes.POINTER(ctypes.c_uint8),
                                        i64p, u32p]
+        lib.bm_bmt1_scan_gap.restype = ctypes.c_int
+        lib.bm_bmt1_scan_gap.argtypes = [u8p, ctypes.c_int64,
+                                         ctypes.c_int64, i64p, i64p, i64p,
+                                         i64p]
+        lib.bm_bmt1_decode_gap.restype = ctypes.c_int
+        lib.bm_bmt1_decode_gap.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, i64p,
+            ctypes.POINTER(ctypes.c_uint8), i64p, u32p, i32p, i64p,
+            ctypes.POINTER(ctypes.c_uint8)]
         lib.bm_bmt1_encode.restype = ctypes.c_int64
         lib.bm_bmt1_encode.argtypes = [u32p, i64p,
                                        ctypes.POINTER(ctypes.c_uint8), i64p,
@@ -205,6 +214,49 @@ def bmt1_decode(blob: bytes, rec_offset: int):
         return None
     return (nbs[:n_rec.value], cls[:n_rec.value], spans[:n_rec.value],
             words[:n_rows.value])
+
+
+def bmt1_decode_gap(blob: bytes, rec_offset: int):
+    """Whole-BLOB BMT1 decode with GAP-DIRECT residency: D-GAP records
+    keep their run form instead of expanding to dense rows.  Returns
+    (nbs, cls, spans, words, (g_ends int32, g_offs int64, g_first u8))
+    or None; cls uses 1=FULL/2=BIT/3=GAP; words rows are 1:1 with the
+    cls==2 records in order, gap arrays 1:1 with the cls==3 records."""
+    lib = load()
+    if lib is None:
+        return None
+    buf = padded_blob(blob)
+    bp = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    n_rec = ctypes.c_int64(0)
+    n_rows = ctypes.c_int64(0)
+    n_gr = ctypes.c_int64(0)
+    n_ge = ctypes.c_int64(0)
+    if lib.bm_bmt1_scan_gap(bp, buf.size - 8, rec_offset,
+                            ctypes.byref(n_rec), ctypes.byref(n_rows),
+                            ctypes.byref(n_gr), ctypes.byref(n_ge)) != 0:
+        return None
+    nbs = np.empty(max(n_rec.value, 1), np.int64)
+    cls = np.empty(max(n_rec.value, 1), np.uint8)
+    spans = np.empty(max(n_rec.value, 1), np.int64)
+    words = np.empty((max(n_rows.value, 1), 2048), np.uint32)
+    g_ends = np.empty(max(n_ge.value, 1), np.int32)
+    g_offs = np.empty(n_gr.value + 1, np.int64)
+    g_first = np.empty(max(n_gr.value, 1), np.uint8)
+    rc = lib.bm_bmt1_decode_gap(
+        bp, buf.size - 8, rec_offset,
+        nbs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        cls.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        spans.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        g_ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        g_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        g_first.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc != 0:
+        return None
+    return (nbs[:n_rec.value], cls[:n_rec.value], spans[:n_rec.value],
+            words[:n_rows.value],
+            (g_ends[:n_ge.value], g_offs[:n_gr.value + 1],
+             g_first[:n_gr.value]))
 
 
 def bmt1_encode(words: np.ndarray, nbs: np.ndarray, cls: np.ndarray,

@@ -1179,6 +1179,121 @@ int bm_bmt1_decode(const uint8_t* blob, int64_t len, int64_t rec_offset,
     }
 }
 
+// GAP-aware scan: like bm_bmt1_scan, but D-GAP records are sized
+// separately (they decode to run lists, not dense rows).  n_rows counts
+// only dense payload rows; n_gap_ends sums run counts (read from the
+// record headers — one u32 for BIC, the leading gamma for GAMMA — no
+// payload decode).
+int bm_bmt1_scan_gap(const uint8_t* blob, int64_t len, int64_t rec_offset,
+                     int64_t* n_records, int64_t* n_rows,
+                     int64_t* n_gap_records, int64_t* n_gap_ends) {
+    int64_t pos = rec_offset, recs = 0, rows = 0, gr = 0, ge = 0, prev = -1;
+    int compact = bmt1_is_compact(blob, len);
+    for (;;) {
+        uint64_t nb;
+        uint8_t code;
+        uint32_t plen;
+        int r = bmt1_read_rec(blob, len, compact, &pos, &prev,
+                              &nb, &code, &plen);
+        if (r < 0) return -1;
+        if (r == 1) {
+            *n_records = recs;
+            *n_rows = rows;
+            *n_gap_records = gr;
+            *n_gap_ends = ge;
+            return 0;
+        }
+        if (code == BMT1_FULL_RUN) {
+            if (!bmt1_run_span(blob, pos, len, plen, nb, &prev)) return -1;
+        }
+        if (pos + plen > len) return -1;
+        if (code == BMT1_GAP_BIC) {
+            if (plen < 5) return -1;
+            uint32_t n = rd32(blob + pos + 1);
+            if (n > 65535) return -1;
+            ++gr;
+            ge += (int64_t)n + 1;
+        } else if (code == BMT1_GAP_GAMMA) {
+            if (plen < 1) return -1;
+            BitR rd{blob + pos + 1, 0};
+            const uint64_t max_bits = (uint64_t)(plen - 1) * 8;
+            int nz = 0;
+            while (rd.bitpos < max_bits && rd.get_bit() == 0) ++nz;
+            if (nz > 17 || rd.bitpos + nz > max_bits) return -1;
+            uint64_t n_runs = nz ? ((1ull << nz) | rd.get(nz)) : 1;
+            if (n_runs > 65536) return -1;
+            ++gr;
+            ge += (int64_t)n_runs;
+        } else if (code != BMT1_FULL && code != BMT1_FULL_RUN) {
+            ++rows;
+        }
+        pos += plen;
+        ++recs;
+    }
+}
+
+// GAP-direct decode: D-GAP records KEEP their run form — cls 3, run ends
+// appended to g_ends (block-local inclusive int32, last = 65535) with
+// g_offs prefix offsets (n_gap_records + 1 entries) and g_first value
+// bits — the decode-side analog of the GAP-direct serializer: a
+// GAP-heavy corpus deserializes straight into succinct residency with
+// ZERO dense expansion (the reference likewise deserializes gap blocks
+// as gap blocks, src/bmserial.h read_gap_block).
+int bm_bmt1_decode_gap(const uint8_t* blob, int64_t len, int64_t rec_offset,
+                       int64_t* nbs, uint8_t* cls, int64_t* spans,
+                       uint32_t* words, int32_t* g_ends, int64_t* g_offs,
+                       uint8_t* g_first) {
+    int64_t pos = rec_offset, rec = 0, row = 0, prev = -1, gr = 0, ge = 0;
+    int compact = bmt1_is_compact(blob, len);
+    int64_t* scratch = new int64_t[65537];
+    g_offs[0] = 0;
+    for (;;) {
+        uint64_t nb;
+        uint8_t code;
+        uint32_t plen;
+        int r = bmt1_read_rec(blob, len, compact, &pos, &prev,
+                              &nb, &code, &plen);
+        if (r < 0) { delete[] scratch; return -1; }
+        if (r == 1) {
+            delete[] scratch;
+            return 0;
+        }
+        if (pos + plen > len) { delete[] scratch; return -1; }
+        nbs[rec] = (int64_t)nb;
+        spans[rec] = 1;
+        if (code == BMT1_FULL_RUN) {
+            uint64_t span = bmt1_run_span(blob, pos, len, plen, nb, &prev);
+            if (!span) { delete[] scratch; return -1; }
+            cls[rec] = 1;                       // CLS_FULL (span-coded)
+            spans[rec] = (int64_t)span;
+        } else if (code == BMT1_FULL) {
+            cls[rec] = 1;                       // CLS_FULL
+        } else if (code == BMT1_GAP_GAMMA || code == BMT1_GAP_BIC) {
+            int first = 0;
+            int64_t n = bmt1_gap_ends(code, blob + pos, plen, scratch,
+                                      &first);
+            if (n < 0) { delete[] scratch; return -1; }
+            for (int64_t i = 0; i < n; ++i)
+                g_ends[ge + i] = (int32_t)scratch[i];
+            ge += n;
+            g_first[gr] = (uint8_t)first;
+            g_offs[++gr] = ge;
+            cls[rec] = 3;                       // CLS_GAP
+        } else {
+            cls[rec] = 2;                       // CLS_BIT
+            uint32_t* w = words + row * 2048;
+            memset(w, 0, 8192);
+            if (bmt1_payload(code, blob + pos, plen, w, scratch)) {
+                delete[] scratch;
+                return -1;
+            }
+            ++row;
+        }
+        pos += plen;
+        ++rec;
+    }
+}
+
 }  // extern "C"
 
 // Decode n Elias-gamma values (reference LSB-first stream) into out.

@@ -495,13 +495,29 @@ class Deserializer:
         dec = ByteDecoder(data)
         size, compact = read_blob_header(dec)
         if range_ is None:
-            # whole-BLOB fast path: one native call decodes every record
+            # whole-BLOB fast path: one native call decodes every record;
+            # D-GAP records KEEP their run form (cls 3 -> GapStore) — a
+            # GAP-heavy corpus deserializes into succinct residency with
+            # no dense expansion, exactly as the reference's gap blocks
+            # deserialize as gap blocks (src/bmserial.h read_gap_block)
+            res = native.bmt1_decode_gap(data, dec.pos)
+            if res is not None:
+                nbs_a, cls_a, spans_a, words, (g_ends, g_offs, g_first) \
+                    = res
+                struct = _struct_from_spans(nbs_a, cls_a, spans_a)
+                gaps = None
+                if g_first.size:
+                    from ..core.gapstore import GapStore
+                    gaps = GapStore(g_ends.astype(np.int64), g_offs,
+                                    g_first)
+                # host-resident pool: the device upload is deferred to the
+                # first device op (lazy residency, BitVector._pool)
+                return BitVector._from_parts(struct, words, size,
+                                             gaps=gaps)
             res = native.bmt1_decode(data, dec.pos)
             if res is not None:
                 nbs_a, cls_a, spans_a, words = res
                 struct = _struct_from_spans(nbs_a, cls_a, spans_a)
-                # host-resident pool: the device upload is deferred to the
-                # first device op (lazy residency, BitVector._pool)
                 return BitVector._from_parts(struct, words, size)
         lo_blk, hi_blk = 0, (1 << 48)
         if range_ is not None:

@@ -323,3 +323,34 @@ def test_combine_or_sparse_fold(gap_bv):
     finally:
         am._agg_kernel = orig
     assert not calls
+
+
+def test_deserialize_gap_direct_residency():
+    """Decode-side GAP residency (round 5): a GAP-heavy BLOB
+    deserializes with D-GAP records kept in run form — succinct GapStore
+    residency, ZERO dense rows for gap blocks (the reference likewise
+    reads gap blocks as gap blocks, src/bmserial.h read_gap_block)."""
+    import numpy as np
+    from bitmagic_tpu import BitVector, constants as C
+    from bitmagic_tpu.serial.serializer import Deserializer, Serializer
+    rng = np.random.default_rng(11)
+    size = 64 * C.BITS_PER_BLOCK
+    starts = rng.integers(0, size - 400, 500)
+    ids = np.unique(np.concatenate(
+        [np.arange(s, s + l)
+         for s, l in zip(starts, rng.integers(30, 300, 500))]))
+    bv = BitVector.from_indices(ids, size)
+    bv.optimize()
+    assert (bv._struct.cls == C.CLS_GAP).any()
+    blob = Serializer(6).serialize(bv)
+    back = Deserializer().deserialize(blob)
+    assert back.equal(bv)
+    n_gap = int((back._struct.cls == C.CLS_GAP).sum())
+    n_bit = int((back._struct.cls == C.CLS_BIT).sum())
+    assert n_gap > 0 and back._gaps is not None
+    assert back._gaps.n_blocks == n_gap
+    # gap records decoded without any dense row for them
+    assert (back._pool_np is None
+            or back._pool_np.shape[0] == n_bit)
+    # GAP-direct round trip is byte-stable
+    assert Serializer(6).serialize(back) == blob
