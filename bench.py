@@ -412,6 +412,16 @@ def bench_gap_corpus(rng):
     log(f"[5b gap-corpus] {raw_mb:.1f} MB -> {len(blob)/1e3:.1f} KB; "
         f"ser {out['ser_mbps']:.1f} MB/s, deser {out['deser_mbps']:.1f} MB/s")
     try:
+        # OUR encoder on the REFERENCE's own format (refcodec v3s codes):
+        # the apples-to-apples size comparison against the reference's
+        # serializer on this corpus shape
+        from bitmagic_tpu.serial.refcodec import ref_serialize
+        out["reffmt_blob_kb"] = len(ref_serialize(bv, level=6)) / 1e3
+        log(f"[5b gap-corpus] our ref-format blob: "
+            f"{out['reffmt_blob_kb']:.1f} KB")
+    except Exception:
+        pass
+    try:
         from bitmagic_tpu.serial import refformat
         live = refformat.bench_reference_codec(all_ids, size, lo, hi,
                                                level=6, iters=7)
@@ -571,6 +581,8 @@ def main():
         e = {"ser_mbps": round(s5b["ser_mbps"], 1),
              "deser_mbps": round(s5b["deser_mbps"], 1),
              "blob_kb": round(s5b["blob_kb"], 1), "unit": "MB/s,KB"}
+        if "reffmt_blob_kb" in s5b:
+            e["reffmt_blob_kb"] = round(s5b["reffmt_blob_kb"], 1)
         if "ref_live_ser_mbps" in s5b:
             e["ref_ser"] = round(s5b["ref_live_ser_mbps"], 1)
             e["ref_deser"] = round(s5b["ref_live_deser_mbps"], 1)
@@ -581,6 +593,9 @@ def main():
                                       / s5b["ref_live_deser_mbps"], 2)
             e["vs_ref_size"] = round(s5b["ref_live_blob_kb"]
                                      / s5b["blob_kb"], 3)
+            if "reffmt_blob_kb" in s5b:
+                e["vs_ref_size_reffmt"] = round(
+                    s5b["ref_live_blob_kb"] / s5b["reffmt_blob_kb"], 3)
         configs["5b_gap_corpus"] = e
     except Exception as e:          # detail benches must not kill the headline
         log("detail bench failed:", repr(e))
