@@ -307,3 +307,34 @@ def test_deserialize_accepts_uint8_ndarray(tmp_path):
     g = bv.copy()
     g.keep_range(100000, 200000)
     assert d.equal(g)
+
+
+def test_gap_blob_corruption_rejected():
+    """GAP-direct decode (bm_bmt1_decode_gap) must reject truncated /
+    corrupted D-GAP payloads instead of writing out of bounds."""
+    from bitmagic_tpu import BitVector
+    from bitmagic_tpu.serial.serializer import Deserializer, Serializer
+    import bitmagic_tpu.constants as C
+    rng = np.random.default_rng(3)
+    size = 32 * C.BITS_PER_BLOCK
+    starts = rng.integers(0, size - 400, 300)
+    ids = np.unique(np.concatenate(
+        [np.arange(s, s + l)
+         for s, l in zip(starts, rng.integers(30, 200, 300))]))
+    bv = BitVector.from_indices(ids, size)
+    bv.optimize()
+    assert (bv._struct.cls == C.CLS_GAP).any()
+    blob = Serializer(6).serialize(bv)
+    de = Deserializer()
+    assert de.deserialize(blob).equal(bv)
+    for cut in (20, len(blob) // 2, len(blob) - 2):
+        with pytest.raises(Exception):
+            de.deserialize(blob[:cut])
+    for pos in range(14, min(len(blob), 64)):
+        bad = bytearray(blob)
+        bad[pos] ^= 0xFF
+        try:
+            got = de.deserialize(bytes(bad))
+            got.count()        # decodes -> must be a well-formed vector
+        except Exception:
+            pass
