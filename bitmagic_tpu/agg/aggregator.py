@@ -344,9 +344,22 @@ class Aggregator:
             vectors = self._groups[0]
         if not vectors:
             return BitVector(0)
-        structs = _structures(vectors)
-        nb = _and_blocklist(structs)
         size = max(v.size for v in vectors)
+        structs = _structures(vectors)
+        try:
+            nb = _and_blocklist(structs)
+        except MemoryError:
+            # EVERY operand is wide-run-coded (even the smallest exceeds
+            # the flat-view bound): fold through the run-aware planner —
+            # the result keeps its spans interval-coded
+            acc = vectors[0]
+            for v in vectors[1:]:
+                acc = acc & v
+            if acc is vectors[0]:
+                acc = acc.copy()
+            if acc.size != size:
+                acc.resize(size)
+            return acc
         if nb.size == 0:
             return BitVector(size)
         if len(vectors) > 1 and self._all_succinct(vectors, nb):
@@ -421,8 +434,19 @@ class Aggregator:
             return BitVector(0)
         sa = _structures(and_group)
         ss = _structures(sub_group)
-        nb = self._apply_range_hint(_and_blocklist(sa))
         size = max(v.size for v in and_group + sub_group)
+        try:
+            nb = self._apply_range_hint(_and_blocklist(sa))
+        except MemoryError:
+            # all-run-coded AND group: symbolic fold (see combine_and)
+            acc = and_group[0].copy()
+            for v in and_group[1:]:
+                acc.bit_and(v)
+            for v in sub_group:
+                acc.bit_sub(v)
+            if acc.size != size:
+                acc.resize(size)
+            return acc
         if nb.size == 0:
             return BitVector(size)
         # drop blocks where any SUB operand is FULL (result zero there)
@@ -480,7 +504,16 @@ class Aggregator:
             return -1
         sa = _structures(and_group)
         ss = _structures(sub_group)
-        nb = self._apply_range_hint(_and_blocklist(sa))
+        try:
+            nb = self._apply_range_hint(_and_blocklist(sa))
+        except MemoryError:
+            # all-run-coded AND group: symbolic fold, then find
+            acc = and_group[0].copy()
+            for v in and_group[1:]:
+                acc.bit_and(v)
+            for v in sub_group:
+                acc.bit_sub(v)
+            return acc.find(0)
         if nb.size == 0:
             return -1
         keep = np.ones(nb.size, bool)

@@ -13,19 +13,75 @@ from __future__ import annotations
 
 import numpy as np
 
+from .. import constants as C
 from ..core.bitvector import BitVector
+
+
+def _block_one_runs(base: int, ends, first: int) -> np.ndarray:
+    """Inclusive (start, end) ones-runs of ONE block from its D-GAP run
+    ends (ascending, last = block_max); O(runs)."""
+    ends = np.asarray(ends, np.int64)
+    starts = np.concatenate([[0], ends[:-1] + 1])
+    k = np.arange(ends.size)
+    ones = ((k & 1) == 0) if first else ((k & 1) == 1)
+    return np.stack([base + starts[ones], base + ends[ones]], axis=1)
 
 
 def intervals(bv: BitVector) -> np.ndarray:
     """All maximal runs of set bits as an [n, 2] int64 array of inclusive
-    (start, end) pairs (interval_enumerator equivalent)."""
-    idx = bv.indices()
-    if idx.size == 0:
+    (start, end) pairs (interval_enumerator equivalent).
+
+    Run-aware: works from the segment view — a FULL run contributes ONE
+    interval regardless of width (O(structure + content runs), never
+    O(popcount)); plain vectors keep the vectorized indices() path."""
+    bv._flush()
+    st = bv._struct
+    if not st.has_runs:
+        idx = bv.indices()
+        if idx.size == 0:
+            return np.zeros((0, 2), np.int64)
+        brk = np.flatnonzero(np.diff(idx) > 1)
+        starts = np.concatenate([[idx[0]], idx[brk + 1]])
+        ends = np.concatenate([idx[brk], [idx[-1]]])
+        return np.stack([starts, ends], axis=1)
+    from bitmagic_tpu.serial import native
+    B = C.BITS_PER_BLOCK
+    start, span, cls, slot, gslot = st.segments()
+    rows = bv._pool_host() if (cls == C.CLS_BIT).any() else None
+    parts = []
+    for i in range(start.size):
+        base = int(start[i]) << C.SET_BLOCK_SHIFT
+        if cls[i] == C.CLS_FULL:
+            parts.append(np.asarray(
+                [[base, base + int(span[i]) * B - 1]], np.int64))
+        elif cls[i] == C.CLS_GAP:
+            g = bv._gaps
+            k = int(gslot[i])
+            e = g.ends[g.offs[k]:g.offs[k + 1]]
+            parts.append(_block_one_runs(base, e, int(g.first[k])))
+        else:
+            w = np.ascontiguousarray(rows[int(slot[i])])
+            r = native.block_gap_boundaries(w)
+            if r is not None:
+                first_val, bounds = r
+                parts.append(_block_one_runs(base, bounds, int(first_val)))
+            else:
+                bits = np.unpackbits(w.view(np.uint8), bitorder="little")
+                idx = np.flatnonzero(bits).astype(np.int64)
+                if idx.size:
+                    brk = np.flatnonzero(np.diff(idx) > 1)
+                    s = np.concatenate([[idx[0]], idx[brk + 1]]) + base
+                    e = np.concatenate([idx[brk], [idx[-1]]]) + base
+                    parts.append(np.stack([s, e], axis=1))
+    if not parts:
         return np.zeros((0, 2), np.int64)
-    brk = np.flatnonzero(np.diff(idx) > 1)
-    starts = np.concatenate([[idx[0]], idx[brk + 1]])
-    ends = np.concatenate([idx[brk], [idx[-1]]])
-    return np.stack([starts, ends], axis=1)
+    iv = np.concatenate([p for p in parts if p.size])
+    if iv.shape[0] <= 1:
+        return iv
+    # merge runs that touch across block/segment boundaries
+    brk = np.concatenate([[True], iv[1:, 0] > iv[:-1, 1] + 1])
+    last = np.concatenate([brk[1:], [True]])
+    return np.stack([iv[brk, 0], iv[last, 1]], axis=1)
 
 
 def interval_enumerator(bv: BitVector):
@@ -44,7 +100,8 @@ class IntervalEnumerator:
 
     def __init__(self, bv: BitVector, start_pos: int = 0,
                  extend_start: bool = True):
-        self._runs = [(int(s), int(e)) for s, e in intervals(bv)]
+        self._iv = intervals(bv)        # run-aware: O(structure + runs)
+        self._runs = self._iv           # legacy alias (row view)
         self.go_to(start_pos, extend_start)
 
     def valid(self) -> bool:
@@ -63,7 +120,8 @@ class IntervalEnumerator:
     def advance(self) -> bool:
         self._i += 1
         if self.valid():
-            self._cur = self._runs[self._i]
+            self._cur = (int(self._iv[self._i, 0]),
+                         int(self._iv[self._i, 1]))
             return True
         return False
 
@@ -71,12 +129,15 @@ class IntervalEnumerator:
 
     def go_to(self, pos: int, extend_start: bool = True) -> bool:
         pos = int(pos)
-        for i, (s, e) in enumerate(self._runs):
-            if e >= pos:
-                self._i = i
-                self._cur = (s if extend_start or s >= pos else pos, e)
-                return True
-        self._i = len(self._runs)
+        # first interval whose end >= pos (binary search, not a scan)
+        i = int(np.searchsorted(self._iv[:, 1], pos)) \
+            if self._iv.shape[0] else 0
+        if i < self._iv.shape[0]:
+            s, e = int(self._iv[i, 0]), int(self._iv[i, 1])
+            self._i = i
+            self._cur = (s if extend_start or s >= pos else pos, e)
+            return True
+        self._i = self._iv.shape[0]
         self._cur = None
         return False
 

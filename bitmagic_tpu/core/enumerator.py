@@ -225,6 +225,19 @@ class CountedEnumerator(Enumerator):
         self._ref_count += 1 if self.valid() else 0
         return ok
 
+    advance = go_up       # rebind: Enumerator.advance aliases the BASE
+    #                       go_up, which would bypass the rank tracking
+
+    def skip(self, n: int) -> bool:
+        ok = super().skip(n)
+        # base skip moves the buffer cursor directly; recompute the rank
+        # at the landing position (same policy as go_to)
+        if self.valid():
+            self._ref_count = self._bv.rank(self.value())
+        else:
+            self._ref_count = self._bv.count()
+        return ok
+
     def go_to(self, pos: int) -> bool:
         ok = super().go_to(pos)
         # rank at the landing position; past-the-end = total population

@@ -729,6 +729,7 @@ int bmt1_payload(int code, const uint8_t* p, int64_t plen, uint32_t* w,
     }
     case BMT1_GAP_GAMMA: {
         if (plen < 1) return -1;
+        if (p[0] > 1) return -1;
         int first = p[0];
         // MSB-first gamma stream: first value = run count, then run lens.
         // All reads and run ends are bounds-checked: corrupted payloads
@@ -759,6 +760,7 @@ int bmt1_payload(int code, const uint8_t* p, int64_t plen, uint32_t* w,
     }
     case BMT1_GAP_BIC: {
         if (plen < 5) return -1;
+        if (p[0] > 1) return -1;
         int first = p[0];
         uint32_t n = rd32(p + 1);
         if (n > 65535) return -1;
@@ -784,6 +786,7 @@ int64_t bmt1_gap_ends(int code, const uint8_t* p, int64_t plen,
                       int64_t* scratch, int* first) {
     if (code == BMT1_GAP_BIC) {
         if (plen < 5) return -1;
+        if (p[0] > 1) return -1;          // first-run value must be 0/1
         *first = p[0];
         uint32_t n = rd32(p + 1);
         if (n > 65535) return -1;
@@ -795,6 +798,7 @@ int64_t bmt1_gap_ends(int code, const uint8_t* p, int64_t plen,
         return (int64_t)n + 1;
     }
     if (code != BMT1_GAP_GAMMA || plen < 1) return -1;
+    if (p[0] > 1) return -1;              // first-run value must be 0/1
     *first = p[0];
     BitR rd{p + 1, 0};
     const uint64_t max_bits = (uint64_t)(plen - 1) * 8;
@@ -814,6 +818,7 @@ int64_t bmt1_gap_ends(int code, const uint8_t* p, int64_t plen,
         scratch[i] = end;
         prev = end;
     }
+    if (prev != 65535) return -1;         // D-GAP runs must cover the block
     return (int64_t)n_runs;
 }
 

@@ -117,10 +117,13 @@ class BitMatrix:
 
     def set_octet(self, idx: int, octet: int, value: int):
         """Write byte ``octet`` of column idx across the 8 planes
-        (reference set_octet, src/bmbmatrix.h:990)."""
+        (reference set_octet, src/bmbmatrix.h:990).  Planes are grown on
+        demand, like insert_column."""
         for k in range(8):
             j = octet * 8 + k
             if (value >> k) & 1:
+                if j >= len(self.rows):
+                    self.allocate_rows(j + 1)
                 r = self.row(j, construct=True)
                 r.set(idx)
             elif j < len(self.rows) and self.rows[j] is not None:

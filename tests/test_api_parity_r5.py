@@ -385,3 +385,40 @@ def test_bmatrix_column_ops():
     assert m2.get_octet(5, 0) == 0xA5      # deep copy unaffected
     m.clear_all()
     assert all(r is None for r in m.rows)
+
+
+def test_review3_regressions():
+    """Third self-review pass findings, pinned."""
+    # counted enumerator: advance/skip keep the rank honest
+    v = bm.BitVector.from_indices([4, 9, 70000], size=1 << 18)
+    cen = v.get_counted_enumerator()
+    cen.advance()
+    assert cen.count() == 2 and cen.value() == 9
+    cen2 = v.get_counted_enumerator()
+    cen2.skip(2)
+    assert cen2.count() == 3 and cen2.value() == 70000
+    # BitMatrix.set_octet grows planes on demand
+    from bitmagic_tpu.sv.bmatrix import BitMatrix
+    m = BitMatrix(8, 1000)
+    m.set_octet(5, 1, 0x01)                  # needs plane 8
+    assert m.get_octet(5, 1) == 0x01
+    # all-run-coded AND group: symbolic fold instead of MemoryError
+    a = bm.BitVector(1 << 48)
+    a.set_range(0, (1 << 40) - 1)
+    b = bm.BitVector(1 << 48)
+    b.set_range(0, (1 << 39) - 1)
+    res = bm.Aggregator().combine_and([a, b])
+    assert res.count() == 1 << 39 and res._struct.has_runs
+    s = bm.BitVector.from_indices([3], size=1 << 48)
+    res2 = bm.Aggregator().combine_and_sub([a, b], [s])
+    assert res2.count() == (1 << 39) - 1
+    assert bm.Aggregator().find_first_and_sub([a, b], [s]) == 0
+    z = bm.BitVector.from_indices([0], size=1 << 48)
+    assert bm.Aggregator().find_first_and_sub([a, b], [z]) == 1
+    # run-aware intervals: O(structure), and count_intervals agrees
+    w = bm.BitVector(1 << 48)
+    w.set_range(100, (1 << 40) - 1)
+    ie = bm.IntervalEnumerator(w)
+    assert (ie.start(), ie.end()) == (100, (1 << 40) - 1)
+    assert not ie.advance()
+    assert bm.count_intervals(w) == 3        # 0s, 1s, 0s

@@ -331,10 +331,17 @@ def test_gap_blob_corruption_rejected():
         with pytest.raises(Exception):
             de.deserialize(blob[:cut])
     for pos in range(14, min(len(blob), 64)):
-        bad = bytearray(blob)
-        bad[pos] ^= 0xFF
-        try:
-            got = de.deserialize(bytes(bad))
-            got.count()        # decodes -> must be a well-formed vector
-        except Exception:
-            pass
+        for flip in (0xFF, 0x80):
+            bad = bytearray(blob)
+            bad[pos] ^= flip
+            try:
+                got = de.deserialize(bytes(bad))
+            except Exception:
+                continue
+            # an ACCEPTED decode must be internally consistent — a
+            # corrupted GAP first-byte used to produce count() > size
+            # (review finding, round 5)
+            c = got.count()
+            assert 0 <= c <= got.size, (pos, flip, c)
+            if c <= 1 << 22:
+                assert c == got.indices().size, (pos, flip)
