@@ -494,11 +494,22 @@ class OperationDeserializer:
                 from .refcodec import ref_deserialize
                 bv.swap(ref_deserialize(data, ref_vectors=self.ref_vectors))
                 return bv
-            if op in _SET_TO_OPC:
-                return self._ref_stream_apply(bv, data, _SET_TO_OPC[op])
-            if op in _COUNT_TO_OPC or op in (C.SET_COUNT_B, C.SET_COUNT,
-                                             C.SET_COUNT_A):
-                return self._ref_count_op(bv, data, op)
+            try:
+                if op in _SET_TO_OPC:
+                    return self._ref_stream_apply(bv, data,
+                                                  _SET_TO_OPC[op])
+                if op in _COUNT_TO_OPC or op in (C.SET_COUNT_B, C.SET_COUNT,
+                                                 C.SET_COUNT_A):
+                    return self._ref_count_op(bv, data, op)
+            except native.RunCodedBlob:
+                # wide FULL one-run records cannot stream per-block
+                # through the sink; decode (runs -> O(1) metadata) and
+                # apply through the run-aware set algebra — the same
+                # fallback BMT1 FULL_RUN records take
+                from .refcodec import ref_deserialize
+                other = ref_deserialize(data,
+                                        ref_vectors=self.ref_vectors)
+                return self._apply_decoded(bv, other, op)
             raise ValueError(f"unsupported op {op}")
         if op == C.SET_ASSIGN:
             bv.swap(Deserializer().deserialize(data))

@@ -220,12 +220,16 @@ class _ByteReader:
         return w
 
     def get_u16_array(self, n):
+        if n < 0 or self.pos + 2 * n > len(self.buf):
+            raise ValueError("malformed stream: bad u16 array length")
         p = self.pos
         out = self.buf[p:p + 2 * n].view("<u2").astype(np.int64)
         self.pos = p + 2 * n
         return out
 
     def get_u32_words(self, n):
+        if n < 0 or self.pos + 4 * n > len(self.buf):
+            raise ValueError("malformed stream: bad word-run length")
         p = self.pos
         out = self.buf[p:p + 4 * n].view("<u4").astype(np.uint32)
         self.pos = p + 4 * n
@@ -334,7 +338,12 @@ class _BitIn:
         """Returns int64 array of sz values in (lo..hi); mirrors
         bit_in::bic_decode_u16_cm / u32_cm (src/encoding.h:2404/2358).
         Hot loop runs in C++ (codecs.cpp bmref_bic_decode_cm) when the
-        native library is available."""
+        native library is available.  Inverted ranges are rejected here —
+        a crafted header with max < min would otherwise reach shift-by-64
+        UB in the C decoder and wrap negative positions via numpy
+        indexing (round-5 hardening)."""
+        if sz < 0 or hi < lo:
+            raise ValueError("malformed stream: inverted BIC range")
         lib = native.load()
         if lib is not None and sz:
             pos = ctypes.c_int64(self.rdr.pos)
@@ -421,6 +430,8 @@ class _BitIn:
             sz = self.gamma8() + 1
         else:
             sz = self.delta16()
+        if sz > 65536:
+            raise ValueError("malformed stream: array length over block")
         min0 = 0 if (h3 & H3F_EX_ARR_MIN0_0) else self.gamma()
         if (h3 & H3F_EX_UPPER2) == 0:                 # delta-gamma
             zero_correct = bool(h3 & (1 << 7))
@@ -686,7 +697,10 @@ def _cat(*parts):
 def _words_from_positions(pos, invert=False):
     bits = np.zeros(BITS, np.uint8)
     if len(pos):
-        bits[np.asarray(pos, np.int64)] = 1
+        p = np.asarray(pos, np.int64)
+        if p.min() < 0 or p.max() >= BITS:
+            raise ValueError("malformed stream: bit position out of block")
+        bits[p] = 1
     if invert:
         bits = 1 - bits
     return np.packbits(bits, bitorder="little").view(np.uint32)
@@ -696,6 +710,9 @@ def _words_from_gap(start_bit, boundaries):
     """GAP semantics: run i covers (prev_boundary, boundaries[i]] with value
     start_bit ^ (i & 1); boundaries end with 65535."""
     b = np.asarray(boundaries, np.int64)
+    if b.size and (b.min() < 0 or b.max() >= BITS
+                   or (np.diff(b) <= 0).any()):
+        raise ValueError("malformed stream: bad GAP boundaries")
     runs = np.diff(np.concatenate([[-1], b]))
     vals = ((np.arange(len(b)) + start_bit) % 2).astype(np.uint8)
     bits = np.repeat(vals, runs)
@@ -769,6 +786,54 @@ def _wave_popcounts(words):
             BITS // (WAVE_WORDS * 32), -1).sum(axis=1)
 
 
+
+class _FullSet:
+    """FULL-block tracker for the reference-format decoder: point set +
+    wide half-open [s, e) spans, so a multi-block one-run record costs
+    O(1) regardless of width (round-5 hardening: a ~15-byte blob could
+    previously claim 2^64 FULL blocks and spin the decoder forever).
+    Spans at or below _PT_MAX expand to points (every per-block consumer
+    keeps working unchanged); wider spans stay interval-coded and become
+    Structure.runs at assembly."""
+
+    _PT_MAX = 4096
+    __slots__ = ("pts", "iv")
+
+    def __init__(self):
+        self.pts: set = set()
+        self.iv: list = []           # [s, e) spans, may overlap pts
+
+    def add(self, nb):
+        self.pts.add(nb)
+
+    def add_run(self, s, e):
+        if e <= s:
+            return
+        if e - s <= self._PT_MAX:
+            self.pts.update(range(int(s), int(e)))
+        else:
+            self.iv.append((int(s), int(e)))
+
+    def __contains__(self, nb):
+        if nb in self.pts:
+            return True
+        return any(s <= nb < e for s, e in self.iv)
+
+    def discard(self, nb):
+        if nb in self.pts:
+            self.pts.discard(nb)
+            return
+        for i, (s, e) in enumerate(self.iv):
+            if s <= nb < e:
+                del self.iv[i]
+                self.add_run(s, nb)
+                self.add_run(nb + 1, e)
+                return
+
+    def __len__(self):
+        return len(self.pts) + sum(e - s for s, e in self.iv)
+
+
 class RefDeserializer:
     """Standalone decoder for reference-format BLOBs.
 
@@ -825,7 +890,7 @@ class RefDeserializer:
         size = (1 << 48) if is64 else ID_MAX32
 
         blocks: dict[int, np.ndarray] = {}
-        full: set[int] = set()
+        full = _FullSet()
 
         def or_words(nb, words):
             if nb in full:
@@ -843,6 +908,9 @@ class RefDeserializer:
             ids = np.asarray([r.get_32() for _ in range(cnt)], np.int64)
             self.bytes_consumed = r.pos
             if sink is not None:
+                if ids.size and int(ids.max()) >= max(int(size), 1):
+                    raise ValueError(
+                        "malformed stream: id beyond declared size")
                 for nb in np.unique(ids >> 16):
                     inb = ids[(ids >> 16) == nb] & 0xFFFF
                     w = np.zeros(WORDS, np.uint32)
@@ -878,8 +946,13 @@ class RefDeserializer:
                 return
             last_nb_ = (max(int(size), 1) - 1) >> 16
             tail_bits_ = max(int(size), 1) - (last_nb_ << 16)
+            if full.iv:
+                # wide FULL spans cannot be streamed per-block through
+                # the sink contract; the caller decodes-then-applies
+                # (same fallback as BMT1 FULL_RUN records)
+                raise native.RunCodedBlob()
             pend = [k for k in blocks if k < limit] + \
-                   [k for k in full if k < limit]
+                   [k for k in full.pts if k < limit]
             for nb in sorted(pend):
                 if nb in full:
                     full.discard(nb)
@@ -983,10 +1056,10 @@ class RefDeserializer:
             elif btype == BLOCK_64ZERO:
                 nb_i += r.get_64(); continue
             elif btype == BLOCK_AONE:
-                for nb in range(nb_i, min(total_blocks,
-                                          (size >> 16) + 1)):
-                    blocks.pop(nb, None)
-                    full.add(nb)
+                end = min(total_blocks, (size >> 16) + 1)
+                for k in [k for k in blocks if nb_i <= k < end]:
+                    blocks.pop(k)
+                full.add_run(nb_i, end)
                 break
             elif btype == BLOCK_1ONE:
                 blocks.pop(nb_i, None)
@@ -995,9 +1068,12 @@ class RefDeserializer:
                            BLOCK_64ONE):
                 n = {BLOCK_8ONE: r.get_8, BLOCK_16ONE: r.get_16,
                      BLOCK_32ONE: r.get_32, BLOCK_64ONE: r.get_64}[btype]()
-                for nb in range(nb_i, nb_i + n):
-                    blocks.pop(nb, None)
-                    full.add(nb)
+                if nb_i + n > total_blocks:
+                    raise ValueError(
+                        "malformed stream: one-run past the address space")
+                for k in [k for k in blocks if nb_i <= k < nb_i + n]:
+                    blocks.pop(k)
+                full.add_run(nb_i, nb_i + n)
                 nb_i += n - 1
             elif btype == BLOCK_BIT:
                 or_words(nb_i, r.get_u32_words(WORDS))
@@ -1042,10 +1118,16 @@ class RefDeserializer:
                 or_words(nb_i, self._read_digest0(r))
             elif btype in (SBLOCK_BIENC, SBLOCK_BIENC_V3):
                 sb, arr = self._read_sblock(r, btype)
+                if (sb + 1) * SUB_TOTAL_BITS > (total_blocks << 16):
+                    raise ValueError(
+                        "malformed stream: super-block index out of space")
                 base = sb * SUB_TOTAL_BITS
                 for off in arr:
                     idx = base + int(off)
                     nb = idx >> 16
+                    if nb >= total_blocks:
+                        raise ValueError(
+                            "malformed stream: sblock offset out of space")
                     w = blocks.get(nb)
                     if nb in full:
                         continue
@@ -1094,7 +1176,7 @@ class RefDeserializer:
                  NB_SYNC_MARK48: r.get_48, NB_SYNC_MARK64: r.get_64}[btype]()
                 continue
             elif btype == BLOCK_REF_EQ:
-                if x_d64:
+                if x_nb >= 0:
                     xor_decode()
                 row = r.get_32()
                 ref = self._ref_block_words(row, nb_i)
@@ -1106,7 +1188,7 @@ class RefDeserializer:
             elif btype in (BLOCK_XOR_REF8, BLOCK_XOR_REF16, BLOCK_XOR_REF32,
                            BLOCK_XOR_REF8_UM, BLOCK_XOR_REF16_UM,
                            BLOCK_XOR_REF32_UM):
-                if x_d64:
+                if x_nb >= 0:
                     xor_decode()
                 row = {BLOCK_XOR_REF8: r.get_8, BLOCK_XOR_REF16: r.get_16,
                        BLOCK_XOR_REF32: r.get_32,
@@ -1119,7 +1201,7 @@ class RefDeserializer:
                 continue
             elif btype in (BLOCK_XOR_GAP_REF8, BLOCK_XOR_GAP_REF16,
                            BLOCK_XOR_GAP_REF32):
-                if x_d64:
+                if x_nb >= 0:
                     xor_decode()
                 row = {BLOCK_XOR_GAP_REF8: r.get_8,
                        BLOCK_XOR_GAP_REF16: r.get_16,
@@ -1127,9 +1209,11 @@ class RefDeserializer:
                 start_xor(nb_i, row, 0xFFFFFFFFFFFFFFFF)
                 continue
             elif btype == BLOCK_XOR_CHAIN:
-                if x_d64:
+                if x_nb >= 0:
                     xor_decode()
                 vbr = r.get_8()
+                if vbr not in (0, 1, 2):
+                    raise ValueError(f"malformed xor-chain vbr {vbr}")
                 row = {1: r.get_8, 2: r.get_16, 0: r.get_32}[vbr]()
                 d64 = r.get_h64()
                 chain_n = r.get_8()
@@ -1146,7 +1230,7 @@ class RefDeserializer:
                 raise ValueError(f"unknown block code {btype}")
             nb_i += 1
 
-        if x_d64:
+        if x_nb >= 0:
             xor_decode()
 
         self.bytes_consumed = r.pos   # for embedded BLOBs (SV plane streams)
@@ -1164,9 +1248,37 @@ class RefDeserializer:
             lo_bit, hi_bit = int(range_[0]), int(range_[1])
             lo_edge = (nb_from, _edge_mask_ge(lo_bit & 0xFFFF))
             hi_edge = (nb_to, _edge_mask_le(hi_bit & 0xFFFF))
+        # wide FULL spans become Structure runs (the ref-format analog of
+        # BMT1 FULL_RUN assembly); edge blocks that need masks leave the
+        # runs and take the per-block path
+        from ..core.blocks import (points_in_runs, runs_clip,
+                                   runs_normalize, runs_subtract_points)
+        iv = (runs_normalize(np.asarray(full.iv, np.int64).reshape(-1, 2))
+              if full.iv else np.zeros((0, 2), np.int64))
+        iv = runs_clip(iv, nb_from, min(nb_to, last_nb) + 1)
+        edge = set()
+        if tail_bits < BITS:
+            edge.add(last_nb)
+        if lo_edge is not None:
+            edge.add(lo_edge[0])
+        if hi_edge is not None:
+            edge.add(hi_edge[0])
+        if iv.shape[0] and edge:
+            pts = np.asarray(sorted(edge), np.int64)
+            inside = points_in_runs(pts, iv)
+            if inside.any():
+                iv = runs_subtract_points(iv, pts[inside])
+                full.pts.update(int(x) for x in pts[inside])
+
+        def _covered(nb):
+            return iv.shape[0] and bool(points_in_runs(
+                np.asarray([nb], np.int64), iv)[0])
+
         nbs, clss, rows = [], [], []
-        for nb in sorted(set(blocks) | full):
+        for nb in sorted(set(blocks) | full.pts):
             if nb > last_nb or not (nb_from <= nb <= nb_to):
+                continue
+            if _covered(nb):
                 continue
             w = None
             if nb in full:
@@ -1191,7 +1303,7 @@ class RefDeserializer:
         pool = (np.stack(rows) if rows
                 else np.zeros((0, WORDS), np.uint32))
         struct = Structure(np.asarray(nbs, np.int64),
-                           np.asarray(clss, np.uint8))
+                           np.asarray(clss, np.uint8), iv)
         return BitVector._from_parts(struct, pool, size)
 
     def deserialize_range(self, data: bytes, lo: int, hi: int):
@@ -1329,6 +1441,8 @@ class RefDeserializer:
             max_v = r.get_16()
             bi = _BitIn(r)
             ln = bi.gamma() + 4
+            if ln > 65536:
+                raise ValueError("malformed stream: gap array over block")
             mids = bi.bic_decode_cm(ln - 2, min_v, max_v)
             return _words_from_positions(
                 _cat(min_v, mids, max_v),

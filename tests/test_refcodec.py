@@ -666,3 +666,64 @@ def test_v3s_encoders_adversarial_roundtrip():
                         blob).indices())
                     np.testing.assert_array_equal(
                         got, ids, err_msg=f"ref case {k} {base_blk} L{lvl}")
+
+
+def test_adversarial_blob_hardening():
+    """Round-5 hardening of the untrusted ref-format decode path: one-run
+    DoS, inverted BIC ranges, negative word-run counts, out-of-space
+    super-blocks — all must fail fast with ValueError, never hang, wrap,
+    or produce count() > size."""
+    import struct as _st
+    import time as _t
+    from bitmagic_tpu.serial.refcodec import (BLOCK_64ONE, HM_NO_BO,
+                                              HM_NO_GAPL, RefDeserializer)
+    head = bytes([HM_NO_BO | HM_NO_GAPL])
+    # 64-bit one-run claiming ~2^48 FULL blocks: rejected fast (used to
+    # iterate a Python set once per block)
+    blob = head + bytes([BLOCK_64ONE]) + _st.pack("<Q", 1 << 48)
+    t0 = _t.time()
+    with pytest.raises(ValueError):
+        RefDeserializer().deserialize(blob)
+    assert _t.time() - t0 < 1.0
+    # negative interval word-run (head > tail) must not rewind the stream
+    from bitmagic_tpu.serial.refcodec import BLOCK_BIT_INTERVAL
+    blob2 = head + bytes([BLOCK_BIT_INTERVAL]) + _st.pack("<HH", 5, 0)
+    with pytest.raises(ValueError):
+        RefDeserializer().deserialize(blob2)
+
+
+def test_wide_one_run_ref_blob_decodes_to_runs():
+    """A legal reference-format blob describing a wide FULL span decodes
+    into interval-coded metadata (Structure.runs), O(1) per span."""
+    from bitmagic_tpu import BitVector
+    from bitmagic_tpu.serial.refcodec import RefSerializer, ref_deserialize
+    bv = BitVector(1 << 32)
+    bv.set_range(0, (1 << 31) - 1)          # 2^15 FULL blocks
+    blob = RefSerializer(6).serialize(bv)
+    assert len(blob) < 200                  # one-run coded
+    back = ref_deserialize(blob)
+    assert back._struct.has_runs
+    assert back.count() == 1 << 31
+    assert back.equal(bv)
+
+
+def test_ref_one_run_blob_through_stream_ops():
+    """Wide one-run reference blobs route through the decode-then-apply
+    fallback in OperationDeserializer (sink mode cannot stream a span
+    per-block) — results bit-equal to materialize-then-op."""
+    from bitmagic_tpu import BitVector, OperationDeserializer
+    from bitmagic_tpu import constants as C
+    from bitmagic_tpu.serial.refcodec import RefSerializer
+    src = BitVector(1 << 32)
+    src.set_range(0, (1 << 30) - 1)
+    blob = RefSerializer(6).serialize(src)
+    tgt = BitVector.from_indices([5, (1 << 29), (1 << 31) + 7],
+                                 size=1 << 32)
+    od = OperationDeserializer()
+    assert od.deserialize(tgt.copy(), blob, C.SET_COUNT_AND) == 2
+    t = tgt.copy()
+    od.deserialize(t, blob, C.SET_OR)
+    assert t.count() == (1 << 30) + 1
+    t2 = tgt.copy()
+    od.deserialize(t2, blob, C.SET_SUB)
+    assert sorted(t2.indices().tolist()) == [(1 << 31) + 7]
