@@ -43,6 +43,18 @@ from .refcodec import (RefDeserializer, RefSerializer, _BitIn, _BitOut,
 
 _HDR_SIZE = 33
 
+# hard cap for paths that materialize DENSE element arrays while decoding
+# (RSC expansion, float recombination): a blob-controlled size above this
+# would OOM the host — fail with a clean error instead (round-5 hardening)
+_DENSE_DECODE_CAP = 1 << 31
+
+
+def _cap_dense(n):
+    if n > _DENSE_DECODE_CAP:
+        raise ValueError(
+            "decode exceeds the memory-safe dense materialization bound")
+    return int(n)
+
 
 # ---------------------------------------------------------------------------
 # read
@@ -82,6 +94,13 @@ def _read_planes(data, hdr, range_=None, null_row=-1, rank_domain=False):
     tab = _ByteReader(bytes(
         np.frombuffer(data, np.uint8)[hdr["digest_offset"]
                                       + de.bytes_consumed:]))
+    if int(hdr["planes"]) > 1 << 20:
+        raise ValueError("malformed stream: implausible plane count")
+    # clamp BEFORE materializing positions: a crafted digest with a wide
+    # FULL span would otherwise np.arange billions of ids (round-5
+    # hardening); keep_range is run-aware O(structure)
+    if digest_bv.find_reverse() >= int(hdr["planes"]):
+        digest_bv.keep_range(0, max(int(hdr["planes"]) - 1, 0))
     nonempty = [int(i) for i in digest_bv.indices() if i < hdr["planes"]]
     dtype_code = tab.get_8()
     offsets = {}
@@ -151,7 +170,15 @@ def deserialize_sv_blob(data, dtype=np.uint32, range_=None):
         elif bv.any():
             raise ValueError(f"value slice {i} exceeds dtype width")
     if not got_null:
-        # no NULL row serialized: every position is assigned
+        # no NULL row in the digest.  The reference's plane count always
+        # includes the null SLOT (the bit-matrix allocates it even for
+        # non-nullable vectors), so absence cannot be told apart from an
+        # all-NULL nullable vector by counting rows — the reference
+        # resolves by the TARGET container type.  Default: every position
+        # assigned (matches reference blobs of non-nullable and fully
+        # assigned vectors).  OUR writer disambiguates by emitting the
+        # empty NULL row explicitly (digest bit set, empty bvector blob),
+        # so all-NULL round trips of our own blobs land in got_null.
         sv.null_plane = BitVector(C.ID_MAX48)
         if sv._size:
             sv.null_plane.set_range(0, sv._size - 1)
@@ -196,16 +223,19 @@ def deserialize_rsc_blob(data, dtype=np.uint32, range_=None):
             return rsc
         vals = dense.gather(np.arange(rank_lo, rank_lo + len(idx),
                                       dtype=np.int64))
-        n = int(idx[-1]) + 1
+        n = _cap_dense(int(idx[-1]) + 1)
         arr = np.zeros(n, dtype)
         arr[idx] = vals
         mask = np.ones(n, bool)
         mask[idx] = False
         sv = SparseVector.from_array(arr, nullable=True, null_mask=mask)
         return RSCSparseVector.from_sparse_vector(sv)
+    if null_bv.count() > _DENSE_DECODE_CAP:
+        raise ValueError(
+            "decode exceeds the memory-safe dense materialization bound")
     idx = null_bv.indices()
     vals = dense.gather(np.arange(len(idx), dtype=np.int64))
-    n = int(idx[-1]) + 1 if len(idx) else 0
+    n = _cap_dense(int(idx[-1]) + 1 if len(idx) else 0)
     arr = np.zeros(n, dtype)
     arr[idx] = vals
     mask = np.ones(n, bool)
@@ -244,7 +274,8 @@ def _serialize_matrix(rows: dict[int, BitVector], n_rows: int, size: int,
     assert len(w.parts) == _HDR_SIZE
 
     clamped = {i: _clamped(rows[i], clamp or size) for i in sorted(rows)
-               if rows[i] is not None and rows[i].any()}
+               if rows[i] is not None
+               and (rows[i].any() or i == n_rows - 1)}
     # cross-plane XOR filter: the deserializer (ours and the reference's)
     # decodes planes in DESCENDING row order building up the reference
     # collection, so plane i may only reference planes j > i
@@ -361,6 +392,9 @@ def _parse_remap_section(data, offsets, rows_decoded):
         return buf.reshape(-1, cols).copy()
     if tag == ord("C"):
         n_rows = r.get_32()
+        if n_rows > 1024:
+            raise ValueError(
+                "malformed stream: implausible remap row count")
         cols = r.get_16()
         bi = _BitIn(r)
         rlens = [bi.gamma() for _ in range(n_rows)]
@@ -389,6 +423,9 @@ def deserialize_str_blob(data):
     planes = hdr["planes"]
     has_null = (planes % 8) == 1
     max_str = planes // 8
+    if max_str > 4096:
+        raise ValueError(
+            "malformed stream: implausible string width")
     rows, offsets = _read_planes_with_offsets(data, hdr)
     unmap = _parse_remap_section(data, offsets, rows)
 
@@ -495,6 +532,13 @@ def _read_planes_with_offsets(data, hdr):
     tab = _ByteReader(bytes(
         np.frombuffer(data, np.uint8)[hdr["digest_offset"]
                                       + de.bytes_consumed:]))
+    if int(hdr["planes"]) > 1 << 20:
+        raise ValueError("malformed stream: implausible plane count")
+    # clamp BEFORE materializing positions: a crafted digest with a wide
+    # FULL span would otherwise np.arange billions of ids (round-5
+    # hardening); keep_range is run-aware O(structure)
+    if digest_bv.find_reverse() >= int(hdr["planes"]):
+        digest_bv.keep_range(0, max(int(hdr["planes"]) - 1, 0))
     nonempty = [int(i) for i in digest_bv.indices() if i < hdr["planes"]]
     dtype_code = tab.get_8()
     offsets = {}
@@ -569,7 +613,7 @@ def deserialize_float_blob(data):
     off += sizes[1]
     mant_sv = deserialize_sv_blob(data[off:off + sizes[2]], np.uint32)
 
-    n = max(int(exp_sv.size), int(mant_sv.size))
+    n = _cap_dense(max(int(exp_sv.size), int(mant_sv.size)))
     fv = FloatSparseVector(np.float32, nullable=True)
     if n == 0:
         return fv

@@ -116,32 +116,20 @@ class SparseVectorSerializer:
             enc.put_32(len(group))
             enc.put_bytes(group)
             return
+        # non-grouped fallback: plain per-plane blobs.  Plane-level XOR
+        # emission is subsumed by the GROUPED section (xor_filter=True
+        # takes the early return above), so this path always writes
+        # ref = NO_XOR; the reader keeps its ref-decode branch for
+        # compatibility with older v1 blobs.
         ser = Serializer(self.level)
-        done: list[tuple[int, BitVector]] = []
         for s, p in enumerate(planes):
             if not (present >> s) & 1:
                 continue
-            ref = NO_XOR
-            best = p
-            if self.xor_filter and done:
-                # xor_scanner::search_best_xor_mask analog at plane
-                # granularity: pick the earlier plane minimizing the delta
-                # popcount (one fused count_xor pass per candidate)
-                base = p.count()
-                best_gain = 0
-                for rs, rp in done[-8:]:           # bounded search depth
-                    cx = setops.count_xor(p, rp)
-                    if base - cx > best_gain:
-                        best_gain = base - cx
-                        ref, best = rs, None
-                if ref != NO_XOR:
-                    best = p ^ dict(done)[ref]
-            blob = ser.serialize(best)
+            blob = ser.serialize(p)
             enc.put_8(s)
-            enc.put_8(ref)
+            enc.put_8(NO_XOR)
             enc.put_32(len(blob))
             enc.put_bytes(blob)
-            done.append((s, p))
 
     def _put_optional(self, enc, bv):
         if bv is None:
@@ -268,9 +256,19 @@ class SparseVectorDeserializer:
             return deser.deserialize(blob)
         if sel[0] == "range":
             return deser.deserialize(blob, range_=sel[1])
+        from . import native
         from .opdeser import _materialize_subset, _stream_blocks
-        _, size, _ = next(_stream_blocks(blob))
-        return _materialize_subset(blob, sel[1], size)
+        try:
+            _, size, _ = next(_stream_blocks(blob))
+            return _materialize_subset(blob, sel[1], size)
+        except native.RunCodedBlob:
+            # FULL_RUN span record in the plane: the per-block subset
+            # walk cannot skip through it — full decode is O(records)
+            # anyway (spans decode to interval metadata), and a superset
+            # result is semantically fine for gather (review finding:
+            # self-produced blobs with >=2 consecutive FULL blocks in a
+            # plane crashed deserialize_gather)
+            return deser.deserialize(blob)
 
     def _get_planes(self, dec, n_slices, sel=None):
         present = dec.get_64()
@@ -297,7 +295,16 @@ class SparseVectorDeserializer:
             raw.append((slice_id, ref, bv))
         resolved: dict[int, BitVector] = {}
         for slice_id, ref, bv in raw:       # refs always point backwards
+            # untrusted-stream validation: out-of-range or duplicate
+            # slice ids and unresolved refs must fail as malformed, not
+            # IndexError/KeyError/silent overwrite (round-5 hardening)
+            if slice_id >= n_slices or planes[slice_id] is not None:
+                raise ValueError(
+                    "malformed stream: bad or duplicate slice id")
             if ref != NO_XOR:
+                if ref not in resolved:
+                    raise ValueError(
+                        "malformed stream: unresolved plane XOR ref")
                 # both sides restricted to the same range: XOR still undoes
                 # the cross-plane filter inside it
                 bv = bv ^ resolved[ref]
@@ -523,9 +530,12 @@ def deserialize_compressed_collection(data: bytes):
     key_bv = Deserializer().deserialize(dec.get_bytes(klen))
     n = dec.get_32()
     coll = CompressedBufferCollection()
-    keys = key_bv.indices()
-    if len(keys) != n:
+    # count() is run-aware O(structure): check BEFORE materializing key
+    # positions (a crafted key blob with a wide FULL span would otherwise
+    # np.arange billions of ids — round-5 hardening)
+    if key_bv.count() != n:
         raise ValueError("key/value count mismatch")
+    keys = key_bv.indices()
     for k in keys:
         blen = dec.get_32()
         coll.push_back(int(k), dec.get_bytes(blen))

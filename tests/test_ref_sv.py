@@ -248,3 +248,38 @@ def test_sv_blob_range_decode():
     idx = np.arange(lo, hi + 1)
     assert np.array_equal(np.asarray(rpart.gather(idx), np.uint32),
                           arr[lo:hi + 1])
+
+
+def test_all_null_nullable_round_trip():
+    """An all-NULL nullable vector round-trips through the ref format:
+    the writer emits the EMPTY null row explicitly (digest bit + empty
+    bvector blob) so the reader does not fall back to all-assigned
+    (round-5 review finding: every position silently flipped to
+    assigned-0)."""
+    sv = SparseVector(np.uint32, nullable=True)
+    sv.resize(100)
+    back = ref_sv.deserialize_sv_blob(ref_sv.serialize_sv_blob(sv))
+    assert back.is_null(0) and back.is_null(99)
+    assert back.size == 100
+    # fully-assigned and non-nullable vectors unchanged
+    sv2 = SparseVector.from_array(np.arange(50, dtype=np.uint32))
+    back2 = ref_sv.deserialize_sv_blob(ref_sv.serialize_sv_blob(sv2))
+    assert not back2.is_null(3) and back2.get(3) == 3
+
+
+def test_sv_blob_adversarial_hardening():
+    """Round-5 hardening: implausible plane counts / string widths /
+    remap row counts and digest wide-spans fail fast with ValueError."""
+    import struct as _st
+    # header with planes_code = 2^60 (would build 2^57 octet vectors)
+    w = bytearray()
+    w += b"BM"
+    w += bytes([1, 0, 1])
+    w += _st.pack("<Q", (1 << 60) | (1 << 63))
+    w += _st.pack("<Q", 100)
+    w += _st.pack("<Q", 40)          # digest offset (bogus)
+    w += b"\x00" * 4
+    with pytest.raises(ValueError):
+        ref_sv.deserialize_str_blob(bytes(w) + b"\x00" * 64)
+    with pytest.raises((ValueError, IndexError)):
+        ref_sv.deserialize_sv_blob(bytes(w) + b"\x00" * 64)
