@@ -937,9 +937,80 @@ def trial_misc(rng, seed, t):
         _fail("sv insert/erase", seed, t)
 
 
+def trial_corrupt(rng, seed, t):
+    """Adversarial decode robustness: corrupt/truncate VALID blobs of
+    every format and decode with a consistency contract — either a clean
+    exception (ValueError/IndexError family) or an internally consistent
+    result (count <= size, count == len(indices)); never a hang, OOM, or
+    count() > size (the round-5 hardening findings)."""
+    import signal
+
+    size = int(rng.integers(1, 24)) * C.BITS_PER_BLOCK
+    ids = np.unique(rng.integers(0, size, int(rng.integers(10, 4000))))
+    bv = bm.BitVector.from_indices(ids, size)
+    if rng.random() < 0.5:
+        lo = int(rng.integers(0, size // 2))
+        bv.set_range(lo, int(rng.integers(lo, size - 1)))
+    if rng.random() < 0.5:
+        bv.optimize()
+    from bitmagic_tpu.serial.refcodec import RefDeserializer, ref_serialize
+    sv = bm.SparseVector.from_array(
+        rng.integers(0, 1 << 16, 2000).astype(np.uint32))
+    from bitmagic_tpu.serial.sv_serial import (SparseVectorDeserializer,
+                                               SparseVectorSerializer)
+    from bitmagic_tpu.serial import ref_sv
+    corpora = [
+        (bm.serialize(bv), lambda b: bm.deserialize(b)),
+        (ref_serialize(bv, level=int(rng.choice([0, 4, 6]))),
+         lambda b: RefDeserializer().deserialize(b)),
+        (SparseVectorSerializer().serialize(sv),
+         lambda b: SparseVectorDeserializer().deserialize(b)),
+        (ref_sv.serialize_sv_blob(sv),
+         lambda b: ref_sv.deserialize_sv_blob(b)),
+    ]
+    blob, decode = corpora[int(rng.integers(0, len(corpora)))]
+    blob = bytearray(blob)
+    mode = int(rng.integers(0, 3))
+    if mode == 0 and len(blob) > 2:              # truncate
+        blob = blob[:int(rng.integers(1, len(blob)))]
+    elif mode == 1:                              # flip random bytes
+        for _ in range(int(rng.integers(1, 6))):
+            blob[int(rng.integers(0, len(blob)))] ^= int(
+                rng.integers(1, 256))
+    else:                                        # splice random garbage
+        at = int(rng.integers(0, len(blob)))
+        blob[at:at] = bytes(rng.integers(0, 256, 16, dtype=np.uint8))
+
+    def _alarm(signum, frame):
+        raise TimeoutError("decode hang")
+
+    old = signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(20)
+    try:
+        got = decode(bytes(blob))
+    except TimeoutError:
+        _fail(f"corrupt decode HANG (mode {mode})", seed, t)
+    except Exception:
+        return                                   # clean rejection
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+    # accepted decode: must be internally consistent
+    if isinstance(got, bm.BitVector):
+        c = got.count()
+        if not (0 <= c <= got.size):
+            _fail(f"corrupt decode count {c} > size {got.size}", seed, t)
+        if c <= 1 << 22 and c != got.indices().size:
+            _fail("corrupt decode count/indices mismatch", seed, t)
+    else:
+        n = len(got)
+        if not (0 <= n <= 1 << 34):
+            _fail(f"corrupt decode size {n}", seed, t)
+
+
 TRIALS = [trial_int, trial_float, trial_str, trial_rsc, trial_sorted,
           trial_stream, trial_refbridge, trial_sbv, trial_bounds,
-          trial_misc, trial_stress_serial]
+          trial_misc, trial_stress_serial, trial_corrupt]
 
 
 def main():
