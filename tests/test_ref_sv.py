@@ -283,3 +283,17 @@ def test_sv_blob_adversarial_hardening():
         ref_sv.deserialize_str_blob(bytes(w) + b"\x00" * 64)
     with pytest.raises((ValueError, IndexError)):
         ref_sv.deserialize_sv_blob(bytes(w) + b"\x00" * 64)
+
+
+def test_all_null_blob_reference_cross_check():
+    """The reference's OWN decoder reads our empty-null-row blob as
+    all-NULL (assigned mask all False) — the disambiguation stays
+    reference-readable."""
+    if not refformat.available():
+        pytest.skip("reference bridge unavailable")
+    sv = SparseVector(np.uint32, nullable=True)
+    sv.resize(100)
+    blob = ref_sv.serialize_sv_blob(sv)
+    vals, assigned = refformat.deserialize_reference_sv(blob)
+    assert len(assigned) == 100 and not assigned.any()
+    assert (vals == 0).all()
