@@ -727,3 +727,25 @@ def test_ref_one_run_blob_through_stream_ops():
     t2 = tgt.copy()
     od.deserialize(t2, blob, C.SET_SUB)
     assert sorted(t2.indices().tolist()) == [(1 << 31) + 7]
+
+
+def test_xor_zero_digest_does_not_wedge_sink():
+    """A XOR record with digest 0 must not wedge the sink flush: the old
+    pending check keyed on d64 truthiness, so x_nb was never reset and
+    the final flush (capped at x_nb) silently delivered NOTHING."""
+    import struct as _st
+    from bitmagic_tpu import BitVector, OperationDeserializer
+    from bitmagic_tpu import constants as Cn
+    from bitmagic_tpu.serial.refcodec import (BLOCK_BIT_1BIT,
+                                              BLOCK_XOR_REF8, HM_NO_BO,
+                                              HM_NO_GAPL, ref_deserialize)
+    blob = bytes([HM_NO_BO | HM_NO_GAPL,
+                  BLOCK_XOR_REF8, 0]) + _st.pack("<Q", 0) + \
+        bytes([BLOCK_BIT_1BIT]) + _st.pack("<H", 7) + bytes([0])
+    ref = BitVector.from_indices([3], size=1 << 20)
+    got = ref_deserialize(blob, ref_vectors=[(0, ref)])
+    assert got.indices().tolist() == [7]
+    od = OperationDeserializer(ref_vectors=[(0, ref)])
+    tgt = BitVector(1 << 20)
+    od.deserialize(tgt, blob, Cn.SET_OR)
+    assert tgt.indices().tolist() == [7]      # old code delivered []
