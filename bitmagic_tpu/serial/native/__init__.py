@@ -53,8 +53,9 @@ def load():
                                       ctypes.c_int64, ctypes.c_int64, i64p]
         lib.bm_gamma_encode.restype = ctypes.c_uint64
         lib.bm_gamma_encode.argtypes = [u64p, ctypes.c_int64, u8p]
-        lib.bm_gamma_decode.restype = ctypes.c_uint64
-        lib.bm_gamma_decode.argtypes = [u8p, ctypes.c_uint64, ctypes.c_int64,
+        lib.bm_gamma_decode.restype = ctypes.c_int64
+        lib.bm_gamma_decode.argtypes = [u8p, ctypes.c_uint64,
+                                        ctypes.c_uint64, ctypes.c_int64,
                                         u64p]
         i32p = ctypes.POINTER(ctypes.c_int32)
         u32p = ctypes.POINTER(ctypes.c_uint32)
@@ -474,7 +475,10 @@ def gamma_decode_bytes(data: bytes, n: int) -> np.ndarray:
     lib = load()
     buf = padded_blob(data)
     out = np.zeros(n, np.uint64)
-    lib.bm_gamma_decode(
-        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), 0, int(n),
+    rc = lib.bm_gamma_decode(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), 0,
+        (buf.size - 8) * 8, int(n),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+    if rc < 0:
+        raise ValueError("malformed stream: truncated gamma payload")
     return out

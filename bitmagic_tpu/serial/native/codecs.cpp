@@ -175,16 +175,20 @@ uint64_t bm_gamma_encode(const uint64_t* arr, int64_t n, uint8_t* out) {
     return bits;
 }
 
-uint64_t bm_gamma_decode(const uint8_t* data, uint64_t bit_offset, int64_t n,
-                         uint64_t* out) {
+// max_bits bounds every read: a truncated stream returns -1 instead of
+// walking past the allocation (the zero padding let the unary-prefix
+// loop spin into unmapped heap on adversarial payloads — round-5 fix).
+int64_t bm_gamma_decode(const uint8_t* data, uint64_t bit_offset,
+                        uint64_t max_bits, int64_t n, uint64_t* out) {
     BitR rd{data, bit_offset};
     for (int64_t i = 0; i < n; ++i) {
         int nz = 0;
-        while (rd.get_bit() == 0) ++nz;
+        while (rd.bitpos < max_bits && rd.get_bit() == 0) ++nz;
+        if (nz > 63 || rd.bitpos + (uint64_t)nz > max_bits) return -1;
         uint64_t rest = nz ? rd.get(nz) : 0;
         out[i] = nz ? ((1ull << nz) | rest) : 1ull;
     }
-    return rd.bitpos;
+    return (int64_t)rd.bitpos;
 }
 
 }  // extern "C"
@@ -230,6 +234,9 @@ struct RBitR {
             if (!ok) return 0;
             ++zeros;
         }
+        if (zeros > 31) { ok = 0; return 0; }  // u32 gamma bound: an
+        // adversarial prefix would hit shift-by->=32 UB and decode
+        // silent garbage with ok still set (round-5 fix)
         if (!zeros) return 1;
         return get_bits(zeros) | (1u << zeros);
     }
@@ -306,6 +313,10 @@ extern "C" {
 int bmref_bic_decode_cm(const uint8_t* buf, int64_t len, int64_t* pos,
                         uint64_t* acc, int32_t* nbits,
                         int64_t sz, int64_t lo, int64_t hi, int64_t* out) {
+    // root range must admit sz strictly-increasing values: sz > hi-lo+1
+    // drives the interpolative split into shift-by-64 UB (round-5 fix;
+    // attacker-chosen counts reach here via blob record headers)
+    if (sz < 0 || hi < lo || sz > hi - lo + 1) return -1;
     // bitstream state in registers (the struct-member version costs ~2x)
     int64_t p = *pos;
     uint64_t a = *acc;
@@ -564,9 +575,17 @@ inline int bmt1_read_rec(const uint8_t* blob, int64_t len, int compact,
     if (compact) {
         if (*pos >= len) return -1;
         uint64_t delta = rd_leb(blob, pos);
-        if (delta == 0) return 1;
+        // overrun check BEFORE the END return: a blob truncated on a
+        // continuation byte must be an error, not a clean end-of-stream
         if (delta == LEB_BAD || *pos > len) return -1;
-        *nb = (uint64_t)(*prev_nb + (int64_t)delta);
+        if (delta == 0) return 1;
+        // block ids live in [0, 2^48): reject deltas that would wrap or
+        // escape the address space (signed-overflow UB + silent
+        // row/record misparing downstream — round-5 fix)
+        if (delta > (uint64_t)BMT1_END_NB ||
+            (uint64_t)*prev_nb + delta >= (uint64_t)BMT1_END_NB)
+            return -1;
+        *nb = (uint64_t)*prev_nb + delta;
         if (*pos >= len) return -1;
         *code = blob[(*pos)++];
         uint64_t pl = rd_leb(blob, pos);
@@ -582,6 +601,10 @@ inline int bmt1_read_rec(const uint8_t* blob, int64_t len, int compact,
     *plen = rd32(blob + *pos + 7);
     *pos += 11;
     if (*code == BMT1_END && *nb == BMT1_END_NB) return 1;
+    // records must be strictly ascending (writers emit sorted ids);
+    // accepting disorder would pair decoders' rows with wrong records
+    if ((int64_t)*nb <= *prev_nb || *nb >= (uint64_t)BMT1_END_NB)
+        return -1;
     *prev_nb = (int64_t)*nb;
     return 0;
 }
@@ -599,7 +622,7 @@ inline uint64_t bmt1_run_span(const uint8_t* blob, int64_t pos, int64_t len,
     int64_t p = pos;
     uint64_t span = rd_leb(blob, &p);
     if (span == LEB_BAD || span == 0 || p > pos + (int64_t)plen) return 0;
-    if (nb + span - 1 >= BMT1_END_NB) return 0;
+    if (span > (uint64_t)BMT1_END_NB - nb) return 0;   // no u64 wrap
     *prev_nb = (int64_t)(nb + span - 1);
     return span;
 }
@@ -756,6 +779,9 @@ int bmt1_payload(int code, const uint8_t* p, int64_t plen, uint32_t* w,
             prev = end;
             val ^= 1;
         }
+        if (prev != 65535) return -1;   // runs must cover the block —
+        // same rule as bmt1_gap_ends, so the dense and GAP-direct
+        // decoders agree on which records are valid
         return 0;
     }
     case BMT1_GAP_BIC: {
