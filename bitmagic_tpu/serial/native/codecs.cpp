@@ -717,6 +717,19 @@ static int bic_decode_cm_bitset(const uint8_t* buf, int64_t len,
     return 0;
 }
 
+// Leading gamma of a GAP_GAMMA payload = run count; shared by the dense
+// decoder, the GAP-direct decoder, and the gap-aware scan so the three
+// untrusted-input parsers cannot drift (round-5 dedup).  Returns the run
+// count (1..65536) and leaves *rd positioned after the header, or -1.
+inline int64_t bmt1_gamma_runcount(BitR* rd, uint64_t max_bits) {
+    int nz = 0;
+    while (rd->bitpos < max_bits && rd->get_bit() == 0) ++nz;
+    if (nz > 17 || rd->bitpos + (uint64_t)nz > max_bits) return -1;
+    uint64_t n_runs = nz ? ((1ull << nz) | rd->get(nz)) : 1;
+    if (n_runs > 65536) return -1;
+    return (int64_t)n_runs;
+}
+
 int bmt1_payload(int code, const uint8_t* p, int64_t plen, uint32_t* w,
                  int64_t* scratch) {
     switch (code) {
@@ -759,14 +772,11 @@ int bmt1_payload(int code, const uint8_t* p, int64_t plen, uint32_t* w,
         // must fail, not write past the block or read past the payload.
         BitR rd{p + 1, 0};
         const uint64_t max_bits = (uint64_t)(plen - 1) * 8;
-        int nz = 0;
-        while (rd.bitpos < max_bits && rd.get_bit() == 0) ++nz;
-        if (nz > 17 || rd.bitpos + nz > max_bits) return -1;
-        uint64_t n_runs = nz ? ((1ull << nz) | rd.get(nz)) : 1;
-        if (n_runs > 65536) return -1;
+        int64_t n_runs = bmt1_gamma_runcount(&rd, max_bits);
+        if (n_runs < 0) return -1;
         int64_t prev = -1;
         int val = first;
-        for (uint64_t i = 0; i < n_runs; ++i) {
+        for (int64_t i = 0; i < n_runs; ++i) {
             int z = 0;
             while (rd.bitpos < max_bits && rd.get_bit() == 0) ++z;
             if (z > 17 || rd.bitpos + z > max_bits) return -1;
@@ -828,13 +838,10 @@ int64_t bmt1_gap_ends(int code, const uint8_t* p, int64_t plen,
     *first = p[0];
     BitR rd{p + 1, 0};
     const uint64_t max_bits = (uint64_t)(plen - 1) * 8;
-    int nz = 0;
-    while (rd.bitpos < max_bits && rd.get_bit() == 0) ++nz;
-    if (nz > 17 || rd.bitpos + nz > max_bits) return -1;
-    uint64_t n_runs = nz ? ((1ull << nz) | rd.get(nz)) : 1;
-    if (n_runs > 65536) return -1;
+    int64_t n_runs = bmt1_gamma_runcount(&rd, max_bits);
+    if (n_runs < 0) return -1;
     int64_t prev = -1;
-    for (uint64_t i = 0; i < n_runs; ++i) {
+    for (int64_t i = 0; i < n_runs; ++i) {
         int z = 0;
         while (rd.bitpos < max_bits && rd.get_bit() == 0) ++z;
         if (z > 17 || rd.bitpos + z > max_bits) return -1;
@@ -1247,14 +1254,11 @@ int bm_bmt1_scan_gap(const uint8_t* blob, int64_t len, int64_t rec_offset,
         } else if (code == BMT1_GAP_GAMMA) {
             if (plen < 1) return -1;
             BitR rd{blob + pos + 1, 0};
-            const uint64_t max_bits = (uint64_t)(plen - 1) * 8;
-            int nz = 0;
-            while (rd.bitpos < max_bits && rd.get_bit() == 0) ++nz;
-            if (nz > 17 || rd.bitpos + nz > max_bits) return -1;
-            uint64_t n_runs = nz ? ((1ull << nz) | rd.get(nz)) : 1;
-            if (n_runs > 65536) return -1;
+            int64_t n_runs = bmt1_gamma_runcount(
+                &rd, (uint64_t)(plen - 1) * 8);
+            if (n_runs < 0) return -1;
             ++gr;
-            ge += (int64_t)n_runs;
+            ge += n_runs;
         } else if (code != BMT1_FULL && code != BMT1_FULL_RUN) {
             ++rows;
         }
