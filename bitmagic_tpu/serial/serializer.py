@@ -524,6 +524,7 @@ class Deserializer:
             lo_blk = int(range_[0]) >> C.SET_BLOCK_SHIFT
             hi_blk = int(range_[1]) >> C.SET_BLOCK_SHIFT
         nbs, clss, spans, rows = [], [], [], []
+        g_ends, g_first = [], []
         prev_nb = -1
         while True:
             nb, code, plen = read_record_header(dec, prev_nb, compact)
@@ -551,6 +552,16 @@ class Deserializer:
                 clss.append(C.CLS_FULL)
                 spans.append(1)
                 continue
+            if code in (CODE_GAP_GAMMA, CODE_GAP_BIC):
+                # D-GAP records keep run form (succinct GapStore
+                # residency) — same contract as the native decode_gap
+                first, ends = _decode_gap_ends(code, payload)
+                g_first.append(first)
+                g_ends.append(ends)
+                nbs.append(nb)
+                clss.append(C.CLS_GAP)
+                spans.append(1)
+                continue
             words = _decode_payload(code, payload)
             nbs.append(nb)
             clss.append(C.CLS_BIT)
@@ -561,7 +572,14 @@ class Deserializer:
         struct = _struct_from_spans(np.asarray(nbs, np.int64),
                                     np.asarray(clss, np.uint8),
                                     np.asarray(spans, np.int64))
-        bv = BitVector._from_parts(struct, pool, size)
+        gaps = None
+        if g_first:
+            from ..core.gapstore import GapStore
+            offs = np.zeros(len(g_ends) + 1, np.int64)
+            np.cumsum([e.size for e in g_ends], out=offs[1:])
+            gaps = GapStore(np.concatenate(g_ends), offs,
+                            np.asarray(g_first, np.uint8))
+        bv = BitVector._from_parts(struct, pool, size, gaps=gaps)
         if range_ is not None:
             bv.keep_range(int(range_[0]), int(range_[1]))
         return bv
@@ -625,6 +643,37 @@ def _decode_payload(code, payload) -> np.ndarray:
         runs = np.diff(np.concatenate([[-1], change, [C.BITS_PER_BLOCK - 1]]))
         return _runs_to_words(first, runs)
     raise ValueError(f"unknown block code {code}")
+
+
+def _decode_gap_ends(code, payload):
+    """(first, inclusive run ends int64 with final 65535) of a D-GAP
+    record WITHOUT dense expansion — the Python analog of the native
+    bmt1_gap_ends, used by the record loop to keep gap records in
+    succinct GapStore residency (matching the native decode_gap path)."""
+    if code == CODE_GAP_GAMMA:
+        first = payload[0]
+        if first > 1:
+            raise ValueError("malformed stream: bad GAP first byte")
+        r = BitReader(payload[1:])
+        n = r.get_gamma()
+        if n > 65536:
+            raise ValueError("malformed stream: GAP run count over block")
+        vals = _gamma_unbytes(payload[1:], n + 1)
+        ends = np.cumsum(vals[1:].astype(np.int64)) - 1
+        if ends.size == 0 or ends[-1] != C.BITS_PER_BLOCK - 1 \
+                or (ends > C.BITS_PER_BLOCK - 1).any():
+            raise ValueError("malformed stream: GAP runs must cover block")
+        return int(first), ends
+    d = ByteDecoder(payload)
+    first = d.get_8()
+    if first > 1:
+        raise ValueError("malformed stream: bad GAP first byte")
+    n = d.get_32()
+    if n > 65535:
+        raise ValueError("malformed stream: GAP boundary count")
+    change = _bic_unbytes(payload[5:], n, 0, C.BITS_PER_BLOCK - 2)
+    return int(first), np.concatenate(
+        [np.asarray(change, np.int64), [C.BITS_PER_BLOCK - 1]])
 
 
 def _bits_to_words(pos, invert=False):

@@ -354,3 +354,39 @@ def test_deserialize_gap_direct_residency():
             or back._pool_np.shape[0] == n_bit)
     # GAP-direct round trip is byte-stable
     assert Serializer(6).serialize(back) == blob
+
+
+def test_range_deserialize_gap_direct_residency():
+    """The Python record loop (range path + no-native fallback) also
+    keeps D-GAP records succinct (round-5: previously the last path that
+    expanded gap payloads to dense rows)."""
+    import numpy as np
+    from bitmagic_tpu import BitVector, constants as C
+    from bitmagic_tpu.serial.serializer import Deserializer, Serializer
+    rng = np.random.default_rng(21)
+    size = 64 * C.BITS_PER_BLOCK
+    starts = rng.integers(0, size - 400, 600)
+    ids = np.unique(np.concatenate(
+        [np.arange(s, s + l)
+         for s, l in zip(starts, rng.integers(30, 300, 600))]))
+    bv = BitVector.from_indices(ids, size)
+    bv.optimize()
+    blob = Serializer(6).serialize(bv)
+    lo, hi = 3 * C.BITS_PER_BLOCK + 17, 40 * C.BITS_PER_BLOCK - 5
+    win = Deserializer().deserialize_range(blob, lo, hi)
+    g = bv.copy()
+    g.keep_range(lo, hi)
+    assert win.equal(g)
+    assert (win._struct.cls == C.CLS_GAP).sum() > 0   # stayed succinct
+    # pure-python fallback path too
+    import pytest
+    from bitmagic_tpu.serial import native
+    if native.load() is not None:
+        import unittest.mock as mock
+        with mock.patch.object(native, "bmt1_decode_gap",
+                               lambda *a, **k: None), \
+             mock.patch.object(native, "bmt1_decode",
+                               lambda *a, **k: None):
+            full = Deserializer().deserialize(blob)
+        assert full.equal(bv)
+        assert (full._struct.cls == C.CLS_GAP).sum() > 0
